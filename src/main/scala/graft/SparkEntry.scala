@@ -1,13 +1,276 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Upsert}
+import graft.Tables._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one operator from SURVEY.md §2 (or an
+  * LLM-pipeline extension), expressed as an idiomatic Spark plan over the
+  * driver's parquet test tables; [[oracleSql]] carries the equivalent ANSI
+  * SQL that DuckDB runs on the same parquet for the hash-compare gate.
+  *
+  * Determinism rules applied throughout:
+  *  - every result has an explicit ORDER BY (both sides) — no reliance on
+  *    engine row order;
+  *  - double aggregates are round()ed (2-4 dp) so summation order across
+  *    partitions cannot flip the hash;
+  *  - counts are cast to BIGINT on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Referential-integrity orphan check (SURVEY §2 J2+A8,
+    * ref shopify_etl.py:718-734) over lineitem→orders. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q03_orphan_lineitems(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- parity
+
+  /** A5/A9 hash aggregate with partial map-side combine (TPC-H Q1 shape).
+    * ref: per-day metric aggregation fetch_youtube_data.py:29-35 +
+    * uniqueness counts shopify_etl.py:592-618. */
+  def q01_pricing_summary(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** O1 top-1 by timestamp (checkpoint read, ref shopify_etl.py:174-180).
+    * Catalyst plans TakeOrderedAndProject — no full sort at scale. */
+  def q02_latest_event(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(1)
+
+  /** J2+A8 left-anti referential integrity: lineitems with no parent order.
+    * ref: shopify_etl.py:718-734. */
+  def q03_orphan_lineitems(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("invalid_refs"))
+
+  /** J3 star-schema join: revenue per region. Dimension sides are broadcast
+    * (region/nation/customer are tiny vs lineitem at any SF). */
+  def q04_star_revenue(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"))
+
+  /** A1/A2 deterministic first-wins dedup (ref shopify_etl.py:339-347,
+    * 496-516): one row per (user_id, event_type), earliest event_id wins. */
+  def q05_dedup_first_wins(s: SparkSession, d: String): DataFrame =
+    Dedup.firstWins(events(s, d), Seq("user_id", "event_type"), "event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 2).as("value"))
+      .orderBy(col("event_id"))
+
+  /** A4 SELECT DISTINCT * (ref shopify_etl.py:571-576) on a projection. */
+  def q06_distinct(s: SparkSession, d: String): DataFrame =
+    Dedup.distinctRows(
+      orders(s, d).select(col("o_orderstatus"), col("o_orderpriority")))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
+  /** A5/A6 uniqueness verification: COUNT(*) vs COUNT(DISTINCT key)
+    * (ref shopify_etl.py:592-618). */
+  def q07_uniqueness_check(s: SparkSession, d: String): DataFrame =
+    orders(s, d).agg(
+      count(lit(1)).as("total_rows"),
+      countDistinct(col("o_orderkey")).as("unique_keys"),
+      countDistinct(col("o_custkey"), col("o_orderstatus")).as("unique_cust_status"))
+
+  /** A7 group-by-count duplicates report (ref shopify_etl.py:463-481). */
+  def q08_dup_report(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .orderBy(col("user_id"))
+
+  /** A9/T-window daily rollup (ref fetch_youtube_data.py:29-35 day
+    * dimension): per-day event counts and value sums. */
+  def q09_daily_rollup(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"),
+        round(avg(col("value")), 4).as("avg_value"))
+      .orderBy(col("day"))
+
+  /** F1/P5/T3 incremental window: events inside the 1-hour late-data buffer
+    * before max(ts) (ref shopify_etl.py:191-205 intended semantics). */
+  def q10_incremental_buffer(s: SparkSession, d: String): DataFrame = {
+    val maxTs = events(s, d).agg(max(col("ts")).as("max_ts"))
+    events(s, d)
+      .crossJoin(broadcast(maxTs))
+      .filter(col("ts") >= col("max_ts") - expr("INTERVAL 1 HOUR"))
+      .agg(count(lit(1)).as("recent_events"))
+  }
+
+  /** P1/F5/F6/F8/F9/F2 normalization projection: string-cast ids, coalesce
+    * defaults, boolean→categorical banding, month formatting
+    * (ref shopify_etl.py:350-364,419). */
+  def q11_normalize_projection(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(
+      col("o_orderkey").cast("string").as("order_id"),
+      col("o_custkey").cast("string").as("customer_id"),
+      coalesce(col("o_orderstatus"), lit("")).as("financial_status"),
+      round(col("o_totalprice"), 2).as("total_price"),
+      when(col("o_totalprice") > 150000.0, lit("high")).otherwise(lit("normal")).as("value_band"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+      .orderBy(col("order_id"))
+
+  /** J1 MERGE upsert semantics (ref shopify_etl.py:558-590): final table =
+    * even keys, update batch = keys divisible by 3 with repriced rows;
+    * matched rows fully replaced, unmatched kept, new inserted. */
+  def q12_merge_upsert(s: SparkSession, d: String): DataFrame = {
+    // Raw doubles pass through both engines bit-identically; arithmetic on
+    // them (e.g. *1.05 then round) does not — keep the merge payload exact.
+    val base = orders(s, d).filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), lit("old").as("status"),
+        col("o_totalprice").as("total_price"))
+    val updates = orders(s, d).filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), lit("new").as("status"),
+        col("o_totalprice").as("total_price"))
+    Upsert.merge(base, updates, Seq("o_orderkey")).orderBy(col("o_orderkey"))
+  }
+
+  /** F4/F10 regexp extract + JSON field extraction over events.props
+    * (ref shopify_etl.py:436-445 Link-header regex; :112 json). */
+  def q13_regexp_json(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(
+        get_json_object(col("props"), "$.k").as("k_json"),
+        regexp_extract(col("props"), "([0-9]+)", 1).as("k_re"))
+      .groupBy(col("k_json"), col("k_re"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("k_json"), col("k_re"))
+
+  /** F2-ish string/aggregate mix over documents, grouped by language. */
+  def q14_doc_summary(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(upper(col("lang")).as("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("lang"))
+
+  // ------------------------------------------------------------- registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary"   -> (q01_pricing_summary _),
+    "q02_latest_event"      -> (q02_latest_event _),
+    "q03_orphan_lineitems"  -> (q03_orphan_lineitems _),
+    "q04_star_revenue"      -> (q04_star_revenue _),
+    "q05_dedup_first_wins"  -> (q05_dedup_first_wins _),
+    "q06_distinct"          -> (q06_distinct _),
+    "q07_uniqueness_check"  -> (q07_uniqueness_check _),
+    "q08_dup_report"        -> (q08_dup_report _),
+    "q09_daily_rollup"      -> (q09_daily_rollup _),
+    "q10_incremental_buffer"-> (q10_incremental_buffer _),
+    "q11_normalize_projection" -> (q11_normalize_projection _),
+    "q12_merge_upsert"      -> (q12_merge_upsert _),
+    "q13_regexp_json"       -> (q13_regexp_json _),
+    "q14_doc_summary"       -> (q14_doc_summary _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_quantity), 4) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q02_latest_event" ->
+      """SELECT event_id, ts, user_id, event_type FROM events
+         ORDER BY ts DESC, event_id DESC LIMIT 1""",
+    "q03_orphan_lineitems" ->
+      """SELECT count(*) AS invalid_refs FROM lineitem l
+         LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+         WHERE o.o_orderkey IS NULL""",
+    "q04_star_revenue" ->
+      """SELECT r_name,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "q05_dedup_first_wins" ->
+      """SELECT event_id, user_id, event_type, round(value, 2) AS value FROM (
+           SELECT event_id, user_id, event_type, value,
+                  row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+           FROM events) t WHERE rn = 1 ORDER BY event_id""",
+    "q06_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+         ORDER BY o_orderstatus, o_orderpriority""",
+    "q07_uniqueness_check" ->
+      """SELECT count(*) AS total_rows,
+         count(DISTINCT o_orderkey) AS unique_keys,
+         count(DISTINCT (o_custkey, o_orderstatus)) AS unique_cust_status
+         FROM orders""",
+    "q08_dup_report" ->
+      """SELECT user_id, count(*) AS cnt FROM events
+         GROUP BY user_id HAVING count(*) > 1 ORDER BY user_id""",
+    "q09_daily_rollup" ->
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+         round(sum(value), 2) AS total_value,
+         round(avg(value), 4) AS avg_value
+         FROM events GROUP BY CAST(ts AS DATE) ORDER BY day""",
+    "q10_incremental_buffer" ->
+      """SELECT count(*) AS recent_events FROM events
+         WHERE ts >= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)""",
+    "q11_normalize_projection" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS order_id,
+         CAST(o_custkey AS VARCHAR) AS customer_id,
+         coalesce(o_orderstatus, '') AS financial_status,
+         round(o_totalprice, 2) AS total_price,
+         CASE WHEN o_totalprice > 150000.0 THEN 'high' ELSE 'normal' END AS value_band,
+         strftime(o_orderdate, '%Y-%m') AS order_month
+         FROM orders ORDER BY order_id""",
+    "q12_merge_upsert" ->
+      """WITH base AS (
+           SELECT o_orderkey, 'old' AS status, o_totalprice AS total_price
+           FROM orders WHERE o_orderkey % 2 = 0),
+         upd AS (
+           SELECT o_orderkey, 'new' AS status, o_totalprice AS total_price
+           FROM orders WHERE o_orderkey % 3 = 0)
+         SELECT * FROM base b WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey)
+         UNION ALL SELECT * FROM upd
+         ORDER BY o_orderkey""",
+    "q13_regexp_json" ->
+      """SELECT json_extract_string(props, '$.k') AS k_json,
+         regexp_extract(props, '([0-9]+)', 1) AS k_re,
+         count(*) AS cnt
+         FROM events GROUP BY k_json, k_re ORDER BY k_json, k_re""",
+    "q14_doc_summary" ->
+      """SELECT upper(lang) AS lang, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         round(avg(n_chars), 4) AS avg_chars,
+         min(doc_id) AS first_doc
+         FROM documents GROUP BY upper(lang) ORDER BY lang""",
+  )
 }

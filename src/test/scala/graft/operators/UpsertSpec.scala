@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class UpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def current = Seq(
+    (1L, "old", 10.0), (2L, "old", 20.0), (3L, "old", 30.0)
+  ).toDF("k", "status", "v")
+
+  private def updates = Seq(
+    (2L, "new", 99.0),  // matched → replaces
+    (4L, "new", 44.0)   // not matched → inserted
+  ).toDF("k", "status", "v")
+
+  test("merge: matched rows replaced, unmatched kept, new inserted (ref MERGE :558-590)") {
+    val out = Upsert.merge(current, updates, Seq("k"))
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((1L, "old", 10.0), (2L, "new", 99.0), (3L, "old", 30.0), (4L, "new", 44.0)))
+  }
+
+  test("merge is idempotent (T4 exactly-once effect)") {
+    val once = Upsert.merge(current, updates, Seq("k"))
+    val twice = Upsert.merge(once, updates, Seq("k"))
+    assert(once.orderBy("k").collect().toSeq == twice.orderBy("k").collect().toSeq)
+  }
+
+  test("merge dedups the update batch (SELECT DISTINCT * semantics :571-576)") {
+    val dupUpdates = updates.unionByName(updates)
+    val out = Upsert.merge(current, dupUpdates, Seq("k"))
+    assert(out.count() == 4)
+    assert(out.filter($"k" === 2L).count() == 1)
+  }
+
+  test("post-merge key uniqueness always holds (A5 invariant)") {
+    val out = Upsert.merge(current, updates, Seq("k"))
+    assert(out.count() == out.select("k").distinct().count())
+  }
+}
