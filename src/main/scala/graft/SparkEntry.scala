@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Upsert}
+import graft.operators.{Dedup, Multimodal, Similarity, Upsert}
+import graft.functions.{Text, Vectors}
 import graft.Tables._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -173,6 +174,116 @@ object SparkEntry {
         min(col("doc_id")).as("first_doc"))
       .orderBy(col("lang"))
 
+  /** M1 flatten family: nested docs (built here from lineitem via
+    * collect_list/struct) exploded back flat — the reference's central
+    * normalize move (P1-P4 + explodes, ref shopify_etl.py:350-426). The
+    * roundtrip invariant makes it oracle-checkable against plain lineitem. */
+  def q15_explode_roundtrip(s: SparkSession, d: String): DataFrame = {
+    val nested = lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_list(struct(col("l_quantity"), col("l_extendedprice"))).as("items"))
+    nested.select(col("l_orderkey"), explode(col("items")).as("item"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("item.l_quantity")), 2).as("sum_qty"))
+  }
+
+  /** Text quality scoring per source (training-data pipeline op). */
+  def q16_text_quality(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("source"), Text.qualityScore(col("text")).as("q"),
+        Text.tokenCount(col("text")).as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("q")), 4).as("avg_quality"),
+        round(avg(col("n_tok")), 4).as("avg_tokens"))
+      .orderBy(col("source"))
+
+  /** Token counting (whitespace + lexer-regex) per document. */
+  def q17_token_counts(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        Text.tokenCount(col("text")).as("ws_tokens"),
+        Text.lexTokenCount(col("text")).as("lex_tokens"),
+        Text.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  /** Exact dedup via content fingerprint (hash-groupBy — the O(n) exact
+    * dedup that precedes any fuzzy pass at scale). */
+  def q18_fingerprint_dedup(s: SparkSession, d: String): DataFrame =
+    documents(s, d).agg(
+      count(lit(1)).as("total_docs"),
+      countDistinct(md5(col("text"))).as("distinct_fp"),
+      (count(lit(1)) - countDistinct(md5(col("text")))).as("exact_dups"))
+
+  /** Language-ID heuristic (stopword votes, deterministic tie-break)
+    * cross-tabbed against the labeled lang. */
+  def q19_langid(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("lang"), Text.langGuess(col("text")).as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred_lang"))
+
+  /** MinHash+LSH near-duplicate candidates (no SQL oracle — LSH banding is
+    * not expressible in ANSI SQL; correctness covered by SimilaritySpec). */
+  def q20_minhash_neardup(s: SparkSession, d: String): DataFrame =
+    Similarity.minhashNearDup(documents(s, d), "doc_id", "text", 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** SimHash near-duplicates within Hamming distance 3 (rows-only check). */
+  def q21_simhash_neardup(s: SparkSession, d: String): DataFrame =
+    Similarity.simhashNearDup(documents(s, d), "doc_id", "text", 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Exact word-bigram Jaccard over a deterministic sample, grouped by
+    * source — the verification stage of fuzzy dedup. */
+  def q22_jaccard_pairs(s: SparkSession, d: String): DataFrame =
+    Similarity.jaccardPairs(
+      documents(s, d).filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", "source", 2, 0.05)
+      .orderBy(col("source"), col("id_a"), col("id_b"))
+
+  /** Brute-force cosine top-k ANN (correctness baseline; embeddings are
+    * L2-normalized so cosine ≡ dot). */
+  def q23_ann_bruteforce(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    Similarity.annBruteForce(
+      emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN — the scale path (rows-only; recall vs brute force is
+    * asserted in SimilaritySpec). */
+  def q24_ann_lsh(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    Similarity.annLsh(
+      emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Embedding column statistics per label (norms ≡ 1 checks the data is
+    * L2-normalized; exercises double-fold vector math). */
+  def q25_embedding_stats(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("label"),
+        Vectors.dot(col("embedding"), col("embedding")).as("norm_sq"),
+        col("embedding")(0).cast("double").as("first_dim"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("norm_sq")), 6).as("avg_norm_sq"),
+        round(avg(col("first_dim")), 6).as("avg_first_dim"))
+      .orderBy(col("label"))
+
+  /** Multimodal plumbing: opaque binary payload + byte accounting per
+    * source (decode itself is stubbed — see operators.Multimodal). */
+  def q26_multimodal_bytes(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("source"), col("text").cast("binary").as("payload"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(length(col("payload"))).cast("long").as("total_bytes"))
+      .orderBy(col("source"))
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -190,6 +301,18 @@ object SparkEntry {
     "q12_merge_upsert"      -> (q12_merge_upsert _),
     "q13_regexp_json"       -> (q13_regexp_json _),
     "q14_doc_summary"       -> (q14_doc_summary _),
+    "q15_explode_roundtrip" -> (q15_explode_roundtrip _),
+    "q16_text_quality"      -> (q16_text_quality _),
+    "q17_token_counts"      -> (q17_token_counts _),
+    "q18_fingerprint_dedup" -> (q18_fingerprint_dedup _),
+    "q19_langid"            -> (q19_langid _),
+    "q20_minhash_neardup"   -> (q20_minhash_neardup _),
+    "q21_simhash_neardup"   -> (q21_simhash_neardup _),
+    "q22_jaccard_pairs"     -> (q22_jaccard_pairs _),
+    "q23_ann_bruteforce"    -> (q23_ann_bruteforce _),
+    "q24_ann_lsh"           -> (q24_ann_lsh _),
+    "q25_embedding_stats"   -> (q25_embedding_stats _),
+    "q26_multimodal_bytes"  -> (q26_multimodal_bytes _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -272,5 +395,87 @@ object SparkEntry {
          round(avg(n_chars), 4) AS avg_chars,
          min(doc_id) AS first_doc
          FROM documents GROUP BY upper(lang) ORDER BY lang""",
+    "q15_explode_roundtrip" ->
+      """SELECT count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem""",
+    "q16_text_quality" ->
+      """WITH t AS (
+           SELECT source,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+             CAST(len(list_filter(string_split(text, ' '),
+               w -> w IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE) AS sw,
+             CAST(length(text) AS DOUBLE) AS n_chars
+           FROM documents)
+         SELECT source, count(*) AS n_docs,
+           round(avg(round(
+             least(1.0, sw / n_tok * 2.0) * 0.4
+             + (CASE WHEN n_chars / n_tok BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.3
+             + (CASE WHEN n_tok >= 20 THEN 1.0 ELSE n_tok / 20.0 END) * 0.3, 4)), 4) AS avg_quality,
+           round(avg(n_tok), 4) AS avg_tokens
+         FROM t GROUP BY source ORDER BY source""",
+    "q17_token_counts" ->
+      """SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+         CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS lex_tokens,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+         FROM documents ORDER BY doc_id""",
+    "q18_fingerprint_dedup" ->
+      """SELECT count(*) AS total_docs,
+         count(DISTINCT md5(text)) AS distinct_fp,
+         count(*) - count(DISTINCT md5(text)) AS exact_dups
+         FROM documents""",
+    "q19_langid" ->
+      """WITH t AS (
+           SELECT lang,
+             len(list_filter(string_split(text,' '), w -> w IN ('the','a','and','of','to','in','is','it'))) AS en,
+             len(list_filter(string_split(text,' '), w -> w IN ('el','la','de','que','y','en','un','por'))) AS es,
+             len(list_filter(string_split(text,' '), w -> w IN ('der','die','und','den','von','zu','das','mit'))) AS de,
+             len(list_filter(string_split(text,' '), w -> w IN ('le','les','des','et','du','une','dans','pour'))) AS fr
+           FROM documents)
+         SELECT lang,
+           CASE WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+                WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+                WHEN de >= fr AND de > 0 THEN 'de'
+                WHEN fr > 0 THEN 'fr'
+                ELSE 'und' END AS pred_lang,
+           count(*) AS n
+         FROM t GROUP BY 1, 2 ORDER BY lang, pred_lang""",
+    "q22_jaccard_pairs" ->
+      """WITH g AS (
+           SELECT doc_id, source,
+             list_distinct(list_transform(
+               generate_series(1, len(string_split(text,' ')) - 1),
+               i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS grams
+           FROM documents WHERE doc_id % 10 = 0)
+         SELECT source, id_a, id_b, jaccard FROM (
+           SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
+             round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                   CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 4) AS jaccard
+           FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id) t
+         WHERE jaccard >= 0.05
+         ORDER BY source, id_a, id_b""",
+    "q23_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         s AS (
+           SELECT query_id, neighbor_id,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) AS score
+           FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+         r AS (
+           SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+           FROM s)
+         SELECT query_id, rank, neighbor_id, round(score, 4) AS score
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q25_embedding_stats" ->
+      """SELECT label, count(*) AS n_vecs,
+         round(avg(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))), 6) AS avg_norm_sq,
+         round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS avg_first_dim
+         FROM embeddings GROUP BY label ORDER BY label""",
+    "q26_multimodal_bytes" ->
+      """SELECT source, count(*) AS n_media,
+         CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes
+         FROM documents GROUP BY source ORDER BY source""",
   )
 }

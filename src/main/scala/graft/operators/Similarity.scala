@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{Text, Vectors}
+
+/** Near-duplicate detection and similarity search for the training-data
+  * pipeline. All operators are candidate-generation-by-shuffle-key designs:
+  * nothing here ever materializes the O(n²) pair space, which is the only
+  * shape that survives 100 TB.
+  *
+  *  - MinHash+LSH: shingle → 64-perm signature → banded bucket join.
+  *  - SimHash: 64-bit sketch → 16-bit chunk join (Hamming ≤ 3 ⇒ some chunk
+  *    equal by pigeonhole over 4 chunks).
+  *  - n-gram Jaccard: exact verification on candidate pairs only.
+  *  - ANN: brute-force top-k as correctness baseline; hyperplane-LSH
+  *    bucketed variant as the scale path.
+  */
+object Similarity {
+
+  // ------------------------------------------------------------- MinHash
+
+  val MinhashPerms = 64
+  val MinhashBands = 16 // 16 bands × 4 rows
+
+  /** Word k-shingles of the text column (distinct per doc). */
+  def shingles(text: Column, k: Int): Column = {
+    val w = Text.tokens(text)
+    array_distinct(
+      when(size(w) >= k,
+        transform(sequence(lit(0), size(w) - k),
+          i => concat_ws(" ", slice(w, i + 1, lit(k)))))
+        .otherwise(array(concat_ws(" ", w))))
+  }
+
+  /** (id, signature array[64]) — one shuffle: explode shingles, 64 min-aggs.
+    * Permutation j is xxhash64(shingle, j); min over shingles per doc. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3): DataFrame = {
+    val exploded = docs
+      .select(col(idCol), explode(shingles(col(textCol), k)).as("shingle"))
+    val minCols = (0 until MinhashPerms)
+      .map(j => min(xxhash64(col("shingle"), lit(j))).as(s"h$j"))
+    exploded.groupBy(col(idCol))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col(idCol), array((0 until MinhashPerms).map(j => col(s"h$j")): _*).as("sig"))
+  }
+
+  /** Candidate pairs from banded LSH + estimated Jaccard (fraction of equal
+    * signature components). Returns (id_a, id_b, est_jaccard) with
+    * id_a < id_b, est_jaccard >= threshold. */
+  def minhashNearDup(docs: DataFrame, idCol: String, textCol: String,
+                     threshold: Double, k: Int = 3): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, k).cache()
+    val rows = MinhashPerms / MinhashBands
+    val bandCols = (0 until MinhashBands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((0 until rows).map(r => col("sig")(b * rows + r)) :+ lit(b): _*).as("bh"))
+    }
+    val banded = sigs.select(col(idCol), explode(array(bandCols: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.bh").as("bh"))
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("bh"))
+    val b = banded.select(col(idCol).as("id_b"), col("band"), col("bh"))
+    val candidates = a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sa = sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b"))
+    candidates
+      .join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          eq => eq)).cast("double") / lit(MinhashPerms.toDouble), 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  // ------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash of the word set: per word-hash bit, vote ±1; sign of the
+    * vote sum is the sketch bit. One explode + one groupBy. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = docs.select(col(idCol),
+      explode(array_distinct(Text.tokens(col(textCol)))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitVotes = (0 until 64).map { k =>
+      sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$k")
+    }
+    words.groupBy(col(idCol))
+      .agg(bitVotes.head, bitVotes.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(k =>
+          when(col(s"b$k") > 0, shiftleft(lit(1L), k)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** Near-dup pairs with Hamming(simhash) <= maxDist, candidates via 16-bit
+    * chunk equality (4 chunks; dist<=3 guarantees >=1 equal chunk). */
+  def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
+                     maxDist: Int = 3): DataFrame = {
+    val sk = simhash(docs, idCol, textCol).cache()
+    val chunked = sk.select(col(idCol), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("c"),
+          shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("chunk"))): _*)).as("cc"))
+      .select(col(idCol), col("simhash"), col("cc.c").as("c"), col("cc.chunk").as("chunk"))
+    val a = chunked.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("c"), col("chunk"))
+    val b = chunked.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("c"), col("chunk"))
+    a.join(b, Seq("c", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  // ------------------------------------------- exact n-gram Jaccard verify
+
+  /** Exact word-n-gram Jaccard for candidate pairs joined on a cheap key
+    * (here: same `groupCol`), bounded by a deterministic sample predicate.
+    * This is the verification stage run on LSH candidates at scale — the
+    * sampled self-join here exists to exercise/benchmark the exact math. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   groupCol: String, n: Int, threshold: Double): DataFrame = {
+    val grams = docs.select(col(idCol), col(groupCol),
+      shingles(col(textCol), n).as("grams"))
+    val a = grams.select(col(idCol).as("id_a"), col(groupCol),
+      col("grams").as("grams_a"))
+    val b = grams.select(col(idCol).as("id_b"), col(groupCol),
+      col("grams").as("grams_b"))
+    a.join(b, Seq(groupCol))
+      .filter(col("id_a") < col("id_b"))
+      .select(col(groupCol), col("id_a"), col("id_b"),
+        round(size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
+          size(array_union(col("grams_a"), col("grams_b"))).cast("double"), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ----------------------------------------------------------------- ANN
+
+  /** Brute-force cosine top-k: every query row against every candidate.
+    * Correctness baseline — the LSH variant below is the scale path. */
+  def annBruteForce(queries: DataFrame, candidates: DataFrame, idCol: String,
+                    vecCol: String, topK: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Vectors.dot(col("qv"), col("cv")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("score"), 4).as("score"))
+  }
+
+  /** Multi-table LSH ANN: `nTables` independent hyperplane hash tables of
+    * `nBits` each; a candidate is any vector sharing a bucket with the query
+    * in ANY table (standard recall amplification: P = 1-(1-p^b)^L). Exact
+    * dot product runs only on the deduped candidate pairs — candidate
+    * generation is a hash join on (table, bucket), never a cross product. */
+  def annLsh(queries: DataFrame, candidates: DataFrame, idCol: String,
+             vecCol: String, topK: Int, nBits: Int = 6, nTables: Int = 12): DataFrame = {
+    def buckets(vec: Column): Column = array((0 until nTables).map(t =>
+      struct(lit(t).as("t"), Vectors.lshBucket(vec, nBits, t).as("bkt"))): _*)
+    val qb = queries.select(col(idCol).as("query_id"),
+      explode(buckets(col(vecCol))).as("tb"))
+      .select(col("query_id"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+    val cb = candidates.select(col(idCol).as("neighbor_id"),
+      explode(buckets(col(vecCol))).as("tb"))
+      .select(col("neighbor_id"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+    val pairs = cb.join(broadcast(qb), Seq("t", "bkt"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = pairs
+      .join(c, "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        Vectors.dot(col("qv"), col("cv")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("score"), 4).as("score"))
+  }
+}

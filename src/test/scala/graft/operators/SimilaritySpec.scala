@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs far away home", "a"),
+    (2L, "the quick brown fox jumps over the lazy dog and runs far away house", "a"), // near-dup of 1
+    (3L, "completely different content about spark query engines and shuffles now", "a"),
+    (4L, "the quick brown fox jumps over the lazy dog and runs far away home", "a")  // exact dup of 1
+  ).toDF("doc_id", "text", "source")
+
+  test("minhashNearDup finds exact and near duplicates, not unrelated docs") {
+    val pairs = Similarity.minhashNearDup(docs, "doc_id", "text", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)), "exact dup must be found")
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)), "near dup should be found")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
+  }
+
+  test("minhash signature of identical text is identical; est_jaccard = 1 for exact dups") {
+    val out = Similarity.minhashNearDup(docs, "doc_id", "text", 0.5)
+      .filter($"id_a" === 1L && $"id_b" === 4L)
+      .select("est_jaccard").as[Double].collect()
+    assert(out.toSeq == Seq(1.0))
+  }
+
+  test("simhashNearDup: identical docs at hamming 0; unrelated doc excluded") {
+    val pairs = Similarity.simhashNearDup(docs, "doc_id", "text", 3)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Long)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m.get((1L, 4L)).contains(0L))
+    assert(!m.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("jaccardPairs: exact dup pair scores 1.0") {
+    val out = Similarity.jaccardPairs(docs, "doc_id", "text", "source", 2, 0.05)
+      .filter($"id_a" === 1L && $"id_b" === 4L)
+      .select("jaccard").as[Double].collect()
+    assert(out.toSeq == Seq(1.0))
+  }
+
+  test("annBruteForce returns exact top-k; annLsh recall on real embeddings") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter($"vec_id" < 4)
+    val brute = Similarity.annBruteForce(queries, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(brute.size == 20, "4 queries x top-5")
+    val lsh = Similarity.annLsh(queries, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // LSH trades recall for pruning; with 8 bits on 500 vecs expect decent overlap
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.3, s"LSH recall $recall too low")
+  }
+
+  test("annBruteForce top-1 of a query against itself-excluded set is its nearest cluster member") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val out = Similarity.annBruteForce(emb.filter($"vec_id" === 0L), emb, "vec_id", "embedding", 1)
+    assert(out.count() == 1)
+    assert(out.select("score").as[Double].head() <= 1.0001)
+  }
+}
