@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Normalization of raw nested order documents into the six flat tables —
+  * the reference's central data-model move (ref shopify-etl/shopify_etl.py
+  * :350-426, return tuple :454-461), as pure narrow transformations: every
+  * output is select/explode/coalesce/when over the ingest DataFrame, so
+  * Catalyst prunes the nested struct fields each table actually reads and
+  * nothing shuffles.
+  *
+  * Null-handling matrix (SURVEY §2.7 F6/F9), decided per the survey:
+  *  - money strings → DoubleType via cast (ref float() :356-358)
+  *  - missing status/source fields → "" (ref .get(k, "") :359-362)
+  *  - missing customer → NULL customer_id (ref :363)
+  *  - missing product_id/variant_id → NULL, not the reference's accidental
+  *    "None" string (ref :371-372) — documented deviation; flip
+  *    [[noneStringParity]] for bit-parity with the bug.
+  */
+object Flatten {
+
+  /** Reference-bug parity switch: str(None) → "None" for missing
+    * line-item product/variant ids (shopify_etl.py:371-372). */
+  val noneStringParity = false
+
+  private def idStr(c: org.apache.spark.sql.Column) =
+    if (noneStringParity) coalesce(c.cast("string"), lit("None")) else c.cast("string")
+
+  /** P1: orders projection (ref :350-364). */
+  def orders(raw: DataFrame): DataFrame =
+    raw.select(
+      col("id").cast("string").as("order_id"),
+      to_timestamp(col("created_at")).as("created_at"),
+      to_timestamp(col("updated_at")).as("updated_at"),
+      to_timestamp(col("processed_at")).as("processed_at"),
+      coalesce(col("subtotal_price").cast("double"), lit(0.0)).as("subtotal_price"),
+      coalesce(col("total_tax").cast("double"), lit(0.0)).as("total_tax"),
+      coalesce(col("total_price").cast("double"), lit(0.0)).as("total_price"),
+      coalesce(col("financial_status"), lit("")).as("financial_status"),
+      coalesce(col("fulfillment_status"), lit("")).as("fulfillment_status"),
+      coalesce(col("currency"), lit("")).as("currency"),
+      coalesce(col("source_name"), lit("")).as("source_name"),
+      col("customer.id").cast("string").as("customer_id"))
+
+  /** Line items: explode nested array (ref :368-377). */
+  def lineItems(raw: DataFrame): DataFrame =
+    raw.select(col("id").cast("string").as("order_id"),
+        explode(col("line_items")).as("li"))
+      .select(
+        col("order_id"),
+        idStr(col("li.product_id")).as("product_id"),
+        idStr(col("li.variant_id")).as("variant_id"),
+        coalesce(col("li.name"), lit("")).as("product_name"),
+        coalesce(col("li.price").cast("double"), lit(0.0)).as("price"),
+        coalesce(col("li.quantity"), lit(0L)).as("quantity"),
+        coalesce(col("li.vendor"), lit("")).as("vendor"))
+
+  /** P2: customers projection, presence-guarded (ref :380-390). */
+  def customers(raw: DataFrame): DataFrame =
+    raw.filter(col("customer").isNotNull && col("customer.id").isNotNull)
+      .select(
+        col("customer.id").cast("string").as("customer_id"),
+        coalesce(col("customer.email"), lit("")).as("email"),
+        to_timestamp(col("customer.created_at")).as("created_at"),
+        coalesce(col("customer.first_name"), lit("")).as("first_name"),
+        coalesce(col("customer.last_name"), lit("")).as("last_name"),
+        coalesce(col("customer.phone"), lit("")).as("phone"),
+        coalesce(col("customer.verified_email"), lit(false)).as("verified_email"))
+
+  /** P3: shipping addresses, presence-guarded (ref :393-404). */
+  def shippingAddresses(raw: DataFrame): DataFrame =
+    raw.filter(col("shipping_address").isNotNull)
+      .select(
+        col("id").cast("string").as("order_id"),
+        coalesce(col("shipping_address.first_name"), lit("")).as("first_name"),
+        coalesce(col("shipping_address.last_name"), lit("")).as("last_name"),
+        coalesce(col("shipping_address.address1"), lit("")).as("address1"),
+        coalesce(col("shipping_address.city"), lit("")).as("city"),
+        coalesce(col("shipping_address.province"), lit("")).as("province"),
+        coalesce(col("shipping_address.country"), lit("")).as("country"),
+        coalesce(col("shipping_address.zip"), lit("")).as("zip"))
+
+  /** Discount codes: explode nested array (ref :407-413). */
+  def discountCodes(raw: DataFrame): DataFrame =
+    raw.select(col("id").cast("string").as("order_id"),
+        explode(col("discount_codes")).as("dc"))
+      .select(
+        col("order_id"),
+        coalesce(col("dc.code"), lit("")).as("code"),
+        coalesce(col("dc.amount").cast("double"), lit(0.0)).as("amount"))
+
+  /** P4: marketing consent — boolean → categorical (ref :417-426). */
+  def marketingConsent(raw: DataFrame): DataFrame =
+    raw.filter(col("customer").isNotNull && col("customer.id").isNotNull)
+      .select(
+        col("customer.id").cast("string").as("customer_id"),
+        when(col("customer.accepts_marketing"), lit("yes")).otherwise(lit("no"))
+          .as("email_consent"),
+        lit("").as("sms_consent"))
+
+  /** All six tables keyed by reference table name (ref return :454-461). */
+  def all(raw: DataFrame): Map[String, DataFrame] = Map(
+    "orders"             -> orders(raw),
+    "line_items"         -> lineItems(raw),
+    "customers"          -> customers(raw),
+    "shipping_addresses" -> shippingAddresses(raw),
+    "discount_codes"     -> discountCodes(raw),
+    "marketing_consent"  -> marketingConsent(raw))
+}

@@ -29,9 +29,16 @@ object Upsert {
     * intra-batch duplicates should pre-dedup with [[Dedup.firstWins]]). */
   def merge(current: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
     val distinctUpdates = updates.distinct()
+    // Null-safe key equality (<=>): with plain EqualTo a NULL key part never
+    // matches, so a NULL-key row would be re-inserted on every run and break
+    // merge idempotence (T4). (The reference dodges this only via its
+    // str(None)->"None" quirk, shopify_etl.py:371-372, which makes keys
+    // total strings — we keep real NULLs and merge null-safely instead.)
     val updateKeys = distinctUpdates.select(keys.map(col): _*).distinct()
+      .toDF(keys.map(k => s"__u_$k"): _*)
+    val cond = keys.map(k => col(k) <=> col(s"__u_$k")).reduce(_ && _)
     current
-      .join(broadcast(updateKeys), keys, "left_anti")
+      .join(broadcast(updateKeys), cond, "left_anti")
       .unionByName(distinctUpdates)
   }
 

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.{Schemas, SparkSpec}
+import graft.sources.PagedNdjsonSource
+import org.apache.spark.sql.functions._
+
+class FlattenSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val pagesDir =
+    getClass.getResource("/orders_pages").getPath
+  private lazy val raw =
+    PagedNdjsonSource.read(spark, pagesDir, Schemas.rawOrder)
+
+  test("paged source reads all pages with arrival order following page order") {
+    assert(raw.count() == 5)
+    val firstOfDup = raw.filter($"id" === 1001L)
+      .orderBy($"_arrival_order")
+      .select("financial_status").as[String].head()
+    assert(firstOfDup == "paid", "page_00's copy must arrive before page_01's")
+  }
+
+  test("first-wins dedup across pages keeps the page_00 copy (ref :339-347)") {
+    val deduped = Dedup.firstWins(raw, Seq("id"), "_arrival_order")
+    assert(deduped.count() == 4)
+    val o = Flatten.orders(deduped).filter($"order_id" === "1001")
+    assert(o.select("financial_status").as[String].head() == "paid")
+  }
+
+  test("orders projection: casts, defaults, NULL customer_id (P1)") {
+    val o = Flatten.orders(raw.filter($"id" === 1002L))
+    val row = o.head()
+    assert(row.getAs[String]("order_id") == "1002")
+    assert(row.getAs[Double]("total_price") == 10.0)
+    assert(row.getAs[String]("financial_status") == "") // missing -> "" (ref :359)
+    assert(row.getAs[String]("source_name") == "")
+    assert(row.getAs[String]("customer_id") == null)    // missing customer -> NULL (ref :363)
+  }
+
+  test("line items explode; missing product/variant ids are NULL (deviation from str(None) quirk)") {
+    val li = Flatten.lineItems(raw)
+    assert(li.count() == 6)
+    val mystery = li.filter($"order_id" === "1002").head()
+    assert(mystery.getAs[String]("product_id") == null)
+    assert(mystery.getAs[String]("variant_id") == null)
+  }
+
+  test("customers presence-guarded; marketing consent boolean->categorical (P2/P4)") {
+    val c = Flatten.customers(raw)
+    assert(c.filter($"customer_id" === "").count() == 0)
+    assert(!c.select("customer_id").as[String].collect().contains("1002"))
+    val mc = Flatten.marketingConsent(raw.filter($"id" === 1003L))
+    assert(mc.select("email_consent").as[String].head() == "yes")
+    val mc2 = Flatten.marketingConsent(raw.filter($"id" === 1001L))
+    assert(mc2.select("email_consent").as[String].head() == "no")
+  }
+
+  test("shipping addresses and discount codes presence-guarded explodes (P3)") {
+    assert(Flatten.shippingAddresses(raw).count() == 2)
+    val dc = Flatten.discountCodes(raw)
+    assert(dc.count() == 3)
+    assert(dc.filter($"order_id" === "1004").count() == 2)
+  }
+
+  test("flattened outputs conform to declared schemas") {
+    val all = Flatten.all(raw)
+    assert(all("orders").schema.fieldNames.toSeq == Schemas.orders.fieldNames.toSeq)
+    assert(all("line_items").schema.fieldNames.toSeq == Schemas.lineItems.fieldNames.toSeq)
+    assert(all("customers").schema.fieldNames.toSeq == Schemas.customers.fieldNames.toSeq)
+    assert(all("orders").schema("total_price").dataType.typeName == "double")
+    assert(all("orders").schema("updated_at").dataType.typeName == "timestamp")
+  }
+}

@@ -34,6 +34,15 @@ class UpsertSpec extends SparkSpec {
     assert(out.filter($"k" === 2L).count() == 1)
   }
 
+  test("merge is idempotent for NULL-key rows (null-safe key equality)") {
+    val withNull = Seq((Option(5L), "new", 1.0), (Option.empty[Long], "new", 2.0))
+      .toDF("k", "status", "v")
+    val once = Upsert.merge(current, withNull, Seq("k"))
+    val twice = Upsert.merge(once, withNull, Seq("k"))
+    assert(once.count() == 5)
+    assert(twice.count() == 5, "NULL-key row must not re-insert on re-run")
+  }
+
   test("post-merge key uniqueness always holds (A5 invariant)") {
     val out = Upsert.merge(current, updates, Seq("k"))
     assert(out.count() == out.select("k").distinct().count())
