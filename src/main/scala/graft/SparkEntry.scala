@@ -76,7 +76,7 @@ object SparkEntry {
   /** A1/A2 deterministic first-wins dedup (ref shopify_etl.py:339-347,
     * 496-516): one row per (user_id, event_type), earliest event_id wins. */
   def q05_dedup_first_wins(s: SparkSession, d: String): DataFrame =
-    Dedup.firstWins(events(s, d), Seq("user_id", "event_type"), "event_id")
+    Dedup.firstWinsAgg(events(s, d), Seq("user_id", "event_type"), "event_id", Seq("value"))
       .select(col("event_id"), col("user_id"), col("event_type"),
         round(col("value"), 2).as("value"))
       .orderBy(col("event_id"))

@@ -18,6 +18,15 @@ object Vectors {
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Codegen'd native dot product ([[graft.plans.VecDot]], registered by
+    * GraftExtensions) — bit-identical results to [[dot]] (same sequential
+    * double fold), ~orders faster per row on the ANN hot path. */
+  def dotNative(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** Native multi-table LSH sketch: array of nTables bucket codes. */
+  def lshSketch(vec: Column, nBits: Int, nTables: Int): Column =
+    call_function("vec_lsh_sketch", vec, lit(nBits), lit(nTables))
+
   def normL2(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (normL2(a) * normL2(b))

@@ -27,6 +27,17 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** First-wins dedup as a hash aggregate (min_by) instead of a window:
+    * same result as [[firstWins]] when `orderCol` is unique per row, but
+    * with map-side partial aggregation and no per-partition sort — the
+    * preferred shape at scale when only `payload` columns are needed. */
+  def firstWinsAgg(df: DataFrame, keys: Seq[String], orderCol: String,
+                   payload: Seq[String]): DataFrame = {
+    val aggs = min(col(orderCol)).as(orderCol) +:
+      payload.map(p => min_by(col(p), col(orderCol)).as(p))
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Exact full-row dedup (SELECT DISTINCT *). ref: shopify_etl.py:571-576. */
   def distinctRows(df: DataFrame): DataFrame = df.distinct()
 

@@ -148,7 +148,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        Vectors.dot(col("qv"), col("cv")).as("score"))
+        Vectors.dotNative(col("qv"), col("cv")).as("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -164,14 +164,12 @@ object Similarity {
     * generation is a hash join on (table, bucket), never a cross product. */
   def annLsh(queries: DataFrame, candidates: DataFrame, idCol: String,
              vecCol: String, topK: Int, nBits: Int = 6, nTables: Int = 12): DataFrame = {
-    def buckets(vec: Column): Column = array((0 until nTables).map(t =>
-      struct(lit(t).as("t"), Vectors.lshBucket(vec, nBits, t).as("bkt"))): _*)
+    // Native one-pass sketch (graft.plans.VecLshSketch): posexplode gives
+    // (table, bucket) shuffle keys directly.
     val qb = queries.select(col(idCol).as("query_id"),
-      explode(buckets(col(vecCol))).as("tb"))
-      .select(col("query_id"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+      posexplode(Vectors.lshSketch(col(vecCol), nBits, nTables)).as(Seq("t", "bkt")))
     val cb = candidates.select(col(idCol).as("neighbor_id"),
-      explode(buckets(col(vecCol))).as("tb"))
-      .select(col("neighbor_id"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+      posexplode(Vectors.lshSketch(col(vecCol), nBits, nTables)).as(Seq("t", "bkt")))
     val pairs = cb.join(broadcast(qb), Seq("t", "bkt"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id").distinct()
@@ -181,7 +179,7 @@ object Similarity {
       .join(c, "neighbor_id")
       .join(broadcast(q), "query_id")
       .select(col("query_id"), col("neighbor_id"),
-        Vectors.dot(col("qv"), col("cv")).as("score"))
+        Vectors.dotNative(col("qv"), col("cv")).as("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -1,0 +1,33 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Session extensions registering the engine's native expressions so they
+  * are first-class SQL/DataFrame functions (callable via
+  * `functions.call_function` or `expr("vec_dot(...)")`). Installed by
+  * [[graft.GraftSession]]; usable with any Spark deployment via
+  * `spark.sql.extensions=graft.plans.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => VecDot(children(0), children(1))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("vec_lsh_sketch"),
+      new ExpressionInfo(classOf[VecLshSketch].getName, "vec_lsh_sketch"),
+      (children: Seq[Expression]) =>
+        VecLshSketch(children(0),
+          nBits = intLit(children(1), "nBits"),
+          nTables = intLit(children(2), "nTables"))))
+  }
+}

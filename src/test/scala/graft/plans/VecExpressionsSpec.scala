@@ -1,0 +1,55 @@
+package graft.plans
+
+import graft.{SparkSpec, Tables}
+import graft.functions.Vectors
+import org.apache.spark.sql.functions._
+
+class VecExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vec_dot matches the higher-order-function dot bit-for-bit on real embeddings") {
+    val emb = Tables.embeddings(spark, sfDir).limit(100)
+    val both = emb.select(
+      Vectors.dot($"embedding", $"embedding").as("hof"),
+      Vectors.dotNative($"embedding", $"embedding").as("native"))
+    val mismatches = both.filter($"hof" =!= $"native").count()
+    assert(mismatches == 0, "native codegen fold must be bit-identical to HOF fold")
+  }
+
+  test("vec_dot handles double arrays and null inputs") {
+    val df = Seq(
+      (Some(Array(1.0, 2.0, 3.0)), Some(Array(4.0, 5.0, 6.0))),
+      (None, Some(Array(1.0)))
+    ).toDF("a", "b")
+    val out = df.select(Vectors.dotNative($"a", $"b")).as[Option[Double]].collect()
+    assert(out(0).contains(32.0))
+    assert(out(1).isEmpty, "null input -> null output")
+  }
+
+  test("vec_dot is usable from SQL via the session extension") {
+    val r = spark.sql("SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .as[Double].head()
+    assert(r == 11.0)
+  }
+
+  test("vec_lsh_sketch: deterministic, right shape, identical vectors collide everywhere") {
+    val emb = Tables.embeddings(spark, sfDir).limit(50)
+    val s1 = emb.select($"vec_id", Vectors.lshSketch($"embedding", 6, 12).as("sk"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val s2 = emb.select($"vec_id", Vectors.lshSketch($"embedding", 6, 12).as("sk"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(s1 == s2, "sketch must be deterministic across runs")
+    assert(s1.values.forall(_.length == 12))
+    assert(s1.values.forall(_.forall(c => c >= 0 && c < (1L << 6))))
+  }
+
+  test("interpreted eval matches codegen (eval via filter on codegen-disabled session config)") {
+    // Exercise the interpreted path directly through the expression
+    val e = VecDot(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1.0f, 2.0f),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(3.0f, 4.0f),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+    assert(e.eval(null) == 11.0)
+  }
+}
