@@ -24,6 +24,21 @@ object PipelineDemo {
     val v = p.verify()
     println(s"[demo] verify (total==distinct, orphans==0): ${v.toSeq.sortBy(_._1).mkString(", ")}")
 
+    // S6/S7/S10/S11: chunked NDJSON staging round-trip (ref stage step)
+    val ndjson = Files.createTempDirectory("graft_demo_ndjson").toString + "/orders"
+    val staging = Files.createTempDirectory("graft_demo_staging").toString + "/orders"
+    p.readFinal("orders").foreach { o =>
+      sources.Sinks.exportJson(o, ndjson)
+      val staged = spark.read.json(ndjson).count()
+      println(s"[demo] NDJSON export/reload: $staged rows (final: ${counts("orders")})")
+      sources.Sinks.ensureTable(spark, staging, Schemas.orders)
+      spark.read.schema(Schemas.orders).json(ndjson)
+        .write.mode("append").parquet(staging)
+      println(s"[demo] staging load: ${spark.read.parquet(staging).count()} rows")
+      sources.Sinks.truncate(spark, staging)
+      println(s"[demo] staging truncated: ${spark.read.parquet(staging).count()} rows")
+    }
+
     val whStream = Files.createTempDirectory("graft_demo_stream").toString
     val cp = Files.createTempDirectory("graft_demo_cp").toString
     val q = streaming.Incremental.run(spark, pagesDir, whStream, cp)

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Bounded top-k aggregator: keeps at most k (id, score) pairs ordered by
+  * (score desc, id asc) — the typed `Aggregator[IN, BUF, OUT]` alternative
+  * to `row_number() OVER (ORDER BY score DESC)` for per-group top-k.
+  *
+  * Scale rationale: the window formulation sorts every group's full
+  * candidate list (and with partial aggregation disabled, ships it whole
+  * through the shuffle); this aggregator's buffer is O(k) per group on the
+  * map side, so a 10^6-candidate group shuffles k rows, not 10^6. Merge is
+  * a bounded merge of two sorted arrays.
+  */
+class TopKAggregator(k: Int)
+  extends Aggregator[(Long, Double), Seq[(Long, Double)], Seq[(Long, Double)]] {
+
+  private def better(a: (Long, Double), b: (Long, Double)): Boolean =
+    a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+
+  private def insert(buf: Seq[(Long, Double)], x: (Long, Double)): Seq[(Long, Double)] = {
+    if (buf.size == k && !better(x, buf.last)) buf
+    else {
+      val (pre, post) = buf.span(better(_, x))
+      (pre :+ x) ++ post.take(k - pre.size - 1)
+    }
+  }
+
+  override def zero: Seq[(Long, Double)] = Seq.empty
+
+  override def reduce(buf: Seq[(Long, Double)], in: (Long, Double)): Seq[(Long, Double)] =
+    insert(buf, in)
+
+  override def merge(a: Seq[(Long, Double)], b: Seq[(Long, Double)]): Seq[(Long, Double)] =
+    b.foldLeft(a)(insert)
+
+  override def finish(buf: Seq[(Long, Double)]): Seq[(Long, Double)] = buf
+
+  override def bufferEncoder: Encoder[Seq[(Long, Double)]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[(Long, Double)]] = ExpressionEncoder()
+}
+
+object TopK {
+  /** Untyped column form: `topK(5)(col("id"), col("score"))` → array of
+    * struct<_1: id, _2: score> ordered by (score desc, id asc). */
+  def topK(k: Int): (Column, Column) => Column = {
+    val fn = udaf(new TopKAggregator(k),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    (id, score) => fn(id, score)
+  }
+}

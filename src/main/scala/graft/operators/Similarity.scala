@@ -139,6 +139,17 @@ object Similarity {
 
   // ----------------------------------------------------------------- ANN
 
+  /** Bounded top-k of (neighbor_id, score) per query via the
+    * [[graft.functions.TopKAggregator]]: O(k) map-side state per group
+    * instead of a full per-group sort+shuffle — same (score desc, id asc)
+    * order as the window formulation, so results are identical. */
+  private def takeTopK(scored: DataFrame, topK: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topK(topK)(col("neighbor_id"), col("score")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "ns")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("ns._1").as("neighbor_id"), round(col("ns._2"), 4).as("score"))
+
   /** Brute-force cosine top-k: every query row against every candidate.
     * Correctness baseline — the LSH variant below is the scale path. */
   def annBruteForce(queries: DataFrame, candidates: DataFrame, idCol: String,
@@ -149,12 +160,7 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         Vectors.dotNative(col("qv"), col("cv")).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= topK)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("score"), 4).as("score"))
+    takeTopK(scored, topK)
   }
 
   /** Multi-table LSH ANN: `nTables` independent hyperplane hash tables of
@@ -180,11 +186,6 @@ object Similarity {
       .join(broadcast(q), "query_id")
       .select(col("query_id"), col("neighbor_id"),
         Vectors.dotNative(col("qv"), col("cv")).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= topK)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("score"), 4).as("score"))
+    takeTopK(scored, topK)
   }
 }
