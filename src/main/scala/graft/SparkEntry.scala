@@ -284,6 +284,15 @@ object SparkEntry {
         sum(length(col("payload"))).cast("long").as("total_bytes"))
       .orderBy(col("source"))
 
+  /** Char-trigram profile language ID (broadcast-join design, rows-only —
+    * the profile-scoring argmax is not ANSI-SQL-expressible; accuracy
+    * characteristics asserted in LangIdSpec). */
+  def q27_langid_trigram(s: SparkSession, d: String): DataFrame =
+    graft.operators.LangId.predict(documents(s, d), "doc_id", "text")
+      .groupBy(col("pred_lang"))
+      .agg(count(lit(1)).as("n"), round(avg(col("score")), 4).as("avg_score"))
+      .orderBy(col("pred_lang"))
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -313,6 +322,7 @@ object SparkEntry {
     "q24_ann_lsh"           -> (q24_ann_lsh _),
     "q25_embedding_stats"   -> (q25_embedding_stats _),
     "q26_multimodal_bytes"  -> (q26_multimodal_bytes _),
+    "q27_langid_trigram"    -> (q27_langid_trigram _),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** Character-trigram language identification — the n-gram profile method
+  * (Cavnar & Trenkle-style) expressed as a broadcast join instead of a
+  * per-row UDF loop:
+  *
+  *   doc → explode char trigrams → broadcast-join tiny profile table
+  *       → groupBy(doc, lang) sum weights → max_by argmax per doc
+  *
+  * Shape at 100 TB: the profile table is O(langs × trigrams) ≈ KBs and
+  * broadcasts; the only shuffle is the per-doc aggregation, which is the
+  * minimum any per-document scoring needs. The profile below is a compact
+  * built-in seed (trigrams of frequent function words per language); a
+  * production profile would be trained offline and loaded the same way.
+  */
+object LangId {
+
+  /** Seed words per language (public common function words). */
+  private val seedWords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "that", "with", "this", "from", "have", "are"),
+    "es" -> Seq("que", "los", "las", "por", "con", "para", "una", "del"),
+    "de" -> Seq("der", "die", "und", "den", "von", "das", "mit", "sich"),
+    "fr" -> Seq("les", "des", "que", "une", "dans", "pour", "par", "sur"),
+    "zh" -> Seq())  // no latin trigrams; zh detection would use CJK ranges
+
+  /** (lang, trigram, weight) profile rows derived from the seed words,
+    * padded like running text (" word "). */
+  private[operators] def profileRows: Seq[(String, String, Double)] =
+    (for {
+      (lang, words) <- seedWords.toSeq
+      w <- words
+      padded = s" $w "
+      i <- 0 to padded.length - 3
+    } yield (lang, padded.substring(i, i + 3)))
+      .groupBy(identity).map { case ((lang, tg), hits) => (lang, tg, hits.size.toDouble) }
+      .toSeq
+
+  /** (idCol, pred_lang, score) — argmax language per document; docs whose
+    * trigrams match no profile get pred_lang = 'und'. */
+  def predict(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val profile = profileRows.toDF("lang", "tg", "w")
+    // Alias the normalized padded text BEFORE the per-trigram lambda:
+    // embedding `normalize(text)` as a raw expression at both use sites
+    // (length + lambda body) would duplicate the regexp per trigram element
+    // (O(len²) per doc — measured 23s vs <1s at sf0.1). As a multi-referenced
+    // non-cheap alias, CollapseProject keeps it a separate projection.
+    val prepared = docs.select(col(idCol),
+      concat(lit(" "), Text.normalize(col(textCol)), lit(" ")).as("_padded"))
+    val scored = prepared
+      .select(col(idCol), explode(
+        transform(sequence(lit(0), length(col("_padded")) - 3),
+          i => col("_padded").substr(i + 1, lit(3)))).as("tg"))
+      .join(broadcast(profile), "tg")
+      .groupBy(col(idCol), col("lang"))
+      .agg(sum(col("w")).as("score"))
+      .groupBy(col(idCol))
+      .agg(max_by(struct(col("score"), col("lang")), struct(col("score"), col("lang"))).as("best"))
+      .select(col(idCol), col("best.lang").as("pred_lang"), col("best.score").as("score"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
+        coalesce(col("score"), lit(0.0)).as("score"))
+  }
+}
