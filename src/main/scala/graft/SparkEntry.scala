@@ -284,6 +284,44 @@ object SparkEntry {
         sum(length(col("payload"))).cast("long").as("total_bytes"))
       .orderBy(col("source"))
 
+  /** S4/S5-shaped daily multi-metric rollup: the per-day metric family the
+    * reference pulls pre-aggregated from the YouTube Analytics API
+    * (ref fetch_youtube_data.py:29-46), computed by the engine itself via
+    * conditional aggregation. */
+  def q29_daily_metrics(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        count(when(col("event_type") === "view", 1)).as("views"),
+        count(when(col("event_type") === "click", 1)).as("clicks"),
+        count(when(col("event_type") === "signup", 1)).as("signups"),
+        count(when(col("event_type") === "purchase", 1)).as("purchases"),
+        round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)), 2)
+          .as("revenue"))
+      .orderBy(col("day"))
+
+  /** One SQL text, two engines: the query IS its own oracle. Exercises the
+    * engine's ANSI SQL surface (via [[Catalog]] temp views) on a TPC-H
+    * Q3-shaped join+agg+top-k. */
+  val q28Sql: String =
+    """SELECT o_orderkey,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       o_orderpriority
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+         AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+       GROUP BY o_orderkey, o_orderpriority
+       ORDER BY revenue DESC, o_orderkey
+       LIMIT 10"""
+
+  def q28_sql_topk(s: SparkSession, d: String): DataFrame = {
+    Catalog.registerViews(s, d)
+    s.sql(q28Sql)
+  }
+
   /** Char-trigram profile language ID (broadcast-join design, rows-only —
     * the profile-scoring argmax is not ANSI-SQL-expressible; accuracy
     * characteristics asserted in LangIdSpec). */
@@ -323,6 +361,8 @@ object SparkEntry {
     "q25_embedding_stats"   -> (q25_embedding_stats _),
     "q26_multimodal_bytes"  -> (q26_multimodal_bytes _),
     "q27_langid_trigram"    -> (q27_langid_trigram _),
+    "q28_sql_topk"          -> (q28_sql_topk _),
+    "q29_daily_metrics"     -> (q29_daily_metrics _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -487,5 +527,14 @@ object SparkEntry {
       """SELECT source, count(*) AS n_media,
          CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes
          FROM documents GROUP BY source ORDER BY source""",
+    "q28_sql_topk" -> q28Sql,
+    "q29_daily_metrics" ->
+      """SELECT CAST(ts AS DATE) AS day,
+         count(CASE WHEN event_type = 'view' THEN 1 END) AS views,
+         count(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+         count(CASE WHEN event_type = 'signup' THEN 1 END) AS signups,
+         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
+         round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2) AS revenue
+         FROM events GROUP BY CAST(ts AS DATE) ORDER BY day""",
   )
 }

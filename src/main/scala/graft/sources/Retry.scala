@@ -1,0 +1,37 @@
+package graft.sources
+
+/** Connector-side retry envelope with the reference's semantics
+  * (ref shopify-etl/shopify_etl.py:294-331):
+  *  - up to `maxRetries` attempts, exponential backoff base·2^attempt
+  *    (ref 3·2^attempt seconds, :323-327)
+  *  - rate-limit signals wait the server-suggested delay (ref 429
+  *    Retry-After, default 60 s, :312-316)
+  *
+  * This wraps page *fetches* in a custom connector; Spark task retries
+  * cover executor-side failures, so this never wraps relational work.
+  */
+object Retry {
+
+  /** Signal carrying a server-suggested wait (HTTP 429 shape). */
+  final case class RateLimited(retryAfterSeconds: Long)
+    extends RuntimeException(s"rate limited, retry after ${retryAfterSeconds}s")
+
+  def withRetries[T](maxRetries: Int = 5, baseDelayMs: Long = 3000,
+                     sleep: Long => Unit = Thread.sleep)(f: () => T): T = {
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt < maxRetries) {
+      try return f()
+      catch {
+        case RateLimited(after) =>
+          last = RateLimited(after)
+          sleep(after * 1000L) // server-directed wait does not consume backoff growth
+        case e: Throwable =>
+          last = e
+          sleep(baseDelayMs << attempt) // base·2^attempt
+      }
+      attempt += 1
+    }
+    throw last
+  }
+}

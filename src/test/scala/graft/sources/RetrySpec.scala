@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.mutable.ArrayBuffer
+
+class RetrySpec extends AnyFunSuite {
+
+  test("succeeds after transient failures with exponential backoff (ref 3*2^attempt)") {
+    val sleeps = ArrayBuffer[Long]()
+    var calls = 0
+    val out = Retry.withRetries(maxRetries = 5, baseDelayMs = 3000, sleep = sleeps += _) { () =>
+      calls += 1
+      if (calls < 3) throw new RuntimeException("transient")
+      "ok"
+    }
+    assert(out == "ok")
+    assert(calls == 3)
+    assert(sleeps.toSeq == Seq(3000L, 6000L))
+  }
+
+  test("rate-limit waits the server-suggested delay (ref 429 Retry-After)") {
+    val sleeps = ArrayBuffer[Long]()
+    var calls = 0
+    Retry.withRetries(maxRetries = 3, sleep = sleeps += _) { () =>
+      calls += 1
+      if (calls == 1) throw Retry.RateLimited(60)
+      "ok"
+    }
+    assert(sleeps.toSeq == Seq(60000L))
+  }
+
+  test("exhausted retries rethrow the last error") {
+    var calls = 0
+    val e = intercept[RuntimeException] {
+      Retry.withRetries(maxRetries = 4, sleep = _ => ()) { () =>
+        calls += 1; throw new RuntimeException(s"boom $calls")
+      }
+    }
+    assert(calls == 4)
+    assert(e.getMessage == "boom 4")
+  }
+}
