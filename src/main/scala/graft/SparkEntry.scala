@@ -331,6 +331,14 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), round(avg(col("score")), 4).as("avg_score"))
       .orderBy(col("pred_lang"))
 
+  /** Embedding-cosine near-dup on a deterministic sample (brute-force
+    * oracle baseline; the LSH bucket join in q24 is the scale path). */
+  def q30_cosine_neardup(s: SparkSession, d: String): DataFrame =
+    Similarity.cosineNearDup(
+      embeddings(s, d).filter(col("vec_id") % 4 === 0),
+      "vec_id", "embedding", 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -363,6 +371,7 @@ object SparkEntry {
     "q27_langid_trigram"    -> (q27_langid_trigram _),
     "q28_sql_topk"          -> (q28_sql_topk _),
     "q29_daily_metrics"     -> (q29_daily_metrics _),
+    "q30_cosine_neardup"    -> (q30_cosine_neardup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -536,5 +545,14 @@ object SparkEntry {
          count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
          round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2) AS revenue
          FROM events GROUP BY CAST(ts AS DATE) ORDER BY day""",
+    "q30_cosine_neardup" ->
+      """WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0)
+         SELECT id_a, id_b, cosine FROM (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_sum(list_transform(generate_series(1, 64),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), 4) AS cosine
+           FROM v a JOIN v b ON a.vec_id < b.vec_id) t
+         WHERE cosine >= 0.4
+         ORDER BY id_a, id_b""",
   )
 }

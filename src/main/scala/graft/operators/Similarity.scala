@@ -137,6 +137,21 @@ object Similarity {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine >= threshold).
+    * This brute-force form is the oracle-checkable baseline on a bounded
+    * sample; at scale candidates come from [[annLsh]]-style bucket joins
+    * first and this exact scoring runs only on candidates. */
+  def cosineNearDup(vectors: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double): DataFrame = {
+    val a = vectors.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = vectors.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Vectors.dotNative(col("va"), col("vb")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   // ----------------------------------------------------------------- ANN
 
   /** Bounded top-k of (neighbor_id, score) per query via the

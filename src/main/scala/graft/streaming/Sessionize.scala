@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom-state streaming: gap-based sessionization of the events stream
+  * with `flatMapGroupsWithState` — the KeyValueGroupedDataset state API the
+  * engine exposes for semantics no built-in window covers (SURVEY §2.8
+  * extension beyond the reference's per-day bucketing).
+  *
+  * A session closes when no event arrives for `gap` (event-time, enforced
+  * via EventTimeTimeout + watermark). State per user is O(1) (bounds, count,
+  * value sum) — safe at any key cardinality.
+  */
+object Sessionize {
+
+  case class Event(user_id: Long, ts: Timestamp, value: Double)
+  case class SessionState(start: Long, lastTs: Long, nEvents: Long, totalValue: Double)
+  case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
+                     n_events: Long, total_value: Double)
+
+  def sessions(events: Dataset[Event], gap: String = "30 minutes"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+      .microseconds / 1000L
+
+    events
+      .withWatermark("ts", gap)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(s.start),
+              new Timestamp(s.lastTs), s.nEvents, s.totalValue))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(s.copy(lastTs = math.max(s.lastTs, t),
+                    nEvents = s.nEvents + 1, totalValue = s.totalValue + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, new Timestamp(s.start),
+                    new Timestamp(s.lastTs), s.nEvents, s.totalValue)
+                  cur = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("gap sessionization closes sessions on inactivity and merges bursts") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Sessionize.Event]
+    val out = Sessionize.sessions(mem.toDS(), gap = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+
+    // user 1: burst of 3 events within gaps, then silence; user 2: single event
+    mem.addData(
+      Sessionize.Event(1L, ts("2024-01-01 10:00:00"), 1.0),
+      Sessionize.Event(1L, ts("2024-01-01 10:10:00"), 2.0),
+      Sessionize.Event(1L, ts("2024-01-01 10:20:00"), 3.0),
+      Sessionize.Event(2L, ts("2024-01-01 10:00:00"), 9.0))
+    q.processAllAvailable()
+    // advance event time far past the gap so the sessions time out
+    mem.addData(Sessionize.Event(3L, ts("2024-01-01 12:00:00"), 0.0))
+    q.processAllAvailable()
+    mem.addData(Sessionize.Event(3L, ts("2024-01-01 14:00:00"), 0.0))
+    q.processAllAvailable()
+
+    val sessions = spark.sql("SELECT * FROM sessions").as[Sessionize.Session]
+      .collect().toSeq
+    q.stop()
+    val u1 = sessions.filter(_.user_id == 1L)
+    assert(u1.size == 1)
+    assert(u1.head.n_events == 3 && u1.head.total_value == 6.0)
+    assert(u1.head.session_start == ts("2024-01-01 10:00:00"))
+    assert(u1.head.session_end == ts("2024-01-01 10:20:00"))
+    val u2 = sessions.filter(_.user_id == 2L)
+    assert(u2.size == 1 && u2.head.n_events == 1)
+  }
+
+  test("events split by more than the gap form separate sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Sessionize.Event]
+    val out = Sessionize.sessions(mem.toDS(), gap = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sessions2")
+      .outputMode("append").start()
+    mem.addData(
+      Sessionize.Event(1L, ts("2024-01-01 10:00:00"), 1.0),
+      Sessionize.Event(1L, ts("2024-01-01 10:30:00"), 2.0)) // > 10 min later
+    q.processAllAvailable()
+    mem.addData(Sessionize.Event(9L, ts("2024-01-01 13:00:00"), 0.0))
+    q.processAllAvailable()
+    mem.addData(Sessionize.Event(9L, ts("2024-01-01 15:00:00"), 0.0))
+    q.processAllAvailable()
+    val sessions = spark.sql("SELECT * FROM sessions2 WHERE user_id = 1")
+      .as[Sessionize.Session].collect().toSeq
+    q.stop()
+    assert(sessions.size == 2, s"expected 2 sessions, got $sessions")
+  }
+}
