@@ -339,6 +339,24 @@ object SparkEntry {
       "vec_id", "embedding", 0.4)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** As-of join (composed from built-ins, see operators.AsOfJoin): each
+    * event gets the latest order of the same key at-or-before its
+    * timestamp. */
+  def q31_asof_join(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+    val o = orders(s, d)
+    graft.operators.AsOfJoin.asOf(
+      e, o,
+      leftKey = col("user_id"), rightKey = col("o_custkey"),
+      leftTs = col("ts"), rightTs = col("o_orderdate"),
+      rightCols = Seq("o_orderkey", "o_orderdate"),
+      rightOrd = Seq(col("o_orderdate"), col("o_orderkey")))
+      .select(col("event_id"), col("user_id"),
+        col("o_orderkey").as("last_orderkey"),
+        col("o_orderdate").as("last_orderdate"))
+      .orderBy(col("event_id"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -372,6 +390,7 @@ object SparkEntry {
     "q28_sql_topk"          -> (q28_sql_topk _),
     "q29_daily_metrics"     -> (q29_daily_metrics _),
     "q30_cosine_neardup"    -> (q30_cosine_neardup _),
+    "q31_asof_join"         -> (q31_asof_join _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -554,5 +573,14 @@ object SparkEntry {
            FROM v a JOIN v b ON a.vec_id < b.vec_id) t
          WHERE cosine >= 0.4
          ORDER BY id_a, id_b""",
+    "q31_asof_join" ->
+      """SELECT event_id, user_id, last_orderkey, last_orderdate FROM (
+           SELECT e.event_id, e.user_id,
+             o.o_orderkey AS last_orderkey, o.o_orderdate AS last_orderdate,
+             row_number() OVER (PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST) AS rn
+           FROM events e
+           LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) t
+         WHERE rn = 1 ORDER BY event_id""",
   )
 }

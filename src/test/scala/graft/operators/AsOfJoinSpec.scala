@@ -1,0 +1,51 @@
+package graft.operators
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asOf picks the latest right row at-or-before the left timestamp") {
+    val trades = Seq(
+      (1L, "A", ts("2024-01-01 10:00:05")),
+      (2L, "A", ts("2024-01-01 10:00:00")),
+      (3L, "B", ts("2024-01-01 10:00:10")),
+      (4L, "C", ts("2024-01-01 10:00:10"))  // no quotes for C
+    ).toDF("trade_id", "sym", "t")
+    val quotes = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 100.0),
+      ("A", ts("2024-01-01 10:00:03"), 101.0),
+      ("A", ts("2024-01-01 10:00:07"), 102.0), // after trade 1 — must not match
+      ("B", ts("2024-01-01 09:59:00"), 50.0)
+    ).toDF("qsym", "qt", "price")
+
+    val out = AsOfJoin.asOf(trades, quotes,
+      leftKey = $"sym", rightKey = $"qsym",
+      leftTs = $"t", rightTs = $"qt",
+      rightCols = Seq("qt", "price"),
+      rightOrd = Seq($"qt"))
+      .select($"trade_id", $"price")
+      .as[(Long, Option[Double])].collect().toMap
+
+    assert(out(1L).contains(101.0)) // latest quote <= 10:00:05
+    assert(out(2L).contains(100.0)) // exactly at-or-before 10:00:00
+    assert(out(3L).contains(50.0))
+    assert(out(4L).isEmpty, "no matching right rows -> NULL payload")
+  }
+
+  test("ties on the timestamp break deterministically via rightOrd tiebreak") {
+    val left = Seq((1L, "A", ts("2024-01-01 00:00:10"))).toDF("id", "k", "t")
+    val right = Seq(
+      ("A", ts("2024-01-01 00:00:01"), 7L),
+      ("A", ts("2024-01-01 00:00:01"), 9L)
+    ).toDF("rk", "rt", "payload_id")
+    val out = AsOfJoin.asOf(left, right, $"k", $"rk", $"t", $"rt",
+      Seq("payload_id"), Seq($"rt", $"payload_id"))
+      .select("payload_id").as[Long].collect()
+    assert(out.toSeq == Seq(9L), "max tiebreak must pick the larger payload_id")
+  }
+}
