@@ -339,6 +339,14 @@ object SparkEntry {
       "vec_id", "embedding", 0.4)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** IVF-partitioned ANN (rows-only; recall vs brute force asserted in
+    * SimilaritySpec — cell assignment is not ANSI-SQL-expressible). */
+  def q32_ann_ivf(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    Similarity.annIvf(emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** As-of join (composed from built-ins, see operators.AsOfJoin): each
     * event gets the latest order of the same key at-or-before its
     * timestamp. */
@@ -391,6 +399,7 @@ object SparkEntry {
     "q29_daily_metrics"     -> (q29_daily_metrics _),
     "q30_cosine_neardup"    -> (q30_cosine_neardup _),
     "q31_asof_join"         -> (q31_asof_join _),
+    "q32_ann_ivf"           -> (q32_ann_ivf _),
   )
 
   def oracleSql: Map[String, String] = Map(

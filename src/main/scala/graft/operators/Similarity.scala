@@ -178,6 +178,49 @@ object Similarity {
     takeTopK(scored, topK)
   }
 
+  /** IVF (inverted-file) ANN: candidates are partitioned into `nCells`
+    * Voronoi cells of a coarse quantizer; a query probes only its `nProbe`
+    * nearest cells. Cell id is a shuffle/join key, so search cost is
+    * (nProbe/nCells) of the corpus per query instead of all of it.
+    *
+    * The coarse quantizer here picks deterministic seed centroids (first
+    * nCells rows by id) — a k-means refinement is an offline training step
+    * that would only change how `centroids` is produced, not the plan. */
+  def annIvf(queries: DataFrame, candidates: DataFrame, idCol: String,
+             vecCol: String, topK: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centroids = candidates
+      .orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("cell_seed"), col(vecCol).as("centroid"))
+      .withColumn("cell", row_number().over(Window.orderBy(col("cell_seed"))) - 1)
+      .select("cell", "centroid")
+
+    // assignment: argmax centroid dot per vector (normalized => nearest)
+    def assign(df: DataFrame, id: String, n: Int): DataFrame =
+      df.crossJoin(broadcast(centroids))
+        .select(col(id), col("v"), col("cell"),
+          Vectors.dotNative(col("v"), col("centroid")).as("cd"))
+        .withColumn("cr", row_number().over(
+          Window.partitionBy(col(id)).orderBy(col("cd").desc, col("cell").asc)))
+        .filter(col("cr") <= n)
+        .select(col(id), col("v"), col("cell"))
+
+    val cAssigned = assign(
+      candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("v")),
+      "neighbor_id", 1)
+      .select(col("neighbor_id"), col("v").as("cv"), col("cell"))
+    val qAssigned = assign(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("v")),
+      "query_id", nProbe)
+      .select(col("query_id"), col("v").as("qv"), col("cell"))
+
+    val scored = cAssigned.join(broadcast(qAssigned), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Vectors.dotNative(col("qv"), col("cv")).as("score"))
+      .distinct() // a pair can meet in several probed cells
+    takeTopK(scored, topK)
+  }
+
   /** Multi-table LSH ANN: `nTables` independent hyperplane hash tables of
     * `nBits` each; a candidate is any vector sharing a bucket with the query
     * in ANY table (standard recall amplification: P = 1-(1-p^b)^L). Exact

@@ -56,6 +56,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"LSH recall $recall too low")
   }
 
+  test("annIvf probes nProbe cells and achieves nonzero recall vs brute force") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter($"vec_id" < 4)
+    val brute = Similarity.annBruteForce(queries, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.annIvf(queries, emb, "vec_id", "embedding", 5,
+      nCells = 16, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty)
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.2, s"IVF recall $recall too low")
+    // every query returns at most topK rows
+    val counts = Similarity.annIvf(queries, emb, "vec_id", "embedding", 5)
+      .groupBy("query_id").count().select("count").as[Long].collect()
+    assert(counts.forall(_ <= 5))
+  }
+
   test("annBruteForce top-1 of a query against itself-excluded set is its nearest cluster member") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val out = Similarity.annBruteForce(emb.filter($"vec_id" === 0L), emb, "vec_id", "embedding", 1)
