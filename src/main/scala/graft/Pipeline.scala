@@ -36,11 +36,12 @@ class Pipeline(spark: SparkSession, warehouse: String) {
     val startTs: Option[Timestamp] =
       if (forceFullLoad) None else control.lastSyncWithBuffer("orders")
     try {
-      // S1/P5: paged scan with pushed incremental predicate
-      val rawAll = PagedNdjsonSource.read(spark, pagesDir, Schemas.rawOrder)
+      // S1/P5: paged scan; the incremental predicate is applied inside the
+      // source (below the arrival-order projection) so it pushes to the scan
       val raw = startTs match {
-        case Some(ts) => rawAll.filter(to_timestamp(col("updated_at")) >= lit(ts))
-        case None     => rawAll
+        case Some(ts) => PagedNdjsonSource.readIncremental(
+          spark, pagesDir, Schemas.rawOrder, "updated_at", ts)
+        case None     => PagedNdjsonSource.read(spark, pagesDir, Schemas.rawOrder)
       }
       // A1: first-wins dedup across pages in arrival order (ref :339-347)
       val deduped = Dedup.firstWins(raw, Seq("id"), "_arrival_order")

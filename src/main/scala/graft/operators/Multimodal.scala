@@ -54,7 +54,9 @@ object Multimodal {
     * same stub; the *shape* (generate indices lazily, explode, never
     * collect) is the 100 TB-safe part. */
   def sampleFrames(meta: Dataset[MediaMeta], maxFrames: Int): DataFrame = {
-    val step = greatest(floor(col("nFrames") / maxFrames), lit(1))
+    // ceil stride: floor would give step=1 for nFrames in (maxFrames,
+    // 2*maxFrames) and emit up to 2*maxFrames-1 frames, breaking the cap
+    val step = greatest(ceil(col("nFrames") / lit(maxFrames.toDouble)).cast("long"), lit(1L))
     meta.toDF()
       .select(col("id"), col("nFrames"),
         explode(sequence(lit(0), col("nFrames") - 1, step)).as("frame_idx"))

@@ -52,7 +52,10 @@ object Similarity {
     * id_a < id_b, est_jaccard >= threshold. */
   def minhashNearDup(docs: DataFrame, idCol: String, textCol: String,
                      threshold: Double, k: Int = 3): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, textCol, k).cache()
+    // No cache(): the signature aggregation ends in an Exchange that
+    // ReuseExchange shares across the three consumers within this query;
+    // an explicit cache would pin executor memory past the query lifetime.
+    val sigs = minhashSignatures(docs, idCol, textCol, k)
     val rows = MinhashPerms / MinhashBands
     val bandCols = (0 until MinhashBands).map { b =>
       struct(lit(b).as("band"),
@@ -98,7 +101,7 @@ object Similarity {
     * chunk equality (4 chunks; dist<=3 guarantees >=1 equal chunk). */
   def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
                      maxDist: Int = 3): DataFrame = {
-    val sk = simhash(docs, idCol, textCol).cache()
+    val sk = simhash(docs, idCol, textCol)
     val chunked = sk.select(col(idCol), col("simhash"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("c"),

@@ -27,10 +27,14 @@ class SyncControl(spark: SparkSession, path: String) {
     row.write.mode(SaveMode.Append).parquet(path)
   }
 
+  /** Missing control table (first run) → empty frame; any OTHER failure
+    * (corrupt footer, permissions) propagates — silently treating it as
+    * "no history" would turn every incremental run into a full reload and
+    * hide the fault. */
   def all(): DataFrame =
-    try spark.read.schema(Schemas.syncControl).parquet(path)
-    catch { case _: Exception => spark.createDataFrame(
-      java.util.List.of[Row](), Schemas.syncControl) }
+    if (!new java.io.File(path).exists())
+      spark.createDataFrame(java.util.List.of[Row](), Schemas.syncControl)
+    else spark.read.schema(Schemas.syncControl).parquet(path)
 
   /** Latest successful sync timestamp for a table (ref get_last_sync_timestamp
     * :171-205, SQL top-1 :174-180), minus the intended 1-hour late-data

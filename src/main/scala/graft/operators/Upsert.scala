@@ -37,8 +37,12 @@ object Upsert {
     val updateKeys = distinctUpdates.select(keys.map(col): _*).distinct()
       .toDF(keys.map(k => s"__u_$k"): _*)
     val cond = keys.map(k => col(k) <=> col(s"__u_$k")).reduce(_ && _)
+    // No forced broadcast hint: incremental batches are usually small and
+    // Catalyst/AQE broadcasts them automatically under the threshold, but a
+    // backfill-sized update set must be allowed to plan as a shuffled join
+    // instead of OOMing the driver.
     current
-      .join(broadcast(updateKeys), cond, "left_anti")
+      .join(updateKeys, cond, "left_anti")
       .unionByName(distinctUpdates)
   }
 

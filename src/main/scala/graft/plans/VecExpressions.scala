@@ -43,16 +43,23 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   }
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
 
+  /** Divergent inputs degrade the same way the HOF formulation does:
+    * mismatched lengths or a null element yield NULL (zip_with pads with
+    * null → null product → null fold) — a truncated or corrupt embedding
+    * must surface as NULL, not a plausible partial score. */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
     val lf = elemIsFloat(left); val rf = elemIsFloat(right)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       s += xv * yv
@@ -67,10 +74,17 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
       val getA = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getB = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) { $s += $getA * $getB; }
-         |${ev.value} = $s;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += $getA * $getB;
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
+         |}
        """.stripMargin
     })
 

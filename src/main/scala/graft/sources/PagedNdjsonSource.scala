@@ -25,22 +25,34 @@ import org.apache.spark.sql.types.StructType
 object PagedNdjsonSource {
 
   /** Read all pages in a directory with a declared schema; adds
-    * `_page_order` (lexicographic file-name rank — page files are written
-    * with sortable names, mirroring ascending pagination ref :274) and
-    * `_arrival_order` (row position) for deterministic first-wins. */
-  def read(spark: SparkSession, dir: String, schema: StructType): DataFrame =
-    spark.read.schema(schema).json(dir)
+    * `_page_file` (file name — pages are written with sortable names,
+    * mirroring ascending pagination ref :274) and `_arrival_order`, a
+    * STRUCT of (file name, within-scan row id) that sorts in arrival order.
+    *
+    * Deliberately NOT a global row_number window: that would funnel the
+    * whole scan through one task and block predicate pushdown. The struct
+    * is computed map-side; monotonically_increasing_id's partition-indexed
+    * high bits preserve row order within a file's splits, and the file name
+    * dominates the ordering across pages. An optional pushed-down filter
+    * (see [[readIncremental]]) is applied directly on the scan, below any
+    * nondeterministic column. */
+  def read(spark: SparkSession, dir: String, schema: StructType,
+           scanFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val base = spark.read.schema(schema).json(dir)
+    val filtered = scanFilter.map(base.filter).getOrElse(base)
+    filtered
       .withColumn("_page_file", col("_metadata.file_name"))
       .withColumn("_arrival_order",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("_page_file"), monotonically_increasing_id())).cast("long"))
+        struct(col("_page_file").as("f"), monotonically_increasing_id().as("r")))
+  }
 
   /** Incremental read: only records with `tsCol >= startTs` (the reference's
     * updated_at_min pushed predicate, ref :274-276) minus a late-data buffer
-    * already applied by the caller. */
+    * already applied by the caller. The filter goes below the arrival-order
+    * projection so Catalyst can push it into the scan. */
   def readIncremental(spark: SparkSession, dir: String, schema: StructType,
                       tsCol: String, startTs: java.sql.Timestamp): DataFrame =
-    read(spark, dir, schema).filter(to_timestamp(col(tsCol)) >= lit(startTs))
+    read(spark, dir, schema, Some(to_timestamp(col(tsCol)) >= lit(startTs)))
 
   /** Test-mode cap (ref :431-433): stop after ~maxRecords. */
   def readCapped(spark: SparkSession, dir: String, schema: StructType,

@@ -23,14 +23,15 @@ object Retry {
     while (attempt < maxRetries) {
       try return f()
       catch {
-        case RateLimited(after) =>
-          last = RateLimited(after)
-          sleep(after * 1000L) // server-directed wait does not consume backoff growth
         case e: Throwable =>
           last = e
-          sleep(baseDelayMs << attempt) // base·2^attempt
+          attempt += 1
+          // no pointless sleep after the final failed attempt
+          if (attempt < maxRetries) e match {
+            case RateLimited(after) => sleep(after * 1000L) // server-directed wait
+            case _                  => sleep(baseDelayMs << (attempt - 1)) // base·2^attempt
+          }
       }
-      attempt += 1
     }
     throw last
   }

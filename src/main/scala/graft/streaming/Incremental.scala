@@ -38,10 +38,16 @@ object Incremental {
   def run(spark: SparkSession, pagesDir: String, warehouse: String,
           checkpoint: String, availableNow: Boolean = true): StreamingQuery = {
     val store = new ParquetTableStore(spark, warehouse)
+    // A1 dedup: WithinWatermark variant — duplicates of an id arriving
+    // within the 1 h late-data window are dropped (the reference's
+    // within-run first-wins), while a genuinely newer version arriving
+    // after the watermark passes through to the MERGE (which is what makes
+    // re-delivery idempotent). Plain dropDuplicates("id") would both keep
+    // unbounded state and permanently discard later updates to an order.
     val stream = ordersStream(spark, pagesDir)
       .withColumn("updated_ts", to_timestamp(col("updated_at")))
       .withWatermark("updated_ts", "1 hour")        // T3 late-data buffer
-      .dropDuplicates("id")                         // A1 watermark-bounded dedup state
+      .dropDuplicatesWithinWatermark("id")
 
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)     // T2 offsets

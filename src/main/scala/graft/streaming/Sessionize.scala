@@ -23,9 +23,13 @@ object Sessionize {
   def sessions(events: Dataset[Event], gap: String = "30 minutes"): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+    // Sum all interval fields: .microseconds alone would read 0 for a gap
+    // like "1 day" (stored in the days field) and close a session per event.
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
-      .microseconds / 1000L
+    val gapMs = iv.months * 30L * 86400000L + iv.days * 86400000L +
+      iv.microseconds / 1000L
+    require(gapMs > 0, s"session gap must be positive, got '$gap'")
 
     events
       .withWatermark("ts", gap)

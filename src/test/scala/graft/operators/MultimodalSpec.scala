@@ -39,6 +39,14 @@ class MultimodalSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("sampleFrames honors the cap when nFrames is between maxFrames and 2*maxFrames") {
+    import org.apache.spark.sql.functions._
+    // nFrames=19, maxFrames=10: floor stride would emit all 19 frames
+    val meta = Seq(Multimodal.MediaMeta(1L, 10L, "x", 1, 1, 19)).toDS()
+    val n = Multimodal.sampleFrames(meta, 10).count()
+    assert(n <= 10, s"sampled $n frames for nFrames=19, cap 10")
+  }
+
   test("batchedFeatures computes per-row byte stats through partition batches") {
     val out = Multimodal.batchedFeatures(media, "doc_id", "text", batchSize = 2)
       .orderBy("id").as[(Long, Long, Long)].collect().toSeq

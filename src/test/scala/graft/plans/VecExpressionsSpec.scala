@@ -26,6 +26,14 @@ class VecExpressionsSpec extends SparkSpec {
     assert(out(1).isEmpty, "null input -> null output")
   }
 
+  test("vec_dot returns NULL for length-mismatched vectors (matches HOF semantics)") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0))).toDF("a", "b")
+    val native = df.select(Vectors.dotNative($"a", $"b")).as[Option[Double]].head()
+    val hof = df.select(Vectors.dot($"a", $"b")).as[Option[Double]].head()
+    assert(native.isEmpty, "truncated vector must yield NULL, not a partial score")
+    assert(hof.isEmpty)
+  }
+
   test("vec_dot is usable from SQL via the session extension") {
     val r = spark.sql("SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
       .as[Double].head()

@@ -29,14 +29,16 @@ class RetrySpec extends AnyFunSuite {
     assert(sleeps.toSeq == Seq(60000L))
   }
 
-  test("exhausted retries rethrow the last error") {
+  test("exhausted retries rethrow the last error without a trailing sleep") {
+    val sleeps = ArrayBuffer[Long]()
     var calls = 0
     val e = intercept[RuntimeException] {
-      Retry.withRetries(maxRetries = 4, sleep = _ => ()) { () =>
+      Retry.withRetries(maxRetries = 4, baseDelayMs = 3000, sleep = sleeps += _) { () =>
         calls += 1; throw new RuntimeException(s"boom $calls")
       }
     }
     assert(calls == 4)
     assert(e.getMessage == "boom 4")
+    assert(sleeps.size == 3, "no sleep after the final failed attempt")
   }
 }

@@ -41,6 +41,15 @@ class SessionizeSpec extends SparkSpec {
     assert(u2.size == 1 && u2.head.n_events == 1)
   }
 
+  test("day-granularity gaps parse to a positive duration (not microseconds-only)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Sessionize.Event]
+    // would throw require(gapMs > 0) before the fix ("1 day" lives in the
+    // interval's days field, microseconds-only parsing read 0)
+    val out = Sessionize.sessions(mem.toDS(), gap = "1 day")
+    assert(out.isStreaming)
+  }
+
   test("events split by more than the gap form separate sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Sessionize.Event]
