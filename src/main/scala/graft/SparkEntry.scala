@@ -365,6 +365,30 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** Window-function family: per-customer running revenue + previous order
+    * price (lag). Deterministic frame: the sort key (o_orderdate,
+    * o_orderkey) is unique, so RANGE and ROWS frames agree across engines. */
+  def q33_running_total(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(s, d)
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("running_total"),
+        round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Grouping sets via ROLLUP: subtotals per status, per (status, priority),
+    * and grand total. NULL-indicator subtotal rows ordered NULLS FIRST
+    * explicitly on both engines (their defaults differ). */
+  def q34_rollup(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -400,6 +424,8 @@ object SparkEntry {
     "q30_cosine_neardup"    -> (q30_cosine_neardup _),
     "q31_asof_join"         -> (q31_asof_join _),
     "q32_ann_ivf"           -> (q32_ann_ivf _),
+    "q33_running_total"     -> (q33_running_total _),
+    "q34_rollup"            -> (q34_rollup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -591,5 +617,18 @@ object SparkEntry {
            FROM events e
            LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) t
          WHERE rn = 1 ORDER BY event_id""",
+    "q33_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+         round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey), 2) AS running_total,
+         round(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey), 2) AS prev_price
+         FROM orders WHERE o_custkey < 100
+         ORDER BY o_custkey, o_orderkey""",
+    "q34_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         count(*) AS n, round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
   )
 }

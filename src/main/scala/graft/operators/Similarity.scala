@@ -52,9 +52,12 @@ object Similarity {
     * id_a < id_b, est_jaccard >= threshold. */
   def minhashNearDup(docs: DataFrame, idCol: String, textCol: String,
                      threshold: Double, k: Int = 3): DataFrame = {
-    // No cache(): the signature aggregation ends in an Exchange that
-    // ReuseExchange shares across the three consumers within this query;
-    // an explicit cache would pin executor memory past the query lifetime.
+    // Deliberately NOT cached: DataFrame.cache registers with the
+    // CacheManager and pins executor memory until an explicit unpersist,
+    // which a lazily-returned result can never safely issue. The three
+    // consumers recompute the signature stage (~3x, measured +2-3 s at
+    // sf0.1); callers that loop this operator should persist/unpersist
+    // around their own action instead.
     val sigs = minhashSignatures(docs, idCol, textCol, k)
     val rows = MinhashPerms / MinhashBands
     val bandCols = (0 until MinhashBands).map { b =>
