@@ -35,13 +35,17 @@ object Similarity {
   }
 
   /** (id, signature array[64]) — one shuffle: explode shingles, 64 min-aggs.
-    * Permutation j is xxhash64(shingle, j); min over shingles per doc. */
+    * Permutation j is xxhash64(h0, j) where h0 = xxhash64(shingle): the
+    * variable-length string is hashed ONCE per shingle row and the 64
+    * permutations remix the fixed-width h0 — 64x less string hashing on
+    * the dominant stage. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 3): DataFrame = {
     val exploded = docs
       .select(col(idCol), explode(shingles(col(textCol), k)).as("shingle"))
+      .select(col(idCol), xxhash64(col("shingle")).as("h0"))
     val minCols = (0 until MinhashPerms)
-      .map(j => min(xxhash64(col("shingle"), lit(j))).as(s"h$j"))
+      .map(j => min(xxhash64(col("h0"), lit(j))).as(s"h$j"))
     exploded.groupBy(col(idCol))
       .agg(minCols.head, minCols.tail: _*)
       .select(col(idCol), array((0 until MinhashPerms).map(j => col(s"h$j")): _*).as("sig"))
