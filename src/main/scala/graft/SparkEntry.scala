@@ -389,6 +389,41 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
+  /** Top-3 terms per source: explode + groupBy + deterministic per-group
+    * top-k — the term-frequency profile op of a text pipeline. */
+  def q35_top_terms(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("cnt").desc, col("word"))
+    documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("source"), col("word"), col("cnt"))
+      .orderBy(col("source"), col("word"))
+  }
+
+  /** Numeric histogram: fixed-width binning of order totals. */
+  def q36_histogram(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(floor(col("o_totalprice") / 25000.0).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"))
+      .orderBy(col("bin"))
+
+  /** Exact interpolated percentiles per group (Spark `percentile` and
+    * DuckDB `quantile_cont` share the linear-interpolation definition). */
+  def q37_percentiles(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -426,6 +461,9 @@ object SparkEntry {
     "q32_ann_ivf"           -> (q32_ann_ivf _),
     "q33_running_total"     -> (q33_running_total _),
     "q34_rollup"            -> (q34_rollup _),
+    "q35_top_terms"         -> (q35_top_terms _),
+    "q36_histogram"         -> (q36_histogram _),
+    "q37_percentiles"       -> (q37_percentiles _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -630,5 +668,24 @@ object SparkEntry {
          count(*) AS n, round(sum(o_totalprice), 2) AS total
          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q35_top_terms" ->
+      """SELECT source, word, cnt FROM (
+           SELECT source, word, count(*) AS cnt,
+             row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, word) AS rn
+           FROM (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents) t
+           GROUP BY source, word) r
+         WHERE rn <= 3 ORDER BY source, word""",
+    "q36_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
+         count(*) AS n,
+         round(min(o_totalprice), 2) AS lo,
+         round(max(o_totalprice), 2) AS hi
+         FROM orders GROUP BY 1 ORDER BY bin""",
+    "q37_percentiles" ->
+      """SELECT o_orderstatus,
+         round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+         round(quantile_cont(o_totalprice, 0.95), 2) AS p95,
+         count(*) AS n
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
   )
 }
