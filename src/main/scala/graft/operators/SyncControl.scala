@@ -30,11 +30,16 @@ class SyncControl(spark: SparkSession, path: String) {
   /** Missing control table (first run) → empty frame; any OTHER failure
     * (corrupt footer, permissions) propagates — silently treating it as
     * "no history" would turn every incremental run into a full reload and
-    * hide the fault. */
-  def all(): DataFrame =
-    if (!new java.io.File(path).exists())
+    * hide the fault. Existence is checked through Hadoop's FileSystem so
+    * hdfs:///s3a:// warehouse paths resolve the same way the parquet
+    * reader/writer does (a java.io.File check is always false for URIs). */
+  def all(): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
       spark.createDataFrame(java.util.List.of[Row](), Schemas.syncControl)
     else spark.read.schema(Schemas.syncControl).parquet(path)
+  }
 
   /** Latest successful sync timestamp for a table (ref get_last_sync_timestamp
     * :171-205, SQL top-1 :174-180), minus the intended 1-hour late-data

@@ -43,9 +43,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    if (tables.contains(ident)) throw new TableAlreadyExistsException(ident)
     val t = new GraftTable(ident.toString, schema)
-    tables.put(ident, t)
+    // atomic: a contains-then-put race would let two CREATEs both succeed
+    if (tables.putIfAbsent(ident, t).isDefined)
+      throw new TableAlreadyExistsException(ident)
     t
   }
 
@@ -54,8 +55,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def dropTable(ident: Identifier): Boolean = tables.remove(ident).isDefined
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    tables.remove(oldIdent).foreach(t => tables.put(newIdent, t))
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    // TableCatalog contract: missing source and existing destination are
+    // errors, not silent no-op / clobber
+    val t = tables.getOrElse(oldIdent, throw new NoSuchTableException(oldIdent))
+    if (tables.putIfAbsent(newIdent, t).isDefined)
+      throw new TableAlreadyExistsException(newIdent)
+    tables.remove(oldIdent)
+  }
 
   // SupportsNamespaces: flat, everything exists under any namespace
   override def listNamespaces(): Array[Array[String]] = Array(Array("default"))

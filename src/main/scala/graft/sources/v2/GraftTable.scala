@@ -46,8 +46,7 @@ class GraftTable(tableName: String, tableSchema: StructType)
       override def truncate(): WriteBuilder = { doReplace = true; this }
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new GraftBatchWrite(GraftTable.this, replace = doReplace,
-            writeSchema = info.schema(), tableSchema = tableSchema)
+          new GraftBatchWrite(GraftTable.this, replace = doReplace, tableSchema)
       }
     }
 
@@ -67,8 +66,7 @@ class GraftTable(tableName: String, tableSchema: StructType)
             // the MergeRows output shape, WITH the __row_operation column —
             // the writer must strip it (and defensively skip DELETE ops).
             override def toBatch: BatchWrite =
-              new GraftBatchWrite(GraftTable.this, replace = true,
-                writeSchema = writeInfo.schema(), tableSchema = tableSchema)
+              new GraftBatchWrite(GraftTable.this, replace = true, tableSchema)
           }
         }
     }
@@ -101,7 +99,6 @@ private[v2] case class GraftInputPartition(rows: Array[InternalRow]) extends Inp
   * writes without metadata projections) — those rows are normalized to the
   * table schema and DELETE-op rows are skipped. */
 private[v2] class GraftBatchWrite(table: GraftTable, replace: Boolean,
-                                  writeSchema: StructType,
                                   tableSchema: StructType) extends BatchWrite {
   private val colTypes = tableSchema.fields.map(_.dataType)
 
@@ -128,7 +125,9 @@ private[v2] case class GraftCommit(rows: Array[InternalRow]) extends WriterCommi
   * DELETE-op rows; exact arity ⇒ plain append rows. */
 private[v2] case class GraftWriterFactory(colTypes: Array[org.apache.spark.sql.types.DataType])
   extends DataWriterFactory {
-  private val DeleteOp = 1 // RowDeltaUtils.DELETE_OPERATION
+  // tied to Spark's actual encoding so a version drift cannot silently
+  // misclassify rows
+  private val DeleteOp = org.apache.spark.sql.catalyst.util.RowDeltaUtils.DELETE_OPERATION
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val buf = scala.collection.mutable.ArrayBuffer[InternalRow]()

@@ -23,12 +23,14 @@ object Sessionize {
   def sessions(events: Dataset[Event], gap: String = "30 minutes"): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
-    // Sum all interval fields: .microseconds alone would read 0 for a gap
-    // like "1 day" (stored in the days field) and close a session per event.
+    // Spark's own interval→duration conversion, so the in-state gap uses
+    // the SAME length as the withWatermark/EventTimeTimeout delay below
+    // (.microseconds alone reads 0 for "1 day"; a hand-rolled 30-day month
+    // would disagree with Spark's 31-day month in the watermark).
     val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
-    val gapMs = iv.months * 30L * 86400000L + iv.days * 86400000L +
-      iv.microseconds / 1000L
+    val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .getDuration(iv, java.util.concurrent.TimeUnit.MILLISECONDS)
     require(gapMs > 0, s"session gap must be positive, got '$gap'")
 
     events
