@@ -424,6 +424,27 @@ object SparkEntry {
         count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus"))
 
+  /** CUBE grouping sets (all subtotal combinations). */
+  def q38_cube(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 4).as("avg_total"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  /** Edit-distance (Levenshtein) near-dup verification on a bounded sample —
+    * the exact-verification stage for fuzzy text matching. */
+  def q39_edit_distance(s: SparkSession, d: String): DataFrame = {
+    val sample = documents(s, d).filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id"), col("source"), col("text"))
+    val a = sample.select(col("doc_id").as("id_a"), col("source"), col("text").as("text_a"))
+    val b = sample.select(col("doc_id").as("id_b"), col("source"), col("text").as("text_b"))
+    a.join(b, Seq("source"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("source"), col("id_a"), col("id_b"),
+        levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"))
+      .orderBy(col("source"), col("id_a"), col("id_b"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -464,6 +485,8 @@ object SparkEntry {
     "q35_top_terms"         -> (q35_top_terms _),
     "q36_histogram"         -> (q36_histogram _),
     "q37_percentiles"       -> (q37_percentiles _),
+    "q38_cube"              -> (q38_cube _),
+    "q39_edit_distance"     -> (q39_edit_distance _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -687,5 +710,16 @@ object SparkEntry {
          round(quantile_cont(o_totalprice, 0.95), 2) AS p95,
          count(*) AS n
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q38_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         count(*) AS n, round(avg(o_totalprice), 4) AS avg_total
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q39_edit_distance" ->
+      """WITH s AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 100 = 0)
+         SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+         FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+         ORDER BY source, id_a, id_b""",
   )
 }
