@@ -29,6 +29,23 @@ class IncrementalSpec extends SparkSpec {
     assert(spark.read.parquet(s"$wh/orders").count() == 4)
   }
 
+  test("stream-static enrichment join: streaming events pick up static dimension columns") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((13L, "gold"), (12L, "silver")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, Double)]
+    val enriched = mem.toDF().toDF("user_id", "value")
+      .join(dim, Seq("user_id"), "left")
+    val q = enriched.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    mem.addData((13L, 1.0), (99L, 2.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT user_id, tier FROM enriched")
+      .as[(Long, Option[String])].collect().toMap
+    q.stop()
+    assert(rows(13L).contains("gold"))
+    assert(rows(99L).isEmpty, "unmatched stream row keeps NULL dimension")
+  }
+
   test("streaming daily rollup with watermark emits per-day windows (A9 streaming)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
