@@ -445,6 +445,22 @@ object SparkEntry {
       .orderBy(col("source"), col("id_a"), col("id_b"))
   }
 
+  /** Deterministic stratified sampling — the data-mixing op of a training
+    * pipeline: per-language keep-rates applied via a reproducible key-hash
+    * predicate (no RNG state; same rows survive on every run/cluster).
+    * Rates here: en/zh 80%, es/de 50%, fr 20% of each stratum. */
+  def q40_stratified_sample(s: SparkSession, d: String): DataFrame = {
+    val rate = when(col("lang").isin("en", "zh"), 8)
+      .when(col("lang").isin("es", "de"), 5)
+      .otherwise(2)
+    documents(s, d)
+      .filter(pmod(col("doc_id"), lit(10)) < rate)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("sampled_docs"),
+        sum(col("n_chars")).cast("long").as("sampled_chars"))
+      .orderBy(col("lang"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -487,6 +503,7 @@ object SparkEntry {
     "q37_percentiles"       -> (q37_percentiles _),
     "q38_cube"              -> (q38_cube _),
     "q39_edit_distance"     -> (q39_edit_distance _),
+    "q40_stratified_sample" -> (q40_stratified_sample _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -721,5 +738,13 @@ object SparkEntry {
            CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
          FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
          ORDER BY source, id_a, id_b""",
+    "q40_stratified_sample" ->
+      """SELECT lang, count(*) AS sampled_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sampled_chars
+         FROM documents
+         WHERE doc_id % 10 < (CASE WHEN lang IN ('en','zh') THEN 8
+                                   WHEN lang IN ('es','de') THEN 5
+                                   ELSE 2 END)
+         GROUP BY lang ORDER BY lang""",
   )
 }
