@@ -19,7 +19,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
-  private val tables = new TrieMap[Identifier, GraftTable]()
+  private val tables = new TrieMap[Identifier, Table]()
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
     catalogName = name
@@ -43,7 +43,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    val t = new GraftTable(ident.toString, schema)
+    // LOCATION '...' → parquet-file-backed table; otherwise in-memory
+    val t: Table = Option(properties.get(TableCatalog.PROP_LOCATION)) match {
+      case Some(loc) => new GraftParquetTable(ident.toString, loc, schema)
+      case None      => new GraftTable(ident.toString, schema)
+    }
     // atomic: a contains-then-put race would let two CREATEs both succeed
     if (tables.putIfAbsent(ident, t).isDefined)
       throw new TableAlreadyExistsException(ident)
