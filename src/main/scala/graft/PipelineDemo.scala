@@ -39,16 +39,20 @@ object PipelineDemo {
       println(s"[demo] staging truncated: ${spark.read.parquet(staging).count()} rows")
     }
 
-    // J1 via literal MERGE INTO SQL on the v2 catalog (SupportsRowLevelOperations)
+    // J1 via literal MERGE INTO SQL on the v2 catalog (SupportsRowLevelOperations),
+    // parquet-file-backed: rows live in real parquet files, not driver memory
     spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.v2.GraftCatalog].getName)
-    spark.sql("CREATE TABLE graft.orders_v2 (order_id STRING, financial_status STRING, total_price DOUBLE)")
+    val v2loc = Files.createTempDirectory("graft_demo_v2").toString + "/orders_v2"
+    spark.sql("CREATE TABLE graft.orders_v2 (order_id STRING, financial_status STRING, total_price DOUBLE) " +
+      s"LOCATION '$v2loc'")
     spark.sql("INSERT INTO graft.orders_v2 VALUES ('1001','paid',103.5), ('1002','pending',10.0)")
     spark.sql("SELECT '1001' AS order_id, 'refunded' AS financial_status, 0.0 AS total_price " +
       "UNION ALL SELECT '1004', 'paid', 55.0").createOrReplaceTempView("order_updates")
     spark.sql("""MERGE INTO graft.orders_v2 t USING order_updates u ON t.order_id = u.order_id
                  WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
     val merged = spark.sql("SELECT * FROM graft.orders_v2 ORDER BY order_id").collect()
-    println(s"[demo] MERGE INTO (SQL, v2 catalog): ${merged.mkString(", ")}")
+    println(s"[demo] MERGE INTO (SQL, parquet-backed v2 table): ${merged.mkString(", ")}")
+    println(s"[demo] v2 table files: ${spark.read.parquet(v2loc).count()} rows readable by Spark's parquet reader")
 
     val whStream = Files.createTempDirectory("graft_demo_stream").toString
     val cp = Files.createTempDirectory("graft_demo_cp").toString
