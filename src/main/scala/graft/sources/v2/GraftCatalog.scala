@@ -43,6 +43,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
+    // fail fast rather than silently creating an unpartitioned table
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      "GraftCatalog tables do not support PARTITIONED BY")
     // LOCATION '...' → parquet-file-backed table; otherwise in-memory
     val t: Table = Option(properties.get(TableCatalog.PROP_LOCATION)) match {
       case Some(loc) => new GraftParquetTable(ident.toString, loc, schema)

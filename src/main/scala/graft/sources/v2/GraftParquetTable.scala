@@ -2,17 +2,17 @@ package graft.sources.v2
 
 import java.util
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.parquet.column.page.PageReadStore
+import org.apache.hadoop.fs.Path
 import org.apache.parquet.example.data.Group
 import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
 import org.apache.parquet.hadoop.{ParquetFileReader, ParquetWriter}
 import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.io.ColumnIOFactory
-import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
 import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog._
@@ -21,22 +21,31 @@ import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 /** Parquet-directory-backed v2 Table with batch read/write and row-level
   * operations: `MERGE INTO` runs against real parquet files — executors
   * read row groups and write replacement files directly (parquet-mr), the
-  * driver commit atomically swaps the directory snapshot. No table data
-  * ever sits in driver memory.
+  * driver commit atomically publishes a new directory snapshot. No table
+  * data ever sits in driver memory.
   *
-  * Scope/caveats (documented, demo-grade group granularity):
+  * Commit protocol: each task writes one staged file and names it in its
+  * WriterCommitMessage; the job commit publishes ONLY message-named files,
+  * so stale/failed/speculative task attempts can never leak rows, and the
+  * staging dir (with any orphan files) is deleted afterwards. Task abort
+  * deletes its own file.
+  *
+  * The session's Hadoop configuration is captured at write/scan planning
+  * time and shipped to executors (SerializableConfiguration), so fs.*
+  * settings (s3a credentials, defaultFS) resolve identically to Spark's
+  * own parquet source.
+  *
+  * Scope/caveats (documented):
   *  - the whole table is ONE rewrite group: a MERGE rewrites all files
   *    (correct semantics; per-file group pruning via runtime filtering is
   *    the production refinement);
-  *  - single concurrent writer assumed (same as the parquet store);
+  *  - single concurrent writer assumed;
   *  - supported column types: boolean/int/long/double/string/timestamp.
-  *
-  * Created through [[GraftCatalog]] with a LOCATION, e.g.
-  * `CREATE TABLE graft.t (k BIGINT, v DOUBLE) LOCATION '/tmp/t'`.
   */
 class GraftParquetTable(tableName: String, dir: String, tableSchema: StructType)
   extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
@@ -47,24 +56,36 @@ class GraftParquetTable(tableName: String, dir: String, tableSchema: StructType)
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
 
-  private def listFiles(): Array[String] = {
+  private def hadoopConf(): Configuration =
+    SparkSession.active.sessionState.newHadoopConf()
+
+  private def listFiles(conf: Configuration): Array[String] = {
     val p = new Path(dir)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) Array.empty
     else fs.listStatus(p).map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).map(_.toString).sortBy(identity)
   }
 
+  private def scanBuilder(): ScanBuilder = {
+    val conf = hadoopConf()
+    () => new GraftParquetScan(tableSchema, listFiles(conf),
+      new SerializableConfiguration(conf))
+  }
+
+  private def batchWrite(replace: Boolean): BatchWrite =
+    new GraftParquetBatchWrite(dir, tableSchema, replace,
+      new SerializableConfiguration(hadoopConf()))
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new GraftParquetScan(tableSchema, listFiles())
+    scanBuilder()
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       private var doReplace = false
       override def truncate(): WriteBuilder = { doReplace = true; this }
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite =
-          new GraftParquetBatchWrite(dir, tableSchema, replace = doReplace)
+        override def toBatch: BatchWrite = batchWrite(doReplace)
       }
     }
 
@@ -72,19 +93,18 @@ class GraftParquetTable(tableName: String, dir: String, tableSchema: StructType)
     () => new RowLevelOperation {
       override def command(): RowLevelOperation.Command = info.command()
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-        () => new GraftParquetScan(tableSchema, listFiles())
+        scanBuilder()
       override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder =
         new WriteBuilder {
           override def build(): Write = new Write {
-            override def toBatch: BatchWrite =
-              new GraftParquetBatchWrite(dir, tableSchema, replace = true)
+            override def toBatch: BatchWrite = batchWrite(replace = true)
           }
         }
     }
 }
 
+/** Spark↔parquet-mr conversion for the supported primitive types. */
 private[v2] object ParquetCodec {
-  /** Spark StructType → parquet MessageType (types listed in class doc). */
   def toMessageType(schema: StructType): MessageType = {
     val b = Types.buildMessage()
     schema.fields.foreach { f =>
@@ -105,50 +125,71 @@ private[v2] object ParquetCodec {
     b.named("graft_row")
   }
 
-  /** Read every row of one parquet file into InternalRows (column lookup by
-    * name so files written with a superset/reordered schema still read). */
-  def readFile(file: String, schema: StructType): Iterator[InternalRow] = {
-    val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new Path(file), new Configuration()))
-    val fileSchema = reader.getFooter.getFileMetaData.getSchema
-    val colIdx = schema.fields.map(f =>
-      if (fileSchema.containsField(f.name)) fileSchema.getFieldIndex(f.name) else -1)
-    val rows = scala.collection.mutable.ArrayBuffer[InternalRow]()
-    var pages: PageReadStore = reader.readNextRowGroup()
-    while (pages != null) {
-      val columnIO = new ColumnIOFactory().getColumnIO(fileSchema)
-      val recordReader = columnIO.getRecordReader(pages, new GroupRecordConverter(fileSchema))
-      var i = 0L
-      while (i < pages.getRowCount) {
-        val g = recordReader.read()
-        val values = Array.tabulate[Any](schema.length) { j =>
-          val idx = colIdx(j)
-          if (idx < 0 || g.getFieldRepetitionCount(idx) == 0) null
-          else schema.fields(j).dataType match {
-            case BooleanType   => g.getBoolean(idx, 0)
-            case IntegerType   => g.getInteger(idx, 0)
-            case LongType      => g.getLong(idx, 0)
-            case DoubleType    => g.getDouble(idx, 0)
-            case StringType    => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
-            case TimestampType => g.getLong(idx, 0) // micros
-            case other => throw new UnsupportedOperationException(other.simpleString)
+  /** Stream one parquet file as InternalRows: one row group in memory at a
+    * time (never the whole file), reader closed via the iterator's own
+    * lifecycle including the error path. */
+  def readFile(file: String, schema: StructType, conf: Configuration): Iterator[InternalRow] = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
+    try {
+      val fileSchema = reader.getFooter.getFileMetaData.getSchema
+      val colIdx = schema.fields.map(f =>
+        if (fileSchema.containsField(f.name)) fileSchema.getFieldIndex(f.name) else -1)
+      val columnIO = new ColumnIOFactory().getColumnIO(fileSchema) // loop-invariant
+
+      new Iterator[InternalRow] {
+        private var pages = reader.readNextRowGroup()
+        private var groupReader =
+          if (pages == null) null
+          else columnIO.getRecordReader(pages, new GroupRecordConverter(fileSchema))
+        private var remaining = if (pages == null) 0L else pages.getRowCount
+        private var closed = false
+
+        private def closeReader(): Unit = if (!closed) { closed = true; reader.close() }
+
+        override def hasNext: Boolean = {
+          if (remaining == 0 && pages != null) {
+            pages = reader.readNextRowGroup()
+            if (pages != null) {
+              groupReader = columnIO.getRecordReader(pages, new GroupRecordConverter(fileSchema))
+              remaining = pages.getRowCount
+            }
           }
+          val more = remaining > 0
+          if (!more) closeReader()
+          more
         }
-        rows += new GenericInternalRow(values)
-        i += 1
+
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          try {
+            val g = groupReader.read()
+            remaining -= 1
+            val values = Array.tabulate[Any](schema.length) { j =>
+              val idx = colIdx(j)
+              if (idx < 0 || g.getFieldRepetitionCount(idx) == 0) null
+              else schema.fields(j).dataType match {
+                case BooleanType   => g.getBoolean(idx, 0)
+                case IntegerType   => g.getInteger(idx, 0)
+                case LongType      => g.getLong(idx, 0)
+                case DoubleType    => g.getDouble(idx, 0)
+                case StringType    => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
+                case TimestampType => g.getLong(idx, 0) // micros
+                case other => throw new UnsupportedOperationException(other.simpleString)
+              }
+            }
+            new GenericInternalRow(values)
+          } catch { case e: Throwable => closeReader(); throw e }
+        }
       }
-      pages = reader.readNextRowGroup()
-    }
-    reader.close()
-    rows.iterator
+    } catch { case e: Throwable => reader.close(); throw e }
   }
 
-  def newWriter(file: String, schema: StructType): (ParquetWriter[Group], SimpleGroupFactory, MessageType) = {
+  def newWriter(file: String, schema: StructType, conf: Configuration): (ParquetWriter[Group], SimpleGroupFactory) = {
     val msgType = toMessageType(schema)
-    val conf = new Configuration()
-    GroupWriteSupport.setSchema(msgType, conf)
-    val writer = ExampleParquetWriter.builder(new Path(file)).withConf(conf).build()
-    (writer, new SimpleGroupFactory(msgType), msgType)
+    val writeConf = new Configuration(conf)
+    GroupWriteSupport.setSchema(msgType, writeConf)
+    val writer = ExampleParquetWriter.builder(new Path(file)).withConf(writeConf).build()
+    (writer, new SimpleGroupFactory(msgType))
   }
 
   def appendRow(g: Group, row: InternalRow, schema: StructType, shift: Int): Unit = {
@@ -168,23 +209,45 @@ private[v2] object ParquetCodec {
   }
 }
 
-private[v2] class GraftParquetScan(schema: StructType, files: Array[String])
+/** Shared handling of Spark's MergeRows write-row shape (see the long note
+  * on GraftWriterFactory): detect the optional leading __row_operation by
+  * arity and classify DELETE rows — single source of truth for both the
+  * in-memory and parquet writers. */
+private[v2] object MergeRowShape {
+  private val DeleteOp = org.apache.spark.sql.catalyst.util.RowDeltaUtils.DELETE_OPERATION
+
+  /** 0 = plain rows, 1 = leading op column; anything else is an error. */
+  def shiftOf(record: InternalRow, nCols: Int): Int = {
+    val shift = record.numFields - nCols
+    require(shift == 0 || shift == 1,
+      s"unexpected write row arity ${record.numFields} for $nCols columns")
+    shift
+  }
+
+  def isDelete(record: InternalRow, shift: Int): Boolean =
+    shift == 1 && record.getInt(0) == DeleteOp
+}
+
+private[v2] class GraftParquetScan(schema: StructType, files: Array[String],
+                                   conf: SerializableConfiguration)
   extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     files.map(f => GraftFilePartition(f): InputPartition)
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftParquetReaderFactory(schema)
+    new GraftParquetReaderFactory(schema, conf)
 }
 
 private[v2] case class GraftFilePartition(file: String) extends InputPartition
 
-private[v2] class GraftParquetReaderFactory(schema: StructType)
+private[v2] class GraftParquetReaderFactory(schema: StructType,
+                                            conf: SerializableConfiguration)
   extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private val it = ParquetCodec.readFile(p.asInstanceOf[GraftFilePartition].file, schema)
+      private val it = ParquetCodec.readFile(
+        p.asInstanceOf[GraftFilePartition].file, schema, conf.value)
       private var cur: InternalRow = _
       override def next(): Boolean = { if (it.hasNext) { cur = it.next(); true } else false }
       override def get(): InternalRow = cur
@@ -192,50 +255,69 @@ private[v2] class GraftParquetReaderFactory(schema: StructType)
     }
 }
 
-/** Executors write staged parquet files; the driver commit swaps the
-  * directory snapshot (replace) or moves files in (append). */
+/** Executors write staged parquet files; the driver commit publishes ONLY
+  * the files named in successful task commit messages (snapshot swap for
+  * replace, move-in for append), then deletes staging with any orphans. */
 private[v2] class GraftParquetBatchWrite(dir: String, schema: StructType,
-                                         replace: Boolean) extends BatchWrite {
+                                         replace: Boolean,
+                                         conf: SerializableConfiguration) extends BatchWrite {
   private val stagingDir = s"${dir}_staging_${java.util.UUID.randomUUID().toString.take(8)}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    GraftParquetWriterFactory(stagingDir, schema)
+    GraftParquetWriterFactory(stagingDir, schema, conf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val conf = new Configuration()
+    val committed = messages.collect { case GraftFileCommit(f) if f.nonEmpty => f }
     val staging = new Path(stagingDir)
     val target = new Path(dir)
-    val fs = staging.getFileSystem(conf)
-    if (!fs.exists(staging)) fs.mkdirs(staging)
-    if (replace) {
-      val old = new Path(dir + "_old")
-      if (fs.exists(old)) fs.delete(old, true)
-      if (fs.exists(target) && !fs.rename(target, old))
-        sys.error(s"snapshot swap failed for $dir")
-      if (!fs.rename(staging, target)) { fs.rename(old, target); sys.error(s"publish failed for $dir") }
-      if (fs.exists(old)) fs.delete(old, true)
-    } else {
-      if (!fs.exists(target)) fs.mkdirs(target)
-      fs.listStatus(staging).foreach { st =>
-        if (!fs.rename(st.getPath, new Path(target, st.getPath.getName)))
-          sys.error(s"append move failed for ${st.getPath}")
+    val fs = staging.getFileSystem(conf.value)
+    try {
+      if (replace) {
+        // build the new snapshot from committed files only, then swap
+        val next = new Path(dir + "_next_" + java.util.UUID.randomUUID().toString.take(8))
+        fs.mkdirs(next)
+        committed.foreach { f =>
+          val src = new Path(f)
+          if (!fs.rename(src, new Path(next, src.getName)))
+            sys.error(s"stage move failed for $f")
+        }
+        val old = new Path(dir + "_old")
+        if (fs.exists(old)) fs.delete(old, true)
+        if (fs.exists(target) && !fs.rename(target, old))
+          sys.error(s"snapshot swap failed for $dir")
+        if (!fs.rename(next, target)) {
+          if (fs.exists(old)) fs.rename(old, target)
+          sys.error(s"publish failed for $dir")
+        }
+        if (fs.exists(old)) fs.delete(old, true)
+      } else {
+        if (!fs.exists(target)) fs.mkdirs(target)
+        committed.foreach { f =>
+          val src = new Path(f)
+          if (!fs.rename(src, new Path(target, src.getName)))
+            sys.error(s"append move failed for $f")
+        }
       }
-      fs.delete(staging, true)
+    } finally {
+      if (fs.exists(staging)) fs.delete(staging, true) // orphans from failed attempts
     }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val staging = new Path(stagingDir)
-    val fs = staging.getFileSystem(new Configuration())
+    val fs = staging.getFileSystem(conf.value)
     if (fs.exists(staging)) fs.delete(staging, true)
   }
 }
 
-/** Per-task parquet writer with the same MergeRows arity handling as the
-  * in-memory table (strip `__row_operation`, skip DELETE rows). */
-private[v2] case class GraftParquetWriterFactory(stagingDir: String, schema: StructType)
+private[v2] case class GraftFileCommit(file: String) extends WriterCommitMessage
+
+/** Per-task parquet writer. Uses [[MergeRowShape]] for the MergeRows row
+  * handling; the written file is only published if this task's commit
+  * message reaches the driver (task abort deletes the file). */
+private[v2] case class GraftParquetWriterFactory(stagingDir: String, schema: StructType,
+                                                 conf: SerializableConfiguration)
   extends DataWriterFactory {
-  private val DeleteOp = org.apache.spark.sql.catalyst.util.RowDeltaUtils.DELETE_OPERATION
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -244,12 +326,10 @@ private[v2] case class GraftParquetWriterFactory(stagingDir: String, schema: Str
       private val file = s"$stagingDir/part-$partitionId-$taskId.parquet"
 
       override def write(record: InternalRow): Unit = {
-        val shift = record.numFields - schema.length
-        require(shift == 0 || shift == 1,
-          s"unexpected write row arity ${record.numFields} for ${schema.length} columns")
-        if (shift == 0 || record.getInt(0) != DeleteOp) {
+        val shift = MergeRowShape.shiftOf(record, schema.length)
+        if (!MergeRowShape.isDelete(record, shift)) {
           if (writer == null) {
-            val (w, f, _) = ParquetCodec.newWriter(file, schema)
+            val (w, f) = ParquetCodec.newWriter(file, schema, conf.value)
             writer = w; factory = f
           }
           val g = factory.newGroup()
@@ -258,10 +338,18 @@ private[v2] case class GraftParquetWriterFactory(stagingDir: String, schema: Str
         }
       }
       override def commit(): WriterCommitMessage = {
-        if (writer != null) writer.close()
-        GraftCommit(Array.empty)
+        if (writer != null) { writer.close(); GraftFileCommit(file) }
+        else GraftFileCommit("")
       }
-      override def abort(): Unit = if (writer != null) writer.close()
+      override def abort(): Unit = {
+        // do NOT finalize a partial file — close then remove it
+        if (writer != null) {
+          try writer.close() catch { case _: Throwable => () }
+          val p = new Path(file)
+          val fs = p.getFileSystem(conf.value)
+          if (fs.exists(p)) fs.delete(p, false)
+        }
+      }
       override def close(): Unit = ()
     }
 }

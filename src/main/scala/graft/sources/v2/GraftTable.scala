@@ -125,17 +125,12 @@ private[v2] case class GraftCommit(rows: Array[InternalRow]) extends WriterCommi
   * DELETE-op rows; exact arity ⇒ plain append rows. */
 private[v2] case class GraftWriterFactory(colTypes: Array[org.apache.spark.sql.types.DataType])
   extends DataWriterFactory {
-  // tied to Spark's actual encoding so a version drift cannot silently
-  // misclassify rows
-  private val DeleteOp = org.apache.spark.sql.catalyst.util.RowDeltaUtils.DELETE_OPERATION
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val buf = scala.collection.mutable.ArrayBuffer[InternalRow]()
       override def write(record: InternalRow): Unit = {
-        val shift = record.numFields - colTypes.length
-        require(shift == 0 || shift == 1,
-          s"unexpected write row arity ${record.numFields} for ${colTypes.length} columns")
-        if (shift == 0 || record.getInt(0) != DeleteOp) {
+        val shift = MergeRowShape.shiftOf(record, colTypes.length)
+        if (!MergeRowShape.isDelete(record, shift)) {
           val r = record.copy()
           val values = Array.tabulate[Any](colTypes.length) { i =>
             if (r.isNullAt(i + shift)) null else r.get(i + shift, colTypes(i))
