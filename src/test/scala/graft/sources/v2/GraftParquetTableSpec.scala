@@ -54,6 +54,20 @@ class GraftParquetTableSpec extends SparkSpec {
       s"leftover dirs: ${parent.listFiles().map(_.getName).mkString(",")}")
   }
 
+  test("DELETE FROM and UPDATE SQL work through the same row-level machinery") {
+    val loc = setup("pq4")
+    spark.sql("INSERT INTO graft.pq4 VALUES " +
+      "(1, 'a', 1.0, NULL), (2, 'b', 2.0, NULL), (3, 'c', 3.0, NULL)")
+    spark.sql("DELETE FROM graft.pq4 WHERE k = 2")
+    assert(spark.sql("SELECT k FROM graft.pq4 ORDER BY k").as[Long].collect().toSeq
+      == Seq(1L, 3L))
+    spark.sql("UPDATE graft.pq4 SET v = v * 10 WHERE k = 3")
+    val rows = spark.sql("SELECT k, v FROM graft.pq4 ORDER BY k")
+      .as[(Long, Double)].collect().toSeq
+    assert(rows == Seq((1L, 1.0), (3L, 30.0)))
+    assert(spark.read.parquet(loc).count() == 2)
+  }
+
   test("MERGE with conditional DELETE removes rows from the files") {
     val loc = setup("pq3")
     spark.sql("INSERT INTO graft.pq3 VALUES " +
