@@ -461,6 +461,13 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** Winnowing-fingerprint near-dup candidates (rows-only — the rolling
+    * hash + windowed-min selection is not ANSI-SQL-expressible; guarantees
+    * and exact-dup behavior asserted in SimilaritySpec). */
+  def q41_winnow_neardup(s: SparkSession, d: String): DataFrame =
+    Similarity.winnowNearDup(documents(s, d), "doc_id", "text", k = 16, w = 8, minShared = 8)
+      .orderBy(col("id_a"), col("id_b"))
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -504,6 +511,7 @@ object SparkEntry {
     "q38_cube"              -> (q38_cube _),
     "q39_edit_distance"     -> (q39_edit_distance _),
     "q40_stratified_sample" -> (q40_stratified_sample _),
+    "q41_winnow_neardup"    -> (q41_winnow_neardup _),
   )
 
   def oracleSql: Map[String, String] = Map(

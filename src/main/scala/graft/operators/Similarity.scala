@@ -124,6 +124,27 @@ object Similarity {
       .filter(col("hamming") <= maxDist)
   }
 
+  // ----------------------------------------------------------- winnowing
+
+  /** Near-dup candidates via winnowing fingerprints (rolling-hash document
+    * fingerprinting — graft.plans.WinnowFingerprint): docs sharing >=
+    * `minShared` selected fingerprints pair up. Shared-fingerprint count is
+    * a hash join on the fingerprint value — any substring of length
+    * >= k+w-1 common to two docs guarantees a shared fingerprint. */
+  def winnowNearDup(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 8, w: Int = 16, minShared: Int = 5): DataFrame = {
+    val fps = docs.select(col(idCol),
+      explode(call_function("winnow_fingerprint",
+        Text.normalize(col(textCol)), lit(k), lit(w))).as("fp"))
+    val a = fps.select(col(idCol).as("id_a"), col("fp"))
+    val b = fps.select(col(idCol).as("id_b"), col("fp"))
+    a.join(b, Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   // ------------------------------------------- exact n-gram Jaccard verify
 
   /** Exact word-n-gram Jaccard for candidate pairs joined on a cheap key

@@ -23,6 +23,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => VecDot(children(0), children(1))))
 
     ext.injectFunction((
+      new FunctionIdentifier("winnow_fingerprint"),
+      new ExpressionInfo(classOf[WinnowFingerprint].getName, "winnow_fingerprint"),
+      (children: Seq[Expression]) =>
+        WinnowFingerprint(children(0),
+          k = intLit(children(1), "k"),
+          w = intLit(children(2), "w"))))
+
+    ext.injectFunction((
       new FunctionIdentifier("vec_lsh_sketch"),
       new ExpressionInfo(classOf[VecLshSketch].getName, "vec_lsh_sketch"),
       (children: Seq[Expression]) =>

@@ -1,0 +1,83 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Winnowing document fingerprint (Schleimer, Wilkerson, Aiken: "Winnowing:
+  * Local Algorithms for Document Fingerprinting", SIGMOD 2003 — public
+  * algorithm): rolling polynomial hashes of every k-char gram, then one
+  * selected hash (the minimum, rightmost-on-ties) per window of w
+  * consecutive gram hashes. Guarantees: any shared substring of length
+  * >= k + w - 1 between two documents yields at least one shared selected
+  * fingerprint — the property that makes fingerprint-equality a sound
+  * candidate join key for near-dup detection at scale.
+  *
+  * Output: distinct selected hashes in document order (ArrayType(LongType)).
+  * The per-row work is a tight JVM loop over the UTF8 bytes; CodegenFallback
+  * only costs a virtual call per row, not per char — acceptable off the
+  * per-element hot path (unlike VecDot/VecLshSketch which run per pair).
+  */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(k >= 2 && w >= 1, s"need k>=2, w>=1; got k=$k w=$w")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprint expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprint"
+
+  private val Base = 257L
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    if (n < k) {
+      // shorter than one gram: fingerprint = hash of the whole content
+      var h = 0L
+      var i = 0
+      while (i < n) { h = h * Base + (bytes(i) & 0xFF); i += 1 }
+      return new GenericArrayData(Array(h))
+    }
+    // rolling hashes of all k-grams (mod 2^64 via natural overflow)
+    val nGrams = n - k + 1
+    val hashes = new Array[Long](nGrams)
+    var pow = 1L // Base^(k-1)
+    var i = 1
+    while (i < k) { pow *= Base; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * Base + (bytes(i) & 0xFF); i += 1 }
+    hashes(0) = h
+    i = 1
+    while (i < nGrams) {
+      h = (h - (bytes(i - 1) & 0xFF) * pow) * Base + (bytes(i + k - 1) & 0xFF)
+      hashes(i) = h
+      i += 1
+    }
+    // winnow: min (rightmost on ties) per window of w gram hashes
+    val selected = scala.collection.mutable.LinkedHashSet[Long]()
+    val nWin = math.max(nGrams - w + 1, 1)
+    var win = 0
+    while (win < nWin) {
+      var minIdx = win
+      var j = win + 1
+      val end = math.min(win + w, nGrams)
+      while (j < end) { if (hashes(j) <= hashes(minIdx)) minIdx = j; j += 1 }
+      selected += hashes(minIdx)
+      win += 1
+    }
+    new GenericArrayData(selected.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -56,6 +56,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"LSH recall $recall too low")
   }
 
+  test("winnowNearDup: exact dups share all fingerprints; near dups pair; unrelated don't") {
+    val pairs = Similarity.winnowNearDup(docs, "doc_id", "text", k = 8, w = 4, minShared = 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)), "exact dup must share fingerprints")
+    assert(pairs.contains((1L, 2L)), "near dup (one word changed) shares most fingerprints")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
+  }
+
+  test("winnow_fingerprint guarantee: shared substring >= k+w-1 yields a shared fingerprint") {
+    val df = Seq(
+      (1L, "zzzzzz THE COMMON SUBSTRING IS HERE xxxxxx"),
+      (2L, "qqqq THE COMMON SUBSTRING IS HERE ppppppppp")
+    ).toDF("doc_id", "text")
+    // common substring length 31 >= k+w-1 = 8+4-1 = 11
+    val pairs = Similarity.winnowNearDup(df, "doc_id", "text", k = 8, w = 4, minShared = 1)
+    assert(pairs.count() == 1)
+  }
+
   test("annIvf probes nProbe cells and achieves nonzero recall vs brute force") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val queries = emb.filter($"vec_id" < 4)
