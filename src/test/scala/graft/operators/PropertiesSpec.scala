@@ -61,6 +61,48 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("property: winnowing guarantee — shared substring >= k+w-1 implies shared fingerprint") {
+    val word = Gen.listOfN(6, Gen.alphaLowerChar).map(_.mkString)
+    val gen = for {
+      pre1 <- Gen.listOfN(5, word); pre2 <- Gen.listOfN(5, word)
+      common <- Gen.listOfN(4, word) // >= 11 chars once joined
+    } yield (pre1.mkString(" "), pre2.mkString(" "), common.mkString(" "))
+    check(forAll(gen) { case (pre1, pre2, common) =>
+      val df = Seq((1L, s"$pre1 $common"), (2L, s"$pre2 $common")).toDF("doc_id", "text")
+      // k=8, w=4: guarantee window k+w-1 = 11 <= common.length (27)
+      Similarity.winnowNearDup(df, "doc_id", "text", k = 8, w = 4, minShared = 1)
+        .count() >= 1
+    })
+  }
+
+  test("property: asOf join equals the window row_number formulation") {
+    val gen = for {
+      left  <- Gen.listOfN(15, Gen.zip(Gen.choose(0, 4), Gen.choose(0L, 100L)))
+      right <- Gen.listOfN(15, Gen.zip(Gen.choose(0, 4), Gen.choose(0L, 100L), Gen.choose(0, 999)))
+    } yield (left, right)
+    check(forAll(gen) { case (leftRows, rightRows) =>
+      val left = leftRows.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, new java.sql.Timestamp(t * 1000)) }
+        .toDF("lid", "k", "lts")
+      val right = rightRows.zipWithIndex
+        .map { case ((k, t, p), i) => (k, new java.sql.Timestamp(t * 1000), i.toLong) }
+        .toDF("rk", "rts", "pid")
+      val viaOp = AsOfJoin.asOf(left, right, $"k", $"rk", $"lts", $"rts",
+          Seq("pid"), Seq($"rts", $"pid"))
+        .select("lid", "pid").as[(Long, Option[Long])].collect().toMap
+      // reference formulation: row_number over the range join
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"lid")
+        .orderBy($"rts".desc_nulls_last, $"pid".desc_nulls_last)
+      val viaWindow = left
+        .join(right, $"k" === $"rk" && $"rts" <= $"lts", "left")
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter($"rn" === 1)
+        .select("lid", "pid").as[(Long, Option[Long])].collect().toMap
+      viaOp == viaWindow
+    })
+  }
+
   test("property: saltedAgg equals direct aggregation for algebraic aggs") {
     check(forAll(rowsGen) { rows =>
       val df = rows.toDF("k", "v", "d")
