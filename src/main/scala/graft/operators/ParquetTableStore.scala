@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Parquet-directory table store with MERGE-upsert publish via
@@ -8,14 +9,25 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * Shared by the batch [[graft.Pipeline]] and the streaming foreachBatch
   * sink. At cluster scale the same call sites would target a transactional
   * table format; only this class changes.
+  *
+  * All path operations go through Hadoop's [[FileSystem]], resolved from
+  * the warehouse URI itself, so `file:///`, `hdfs://` and `s3a://`
+  * warehouses behave identically to the parquet reader/writer (a
+  * `java.io.File` check is always false for URIs — see SyncControl.all).
+  * `FileSystem.rename` is atomic on HDFS and local FS; object stores fall
+  * back to copy+delete, which is still correct because the swap direction
+  * (old out first, then temp in) never leaves a half-visible table.
   */
 class ParquetTableStore(spark: SparkSession, warehouse: String) {
 
   def path(name: String): String = s"$warehouse/$name"
 
+  private def fs(p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   def read(name: String): Option[DataFrame] = {
-    val p = new java.io.File(path(name))
-    if (p.exists()) Some(spark.read.parquet(path(name))) else None
+    val p = new Path(path(name))
+    if (fs(p).exists(p)) Some(spark.read.parquet(path(name))) else None
   }
 
   /** Upsert `updates` into table `name` keyed by `keys`; returns post-merge
@@ -23,23 +35,19 @@ class ParquetTableStore(spark: SparkSession, warehouse: String) {
   def upsert(name: String, updates: DataFrame, keys: Seq[String]): Long = {
     val merged = read(name) match {
       case Some(current) => Upsert.merge(current, updates, keys)
-      case None          => updates.distinct()
+      case None          => Upsert.keyDedup(updates, keys)
     }
-    val tmp = new java.io.File(s"$warehouse/_tmp_$name")
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
-    val dst = new java.io.File(path(name))
-    if (dst.exists()) {
-      val old = new java.io.File(s"$warehouse/_old_$name")
-      if (old.exists()) deleteRec(old)
-      if (!dst.renameTo(old)) sys.error(s"swap failed for $name")
-      if (!tmp.renameTo(dst)) { old.renameTo(dst); sys.error(s"swap failed for $name") }
-      deleteRec(old)
-    } else if (!tmp.renameTo(dst)) sys.error(s"publish failed for $name")
+    val tmp = new Path(s"$warehouse/_tmp_$name")
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val dst = new Path(path(name))
+    val f = fs(dst)
+    if (f.exists(dst)) {
+      val old = new Path(s"$warehouse/_old_$name")
+      if (f.exists(old)) f.delete(old, true)
+      if (!f.rename(dst, old)) sys.error(s"swap failed for $name")
+      if (!f.rename(tmp, dst)) { f.rename(old, dst); sys.error(s"swap failed for $name") }
+      f.delete(old, true)
+    } else if (!f.rename(tmp, dst)) sys.error(s"publish failed for $name")
     spark.read.parquet(path(name)).count()
-  }
-
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRec)
-    f.delete()
   }
 }

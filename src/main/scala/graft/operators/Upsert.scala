@@ -23,12 +23,20 @@ import org.apache.spark.sql.functions._
   */
 object Upsert {
 
-  /** current ⟕anti updates.keys ∪ dedup(updates). Updates are key-deduped
-    * first (reference: SELECT DISTINCT * before MERGE, shopify_etl.py:571-576;
-    * deterministic first-wins needs an order column — callers that may carry
-    * intra-batch duplicates should pre-dedup with [[Dedup.firstWins]]). */
-  def merge(current: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
-    val distinctUpdates = updates.distinct()
+  /** current ⟕anti updates.keys ∪ keyDedup(updates).
+    *
+    * Key-safety: the reference's `SELECT DISTINCT *` (shopify_etl.py:571-576)
+    * only removes identical rows — two *different* rows with the same key
+    * would both survive into the final table (a real hazard in the
+    * reference; parity is not an excuse to keep it). Here updates are always
+    * reduced to one row per key before the union: with `orderCol` the lowest
+    * value wins (explicit first-wins); without it the per-key minimum over
+    * all non-key columns wins — deterministic, and a no-op when the batch is
+    * already key-unique (the common case). The reducer is a hash aggregate
+    * (map-side partial), not a window, so it adds no per-partition sort. */
+  def merge(current: DataFrame, updates: DataFrame, keys: Seq[String],
+            orderCol: Option[String] = None): DataFrame = {
+    val distinctUpdates = keyDedup(updates, keys, orderCol)
     // Null-safe key equality (<=>): with plain EqualTo a NULL key part never
     // matches, so a NULL-key row would be re-inserted on every run and break
     // merge idempotence (T4). (The reference dodges this only via its
@@ -46,10 +54,35 @@ object Upsert {
       .unionByName(distinctUpdates)
   }
 
+  /** Reduce `updates` to exactly one row per key. With `orderCol`, first-wins
+    * by that column (min_by aggregate). Without, the per-key least row by the
+    * natural ordering of the non-key columns — arbitrary but deterministic,
+    * so a duplicate-keyed batch can never publish a duplicate-keyed table. */
+  def keyDedup(updates: DataFrame, keys: Seq[String],
+               orderCol: Option[String] = None): DataFrame = {
+    val dis = updates.distinct()
+    val nonKey = dis.columns.filterNot(keys.contains).toSeq
+    if (nonKey.isEmpty) dis
+    else {
+      // lexicographic min over (orderCol, rest-of-row) — orderCol first means
+      // first-wins; the full-row tail breaks orderCol ties deterministically
+      val ordered = orderCol match {
+        case Some(oc) => oc +: nonKey.filterNot(_ == oc)
+        case None     => nonKey
+      }
+      val reduced = dis.groupBy(keys.map(col): _*)
+        .agg(min(struct(ordered.map(col): _*)).as("__row"))
+      // restore original column order and flat schema
+      reduced.select(dis.columns.toSeq.map { c =>
+        if (keys.contains(c)) col(c) else col("__row").getField(c).as(c)
+      }: _*)
+    }
+  }
+
   /** Idempotent write: MERGE applied twice with the same batch must leave the
     * table unchanged (reference T4 exactly-once-effect). Verified by property
     * test; this method is the batch used inside streaming foreachBatch. */
   def mergeIdempotent(current: DataFrame, updates: DataFrame, keys: Seq[String],
                       orderCol: String): DataFrame =
-    merge(current, Dedup.firstWins(updates, keys, orderCol), keys)
+    merge(current, updates, keys, Some(orderCol))
 }

@@ -33,12 +33,18 @@ object Sinks {
     spark.read.parquet(stagingPath).count()
   }
 
-  /** S9: create an empty parquet table with the declared schema if missing. */
-  def ensureTable(spark: SparkSession, path: String, schema: StructType): Unit =
-    if (!new java.io.File(path).exists()) {
+  /** S9: create an empty parquet table with the declared schema if missing.
+    * Existence is checked through Hadoop's FileSystem so hdfs:///s3a://
+    * paths resolve identically to the parquet writer (java.io.File would
+    * report false for every URI and re-create the table each run). */
+  def ensureTable(spark: SparkSession, path: String, schema: StructType): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
       spark.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](), schema)
         .write.mode(SaveMode.ErrorIfExists).parquet(path)
     }
+  }
 
   /** S10: TRUNCATE — overwrite with an empty frame of the same schema. */
   def truncate(spark: SparkSession, path: String): Unit = {

@@ -47,6 +47,22 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("property: merge never emits duplicate keys, even from duplicate-keyed batches") {
+    // round-1 hazard: two different rows sharing a key both survived
+    // `updates.distinct()`; keyDedup must reduce them to one, with or
+    // without an explicit order column.
+    check(forAll(rowsGen, rowsGen) { (currentRows, updateRows) =>
+      val current = Dedup.firstWins(
+        currentRows.zipWithIndex.map { case ((k, v, d), i) => (k, v, d, i.toLong) }
+          .toDF("k", "v", "d", "ord"), Seq("k"), "ord").drop("ord")
+      val updates = updateRows.map { case (k, v, d) => (k, v, d) }.toDF("k", "v", "d")
+      val plain = Upsert.merge(current, updates, Seq("k"))
+      val ordered = Upsert.merge(current, updates, Seq("k"), orderCol = Some("d"))
+      plain.select("k").distinct().count() == plain.count() &&
+        ordered.select("k").distinct().count() == ordered.count()
+    })
+  }
+
   test("property: saltedJoin equals plain inner join") {
     check(forAll(rowsGen) { rows =>
       val big = rows.map { case (k, v, d) => (k, v, d) }.toDF("k", "v", "d")

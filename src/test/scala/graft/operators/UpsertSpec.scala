@@ -47,4 +47,33 @@ class UpsertSpec extends SparkSpec {
     val out = Upsert.merge(current, updates, Seq("k"))
     assert(out.count() == out.select("k").distinct().count())
   }
+
+  test("merge with duplicate-keyed, different-payload updates emits one row per key") {
+    // The reference's SELECT DISTINCT * keeps both versions (shopify_etl.py
+    // :571-576) — a duplicate-key hazard. keyDedup must pick exactly one.
+    val dup = Seq((2L, "v1", 1.0), (2L, "v2", 2.0)).toDF("k", "status", "v")
+    val out = Upsert.merge(current, dup, Seq("k"))
+    assert(out.filter($"k" === 2L).count() == 1)
+    assert(out.count() == out.select("k").distinct().count())
+    // explicit first-wins by order column
+    val byOrd = Upsert.merge(current, dup, Seq("k"), orderCol = Some("v"))
+    assert(byOrd.filter($"k" === 2L).select("status").as[String].collect().toSeq == Seq("v1"))
+  }
+
+  test("ParquetTableStore works against a file:// URI warehouse (Hadoop FS path ops)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wh").toFile
+    try {
+      val store = new ParquetTableStore(spark, "file://" + dir.getAbsolutePath)
+      assert(store.read("t").isEmpty, "missing table must read as None under a URI path")
+      val n1 = store.upsert("t", current, Seq("k"))
+      assert(n1 == 3)
+      val n2 = store.upsert("t", updates, Seq("k"))
+      assert(n2 == 4, "URI-path swap must publish the merged table")
+      val after = store.read("t").get.orderBy("k").as[(Long, String, Double)].collect().toSeq
+      assert(after == Seq((1L, "old", 10.0), (2L, "new", 99.0), (3L, "old", 30.0), (4L, "new", 44.0)))
+    } finally {
+      def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+      rm(dir)
+    }
+  }
 }
