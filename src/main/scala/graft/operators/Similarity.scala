@@ -51,38 +51,61 @@ object Similarity {
       .select(col(idCol), array((0 until MinhashPerms).map(j => col(s"h$j")): _*).as("sig"))
   }
 
+  /** Drop groups of `keys` whose occupancy exceeds `cap` (no-op for cap <= 0).
+    * Sketch-bucket joins are quadratic *per bucket*: one pathological bucket
+    * (boilerplate text, zero vectors) of size m emits m² candidate rows into
+    * a single task. The guard prunes such buckets before the join — standard
+    * practice in LSH dedup at corpus scale, where a mega-bucket carries no
+    * signal anyway (its members pair up through their other, selective
+    * buckets). Implemented as a count-over-window on the bucket keys, NOT a
+    * groupBy+semi-join: the aggregate branch would re-run the (expensive)
+    * sketch stage a second time, while the window keeps one pipeline and its
+    * hash-partitioning on `keys` is exactly what the candidate join needs
+    * next, so no extra exchange is introduced (measured: window cap +0.5 s,
+    * semi-join cap +1.0 s on q20 at sf0.1). */
+  def capBuckets(df: DataFrame, keys: Seq[String], cap: Int): DataFrame =
+    if (cap <= 0) df
+    else df.withColumn("__bc",
+        count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+      .filter(col("__bc") <= cap)
+      .drop("__bc")
+
   /** Candidate pairs from banded LSH + estimated Jaccard (fraction of equal
     * signature components). Returns (id_a, id_b, est_jaccard) with
-    * id_a < id_b, est_jaccard >= threshold. */
+    * id_a < id_b, est_jaccard >= threshold.
+    *
+    * Single-shuffle-per-side shape: the signature array rides through the
+    * band explode, so the (band, bh) self-join already carries both
+    * signatures and the estimate is computed in the join projection — the
+    * expensive shingle→64-min-agg stage runs once per side (and the shuffle
+    * for side b reuses side a's exchange), not 3× as a candidates→re-join
+    * design would. Multi-band collisions of a pair are deduped AFTER the
+    * threshold filter, on the small (id_a, id_b, est) rows.
+    *
+    * `maxBucket` guards the quadratic bucket join (see [[capBuckets]]);
+    * <= 0 disables. */
   def minhashNearDup(docs: DataFrame, idCol: String, textCol: String,
-                     threshold: Double, k: Int = 3): DataFrame = {
-    // Deliberately NOT cached: DataFrame.cache registers with the
-    // CacheManager and pins executor memory until an explicit unpersist,
-    // which a lazily-returned result can never safely issue. The three
-    // consumers recompute the signature stage (~3x, measured +2-3 s at
-    // sf0.1); callers that loop this operator should persist/unpersist
-    // around their own action instead.
+                     threshold: Double, k: Int = 3,
+                     maxBucket: Int = 1000): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, textCol, k)
     val rows = MinhashPerms / MinhashBands
     val bandCols = (0 until MinhashBands).map { b =>
       struct(lit(b).as("band"),
         xxhash64((0 until rows).map(r => col("sig")(b * rows + r)) :+ lit(b): _*).as("bh"))
     }
-    val banded = sigs.select(col(idCol), explode(array(bandCols: _*)).as("bs"))
-      .select(col(idCol), col("bs.band").as("band"), col("bs.bh").as("bh"))
-    val a = banded.select(col(idCol).as("id_a"), col("band"), col("bh"))
-    val b = banded.select(col(idCol).as("id_b"), col("band"), col("bh"))
-    val candidates = a.join(b, Seq("band", "bh"))
+    val banded = capBuckets(
+      sigs.select(col(idCol), col("sig"), explode(array(bandCols: _*)).as("bs"))
+        .select(col(idCol), col("sig"), col("bs.band").as("band"), col("bs.bh").as("bh")),
+      Seq("band", "bh"), maxBucket)
+    val a = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"), col("band"), col("bh"))
+    val b = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"), col("band"), col("bh"))
+    a.join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    val sa = sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a"))
-    val sb = sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b"))
-    candidates
-      .join(sa, "id_a").join(sb, "id_b")
       .select(col("id_a"), col("id_b"),
         round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           eq => eq)).cast("double") / lit(MinhashPerms.toDouble), 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+      .distinct()
   }
 
   // ------------------------------------------------------------- SimHash
@@ -105,15 +128,21 @@ object Similarity {
   }
 
   /** Near-dup pairs with Hamming(simhash) <= maxDist, candidates via 16-bit
-    * chunk equality (4 chunks; dist<=3 guarantees >=1 equal chunk). */
+    * chunk equality (4 chunks; dist<=3 guarantees >=1 equal chunk).
+    * `maxBucket` bounds per-(chunk-position, value) occupancy — the 16-bit
+    * bucket space is only 4×65536 slots, so occupancy grows quadratically
+    * with corpus size and a guard is mandatory at scale (see [[capBuckets]]);
+    * <= 0 disables. */
   def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
-                     maxDist: Int = 3): DataFrame = {
+                     maxDist: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val sk = simhash(docs, idCol, textCol)
-    val chunked = sk.select(col(idCol), col("simhash"),
-      explode(array((0 until 4).map(c =>
-        struct(lit(c).as("c"),
-          shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("chunk"))): _*)).as("cc"))
-      .select(col(idCol), col("simhash"), col("cc.c").as("c"), col("cc.chunk").as("chunk"))
+    val chunked = capBuckets(
+      sk.select(col(idCol), col("simhash"),
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("c"),
+            shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("chunk"))): _*)).as("cc"))
+        .select(col(idCol), col("simhash"), col("cc.c").as("c"), col("cc.chunk").as("chunk")),
+      Seq("c", "chunk"), maxBucket)
     val a = chunked.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("c"), col("chunk"))
     val b = chunked.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("c"), col("chunk"))
     a.join(b, Seq("c", "chunk"))
@@ -219,10 +248,13 @@ object Similarity {
     * that would only change how `centroids` is produced, not the plan. */
   def annIvf(queries: DataFrame, candidates: DataFrame, idCol: String,
              vecCol: String, topK: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    // nCells rows only — the constant partition key keeps WindowExec from
+    // logging its single-partition warning while moving the same 16 rows.
     val centroids = candidates
       .orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("cell_seed"), col(vecCol).as("centroid"))
-      .withColumn("cell", row_number().over(Window.orderBy(col("cell_seed"))) - 1)
+      .withColumn("cell",
+        row_number().over(Window.partitionBy(lit(0)).orderBy(col("cell_seed"))) - 1)
       .select("cell", "centroid")
 
     // assignment: argmax centroid dot per vector (normalized => nearest)

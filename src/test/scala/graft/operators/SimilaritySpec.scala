@@ -97,4 +97,48 @@ class SimilaritySpec extends SparkSpec {
     assert(out.count() == 1)
     assert(out.select("score").as[Double].head() <= 1.0001)
   }
+
+  test("capBuckets prunes only over-occupied buckets") {
+    val df = (Seq.fill(100)("hot") ++ Seq.fill(3)("cold")).zipWithIndex
+      .map { case (b, i) => (i.toLong, b) }.toDF("id", "bucket")
+    val capped = Similarity.capBuckets(df, Seq("bucket"), cap = 10)
+    assert(capped.filter($"bucket" === "hot").count() == 0, "hot bucket must be dropped")
+    assert(capped.filter($"bucket" === "cold").count() == 3, "small bucket untouched")
+    assert(Similarity.capBuckets(df, Seq("bucket"), cap = 0).count() == 103, "cap<=0 is a no-op")
+  }
+
+  test("maxBucket bounds the quadratic candidate join under an adversarial hot bucket") {
+    // 60 byte-identical docs: every band/chunk bucket they occupy has size 60,
+    // so an uncapped join would emit 60*59/2 = 1770 candidate pairs from pure
+    // boilerplate. Two distinct near-dup docs must still pair through their
+    // own (small) buckets.
+    val boiler = (0 until 60).map(i => (i.toLong, "lorem ipsum dolor sit amet " * 4))
+    val pair = Seq(
+      (100L, "a genuinely unique document about spark shuffles and parquet files"),
+      (101L, "a genuinely unique document about spark shuffles and parquet pages"))
+    val docs = (boiler ++ pair).toDF("doc_id", "text")
+
+    val uncapped = Similarity.minhashNearDup(docs, "doc_id", "text", 0.5, maxBucket = 0)
+    val capped = Similarity.minhashNearDup(docs, "doc_id", "text", 0.5, maxBucket = 10)
+    assert(uncapped.count() >= 1770, "uncapped join is quadratic in the hot bucket")
+    val cappedPairs = capped.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!cappedPairs.exists(p => p._1 < 100L && p._2 < 100L),
+      "boilerplate pairs must be pruned by the bucket cap")
+    assert(cappedPairs.contains((100L, 101L)), "small-bucket near-dups still pair")
+
+    val simUncapped = Similarity.simhashNearDup(docs, "doc_id", "text", maxBucket = 0)
+    val simCapped = Similarity.simhashNearDup(docs, "doc_id", "text", maxBucket = 10)
+    assert(simUncapped.count() >= 1770)
+    val simPairs = simCapped.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!simPairs.exists(p => p._1 < 100L && p._2 < 100L))
+  }
+
+  test("default maxBucket leaves normal-corpus output unchanged") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val base = Similarity.minhashNearDup(docs, "doc_id", "text", 0.7, maxBucket = 0)
+      .collect().map(_.toSeq).toSet
+    val guarded = Similarity.minhashNearDup(docs, "doc_id", "text", 0.7)
+      .collect().map(_.toSeq).toSet
+    assert(base == guarded)
+  }
 }
