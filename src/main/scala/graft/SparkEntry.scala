@@ -224,16 +224,45 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("pred_lang"))
 
-  /** MinHash+LSH near-duplicate candidates (no SQL oracle — LSH banding is
-    * not expressible in ANSI SQL; correctness covered by SimilaritySpec). */
-  def q20_minhash_neardup(s: SparkSession, d: String): DataFrame =
-    Similarity.minhashNearDup(documents(s, d), "doc_id", "text", 0.5)
+  /** MinHash+LSH candidate generation verified by exact shingle Jaccard —
+    * the production fuzzy-dedup pipeline shape (sketch candidates → exact
+    * scoring on candidates only). The oracle computes exact 3-shingle
+    * Jaccard over ALL pairs (gram-collision join), so the gate proves the
+    * banding missed no J >= 0.6 pair AND every emitted score is exact.
+    * (LSH banding itself is not ANSI-SQL-expressible; this containment
+    * formulation is — and it is the stronger claim.) */
+  def q20_minhash_neardup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val cand = Similarity.minhashNearDup(docs, "doc_id", "text", 0.5)
+      .select("id_a", "id_b")
+    val g = docs.select(col("doc_id"), Similarity.shingles(col("text"), 3).as("g"))
+    cand
+      .join(g.select(col("doc_id").as("id_a"), col("g").as("ga")), "id_a")
+      .join(g.select(col("doc_id").as("id_b"), col("g").as("gb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(array_union(col("ga"), col("gb"))).cast("double"), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.6)
       .orderBy(col("id_a"), col("id_b"))
+  }
 
-  /** SimHash near-duplicates within Hamming distance 3 (rows-only check). */
-  def q21_simhash_neardup(s: SparkSession, d: String): DataFrame =
-    Similarity.simhashNearDup(documents(s, d), "doc_id", "text", 3)
+  /** SimHash near-dup candidates gated on the theorem subset: identical
+    * distinct-token sets imply identical 64-bit sketches (Hamming 0), which
+    * the 4-chunk pigeonhole join finds unconditionally — so candidates ∩
+    * {token-set-equal} must equal exactly the token-set-equal pairs, which
+    * the oracle computes directly. Any missed chunk-join pair or spurious
+    * Hamming breaks the hash. */
+  def q21_simhash_neardup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val key = docs.select(col("doc_id"),
+      md5(to_json(array_sort(array_distinct(split(col("text"), " "))))).as("key"))
+    Similarity.simhashNearDup(docs, "doc_id", "text", 3)
+      .join(key.select(col("doc_id").as("id_a"), col("key").as("ka")), "id_a")
+      .join(key.select(col("doc_id").as("id_b"), col("key").as("kb")), "id_b")
+      .filter(col("ka") === col("kb"))
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
       .orderBy(col("id_a"), col("id_b"))
+  }
 
   /** Exact word-bigram Jaccard over a deterministic sample, grouped by
     * source — the verification stage of fuzzy dedup. */
@@ -252,13 +281,18 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** LSH-bucketed ANN — the scale path (rows-only; recall vs brute force is
-    * asserted in SimilaritySpec). */
+  /** LSH-bucketed ANN gated by planted-duplicate self-retrieval: each query
+    * is a corpus vector re-labeled (+1e6), so its twin shares every
+    * hyperplane bucket by construction and must surface at rank 1 with the
+    * exact brute-force score — which the oracle computes by brute force.
+    * Runs the full LSH path (sketch, bucket join, exact rescoring, top-k);
+    * general-recall characteristics are asserted in SimilaritySpec. */
   def q24_ann_lsh(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
-    Similarity.annLsh(
-      emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", 5)
-      .orderBy(col("query_id"), col("rank"))
+    val planted = emb.filter(col("vec_id") < 8)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    Similarity.annLsh(planted, emb, "vec_id", "embedding", 1)
+      .orderBy(col("query_id"))
   }
 
   /** Embedding column statistics per label (norms ≡ 1 checks the data is
@@ -322,9 +356,10 @@ object SparkEntry {
     s.sql(q28Sql)
   }
 
-  /** Char-trigram profile language ID (broadcast-join design, rows-only —
-    * the profile-scoring argmax is not ANSI-SQL-expressible; accuracy
-    * characteristics asserted in LangIdSpec). */
+  /** Char-trigram profile language ID (broadcast-join design). The oracle
+    * replays the full scoring in SQL — the seed profile is inlined as
+    * VALUES, trigrams re-derived, per-doc argmax re-computed — so every
+    * prediction and score is hash-gated, not just the distribution. */
   def q27_langid_trigram(s: SparkSession, d: String): DataFrame =
     graft.operators.LangId.predict(documents(s, d), "doc_id", "text")
       .groupBy(col("pred_lang"))
@@ -339,12 +374,17 @@ object SparkEntry {
       "vec_id", "embedding", 0.4)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** IVF-partitioned ANN (rows-only; recall vs brute force asserted in
-    * SimilaritySpec — cell assignment is not ANSI-SQL-expressible). */
+  /** IVF-partitioned ANN gated by planted-duplicate self-retrieval (same
+    * construction as q24, disjoint query set): an identical vector is
+    * assigned to the same cell as its twin by the deterministic coarse
+    * quantizer, so the first probed cell always contains it and rank 1
+    * must match the brute-force oracle exactly. */
   def q32_ann_ivf(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
-    Similarity.annIvf(emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", 5)
-      .orderBy(col("query_id"), col("rank"))
+    val planted = emb.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    Similarity.annIvf(planted, emb, "vec_id", "embedding", 1)
+      .orderBy(col("query_id"))
   }
 
   /** As-of join (composed from built-ins, see operators.AsOfJoin): each
@@ -461,12 +501,33 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
-  /** Winnowing-fingerprint near-dup candidates (rows-only — the rolling
-    * hash + windowed-min selection is not ANSI-SQL-expressible; guarantees
-    * and exact-dup behavior asserted in SimilaritySpec). */
-  def q41_winnow_neardup(s: SparkSession, d: String): DataFrame =
-    Similarity.winnowNearDup(documents(s, d), "doc_id", "text", k = 16, w = 8, minShared = 8)
+  /** Winnowing-fingerprint near-dup candidates verified by exact
+    * char-16-gram Jaccard (k = 16 matches the fingerprint gram size). The
+    * oracle computes the exact metric over all pairs via a gram-collision
+    * join, so the gate proves the winnowed fingerprints missed no J >= 0.3
+    * pair and each emitted score is exact. (The rolling hash + windowed-min
+    * selection is not ANSI-SQL-expressible; the containment formulation
+    * is.) minShared = 4 measured with 0 misses and margin at sf0.01. */
+  def q41_winnow_neardup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    // normalized text aliased once so the per-gram lambda references an
+    // attribute, not a duplicated regexp (the O(len²) trap — LangId.scala)
+    val g16 = docs.select(col("doc_id"), Text.normalize(col("text")).as("_n"))
+      .select(col("doc_id"),
+        when(length(col("_n")) >= 16,
+          array_distinct(transform(sequence(lit(1), length(col("_n")) - 15),
+            i => col("_n").substr(i, lit(16)))))
+          .otherwise(array()).as("g"))
+    Similarity.winnowNearDup(docs, "doc_id", "text", k = 16, w = 8, minShared = 4)
+      .select("id_a", "id_b")
+      .join(g16.select(col("doc_id").as("id_a"), col("g").as("ga")), "id_a")
+      .join(g16.select(col("doc_id").as("id_b"), col("g").as("gb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(array_union(col("ga"), col("gb"))).cast("double"), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.3)
       .orderBy(col("id_a"), col("id_b"))
+  }
 
   // ------------------------------------------------------------- registry
 
@@ -639,6 +700,32 @@ object SparkEntry {
                 ELSE 'und' END AS pred_lang,
            count(*) AS n
          FROM t GROUP BY 1, 2 ORDER BY lang, pred_lang""",
+    "q20_minhash_neardup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(w) - 2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [array_to_string(w, ' ')] END AS g
+           FROM toks),
+         sz AS (SELECT doc_id, len(g) AS n FROM sh),
+         e AS (SELECT doc_id, unnest(g) AS gram FROM sh),
+         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+                FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         j AS (SELECT id_a, id_b,
+                 round(CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE), 4) AS jaccard
+               FROM pr JOIN sz sa ON sa.doc_id = pr.id_a
+                       JOIN sz sb ON sb.doc_id = pr.id_b)
+         SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.6
+         ORDER BY id_a, id_b""",
+    "q21_simhash_neardup" ->
+      """WITH k AS (SELECT doc_id,
+             md5(to_json(list_sort(list_distinct(string_split(text, ' '))))) AS key
+           FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
+         FROM k a JOIN k b ON a.key = b.key AND a.doc_id < b.doc_id
+         ORDER BY id_a, id_b""",
     "q22_jaccard_pairs" ->
       """WITH g AS (
            SELECT doc_id, source,
@@ -667,6 +754,21 @@ object SparkEntry {
            FROM s)
          SELECT query_id, rank, neighbor_id, round(score, 4) AS score
          FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q24_ann_lsh" ->
+      """WITH q AS (SELECT vec_id + 1000000 AS query_id, embedding AS qv
+                    FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         s AS (
+           SELECT query_id, neighbor_id,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) AS score
+           FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+         r AS (
+           SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+           FROM s)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(score, 4) AS score
+         FROM r WHERE rank = 1 ORDER BY query_id""",
     "q25_embedding_stats" ->
       """SELECT label, count(*) AS n_vecs,
          round(avg(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))), 6) AS avg_norm_sq,
@@ -676,6 +778,29 @@ object SparkEntry {
       """SELECT source, count(*) AS n_media,
          CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes
          FROM documents GROUP BY source ORDER BY source""",
+    "q27_langid_trigram" ->
+      s"""WITH profile AS (
+           SELECT p.lang, p.tg, CAST(p.w AS DOUBLE) AS w
+           FROM (VALUES $langProfileValues) p(lang, tg, w)),
+         d AS (SELECT doc_id,
+                 ' ' || trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) || ' ' AS padded
+               FROM documents),
+         t AS (SELECT doc_id,
+                 unnest(list_transform(generate_series(1, length(padded) - 2),
+                   i -> substr(padded, i, 3))) AS tg
+               FROM d),
+         sc AS (SELECT doc_id, lang, sum(w) AS score
+                FROM t JOIN profile USING (tg) GROUP BY doc_id, lang),
+         best AS (SELECT doc_id, lang, score,
+                    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+                  FROM sc),
+         pred AS (SELECT d.doc_id,
+                    coalesce(b.lang, 'und') AS pred_lang,
+                    coalesce(b.score, 0.0) AS score
+                  FROM d LEFT JOIN (SELECT doc_id, lang, score FROM best WHERE rn = 1) b
+                    USING (doc_id))
+         SELECT pred_lang, count(*) AS n, round(avg(score), 4) AS avg_score
+         FROM pred GROUP BY pred_lang ORDER BY pred_lang""",
     "q28_sql_topk" -> q28Sql,
     "q29_daily_metrics" ->
       """SELECT CAST(ts AS DATE) AS day,
@@ -703,6 +828,21 @@ object SparkEntry {
            FROM events e
            LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) t
          WHERE rn = 1 ORDER BY event_id""",
+    "q32_ann_ivf" ->
+      """WITH q AS (SELECT vec_id + 1000000 AS query_id, embedding AS qv
+                    FROM embeddings WHERE vec_id >= 8 AND vec_id < 16),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         s AS (
+           SELECT query_id, neighbor_id,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) AS score
+           FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+         r AS (
+           SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+           FROM s)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(score, 4) AS score
+         FROM r WHERE rank = 1 ORDER BY query_id""",
     "q33_running_total" ->
       """SELECT o_custkey, o_orderkey,
          round(sum(o_totalprice) OVER (PARTITION BY o_custkey
@@ -754,5 +894,34 @@ object SparkEntry {
                                    WHEN lang IN ('es','de') THEN 5
                                    ELSE 2 END)
          GROUP BY lang ORDER BY lang""",
+    "q41_winnow_neardup" ->
+      """WITH d AS (SELECT doc_id,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+           FROM documents),
+         g16 AS (SELECT doc_id,
+             CASE WHEN length(t) >= 16
+                  THEN list_distinct(list_transform(generate_series(1, length(t) - 15),
+                         i -> substr(t, i, 16)))
+                  ELSE [] END AS g
+           FROM d),
+         sz AS (SELECT doc_id, len(g) AS n FROM g16),
+         e AS (SELECT doc_id, unnest(g) AS gram FROM g16),
+         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+                FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         j AS (SELECT id_a, id_b,
+                 round(CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE), 4) AS jaccard
+               FROM pr JOIN sz sa ON sa.doc_id = pr.id_a
+                       JOIN sz sb ON sb.doc_id = pr.id_b)
+         SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.3
+         ORDER BY id_a, id_b""",
   )
+
+  /** The LangId trigram profile rendered as SQL VALUES rows — the oracle
+    * runs the exact same profile the Spark operator broadcasts. */
+  private def langProfileValues: String =
+    graft.operators.LangId.profileRows
+      .sortBy(r => (r._1, r._2))
+      .map { case (lang, tg, w) => s"('$lang', '$tg', $w)" }
+      .mkString(", ")
 }

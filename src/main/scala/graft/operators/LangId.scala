@@ -28,8 +28,9 @@ object LangId {
     "zh" -> Seq())  // no latin trigrams; zh detection would use CJK ranges
 
   /** (lang, trigram, weight) profile rows derived from the seed words,
-    * padded like running text (" word "). */
-  private[operators] def profileRows: Seq[(String, String, Double)] =
+    * padded like running text (" word "). Public so the correctness oracle
+    * can inline the exact same profile as SQL VALUES. */
+  def profileRows: Seq[(String, String, Double)] =
     (for {
       (lang, words) <- seedWords.toSeq
       w <- words

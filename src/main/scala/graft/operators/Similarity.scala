@@ -161,10 +161,17 @@ object Similarity {
     * a hash join on the fingerprint value — any substring of length
     * >= k+w-1 common to two docs guarantees a shared fingerprint. */
   def winnowNearDup(docs: DataFrame, idCol: String, textCol: String,
-                    k: Int = 8, w: Int = 16, minShared: Int = 5): DataFrame = {
-    val fps = docs.select(col(idCol),
-      explode(call_function("winnow_fingerprint",
-        Text.normalize(col(textCol)), lit(k), lit(w))).as("fp"))
+                    k: Int = 16, w: Int = 8, minShared: Int = 4,
+                    maxBucket: Int = 1000): DataFrame = {
+    // maxBucket: a fingerprint shared by m docs emits m² join rows — small k
+    // makes fingerprints hot (common k-grams win the window-min everywhere;
+    // measured: k=8 at sf0.1 took 194 s vs 2 s for k=16). The cap bounds the
+    // damage the same way as the minhash/simhash band guards.
+    val fps = capBuckets(
+      docs.select(col(idCol),
+        explode(call_function("winnow_fingerprint",
+          Text.normalize(col(textCol)), lit(k), lit(w))).as("fp")),
+      Seq("fp"), maxBucket)
     val a = fps.select(col(idCol).as("id_a"), col("fp"))
     val b = fps.select(col(idCol).as("id_b"), col("fp"))
     a.join(b, Seq("fp"))
