@@ -40,21 +40,40 @@ import org.apache.spark.util.SerializableConfiguration
   * settings (s3a credentials, defaultFS) resolve identically to Spark's
   * own parquet source.
   *
+  * Row-level operations rewrite PER-FILE GROUPS, not the whole table: the
+  * table exposes a `_file` metadata column, the row-level scan implements
+  * [[SupportsRuntimeV2Filtering]] on it, and Spark's
+  * RowLevelOperationRuntimeGroupFiltering rule plans a dynamic subquery
+  * that narrows both the scan and the rewrite to the files that actually
+  * contain matched rows — a MERGE touching one key rewrites one file and
+  * leaves every other file byte-identical (the same copy-on-write group
+  * pruning a production table format does). If the runtime filter never
+  * arrives (rule disabled), the commit falls back to the full snapshot
+  * swap — correct, just unpruned.
+  *
   * Scope/caveats (documented):
-  *  - the whole table is ONE rewrite group: a MERGE rewrites all files
-  *    (correct semantics; per-file group pruning via runtime filtering is
-  *    the production refinement);
-  *  - single concurrent writer assumed;
+  *  - single concurrent writer assumed; the selective commit moves new
+  *    files in before deleting replaced ones, so a crash window can leave
+  *    duplicates (re-running the MERGE converges) but never loses rows;
   *  - supported column types: boolean/int/long/double/string/timestamp.
   */
 class GraftParquetTable(tableName: String, dir: String, tableSchema: StructType)
-  extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
+  extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations
+  with SupportsMetadataColumns {
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
+
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = GraftParquetTable.FileCol
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "source file of the row (group-pruning key)"
+    })
 
   private def hadoopConf(): Configuration =
     SparkSession.active.sessionState.newHadoopConf()
@@ -67,40 +86,71 @@ class GraftParquetTable(tableName: String, dir: String, tableSchema: StructType)
       .filter(_.getName.endsWith(".parquet")).map(_.toString).sortBy(identity)
   }
 
-  private def scanBuilder(): ScanBuilder = {
+  private def scanBuilder(group: Option[RewriteGroup]): ScanBuilder = {
     val conf = hadoopConf()
-    () => new GraftParquetScan(tableSchema, listFiles(conf),
-      new SerializableConfiguration(conf))
+    new GraftScanBuilder(tableSchema, listFiles(conf),
+      new SerializableConfiguration(conf), group)
   }
 
-  private def batchWrite(replace: Boolean): BatchWrite =
+  private def batchWrite(replace: Boolean, group: Option[RewriteGroup]): BatchWrite =
     new GraftParquetBatchWrite(dir, tableSchema, replace,
-      new SerializableConfiguration(hadoopConf()))
+      new SerializableConfiguration(hadoopConf()), group)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    scanBuilder()
+    scanBuilder(None)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       private var doReplace = false
       override def truncate(): WriteBuilder = { doReplace = true; this }
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = batchWrite(doReplace)
+        override def toBatch: BatchWrite = batchWrite(doReplace, None)
       }
     }
 
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder =
     () => new RowLevelOperation {
+      // one rewrite-group holder per operation: the scan narrows it via the
+      // runtime filter, the write commit replaces exactly that set
+      private val group = new RewriteGroup
       override def command(): RowLevelOperation.Command = info.command()
+      override def requiredMetadataAttributes(): Array[
+        org.apache.spark.sql.connector.expressions.NamedReference] =
+        Array(org.apache.spark.sql.connector.expressions.Expressions.column(
+          GraftParquetTable.FileCol))
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-        scanBuilder()
+        scanBuilder(Some(group))
       override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder =
         new WriteBuilder {
           override def build(): Write = new Write {
-            override def toBatch: BatchWrite = batchWrite(replace = true)
+            override def toBatch: BatchWrite = batchWrite(replace = true, Some(group))
           }
         }
     }
+}
+
+object GraftParquetTable {
+  /** Metadata column carrying the source file path of each row. */
+  val FileCol = "_file"
+}
+
+/** Driver-side channel between the row-level scan and its write: the scan
+  * records the runtime-pruned file set; the commit replaces exactly those
+  * files. None = no runtime filter arrived → full snapshot swap. */
+private[v2] class RewriteGroup {
+  @volatile var scannedFiles: Option[Array[String]] = None
+}
+
+/** Scan builder with column pruning (Spark passes the required schema here,
+  * including the `_file` metadata column when a row-level operation asks
+  * for it). */
+private[v2] class GraftScanBuilder(tableSchema: StructType, files: Array[String],
+                                   conf: SerializableConfiguration,
+                                   group: Option[RewriteGroup])
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = tableSchema
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new GraftParquetScan(required, files, conf, group)
 }
 
 /** Spark↔parquet-mr conversion for the supported primitive types. */
@@ -132,8 +182,11 @@ private[v2] object ParquetCodec {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
     try {
       val fileSchema = reader.getFooter.getFileMetaData.getSchema
+      // -2 marks the _file metadata column (emitted as the path, not read)
       val colIdx = schema.fields.map(f =>
-        if (fileSchema.containsField(f.name)) fileSchema.getFieldIndex(f.name) else -1)
+        if (f.name == GraftParquetTable.FileCol) -2
+        else if (fileSchema.containsField(f.name)) fileSchema.getFieldIndex(f.name) else -1)
+      val filePath = UTF8String.fromString(file)
       val columnIO = new ColumnIOFactory().getColumnIO(fileSchema) // loop-invariant
 
       new Iterator[InternalRow] {
@@ -166,7 +219,8 @@ private[v2] object ParquetCodec {
             remaining -= 1
             val values = Array.tabulate[Any](schema.length) { j =>
               val idx = colIdx(j)
-              if (idx < 0 || g.getFieldRepetitionCount(idx) == 0) null
+              if (idx == -2) filePath
+              else if (idx < 0 || g.getFieldRepetitionCount(idx) == 0) null
               else schema.fields(j).dataType match {
                 case BooleanType   => g.getBoolean(idx, 0)
                 case IntegerType   => g.getInteger(idx, 0)
@@ -229,14 +283,54 @@ private[v2] object MergeRowShape {
 }
 
 private[v2] class GraftParquetScan(schema: StructType, files: Array[String],
-                                   conf: SerializableConfiguration)
-  extends Scan with Batch {
+                                   conf: SerializableConfiguration,
+                                   group: Option[RewriteGroup])
+  extends Scan with Batch with SupportsRuntimeV2Filtering {
+
+  @volatile private var activeFiles: Array[String] = files
+
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    files.map(f => GraftFilePartition(f): InputPartition)
+    activeFiles.map(f => GraftFilePartition(f): InputPartition)
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftParquetReaderFactory(schema, conf)
+
+  override def filterAttributes(): Array[
+    org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(
+      GraftParquetTable.FileCol))
+
+  /** Runtime group filtering: Spark's row-level-operation DPP subquery
+    * arrives as IN/= predicates over `_file`. The kept set is recorded in
+    * the operation's [[RewriteGroup]] so the commit replaces exactly these
+    * files. A predicate on `_file` we cannot decode fails the query rather
+    * than risk the scan and the commit disagreeing on the rewrite group
+    * (which would silently drop rows). */
+  override def filter(predicates: Array[
+    org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
+    predicates.foreach { p =>
+      val children = p.children()
+      val onFile = children.headOption.exists {
+        case r: NamedReference => r.fieldNames().sameElements(Array(GraftParquetTable.FileCol))
+        case _ => false
+      }
+      if (onFile) {
+        val keep: Set[String] = p.name() match {
+          case "IN" | "=" =>
+            children.drop(1).map {
+              case l: Literal[_] => l.value().toString
+              case other => sys.error(
+                s"unsupported non-literal in ${p.name()} on _file: $other")
+            }.toSet
+          case other => sys.error(s"unsupported runtime predicate $other on _file")
+        }
+        activeFiles = activeFiles.filter(keep.contains)
+        group.foreach(_.scannedFiles = Some(activeFiles))
+      }
+    }
+  }
 }
 
 private[v2] case class GraftFilePartition(file: String) extends InputPartition
@@ -260,7 +354,8 @@ private[v2] class GraftParquetReaderFactory(schema: StructType,
   * replace, move-in for append), then deletes staging with any orphans. */
 private[v2] class GraftParquetBatchWrite(dir: String, schema: StructType,
                                          replace: Boolean,
-                                         conf: SerializableConfiguration) extends BatchWrite {
+                                         conf: SerializableConfiguration,
+                                         group: Option[RewriteGroup] = None) extends BatchWrite {
   private val stagingDir = s"${dir}_staging_${java.util.UUID.randomUUID().toString.take(8)}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -272,7 +367,23 @@ private[v2] class GraftParquetBatchWrite(dir: String, schema: StructType,
     val target = new Path(dir)
     val fs = staging.getFileSystem(conf.value)
     try {
-      if (replace) {
+      val pruned = group.flatMap(_.scannedFiles)
+      if (replace && pruned.isDefined) {
+        // group-pruned copy-on-write: replace ONLY the scanned files; every
+        // other file is untouched (not rewritten, not moved). Move-in first,
+        // delete-replaced second: a crash between the two leaves duplicate
+        // rows (re-running the MERGE converges) but never loses rows.
+        committed.foreach { f =>
+          val src = new Path(f)
+          if (!fs.rename(src, new Path(target, src.getName)))
+            sys.error(s"group-rewrite move failed for $f")
+        }
+        pruned.get.foreach { f =>
+          val p = new Path(f)
+          if (fs.exists(p) && !fs.delete(p, false))
+            sys.error(s"group-rewrite delete failed for $f")
+        }
+      } else if (replace) {
         // build the new snapshot from committed files only, then swap
         val next = new Path(dir + "_next_" + java.util.UUID.randomUUID().toString.take(8))
         fs.mkdirs(next)
@@ -323,7 +434,11 @@ private[v2] case class GraftParquetWriterFactory(stagingDir: String, schema: Str
     new DataWriter[InternalRow] {
       private var writer: ParquetWriter[Group] = _
       private var factory: SimpleGroupFactory = _
-      private val file = s"$stagingDir/part-$partitionId-$taskId.parquet"
+      // uuid: committed files keep this name when moved into the live dir
+      // (group-pruned commits), so it must be unique across ALL writes to
+      // the table, not just within this job
+      private val file = s"$stagingDir/part-$partitionId-$taskId-" +
+        s"${java.util.UUID.randomUUID().toString.take(8)}.parquet"
 
       override def write(record: InternalRow): Unit = {
         val shift = MergeRowShape.shiftOf(record, schema.length)

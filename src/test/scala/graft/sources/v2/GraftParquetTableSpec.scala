@@ -68,6 +68,40 @@ class GraftParquetTableSpec extends SparkSpec {
     assert(spark.read.parquet(loc).count() == 2)
   }
 
+  test("MERGE rewrites only the file group containing matched keys (runtime group pruning)") {
+    val loc = setup("pq5")
+    // two separate INSERTs -> (at least) two separate parquet files
+    spark.sql("INSERT INTO graft.pq5 VALUES (1, 'a', 1.0, NULL), (2, 'b', 2.0, NULL)")
+    spark.sql("INSERT INTO graft.pq5 VALUES (10, 'x', 10.0, NULL), (20, 'y', 20.0, NULL)")
+    def snapshot() = new java.io.File(loc).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> (f.length(), f.lastModified(),
+        java.util.Arrays.hashCode(java.nio.file.Files.readAllBytes(f.toPath))))
+      .toMap
+    val before = snapshot()
+    assert(before.size >= 2, s"need multiple files, got ${before.keys}")
+
+    Seq((2L, "new", 99.0)).toDF("k", "status", "v")
+      .selectExpr("k", "status", "v", "CAST(NULL AS TIMESTAMP) AS ts")
+      .createOrReplaceTempView("pq_updates5")
+    spark.sql("""
+      MERGE INTO graft.pq5 t USING pq_updates5 u ON t.k = u.k
+      WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+
+    val rows = spark.sql("SELECT k, status, v FROM graft.pq5 ORDER BY k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(rows == Seq((1L, "a", 1.0), (2L, "new", 99.0), (10L, "x", 10.0), (20L, "y", 20.0)))
+
+    val after = snapshot()
+    // the file holding k=10/k=20 must be untouched: same name, same bytes
+    val untouched = before.keySet intersect after.keySet
+    assert(untouched.nonEmpty,
+      s"group pruning must leave the unmatched file in place; before=${before.keys} after=${after.keys}")
+    untouched.foreach { n => assert(before(n) == after(n), s"file $n was rewritten") }
+    // the file holding k=1/k=2 must have been replaced
+    assert((before.keySet -- after.keySet).nonEmpty, "the matched file must be rewritten")
+  }
+
   test("MERGE with conditional DELETE removes rows from the files") {
     val loc = setup("pq3")
     spark.sql("INSERT INTO graft.pq3 VALUES " +
