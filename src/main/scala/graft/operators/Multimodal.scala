@@ -6,35 +6,34 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video payloads are opaque
   * `BinaryType` columns with a typed metadata struct alongside.
   *
-  * The *decode* step (real image/audio parsing) is a STUB — the container
-  * has no imaging libraries — implemented as a deterministic fake derived
-  * from the bytes, clearly marked below. Everything around it (schema,
-  * binary casts, per-partition batching, frame-sampling plan shape) is real
-  * Spark and is what matters at scale: decode work is embarrassingly
-  * parallel per-partition, and the plan keeps binary columns out of
-  * shuffles (metadata is extracted first, payload dropped before any wide
-  * operation).
+  * The decode step is a REAL header-only parser in pure JVM
+  * ([[graft.plans.MediaHeader]]): JPEG SOF frame dimensions and WAV
+  * fmt/data chunk audio parameters, no codec libraries needed. Full pixel/
+  * sample decode (and any model-based featurization) stays out of scope —
+  * the container ships no codecs — but everything that matters at scale is
+  * real: decode is an embarrassingly parallel narrow expression, and the
+  * plan keeps binary columns out of shuffles (metadata is extracted first,
+  * payload dropped before any wide operation).
   */
 object Multimodal {
 
-  /** Typed metadata row for a decoded media payload. */
+  /** Typed metadata row for a decoded media payload. nFrames: 1 for
+    * images, audio sample frames for WAV, 0 for unknown payloads. */
   case class MediaMeta(id: Long, byteLen: Long, mime: String,
-                       width: Int, height: Int, nFrames: Int)
+                       width: Int, height: Int, nFrames: Long,
+                       sampleRate: Int, channels: Int)
 
   /** Attach an opaque binary payload column (here: utf-8 bytes of `textCol`
     * stand in for real media bytes). */
   def withBlob(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"), col(textCol).cast("binary").as("payload"))
 
-  /** STUB DECODE — deterministic fake dimensions from a hash of the bytes.
-    * Real implementation would decode headers (JPEG SOF / WAV fmt / MP4
-    * moov) per partition; the surrounding plan is identical. */
-  def decodeMetaStub(payload: Column): Column = struct(
-    length(payload).cast("long").as("byteLen"),
-    lit("application/octet-stream").as("mime"),
-    (pmod(xxhash64(payload), lit(1280)) + 1).cast("int").as("width"),
-    (pmod(xxhash64(payload, lit(1)), lit(720)) + 1).cast("int").as("height"),
-    (pmod(xxhash64(payload, lit(2)), lit(240)) + 1).cast("int").as("nFrames"))
+  /** Header-only decode: struct(mime, width, height, n_frames, sample_rate,
+    * channels) from the payload's leading bytes (JPEG/WAV; unknown bytes
+    * decode as octet-stream with zeroed fields rather than failing the
+    * scan). */
+  def decodeMeta(payload: Column): Column =
+    call_function("media_header", payload)
 
   /** Metadata extraction: binary in, typed struct out, payload dropped
     * before anything wide happens downstream. */
@@ -42,10 +41,12 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     withBlob(df, idCol, textCol)
-      .select(col("id"), decodeMetaStub(col("payload")).as("m"))
-      .select(col("id"), col("m.byteLen").as("byteLen"), col("m.mime").as("mime"),
+      .select(col("id"), length(col("payload")).cast("long").as("byteLen"),
+        decodeMeta(col("payload")).as("m"))
+      .select(col("id"), col("byteLen"), col("m.mime").as("mime"),
         col("m.width").as("width"), col("m.height").as("height"),
-        col("m.nFrames").as("nFrames"))
+        col("m.n_frames").as("nFrames"),
+        col("m.sample_rate").as("sampleRate"), col("m.channels").as("channels"))
       .as[MediaMeta]
   }
 
@@ -58,8 +59,9 @@ object Multimodal {
     // 2*maxFrames) and emit up to 2*maxFrames-1 frames, breaking the cap
     val step = greatest(ceil(col("nFrames") / lit(maxFrames.toDouble)).cast("long"), lit(1L))
     meta.toDF()
+      .filter(col("nFrames") > 0) // undecodable payloads have no frames
       .select(col("id"), col("nFrames"),
-        explode(sequence(lit(0), col("nFrames") - 1, step)).as("frame_idx"))
+        explode(sequence(lit(0L), col("nFrames") - 1, step)).as("frame_idx"))
   }
 
   /** Per-partition batched feature extraction — the Scala analogue of a

@@ -31,6 +31,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           w = intLit(children(2), "w"))))
 
     ext.injectFunction((
+      new FunctionIdentifier("media_header"),
+      new ExpressionInfo(classOf[MediaHeader].getName, "media_header"),
+      (children: Seq[Expression]) => MediaHeader(children.head)))
+
+    ext.injectFunction((
       new FunctionIdentifier("vec_lsh_sketch"),
       new ExpressionInfo(classOf[VecLshSketch].getName, "vec_lsh_sketch"),
       (children: Seq[Expression]) =>

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BinaryType, LongType}
+import org.apache.spark.sql.types.BinaryType
 
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -10,39 +10,90 @@ class MultimodalSpec extends SparkSpec {
   private def media = Seq((1L, "tiny"), (2L, "a longer payload body here"), (3L, ""))
     .toDF("doc_id", "text")
 
+  /** Minimal real JPEG: SOI, SOF0 (8-bit, 16x32, 3 components), EOI. */
+  private val jpeg32x16: Array[Byte] = Array(
+    0xFF, 0xD8, // SOI
+    0xFF, 0xC0, // SOF0
+    0x00, 0x11, // segment length 17
+    0x08, // precision
+    0x00, 0x10, // height 16
+    0x00, 0x20, // width 32
+    0x03, // components
+    0x01, 0x11, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01, // component specs
+    0xFF, 0xD9 // EOI
+  ).map(_.toByte)
+
+  /** Minimal real WAV: RIFF/WAVE, fmt (PCM, 2ch, 44100 Hz, block align 4,
+    * 16-bit), data chunk of 8 bytes = 2 sample frames. */
+  private val wav2ch: Array[Byte] = {
+    def le16(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    "RIFF".getBytes ++ le32(36 + 8) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+      le32(44100 * 4) ++ le16(4) ++ le16(16) ++
+      "data".getBytes ++ le32(8) ++ Array.fill[Byte](8)(0)
+  }
+
   test("withBlob produces a BinaryType payload of utf-8 length") {
     val df = Multimodal.withBlob(media, "doc_id", "text")
     assert(df.schema("payload").dataType == BinaryType)
     assert(df.select(length($"payload")).as[Int].collect().sorted.toSeq == Seq(0, 4, 26))
   }
 
-  test("extractMeta yields typed metadata with deterministic stub dims") {
+  test("media_header decodes a real JPEG's SOF dimensions") {
+    val df = Seq((1L, jpeg32x16)).toDF("id", "payload")
+      .select($"id", Multimodal.decodeMeta($"payload").as("m"))
+      .select($"id", $"m.mime", $"m.width", $"m.height", $"m.n_frames")
+      .as[(Long, String, Int, Int, Long)].collect().toSeq
+    assert(df == Seq((1L, "image/jpeg", 32, 16, 1L)))
+  }
+
+  test("media_header decodes a real WAV's fmt/data chunks") {
+    val df = Seq((1L, wav2ch)).toDF("id", "payload")
+      .select(Multimodal.decodeMeta($"payload").as("m"))
+      .select($"m.mime", $"m.sample_rate", $"m.channels", $"m.n_frames")
+      .as[(String, Int, Int, Long)].collect().toSeq
+    assert(df == Seq(("audio/wav", 44100, 2, 2L)))
+  }
+
+  test("media_header is total: arbitrary bytes decode as octet-stream, never throw") {
+    val blobs = Seq(
+      Array.empty[Byte],
+      "plain text".getBytes("UTF-8"),
+      Array[Byte](0xFF.toByte, 0xD8.toByte), // truncated JPEG
+      "RIFFxxxxWAVE".getBytes("UTF-8")) // WAV with no fmt chunk
+    val out = blobs.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("id", "payload")
+      .select(Multimodal.decodeMeta($"payload").as("m"))
+      .select($"m.mime").as[String].collect()
+    assert(out.forall(_ == "application/octet-stream"))
+  }
+
+  test("extractMeta yields typed metadata; text payloads are octet-stream") {
     val m1 = Multimodal.extractMeta(media, "doc_id", "text").collect()
-    val m2 = Multimodal.extractMeta(media, "doc_id", "text").collect()
-    assert(m1.sortBy(_.id).toSeq == m2.sortBy(_.id).toSeq, "stub decode must be deterministic")
-    assert(m1.forall(m => m.width >= 1 && m.width <= 1280))
-    assert(m1.forall(m => m.height >= 1 && m.height <= 720))
     assert(m1.map(m => m.id -> m.byteLen).toMap == Map(1L -> 4L, 2L -> 26L, 3L -> 0L))
+    assert(m1.forall(_.mime == "application/octet-stream"))
+    assert(m1.forall(_.nFrames == 0L))
   }
 
   test("sampleFrames emits at most maxFrames evenly spaced indices per row") {
-    val meta = Multimodal.extractMeta(media, "doc_id", "text")
+    val meta = Seq(
+      Multimodal.MediaMeta(1L, 10L, "video/x", 64, 64, 100L, 0, 0),
+      Multimodal.MediaMeta(2L, 10L, "video/x", 64, 64, 3L, 0, 0),
+      Multimodal.MediaMeta(3L, 10L, "application/octet-stream", 0, 0, 0L, 0, 0)).toDS()
     val frames = Multimodal.sampleFrames(meta, 10)
     val counts = frames.groupBy("id").count().as[(Long, Long)].collect().toMap
-    val nFrames = meta.collect().map(m => m.id -> m.nFrames).toMap
-    counts.foreach { case (id, n) =>
-      assert(n <= 11, s"row $id sampled $n frames") // ceil division can give maxFrames+1
-      assert(n >= math.min(nFrames(id), 1))
-    }
-    // frame indices in range (frames carries its own nFrames column)
+    assert(counts(1L) <= 11) // ceil division can give maxFrames+1
+    assert(counts(2L) == 3)
+    assert(!counts.contains(3L), "undecodable payloads must sample no frames")
     val bad = frames.filter($"frame_idx" >= $"nFrames" || $"frame_idx" < 0).count()
     assert(bad == 0)
   }
 
   test("sampleFrames honors the cap when nFrames is between maxFrames and 2*maxFrames") {
-    import org.apache.spark.sql.functions._
     // nFrames=19, maxFrames=10: floor stride would emit all 19 frames
-    val meta = Seq(Multimodal.MediaMeta(1L, 10L, "x", 1, 1, 19)).toDS()
+    val meta = Seq(Multimodal.MediaMeta(1L, 10L, "x", 1, 1, 19L, 0, 0)).toDS()
     val n = Multimodal.sampleFrames(meta, 10).count()
     assert(n <= 10, s"sampled $n frames for nFrames=19, cap 10")
   }
