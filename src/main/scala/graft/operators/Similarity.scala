@@ -255,14 +255,23 @@ object Similarity {
     * that would only change how `centroids` is produced, not the plan. */
   def annIvf(queries: DataFrame, candidates: DataFrame, idCol: String,
              vecCol: String, topK: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    // nCells rows only — the constant partition key keeps WindowExec from
-    // logging its single-partition warning while moving the same 16 rows.
-    val centroids = candidates
+    // Seed numbering happens on the driver: nCells (<= dozens) rows are a
+    // bounded collect, and it keeps the keyless-window single-partition
+    // shuffle out of the plan entirely (a foldable partition key would be
+    // optimized away and WindowExec would still coalesce to 1 partition).
+    val spark = candidates.sparkSession
+    val seedRows = candidates
       .orderBy(col(idCol)).limit(nCells)
-      .select(col(idCol).as("cell_seed"), col(vecCol).as("centroid"))
-      .withColumn("cell",
-        row_number().over(Window.partitionBy(lit(0)).orderBy(col("cell_seed"))) - 1)
-      .select("cell", "centroid")
+      .select(col(vecCol)).collect()
+    val centroidSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("centroid",
+        candidates.schema(vecCol).dataType, nullable = false)))
+    val centroids = spark.createDataFrame(
+      java.util.List.of(seedRows.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(i, r.get(0))
+      }: _*), centroidSchema)
 
     // assignment: argmax centroid dot per vector (normalized => nearest)
     def assign(df: DataFrame, id: String, n: Int): DataFrame =
