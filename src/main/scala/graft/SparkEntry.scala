@@ -234,14 +234,11 @@ object SparkEntry {
   def q20_minhash_neardup(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val cand = Similarity.minhashNearDup(docs, "doc_id", "text", 0.5)
-      .select("id_a", "id_b")
-    val g = docs.select(col("doc_id"), Similarity.shingles(col("text"), 3).as("g"))
-    cand
-      .join(g.select(col("doc_id").as("id_a"), col("g").as("ga")), "id_a")
-      .join(g.select(col("doc_id").as("id_b"), col("g").as("gb")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        round(size(array_intersect(col("ga"), col("gb"))).cast("double") /
-          size(array_union(col("ga"), col("gb"))).cast("double"), 4).as("jaccard"))
+    Similarity.scoreCandidatesJaccard(cand, docs, "doc_id",
+        // hashed shingle sets: Jaccard-identical to the oracle's string
+        // shingles w.h.p., no per-shingle string materialization
+        sub => sub.select(col("doc_id"), Text.tokens(col("text")).as("_w"))
+          .select(col("doc_id"), Similarity.shingleHashesOf(col("_w"), 3).as("g")))
       .filter(col("jaccard") >= 0.6)
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -254,12 +251,11 @@ object SparkEntry {
     * Hamming breaks the hash. */
   def q21_simhash_neardup(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val key = docs.select(col("doc_id"),
-      md5(to_json(array_sort(array_distinct(split(col("text"), " "))))).as("key"))
-    Similarity.simhashNearDup(docs, "doc_id", "text", 3)
-      .join(key.select(col("doc_id").as("id_a"), col("key").as("ka")), "id_a")
-      .join(key.select(col("doc_id").as("id_b"), col("key").as("kb")), "id_b")
-      .filter(col("ka") === col("kb"))
+    val cand = Similarity.simhashNearDup(docs, "doc_id", "text", 3)
+    Similarity.candidateFeatures(cand, docs, "doc_id",
+        sub => sub.select(col("doc_id"),
+          md5(to_json(array_sort(array_distinct(split(col("text"), " ")))))))
+      .filter(col("__fa") === col("__fb"))
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -510,21 +506,15 @@ object SparkEntry {
     * is.) minShared = 4 measured with 0 misses and margin at sf0.01. */
   def q41_winnow_neardup(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    // normalized text aliased once so the per-gram lambda references an
-    // attribute, not a duplicated regexp (the O(len²) trap — LangId.scala)
-    val g16 = docs.select(col("doc_id"), Text.normalize(col("text")).as("_n"))
-      .select(col("doc_id"),
-        when(length(col("_n")) >= 16,
-          array_distinct(transform(sequence(lit(1), length(col("_n")) - 15),
-            i => col("_n").substr(i, lit(16)))))
-          .otherwise(array()).as("g"))
-    Similarity.winnowNearDup(docs, "doc_id", "text", k = 16, w = 8, minShared = 4)
-      .select("id_a", "id_b")
-      .join(g16.select(col("doc_id").as("id_a"), col("g").as("ga")), "id_a")
-      .join(g16.select(col("doc_id").as("id_b"), col("g").as("gb")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        round(size(array_intersect(col("ga"), col("gb"))).cast("double") /
-          size(array_union(col("ga"), col("gb"))).cast("double"), 4).as("jaccard"))
+    val cand = Similarity.winnowNearDup(docs, "doc_id", "text",
+      k = 16, w = 8, minShared = 4)
+    Similarity.scoreCandidatesJaccard(cand, docs, "doc_id",
+        // native rolling-hash gram sets (graft.plans.CharGramHashes):
+        // Jaccard-identical to the oracle's distinct 16-char substrings
+        // w.h.p., without materializing len(text) substrings per doc
+        sub => sub.select(col("doc_id"),
+          call_function("char_gram_hashes",
+            Text.normalize(col("text")), lit(16)).as("g")))
       .filter(col("jaccard") >= 0.3)
       .orderBy(col("id_a"), col("id_b"))
   }

@@ -34,16 +34,33 @@ object Similarity {
         .otherwise(array(concat_ws(" ", w))))
   }
 
-  /** (id, signature array[64]) — one shuffle: explode shingles, 64 min-aggs.
-    * Permutation j is xxhash64(h0, j) where h0 = xxhash64(shingle): the
-    * variable-length string is hashed ONCE per shingle row and the 64
-    * permutations remix the fixed-width h0 — 64x less string hashing on
-    * the dominant stage. */
+  /** 64-bit hashes of the word k-shingles, from a token-ARRAY attribute —
+    * set-equivalent to [[shingles]] (same distinct/intersect structure
+    * w.h.p.) without materializing any joined shingle string: each position
+    * hashes its k tokens directly. Docs with fewer than k words fall back to
+    * one hash of the space-joined tokens, mirroring shingles()' fallback
+    * (and matching xxhash64-of-string for that case). Pass an ALIASED
+    * attribute for `w`, never an inline tokens expression — the lambda body
+    * references it k times per position, and a non-attribute reference is
+    * re-evaluated on each (the O(len²) HOF trap — LangId.scala). */
+  def shingleHashesOf(w: Column, k: Int): Column =
+    array_distinct(
+      when(size(w) >= k,
+        transform(sequence(lit(0), size(w) - k),
+          i => xxhash64((1 to k).map(j => element_at(w, i + lit(j))): _*)))
+        .otherwise(array(xxhash64(concat_ws(" ", w)))))
+
+  /** (id, signature array[64]) — one shuffle: explode shingle hashes, 64
+    * min-aggs. Permutation j is xxhash64(h0, j) where h0 is the shingle's
+    * hash ([[shingleHashesOf]]): no shingle string is ever materialized —
+    * each position hashes its k tokens directly — and the 64 permutations
+    * remix the fixed-width h0, so the variable-length text is hashed once
+    * per shingle on the dominant stage. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 3): DataFrame = {
     val exploded = docs
-      .select(col(idCol), explode(shingles(col(textCol), k)).as("shingle"))
-      .select(col(idCol), xxhash64(col("shingle")).as("h0"))
+      .select(col(idCol), Text.tokens(col(textCol)).as("_w"))
+      .select(col(idCol), explode(shingleHashesOf(col("_w"), k)).as("h0"))
     val minCols = (0 until MinhashPerms)
       .map(j => min(xxhash64(col("h0"), lit(j))).as(s"h$j"))
     exploded.groupBy(col(idCol))
@@ -74,38 +91,43 @@ object Similarity {
     * signature components). Returns (id_a, id_b, est_jaccard) with
     * id_a < id_b, est_jaccard >= threshold.
     *
-    * Single-shuffle-per-side shape: the signature array rides through the
-    * band explode, so the (band, bh) self-join already carries both
-    * signatures and the estimate is computed in the join projection — the
-    * expensive shingle→64-min-agg stage runs once per side (and the shuffle
-    * for side b reuses side a's exchange), not 3× as a candidates→re-join
-    * design would. Multi-band collisions of a pair are deduped AFTER the
-    * threshold filter, on the small (id_a, id_b, est) rows.
+    * The expensive shingle→64-min-agg signature stage is materialized ONCE
+    * via an eager localCheckpoint and every later reference (band explode,
+    * the two estimate joins) reads the materialized rows. The band explode
+    * carries only (id, band, bh) — measured: carrying the 64×8-byte sig
+    * array through the explode instead makes [[capBuckets]]'s window sort
+    * those heavy rows and costs +1.4 s at sf0.1, and relying on
+    * ReuseExchange to dedup three lazy references is fragile across plan
+    * changes. Multi-band collisions dedup on the small (id_a, id_b) rows
+    * BEFORE the estimate joins, so each candidate pair is scored once.
     *
     * `maxBucket` guards the quadratic bucket join (see [[capBuckets]]);
     * <= 0 disables. */
   def minhashNearDup(docs: DataFrame, idCol: String, textCol: String,
                      threshold: Double, k: Int = 3,
                      maxBucket: Int = 1000): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, textCol, k)
+    val sigs = minhashSignatures(docs, idCol, textCol, k).localCheckpoint()
     val rows = MinhashPerms / MinhashBands
     val bandCols = (0 until MinhashBands).map { b =>
       struct(lit(b).as("band"),
         xxhash64((0 until rows).map(r => col("sig")(b * rows + r)) :+ lit(b): _*).as("bh"))
     }
     val banded = capBuckets(
-      sigs.select(col(idCol), col("sig"), explode(array(bandCols: _*)).as("bs"))
-        .select(col(idCol), col("sig"), col("bs.band").as("band"), col("bs.bh").as("bh")),
+      sigs.select(col(idCol), explode(array(bandCols: _*)).as("bs"))
+        .select(col(idCol), col("bs.band").as("band"), col("bs.bh").as("bh")),
       Seq("band", "bh"), maxBucket)
-    val a = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"), col("band"), col("bh"))
-    val b = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"), col("band"), col("bh"))
-    a.join(b, Seq("band", "bh"))
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("bh"))
+    val b = banded.select(col(idCol).as("id_b"), col("band"), col("bh"))
+    val pairs = a.join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    pairs
+      .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           eq => eq)).cast("double") / lit(MinhashPerms.toDouble), 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .distinct()
   }
 
   // ------------------------------------------------------------- SimHash
@@ -189,8 +211,12 @@ object Similarity {
     * sampled self-join here exists to exercise/benchmark the exact math. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    groupCol: String, n: Int, threshold: Double): DataFrame = {
-    val grams = docs.select(col(idCol), col(groupCol),
-      shingles(col(textCol), n).as("grams"))
+    // hashed gram sets: Jaccard-identical to string shingles w.h.p., ~10×
+    // lighter through the group self-join shuffle
+    val grams = docs
+      .select(col(idCol), col(groupCol), Text.tokens(col(textCol)).as("_w"))
+      .select(col(idCol), col(groupCol),
+        shingleHashesOf(col("_w"), n).as("grams"))
     val a = grams.select(col(idCol).as("id_a"), col(groupCol),
       col("grams").as("grams_a"))
     val b = grams.select(col(idCol).as("id_b"), col(groupCol),
@@ -203,6 +229,49 @@ object Similarity {
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Join each candidate pair with a per-doc feature computed ONLY for the
+    * docs that appear in some pair — the verify stage in its 100 TB shape.
+    * The (small, bounded-by-design) candidate-pair set is materialized once
+    * via an eager localCheckpoint so the sketch pipeline that produced it is
+    * never re-run; its doc ids become a broadcast semi-join filter; and
+    * `features` (the expensive per-doc array/key derivation) runs ONLY on
+    * that filtered subset, never over the full corpus. Without this shape, a
+    * verify join against corpus-wide feature arrays doubles the query
+    * (measured: winnowing verify 3.2 s → 1.8 s at sf0.1).
+    *
+    * `features` maps the candidate-doc subset to a two-column (id, feature)
+    * frame — a function, not a Column, so callers can alias intermediates
+    * (e.g. normalized text) to an attribute once instead of duplicating a
+    * regexp inside a per-element lambda (the O(len²) trap — LangId.scala).
+    * Returns cand's columns plus `__fa`/`__fb`. (localCheckpoint is
+    * executor-local: on a real cluster use a reliable checkpoint dir if
+    * executor loss mid-query matters.) */
+  def candidateFeatures(cand: DataFrame, docs: DataFrame, idCol: String,
+                        features: DataFrame => DataFrame): DataFrame = {
+    val pairs = cand.localCheckpoint()
+    val ids = pairs.select(col("id_a").as(idCol))
+      .union(pairs.select(col("id_b").as(idCol))).distinct()
+    // f is joined twice (id_a side, id_b side): checkpoint it too, or the
+    // corpus parquet scan + broadcast build + feature derivation behind it
+    // run once per side.
+    val f = features(docs.join(broadcast(ids), Seq(idCol), "left_semi"))
+      .localCheckpoint()
+    val Array(fid, fc) = f.columns
+    pairs
+      .join(f.select(col(fid).as("id_a"), col(fc).as("__fa")), "id_a")
+      .join(f.select(col(fid).as("id_b"), col(fc).as("__fb")), "id_b")
+  }
+
+  /** Exact Jaccard over per-doc gram arrays, restricted to candidate pairs
+    * (see [[candidateFeatures]]). Returns (id_a, id_b, jaccard·4dp). */
+  def scoreCandidatesJaccard(cand: DataFrame, docs: DataFrame, idCol: String,
+                             grams: DataFrame => DataFrame): DataFrame =
+    candidateFeatures(cand.select("id_a", "id_b"), docs, idCol, grams)
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("__fa"), col("__fb"))).cast("double") /
+          size(array_union(col("__fa"), col("__fb"))).cast("double"), 4)
+          .as("jaccard"))
 
   /** Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine >= threshold).
     * This brute-force form is the oracle-checkable baseline on a bounded

@@ -31,6 +31,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           w = intLit(children(2), "w"))))
 
     ext.injectFunction((
+      new FunctionIdentifier("char_gram_hashes"),
+      new ExpressionInfo(classOf[CharGramHashes].getName, "char_gram_hashes"),
+      (children: Seq[Expression]) =>
+        CharGramHashes(children(0), k = intLit(children(1), "k"))))
+
+    ext.injectFunction((
       new FunctionIdentifier("media_header"),
       new ExpressionInfo(classOf[MediaHeader].getName, "media_header"),
       (children: Seq[Expression]) => MediaHeader(children.head)))

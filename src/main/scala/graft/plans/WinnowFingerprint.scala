@@ -81,3 +81,62 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Distinct rolling k-char-gram hashes of a string — [[WinnowFingerprint]]'s
+  * gram stage without the winnowing selection. Exact set semantics: two
+  * documents' hash sets intersect exactly where their k-gram sets do (64-bit
+  * rolling hash; collision odds are ~|grams|²/2⁶⁴, immaterial next to the
+  * measured cost of materializing every k-char substring as a string —
+  * building string gram arrays for exact-Jaccard verify was 3.1 s vs
+  * ~0.3 s hashed, sf0.1). Output: SORTED distinct hashes (sort+dedup over a
+  * primitive array, no boxing), empty array for strings shorter than k —
+  * matching the `length(t) >= k` guard oracle SQL uses, so a short doc
+  * pairs with nothing. */
+case class CharGramHashes(child: Expression, k: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(k >= 2, s"need k>=2; got k=$k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_gram_hashes expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_gram_hashes"
+
+  private val Base = 257L
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val nGrams = n - k + 1
+    val hashes = new Array[Long](nGrams)
+    var pow = 1L
+    var i = 1
+    while (i < k) { pow *= Base; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * Base + (bytes(i) & 0xFF); i += 1 }
+    hashes(0) = h
+    i = 1
+    while (i < nGrams) {
+      h = (h - (bytes(i - 1) & 0xFF) * pow) * Base + (bytes(i + k - 1) & 0xFF)
+      hashes(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(hashes)
+    var out = 1
+    i = 1
+    while (i < nGrams) {
+      if (hashes(i) != hashes(i - 1)) { hashes(out) = hashes(i); out += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hashes, out))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
