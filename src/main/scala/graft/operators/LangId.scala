@@ -40,13 +40,23 @@ object LangId {
       .groupBy(identity).map { case ((lang, tg), hits) => (lang, tg, hits.size.toDouble) }
       .toSeq
 
+  /** The same base-257 positional encoding graft.plans.CharGramHashes
+    * computes over UTF-8 bytes — injective for grams of <= 8 bytes, so a
+    * hashed trigram join is exactly equivalent to a string trigram join. */
+  def trigramHash(s: String): Long =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .foldLeft(0L)((h, b) => h * 257L + (b & 0xFF))
+
   /** (idCol, pred_lang, score) — argmax language per document; docs whose
     * trigrams match no profile get pred_lang = 'und'. */
   def predict(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val profile = profileRows.toDF("lang", "tg", "w")
-    // Alias the normalized padded text BEFORE the per-trigram lambda:
+    // join on the injective trigram hash: the exploded doc side carries a
+    // long instead of a per-position 3-char substring allocation
+    val profile = profileRows.map { case (lang, tg, w) => (lang, trigramHash(tg), w) }
+      .toDF("lang", "tgh", "w")
+    // Alias the normalized padded text BEFORE the gram expression:
     // embedding `normalize(text)` as a raw expression at both use sites
     // (length + lambda body) would duplicate the regexp per trigram element
     // (O(len²) per doc — measured 23s vs <1s at sf0.1). As a multi-referenced
@@ -54,10 +64,9 @@ object LangId {
     val prepared = docs.select(col(idCol),
       concat(lit(" "), Text.normalize(col(textCol)), lit(" ")).as("_padded"))
     val scored = prepared
-      .select(col(idCol), explode(
-        transform(sequence(lit(0), length(col("_padded")) - 3),
-          i => col("_padded").substr(i + 1, lit(3)))).as("tg"))
-      .join(broadcast(profile), "tg")
+      .select(col(idCol), explode(call_function("char_gram_hashes",
+        col("_padded"), lit(3), lit(false))).as("tgh"))
+      .join(broadcast(profile), "tgh")
       .groupBy(col(idCol), col("lang"))
       .agg(sum(col("w")).as("score"))
       .groupBy(col(idCol))

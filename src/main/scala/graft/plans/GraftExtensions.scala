@@ -34,7 +34,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("char_gram_hashes"),
       new ExpressionInfo(classOf[CharGramHashes].getName, "char_gram_hashes"),
       (children: Seq[Expression]) =>
-        CharGramHashes(children(0), k = intLit(children(1), "k"))))
+        CharGramHashes(children(0), k = intLit(children(1), "k"),
+          distinct = children.lift(2).forall {
+            case Literal(b: Boolean, _) => b
+            case other => throw new IllegalArgumentException(
+              s"distinct must be a boolean literal, got $other")
+          })))
 
     ext.injectFunction((
       new FunctionIdentifier("media_header"),

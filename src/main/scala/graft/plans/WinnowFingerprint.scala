@@ -82,17 +82,21 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
-/** Distinct rolling k-char-gram hashes of a string — [[WinnowFingerprint]]'s
-  * gram stage without the winnowing selection. Exact set semantics: two
+/** Rolling k-char-gram hashes of a string — [[WinnowFingerprint]]'s gram
+  * stage without the winnowing selection. Exact set semantics: two
   * documents' hash sets intersect exactly where their k-gram sets do (64-bit
-  * rolling hash; collision odds are ~|grams|²/2⁶⁴, immaterial next to the
-  * measured cost of materializing every k-char substring as a string —
-  * building string gram arrays for exact-Jaccard verify was 3.1 s vs
-  * ~0.3 s hashed, sf0.1). Output: SORTED distinct hashes (sort+dedup over a
-  * primitive array, no boxing), empty array for strings shorter than k —
-  * matching the `length(t) >= k` guard oracle SQL uses, so a short doc
-  * pairs with nothing. */
-case class CharGramHashes(child: Expression, k: Int)
+  * rolling hash; collision odds are ~|grams|²/2⁶⁴ for k where grams exceed
+  * 8 bytes, and exactly ZERO for k <= 8 — base-257 over bytes < 257 is an
+  * injective positional encoding there). Immaterial next to the measured
+  * cost of materializing every k-char substring as a string — building
+  * string gram arrays for exact-Jaccard verify was 3.1 s vs ~0.3 s hashed,
+  * sf0.1. With `distinct` (the default): SORTED distinct hashes (sort+dedup
+  * over a primitive array, no boxing). With distinct=false: every gram
+  * occurrence in document order — the multiset, for occurrence-weighted
+  * scoring like n-gram language ID. Either way the array is empty for
+  * strings shorter than k — matching the `length(t) >= k` guard oracle SQL
+  * uses, so a short doc pairs with nothing. */
+case class CharGramHashes(child: Expression, k: Int, distinct: Boolean = true)
   extends UnaryExpression with CodegenFallback {
 
   require(k >= 2, s"need k>=2; got k=$k")
@@ -127,6 +131,7 @@ case class CharGramHashes(child: Expression, k: Int)
       hashes(i) = h
       i += 1
     }
+    if (!distinct) return new GenericArrayData(hashes)
     java.util.Arrays.sort(hashes)
     var out = 1
     i = 1
