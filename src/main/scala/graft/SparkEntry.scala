@@ -383,7 +383,7 @@ object SparkEntry {
       .orderBy(col("query_id"))
   }
 
-  /** As-of join (composed from built-ins, see operators.AsOfJoin): each
+  /** As-of join (sort-merge AsOfJoinExec, see operators.AsOfJoin): each
     * event gets the latest order of the same key at-or-before its
     * timestamp. */
   def q31_asof_join(s: SparkSession, d: String): DataFrame = {
@@ -391,10 +391,10 @@ object SparkEntry {
     val o = orders(s, d)
     graft.operators.AsOfJoin.asOf(
       e, o,
-      leftKey = col("user_id"), rightKey = col("o_custkey"),
-      leftTs = col("ts"), rightTs = col("o_orderdate"),
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTs = "ts", rightTs = "o_orderdate",
       rightCols = Seq("o_orderkey", "o_orderdate"),
-      rightOrd = Seq(col("o_orderdate"), col("o_orderkey")))
+      rightTiebreak = Seq("o_orderkey"))
       .select(col("event_id"), col("user_id"),
         col("o_orderkey").as("last_orderkey"),
         col("o_orderdate").as("last_orderdate"))

@@ -23,11 +23,12 @@ class AsOfJoinSpec extends SparkSpec {
       ("B", ts("2024-01-01 09:59:00"), 50.0)
     ).toDF("qsym", "qt", "price")
 
-    val out = AsOfJoin.asOf(trades, quotes,
-      leftKey = $"sym", rightKey = $"qsym",
-      leftTs = $"t", rightTs = $"qt",
+    val df = AsOfJoin.asOf(trades, quotes,
+      leftKey = "sym", rightKey = "qsym",
+      leftTs = "t", rightTs = "qt",
       rightCols = Seq("qt", "price"),
-      rightOrd = Seq($"qt"))
+      rightTiebreak = Seq("price"))
+    val out = df
       .select($"trade_id", $"price")
       .as[(Long, Option[Double])].collect().toMap
 
@@ -37,15 +38,37 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(4L).isEmpty, "no matching right rows -> NULL payload")
   }
 
-  test("ties on the timestamp break deterministically via rightOrd tiebreak") {
+  test("asOf plans as the sort-merge AsOfJoinExec, not a range join") {
+    val left = Seq((1L, "A", ts("2024-01-01 00:00:10"))).toDF("id", "k", "t")
+    val right = Seq(("A", ts("2024-01-01 00:00:01"), 7L)).toDF("rk", "rt", "pid")
+    val plan = AsOfJoin.asOf(left, right, "k", "rk", "t", "rt",
+      Seq("pid"), Seq("pid")).queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"expected AsOfJoinExec in:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"as-of must not fan out through a generic join:\n$plan")
+  }
+
+  test("ties on the timestamp break deterministically via the tiebreak") {
     val left = Seq((1L, "A", ts("2024-01-01 00:00:10"))).toDF("id", "k", "t")
     val right = Seq(
       ("A", ts("2024-01-01 00:00:01"), 7L),
       ("A", ts("2024-01-01 00:00:01"), 9L)
     ).toDF("rk", "rt", "payload_id")
-    val out = AsOfJoin.asOf(left, right, $"k", $"rk", $"t", $"rt",
-      Seq("payload_id"), Seq($"rt", $"payload_id"))
+    val out = AsOfJoin.asOf(left, right, "k", "rk", "t", "rt",
+      Seq("payload_id"), Seq("payload_id"))
       .select("payload_id").as[Long].collect()
     assert(out.toSeq == Seq(9L), "max tiebreak must pick the larger payload_id")
+  }
+
+  test("right timestamp of a different type is cast without touching payload") {
+    val left = Seq((1L, "A", ts("2024-01-02 00:00:00"))).toDF("id", "k", "t")
+    val right = Seq(("A", java.sql.Date.valueOf("2024-01-01"), 5L))
+      .toDF("rk", "rd", "pid")
+    val df = AsOfJoin.asOf(left, right, "k", "rk", "t", "rd",
+      Seq("rd", "pid"), Seq("pid"))
+    assert(df.schema("rd").dataType == org.apache.spark.sql.types.DateType,
+      "payload column must keep its original type")
+    val out = df.select("pid").as[Option[Long]].collect()
+    assert(out.toSeq == Seq(Some(5L)))
   }
 }

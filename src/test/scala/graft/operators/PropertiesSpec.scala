@@ -103,8 +103,8 @@ class PropertiesSpec extends SparkSpec {
       val right = rightRows.zipWithIndex
         .map { case ((k, t, p), i) => (k, new java.sql.Timestamp(t * 1000), i.toLong) }
         .toDF("rk", "rts", "pid")
-      val viaOp = AsOfJoin.asOf(left, right, $"k", $"rk", $"lts", $"rts",
-          Seq("pid"), Seq($"rts", $"pid"))
+      val viaOp = AsOfJoin.asOf(left, right, "k", "rk", "lts", "rts",
+          Seq("pid"), Seq("pid"))
         .select("lid", "pid").as[(Long, Option[Long])].collect().toMap
       // reference formulation: row_number over the range join
       import org.apache.spark.sql.expressions.Window
