@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Multimodal, Similarity, Upsert}
-import graft.functions.{Text, Vectors}
+import graft.functions.{MoneyMode, Text, Vectors}
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -34,15 +35,41 @@ object SparkEntry {
     * ref: per-day metric aggregation fetch_youtube_data.py:29-35 +
     * uniqueness counts shopify_etl.py:592-618. */
   def q01_pricing_summary(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
-      .groupBy(col("l_returnflag"), col("l_linestatus"))
-      .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        count(lit(1)).as("count_order"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
+    pricingSummary(lineitem(s, d), MoneyMode.Dbl)
+
+  /** The same pricing summary under either money policy (functions.Money):
+    * Dbl is the reference-parity shape (rounded floating aggregates, avg);
+    * Dec casts money to DECIMAL(18,2) and aggregates exactly — no rounding
+    * anywhere, results at Spark's derived decimal widths, no avg (decimal
+    * division scale/rounding is engine-specific and would reintroduce an
+    * engine-dependent step into the exact mode). */
+  def pricingSummary(li: DataFrame, mode: MoneyMode): DataFrame = {
+    val qty = mode.cast(col("l_quantity"))
+    val price = mode.cast(col("l_extendedprice"))
+    val disc = mode.cast(col("l_discount"))
+    val grouped = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+    val sorted = mode match {
+      case MoneyMode.Dbl =>
+        grouped.agg(
+          round(sum(qty), 2).as("sum_qty"),
+          round(sum(price), 2).as("sum_base_price"),
+          round(sum(price * (lit(1.0) - disc)), 2).as("sum_disc_price"),
+          round(avg(qty), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+      case MoneyMode.Dec =>
+        grouped.agg(
+          sum(qty).cast(DecimalType(38, 2)).as("sum_qty"),
+          sum(price).cast(DecimalType(38, 2)).as("sum_base_price"),
+          sum(price * (mode.cast(lit(1)) - disc)).cast(DecimalType(38, 4)).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }
+    sorted.orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** DECIMAL money mode of q01 — exact fixed-point aggregation, gated by
+    * its own oracle running the identical decimal arithmetic in DuckDB. */
+  def q42_pricing_summary_dec(s: SparkSession, d: String): DataFrame =
+    pricingSummary(lineitem(s, d), MoneyMode.Dec)
 
   /** O1 top-1 by timestamp (checkpoint read, ref shopify_etl.py:174-180).
     * Catalyst plans TakeOrderedAndProject — no full sort at scale. */
@@ -563,6 +590,7 @@ object SparkEntry {
     "q39_edit_distance"     -> (q39_edit_distance _),
     "q40_stratified_sample" -> (q40_stratified_sample _),
     "q41_winnow_neardup"    -> (q41_winnow_neardup _),
+    "q42_pricing_summary_dec" -> (q42_pricing_summary_dec _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -905,6 +933,16 @@ object SparkEntry {
                        JOIN sz sb ON sb.doc_id = pr.id_b)
          SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.3
          ORDER BY id_a, id_b""",
+    "q42_pricing_summary_dec" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+              AS DECIMAL(38,4)) AS sum_disc_price,
+         count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
   )
 
   /** The LangId trigram profile rendered as SQL VALUES rows — the oracle
