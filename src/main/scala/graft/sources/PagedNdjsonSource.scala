@@ -10,12 +10,12 @@ import org.apache.spark.sql.types.StructType
   * source, an optional record cap (test mode), and first-wins dedup across
   * pages.
   *
-  * The HTTP plumbing (cursor pagination via Link headers, 429 Retry-After,
-  * exponential backoff — ref :294-331,436-449) is connector-level I/O with
-  * no relational analog; here pages are files, which is also how such a
-  * connector lands data for Spark at scale (fetcher writes pages, Spark
-  * reads them — the scan itself must never be single-threaded through a
-  * driver HTTP loop).
+  * The live HTTP plumbing (cursor pagination via Link headers, 429
+  * Retry-After, exponential backoff — ref :294-331,436-449) is the
+  * [[graft.sources.http.HttpPagedProvider]] `graft-http` connector; here
+  * pages are files, which is how a fetch-then-load deployment lands data
+  * for Spark at scale (fetcher writes pages, Spark reads them — the scan
+  * itself must never be single-threaded through a driver HTTP loop).
   *
   * Scale notes: the page-order column comes from the file name via
   * input_file_name-free metadata (`_metadata.file_name` is stable), the

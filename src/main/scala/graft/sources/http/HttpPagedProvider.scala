@@ -1,0 +1,246 @@
+package graft.sources.http
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+import java.util.regex.Pattern
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.Retry
+
+/** DataSource V2 connector for paginated JSON-over-HTTP APIs — the actual
+  * connector plumbing of the reference's REST scan (ref
+  * shopify-etl/shopify_etl.py:271-461): live GETs, cursor pagination via the
+  * `Link: <...>; rel="next"` header (ref :294-331), HTTP 429 handling with
+  * server-directed Retry-After waits and exponential backoff on transport
+  * errors (ref :312-327, via [[graft.sources.Retry]]), a per-request rate
+  * floor, and pass-through query params (`param.updated_at_min=...` is the
+  * reference's pushed incremental predicate, ref :274-276).
+  *
+  * Usage:
+  * {{{
+  *   spark.read.format("graft-http")
+  *     .option("url", "https://host/admin/orders.json")
+  *     .option("mode", "pages")            // or "cursor"
+  *     .option("recordsField", "orders")   // array field; "" = root array
+  *     .option("limit", "250")
+  *     .option("partitions", "8")          // pages mode fan-out
+  *     .option("param.updated_at_min", "2024-01-01T00:00:00Z")
+  *     .load()                             // => (value STRING, _page INT)
+  * }}}
+  *
+  * Rows surface each record as its compact JSON text (`value`) plus the
+  * page it arrived on — parse with `from_json` and a schema, then hand to
+  * the Flatten projections. Keeping the connector schema fixed leaves all
+  * relational work (casts, pruning, predicates) in Catalyst.
+  *
+  * Scale shape: `pages` mode assigns page numbers to `partitions` readers
+  * by stride (reader i fetches pages i, i+P, i+2P, ... and stops at the
+  * first empty page), so fetching fans out across executors with no
+  * coordination and no driver HTTP loop. `cursor` mode is inherently
+  * sequential — each next-URL is only learned from the previous response —
+  * so it runs as ONE input partition; it exists for APIs that offer nothing
+  * else, and the strided mode is the scale path. Incremental loads at scale
+  * come from the pushed `param.*` predicate (the reference's
+  * updated_at_min), checkpointed by the existing pipeline — not from
+  * replaying cursors. */
+class HttpPagedProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-http"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    HttpPagedProvider.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new HttpTable(HttpConf(new CaseInsensitiveStringMap(properties)))
+}
+
+object HttpPagedProvider {
+  val Schema: StructType = StructType(Seq(
+    StructField("value", StringType, nullable = false),
+    StructField("_page", IntegerType, nullable = false)))
+}
+
+/** Everything a reader needs, serializable to executors. */
+case class HttpConf(
+    url: String, mode: String, recordsField: String, limit: Int,
+    partitions: Int, maxRetries: Int, baseDelayMs: Long,
+    minIntervalMs: Long, params: Seq[(String, String)]) {
+  require(mode == "pages" || mode == "cursor", s"mode must be pages|cursor, got $mode")
+
+  def pageUrl(page: Int): String =
+    withParams(params ++ Seq("limit" -> limit.toString, "page" -> page.toString))
+  def firstCursorUrl: String =
+    withParams(params ++ Seq("limit" -> limit.toString))
+  private def withParams(ps: Seq[(String, String)]): String = {
+    val sep = if (url.contains("?")) "&" else "?"
+    if (ps.isEmpty) url
+    else url + sep + ps.map { case (k, v) =>
+      java.net.URLEncoder.encode(k, "UTF-8") + "=" + java.net.URLEncoder.encode(v, "UTF-8")
+    }.mkString("&")
+  }
+}
+
+object HttpConf {
+  def apply(o: CaseInsensitiveStringMap): HttpConf = HttpConf(
+    url = Option(o.get("url")).getOrElse(
+      throw new IllegalArgumentException("graft-http requires option 'url'")),
+    mode = o.getOrDefault("mode", "pages"),
+    recordsField = o.getOrDefault("recordsField", ""),
+    limit = o.getInt("limit", 250),
+    partitions = o.getInt("partitions", 4),
+    maxRetries = o.getInt("maxRetries", 5),
+    baseDelayMs = o.getLong("baseDelayMs", 3000L),
+    minIntervalMs = o.getLong("minIntervalMs", 0L),
+    params = o.asCaseSensitiveMap().asScala.toSeq.collect {
+      case (k, v) if k.startsWith("param.") => (k.stripPrefix("param."), v)
+    }.sortBy(_._1))
+}
+
+class HttpTable(conf: HttpConf) extends Table with SupportsRead {
+  override def name(): String = s"graft-http(${conf.url})"
+  override def schema(): StructType = HttpPagedProvider.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = HttpPagedProvider.Schema
+        override def toBatch: Batch = new HttpBatch(conf)
+      }
+    }
+}
+
+class HttpBatch(conf: HttpConf) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] =
+    if (conf.mode == "cursor") Array(CursorPartition())
+    else (0 until conf.partitions).map(i => PageStridePartition(i + 1, conf.partitions)).toArray
+  override def createReaderFactory(): PartitionReaderFactory = new HttpReaderFactory(conf)
+}
+
+case class PageStridePartition(startPage: Int, stride: Int) extends InputPartition
+case class CursorPartition() extends InputPartition
+
+class HttpReaderFactory(conf: HttpConf) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case PageStridePartition(start, stride) => new PagesReader(conf, start, stride)
+      case CursorPartition()                  => new CursorReader(conf)
+    }
+}
+
+/** Shared fetch machinery: one HTTP GET with retry/backoff/429 handling and
+  * the rate floor, plus record extraction from the JSON body. */
+abstract class HttpReaderBase(conf: HttpConf) extends PartitionReader[InternalRow] {
+  private val mapper = new ObjectMapper
+  private var lastFetchAt = 0L
+  private var buffered: Iterator[InternalRow] = Iterator.empty
+  private var current: InternalRow = _
+
+  /** (body, Link-header next URL if any); null body = exhausted. */
+  protected def fetch(url: String): (String, Option[String]) =
+    Retry.withRetries(conf.maxRetries, conf.baseDelayMs) { () =>
+      val wait = lastFetchAt + conf.minIntervalMs - System.currentTimeMillis()
+      if (wait > 0) Thread.sleep(wait)
+      lastFetchAt = System.currentTimeMillis()
+      val conn = new URI(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("GET")
+      conn.setConnectTimeout(30000)
+      conn.setReadTimeout(60000)
+      val code = conn.getResponseCode
+      if (code == 429) {
+        val after = Option(conn.getHeaderField("Retry-After")).map(_.trim.toLong).getOrElse(60L)
+        conn.disconnect()
+        throw Retry.RateLimited(after) // ref :312-316 — server-directed wait
+      }
+      if (code != 200) {
+        conn.disconnect()
+        throw new RuntimeException(s"HTTP $code from $url")
+      }
+      val body = new String(conn.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+      val next = Option(conn.getHeaderField("Link")).flatMap { link =>
+        // the reference's Link-header regex (ref :294-302)
+        val m = HttpReaderBase.NextLink.matcher(link)
+        if (m.find()) Some(m.group(1)) else None
+      }
+      conn.disconnect()
+      (body, next)
+    }
+
+  /** Compact JSON text of each record in the body. */
+  protected def records(body: String): Seq[String] = {
+    val root = mapper.readTree(body)
+    val arr = if (conf.recordsField.isEmpty) root else root.path(conf.recordsField)
+    if (!arr.isArray)
+      throw new IllegalStateException(
+        s"expected JSON array${if (conf.recordsField.nonEmpty) s" at field '${conf.recordsField}'" else ""}")
+    arr.elements().asScala.map(_.toString).toSeq
+  }
+
+  protected def row(json: String, page: Int): InternalRow =
+    new GenericInternalRow(Array[Any](UTF8String.fromString(json), page))
+
+  /** Next chunk of rows; null when the source is exhausted. An EMPTY
+    * iterator is not exhaustion — a cursor page may be empty yet still
+    * carry a next link. */
+  protected def nextChunk(): Iterator[InternalRow]
+
+  override def next(): Boolean = {
+    while (!buffered.hasNext) {
+      val chunk = nextChunk()
+      if (chunk == null) return false
+      buffered = chunk
+    }
+    current = buffered.next()
+    true
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+object HttpReaderBase {
+  private[http] val NextLink = Pattern.compile("""<([^>]+)>\s*;\s*rel="next"""")
+}
+
+/** Strided page-number reader: pages start, start+stride, ... until the
+  * first empty page (the standard beyond-last-page contract). */
+class PagesReader(conf: HttpConf, start: Int, stride: Int)
+  extends HttpReaderBase(conf) {
+  private var page = start
+  private var done = false
+  override protected def nextChunk(): Iterator[InternalRow] = {
+    if (done) return null
+    val (body, _) = fetch(conf.pageUrl(page))
+    val recs = records(body)
+    if (recs.isEmpty) { done = true; null } // empty page = beyond last page
+    else {
+      val p = page
+      page += stride
+      recs.iterator.map(row(_, p))
+    }
+  }
+}
+
+/** Sequential Link-header cursor walk (single partition by construction). */
+class CursorReader(conf: HttpConf) extends HttpReaderBase(conf) {
+  private var nextUrl: Option[String] = Some(conf.firstCursorUrl)
+  private var page = 0
+  override protected def nextChunk(): Iterator[InternalRow] = nextUrl match {
+    case None => null
+    case Some(u) =>
+      val (body, next) = fetch(u)
+      nextUrl = next
+      page += 1
+      val p = page
+      records(body).iterator.map(row(_, p))
+  }
+}
