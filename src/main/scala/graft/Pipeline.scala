@@ -35,14 +35,48 @@ class Pipeline(spark: SparkSession, warehouse: String) {
               runId: String = java.util.UUID.randomUUID().toString): Map[String, Long] = {
     val startTs: Option[Timestamp] =
       if (forceFullLoad) None else control.lastSyncWithBuffer("orders")
-    try {
-      // S1/P5: paged scan; the incremental predicate is applied inside the
-      // source (below the arrival-order projection) so it pushes to the scan
-      val raw = startTs match {
+    // S1/P5: paged scan; the incremental predicate is applied inside the
+    // source (below the arrival-order projection) so it pushes to the scan
+    runBatch(runId) {
+      startTs match {
         case Some(ts) => PagedNdjsonSource.readIncremental(
           spark, pagesDir, Schemas.rawOrder, "updated_at", ts)
         case None     => PagedNdjsonSource.read(spark, pagesDir, Schemas.rawOrder)
       }
+    }
+  }
+
+  /** One incremental run against a LIVE paginated HTTP endpoint via the
+    * graft-http connector — the reference's actual fetch loop (ref
+    * :620-707 over :271-461): the control-table checkpoint becomes the
+    * pushed `updated_at_min` query param exactly as the reference's REST
+    * call, and the same client-side predicate is applied defensively so
+    * correctness never depends on the server honoring the param. */
+  def executeHttp(url: String, httpOptions: Map[String, String] = Map.empty,
+                  forceFullLoad: Boolean = false,
+                  runId: String = java.util.UUID.randomUUID().toString): Map[String, Long] = {
+    val startTs: Option[Timestamp] =
+      if (forceFullLoad) None else control.lastSyncWithBuffer("orders")
+    runBatch(runId) {
+      val base = spark.read.format("graft-http").option("url", url)
+      val withOpts = httpOptions.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }
+      val withInc = startTs.fold(withOpts)(ts =>
+        withOpts.option("param.updated_at_min", ts.toInstant.toString))
+      val rows = withInc.load()
+        .select(from_json(col("value"), Schemas.rawOrder).as("_r"),
+          struct(col("_page").as("f"), monotonically_increasing_id().as("r"))
+            .as("_arrival_order"))
+        .select(col("_r.*") +: Seq(col("_arrival_order")): _*)
+      startTs.fold(rows)(ts => rows.filter(to_timestamp(col("updated_at")) >= lit(ts)))
+    }
+  }
+
+  /** The shared batch lifecycle (steps 2-7 of the class doc) over whatever
+    * raw source `mkRaw` provides — rows shaped like Schemas.rawOrder plus
+    * an orderable `_arrival_order` column. */
+  private def runBatch(runId: String)(mkRaw: => DataFrame): Map[String, Long] = {
+    try {
+      val raw = mkRaw
       // A1: first-wins dedup across pages in arrival order (ref :339-347)
       val deduped = Dedup.firstWins(raw, Seq("id"), "_arrival_order")
         .drop("_page_file", "_arrival_order")
