@@ -50,14 +50,24 @@ object Similarity {
           i => xxhash64((1 to k).map(j => element_at(w, i + lit(j))): _*)))
         .otherwise(array(xxhash64(concat_ws(" ", w)))))
 
-  /** (id, signature array[64]) — one shuffle: explode shingle hashes, 64
-    * min-aggs. Permutation j is xxhash64(h0, j) where h0 is the shingle's
-    * hash ([[shingleHashesOf]]): no shingle string is ever materialized —
-    * each position hashes its k tokens directly — and the 64 permutations
-    * remix the fixed-width h0, so the variable-length text is hashed once
-    * per shingle on the dominant stage. */
+  /** (id, signature array[64]) — ZERO shuffles: the one-pass native
+    * [[graft.plans.MinhashSig]] expression computes all 64 permutation
+    * minima inside the scan projection. Permutation j is xxhash64(h0, j)
+    * where h0 is the shingle's hash (hash-combined from its k tokens, no
+    * shingle string ever materialized) — value-identical to exploding
+    * [[shingleHashesOf]] into 64 min aggregates (see the SimilaritySpec
+    * equivalence property), without moving ~len(doc) rows per document
+    * through an aggregation. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int = 3): DataFrame = {
+                        k: Int = 3): DataFrame =
+    docs.select(col(idCol),
+      call_function("minhash_sig",
+        Text.tokens(col(textCol)), lit(k), lit(MinhashPerms)).as("sig"))
+
+  /** The explode → 64-min-aggs formulation of [[minhashSignatures]], kept
+    * as the cross-check reference for the equivalence property test. */
+  private[graft] def minhashSignaturesExploded(docs: DataFrame, idCol: String,
+                                               textCol: String, k: Int): DataFrame = {
     val exploded = docs
       .select(col(idCol), Text.tokens(col(textCol)).as("_w"))
       .select(col(idCol), explode(shingleHashesOf(col("_w"), k)).as("h0"))
@@ -132,9 +142,19 @@ object Similarity {
 
   // ------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash of the word set: per word-hash bit, vote ±1; sign of the
-    * vote sum is the sketch bit. One explode + one groupBy. */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** 64-bit SimHash of the word set: per distinct-word-hash bit, vote ±1;
+    * sign of the vote sum is the sketch bit. ZERO shuffles — the one-pass
+    * native [[graft.plans.Simhash64]] expression votes inside the scan
+    * projection; value-identical to the explode → 64 bit-vote sums
+    * formulation (SimilaritySpec equivalence property). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      call_function("simhash64", Text.tokens(col(textCol))).as("simhash"))
+
+  /** The explode → bit-vote-aggregation formulation of [[simhash]], kept as
+    * the cross-check reference for the equivalence property test. */
+  private[graft] def simhashExploded(docs: DataFrame, idCol: String,
+                                     textCol: String): DataFrame = {
     val words = docs.select(col(idCol),
       explode(array_distinct(Text.tokens(col(textCol)))).as("w"))
       .withColumn("h", xxhash64(col("w")))

@@ -44,6 +44,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           })))
 
     ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) =>
+        MinhashSig(children(0),
+          k = intLit(children(1), "k"),
+          perms = intLit(children(2), "perms"))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[Simhash64].getName, "simhash64"),
+      (children: Seq[Expression]) => Simhash64(children.head)))
+
+    ext.injectFunction((
       new FunctionIdentifier("media_header"),
       new ExpressionInfo(classOf[MediaHeader].getName, "media_header"),
       (children: Seq[Expression]) => MediaHeader(children.head)))

@@ -91,6 +91,35 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  // random docs: 1-9 words drawn from a tiny vocabulary (forces shared
+  // shingles, duplicate words, and the fewer-than-k-tokens fallback path)
+  private val docsGen: Gen[List[String]] = Gen.listOfN(8,
+    Gen.choose(1, 9).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("fox", "dog", "the", "runs", "spark", "a"))
+        .map(_.mkString(" "))))
+
+  test("property: one-pass minhash_sig equals the exploded 64-min-agg formulation") {
+    check(forAll(docsGen) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val native = Similarity.minhashSignatures(df, "doc_id", "text", 3)
+        .as[(Long, Seq[Long])].collect().toMap
+      val exploded = Similarity.minhashSignaturesExploded(df, "doc_id", "text", 3)
+        .as[(Long, Seq[Long])].collect().toMap
+      native == exploded
+    })
+  }
+
+  test("property: one-pass simhash64 equals the exploded bit-vote formulation") {
+    check(forAll(docsGen) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val native = Similarity.simhash(df, "doc_id", "text")
+        .as[(Long, Long)].collect().toMap
+      val exploded = Similarity.simhashExploded(df, "doc_id", "text")
+        .as[(Long, Long)].collect().toMap
+      native == exploded
+    })
+  }
+
   test("property: asOf join equals the window row_number formulation") {
     val gen = for {
       left  <- Gen.listOfN(15, Gen.zip(Gen.choose(0, 4), Gen.choose(0L, 100L)))
