@@ -454,18 +454,21 @@ object SparkEntry {
 
   /** Top-3 terms per source: explode + groupBy + deterministic per-group
     * top-k — the term-frequency profile op of a text pipeline. */
-  def q35_top_terms(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("cnt").desc, col("word"))
+  /** Top-3 terms per source via the bounded TopKTermsAggregator — `source`
+    * has ~5 values, so a window partitioned by it would funnel each
+    * source's ENTIRE term list through one task at corpus scale; the
+    * aggregator keeps O(k) map-side state instead and shuffles k rows per
+    * group. Same (cnt desc, word asc) order as the window formulation. */
+  def q35_top_terms(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("source"), explode(split(col("text"), " ")).as("word"))
       .groupBy(col("source"), col("word"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select(col("source"), col("word"), col("cnt"))
+      .groupBy(col("source"))
+      .agg(graft.functions.TopK.topTerms(3)(col("word"), col("cnt")).as("tk"))
+      .select(col("source"), explode(col("tk")).as("ts"))
+      .select(col("source"), col("ts._1").as("word"), col("ts._2").as("cnt"))
       .orderBy(col("source"), col("word"))
-  }
 
   /** Numeric histogram: fixed-width binning of order totals. */
   def q36_histogram(s: SparkSession, d: String): DataFrame =

@@ -43,6 +43,35 @@ class TopKAggregator(k: Int)
   override def outputEncoder: Encoder[Seq[(Long, Double)]] = ExpressionEncoder()
 }
 
+/** [[TopKAggregator]] for string-keyed counts: at most k (term, cnt) pairs
+  * ordered by (cnt desc, term asc) — the bounded replacement for
+  * `row_number() OVER (PARTITION BY g ORDER BY cnt DESC, term)` when the
+  * partition key has low cardinality and a window would funnel each
+  * group's full term list through one task. */
+class TopKTermsAggregator(k: Int)
+  extends Aggregator[(String, Long), Seq[(String, Long)], Seq[(String, Long)]] {
+
+  private def better(a: (String, Long), b: (String, Long)): Boolean =
+    a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+
+  private def insert(buf: Seq[(String, Long)], x: (String, Long)): Seq[(String, Long)] = {
+    if (buf.size == k && !better(x, buf.last)) buf
+    else {
+      val (pre, post) = buf.span(better(_, x))
+      (pre :+ x) ++ post.take(k - pre.size - 1)
+    }
+  }
+
+  override def zero: Seq[(String, Long)] = Seq.empty
+  override def reduce(buf: Seq[(String, Long)], in: (String, Long)): Seq[(String, Long)] =
+    insert(buf, in)
+  override def merge(a: Seq[(String, Long)], b: Seq[(String, Long)]): Seq[(String, Long)] =
+    b.foldLeft(a)(insert)
+  override def finish(buf: Seq[(String, Long)]): Seq[(String, Long)] = buf
+  override def bufferEncoder: Encoder[Seq[(String, Long)]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[(String, Long)]] = ExpressionEncoder()
+}
+
 object TopK {
   /** Untyped column form: `topK(5)(col("id"), col("score"))` → array of
     * struct<_1: id, _2: score> ordered by (score desc, id asc). */
@@ -50,5 +79,13 @@ object TopK {
     val fn = udaf(new TopKAggregator(k),
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
     (id, score) => fn(id, score)
+  }
+
+  /** `topTerms(3)(col("term"), col("cnt"))` → array of struct<_1: term,
+    * _2: cnt> ordered by (cnt desc, term asc). */
+  def topTerms(k: Int): (Column, Column) => Column = {
+    val fn = udaf(new TopKTermsAggregator(k),
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+    (term, cnt) => fn(term, cnt)
   }
 }

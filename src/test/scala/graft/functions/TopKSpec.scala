@@ -18,6 +18,18 @@ class TopKSpec extends SparkSpec {
     assert(out(2L) == Seq((20L, 0.5)))
   }
 
+  test("topTerms equals the window row_number formulation") {
+    val df = Seq(
+      ("a", "x", 5L), ("a", "y", 5L), ("a", "z", 9L), ("a", "w", 1L),
+      ("b", "x", 2L)
+    ).toDF("g", "term", "cnt")
+    val out = df.groupBy($"g").agg(TopK.topTerms(2)($"term", $"cnt").as("tk"))
+      .select($"g", $"tk").as[(String, Seq[(String, Long)])].collect().toMap
+    // (cnt desc, term asc): z(9) first, then the 5-tie broken x before y
+    assert(out("a") == Seq(("z", 9L), ("x", 5L)))
+    assert(out("b") == Seq(("x", 2L)))
+  }
+
   test("aggregator merge respects bound and order across partitions") {
     val big = spark.range(0, 10000).select(
       (col("id") % 7).as("g"), col("id").as("id"),
