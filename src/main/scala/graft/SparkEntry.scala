@@ -71,6 +71,29 @@ object SparkEntry {
   def q42_pricing_summary_dec(s: SparkSession, d: String): DataFrame =
     pricingSummary(lineitem(s, d), MoneyMode.Dec)
 
+  /** Sketch-based distinct counting (HyperLogLog++), hash-gated through a
+    * tolerance formulation the oracle CAN check exactly: the query emits
+    * the exact distinct count plus a boolean `within_2pct` comparing the
+    * sketch estimate against it — DuckDB asserts the same exact count and
+    * a literal TRUE, so an estimator drifting out of tolerance breaks the
+    * hash. rsd=0.5% keeps 2% at ~4 sigma. */
+  def q43_approx_distinct(s: SparkSession, d: String): DataFrame =
+    orders(s, d).agg(
+      countDistinct(col("o_custkey")).as("exact_custs"),
+      (abs(approx_count_distinct(col("o_custkey"), 0.005).cast("double") -
+          countDistinct(col("o_custkey")).cast("double")) /
+        countDistinct(col("o_custkey")).cast("double") <= 0.02).as("within_2pct"))
+
+  /** Pivot (long→wide conditional aggregation): revenue per priority ×
+    * order status. Status values are pinned explicitly — the two-arg
+    * pivot needs no driver-side distinct scan, the scale-correct form. */
+  def q44_pivot(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum(col("o_totalprice")), 2))
+      .orderBy(col("o_orderpriority"))
+
   /** O1 top-1 by timestamp (checkpoint read, ref shopify_etl.py:174-180).
     * Catalyst plans TakeOrderedAndProject — no full sort at scale. */
   def q02_latest_event(s: SparkSession, d: String): DataFrame =
@@ -594,6 +617,8 @@ object SparkEntry {
     "q40_stratified_sample" -> (q40_stratified_sample _),
     "q41_winnow_neardup"    -> (q41_winnow_neardup _),
     "q42_pricing_summary_dec" -> (q42_pricing_summary_dec _),
+    "q43_approx_distinct"   -> (q43_approx_distinct _),
+    "q44_pivot"             -> (q44_pivot _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -946,6 +971,16 @@ object SparkEntry {
          count(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+    "q43_approx_distinct" ->
+      """SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+         TRUE AS within_2pct
+         FROM orders""",
+    "q44_pivot" ->
+      """SELECT o_orderpriority,
+         round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
+         round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
+         round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
   )
 
   /** The LangId trigram profile rendered as SQL VALUES rows — the oracle

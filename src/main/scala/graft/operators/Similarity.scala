@@ -113,17 +113,23 @@ object Similarity {
     *
     * `maxBucket` guards the quadratic bucket join (see [[capBuckets]]);
     * <= 0 disables. */
+  /** array<struct<band,bh>> of LSH band hashes over a signature column —
+    * the bucket keys of the banded candidate join, shared by the batch
+    * near-dup and the streaming bucket-store filter. */
+  def bandHashes(sig: Column): Column = {
+    val rows = MinhashPerms / MinhashBands
+    array((0 until MinhashBands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((0 until rows).map(r => sig(b * rows + r)) :+ lit(b): _*).as("bh"))
+    }: _*)
+  }
+
   def minhashNearDup(docs: DataFrame, idCol: String, textCol: String,
                      threshold: Double, k: Int = 3,
                      maxBucket: Int = 1000): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, textCol, k).localCheckpoint()
-    val rows = MinhashPerms / MinhashBands
-    val bandCols = (0 until MinhashBands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64((0 until rows).map(r => col("sig")(b * rows + r)) :+ lit(b): _*).as("bh"))
-    }
     val banded = capBuckets(
-      sigs.select(col(idCol), explode(array(bandCols: _*)).as("bs"))
+      sigs.select(col(idCol), explode(bandHashes(col("sig"))).as("bs"))
         .select(col(idCol), col("bs.band").as("band"), col("bs.bh").as("bh")),
       Seq("band", "bh"), maxBucket)
     val a = banded.select(col(idCol).as("id_a"), col("band"), col("bh"))

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.functions.Text
+import graft.operators.Similarity
+
+/** Streaming deduplication for a document ingest pipeline — the dedup
+  * family (exact + MinHash near-dup) as it runs on an unbounded stream.
+  *
+  * Exact dedup is a true streaming operator: fingerprint of the normalized
+  * text, `dropDuplicatesWithinWatermark` so state stays watermark-bounded.
+  *
+  * Near-dup dedup is a foreachBatch stage over a persistent BUCKET STORE
+  * (parquet dir of claimed LSH band buckets): a batch doc whose band
+  * buckets intersect the store collides with some earlier-accepted doc and
+  * is dropped; survivors claim their buckets by appending them. This is
+  * deliberately NOT a chained stateful operator — a doc's verdict needs all
+  * 16 of its bucket lookups combined, which crosses mapGroupsWithState key
+  * boundaries; the store-join formulation keeps each micro-batch one
+  * ordinary distributed join against bucket state that lives WITH the data
+  * (scales by partitioning the store, survives restarts for free, and is
+  * exactly how the batch near-dup would incrementalize at 100 TB).
+  * First-wins semantics match the batch operator: within a batch the
+  * smallest colliding id is accepted.
+  */
+object StreamingDedup {
+
+  /** Exact near-real-time dedup: documents whose normalized text already
+    * arrived within the watermark window are dropped; state is bounded. */
+  def exactDedupStream(docs: DataFrame, textCol: String,
+                       tsCol: String, watermark: String): DataFrame =
+    docs
+      .withColumn("_fp", xxhash64(Text.normalize(col(textCol))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("_fp")
+      .drop("_fp")
+
+  /** MinHash near-dup filter against a persistent bucket store. Returns
+    * the accepted (novel) docs of `batch` and appends their band buckets
+    * to `bucketDir`. Usable directly on static batches or inside a
+    * streaming foreachBatch ([[nearDupStream]]). */
+  def nearDupBatchFilter(spark: SparkSession, bucketDir: String,
+                         batch: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3): DataFrame = {
+    val sigs = Similarity.minhashSignatures(batch, idCol, textCol, k)
+    val bands = sigs
+      .select(col(idCol), explode(Similarity.bandHashes(col("sig"))).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.bh").as("bh"))
+      .localCheckpoint() // referenced three times below; sigs computed once
+    val fs = new Path(bucketDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val seen: Option[DataFrame] =
+      if (fs.exists(new Path(bucketDir))) Some(spark.read.parquet(bucketDir))
+      else None
+
+    // collides with an earlier-accepted doc's bucket -> drop
+    val dupHistory = seen.map(s =>
+        bands.join(s, Seq("band", "bh"), "left_semi").select(col(idCol)).distinct())
+      .getOrElse(bands.select(col(idCol)).limit(0))
+    // within-batch collision: smallest id wins (batch first-wins)
+    val a = bands.select(col(idCol).as("_ida"), col("band"), col("bh"))
+    val b = bands.select(col(idCol).as("_idb"), col("band"), col("bh"))
+    val dupIntra = a.join(b, Seq("band", "bh"))
+      .filter(col("_ida") < col("_idb"))
+      .select(col("_idb").as(idCol)).distinct()
+
+    val dropped = dupHistory.union(dupIntra).distinct()
+    val accepted = batch.join(dropped, Seq(idCol), "left_anti")
+
+    // survivors claim their buckets (append is idempotent w.r.t. lookups:
+    // duplicate bucket rows only add lookup hits, never change verdicts)
+    bands.join(dropped, Seq(idCol), "left_anti")
+      .select(col("band"), col("bh"))
+      .write.mode(SaveMode.Append).parquet(bucketDir)
+    accepted
+  }
+
+  /** Streaming wiring: per micro-batch, near-dup-filter against the bucket
+    * store and append accepted docs to `outDir`. */
+  def nearDupStream(spark: SparkSession, docsStream: DataFrame,
+                    idCol: String, textCol: String,
+                    bucketDir: String, outDir: String, checkpoint: String,
+                    availableNow: Boolean = true): StreamingQuery = {
+    val writer = docsStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          nearDupBatchFilter(spark, bucketDir, batch, idCol, textCol)
+            .write.mode(SaveMode.Append).parquet(outDir)
+        }
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+}
