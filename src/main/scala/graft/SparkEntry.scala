@@ -84,6 +84,30 @@ object SparkEntry {
           countDistinct(col("o_custkey")).cast("double")) /
         countDistinct(col("o_custkey")).cast("double") <= 0.02).as("within_2pct"))
 
+  /** Int8 embedding quantization (functions.Vectors): per-vector symmetric
+    * scale, round-to-int codes, reconstruction-error stats. The oracle
+    * replays the whole quantize→dequantize→error pipeline in SQL, so the
+    * scale math, rounding mode, and error bound are all hash-gated. Scale
+    * is aliased to an attribute before the per-element lambdas (HOF
+    * duplication trap). */
+  def q45_int8_quantize(s: SparkSession, d: String): DataFrame = {
+    val withScale = embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("e"),
+        Vectors.int8Scale(col("embedding")).as("scale"))
+    val withErr = withScale
+      .select(col("vec_id"), col("scale"),
+        aggregate(
+          zip_with(col("e"),
+            Vectors.int8Dequantize(Vectors.int8Quantize(col("e"), col("scale")), col("scale")),
+            (x, y) => abs(x.cast("double") - y)),
+          lit(0.0), (acc, v) => greatest(acc, v)).as("max_err"))
+    withErr.agg(
+      count(lit(1)).as("n_vectors"),
+      round(avg(col("max_err")), 6).as("avg_max_err"),
+      round(max(col("max_err")), 6).as("max_max_err"),
+      round(avg(col("scale")), 6).as("avg_scale"))
+  }
+
   /** Pivot (long→wide conditional aggregation): revenue per priority ×
     * order status. Status values are pinned explicitly — the two-arg
     * pivot needs no driver-side distinct scan, the scale-correct form. */
@@ -619,6 +643,7 @@ object SparkEntry {
     "q42_pricing_summary_dec" -> (q42_pricing_summary_dec _),
     "q43_approx_distinct"   -> (q43_approx_distinct _),
     "q44_pivot"             -> (q44_pivot _),
+    "q45_int8_quantize"     -> (q45_int8_quantize _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -981,6 +1006,23 @@ object SparkEntry {
          round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
          round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q45_int8_quantize" ->
+      """WITH s AS (
+           SELECT vec_id, embedding,
+             greatest(list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))), 1e-12) / 127.0 AS scale
+           FROM embeddings),
+         e AS (
+           SELECT vec_id, scale,
+             list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE) -
+                        round(CAST(x AS DOUBLE) / scale) * scale))) AS max_err
+           FROM s)
+         SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(max_err), 6) AS avg_max_err,
+           round(max(max_err), 6) AS max_max_err,
+           round(avg(scale), 6) AS avg_scale
+         FROM e""",
   )
 
   /** The LangId trigram profile rendered as SQL VALUES rows — the oracle

@@ -35,4 +35,27 @@ object Vectors {
   def normL2(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (normL2(a) * normL2(b))
+
+  // ------------------------------------------------- int8 quantization
+  // Symmetric per-vector quantization — the storage/bandwidth lever for
+  // ANN at corpus scale (4x smaller vectors, SIMD-friendly int math).
+  // scale = max|v_i| / 127, q_i = round(v_i / scale); reconstruction error
+  // per element is bounded by scale/2. Callers must alias the scale to an
+  // attribute before passing it into the per-element lambdas (the O(dim²)
+  // HOF duplication trap — LangId.scala).
+
+  /** Per-vector quantization scale (floored at 1e-12 so an all-zero vector
+    * quantizes to zeros instead of dividing by zero). */
+  def int8Scale(v: Column): Column =
+    greatest(
+      aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double")))),
+      lit(1e-12)) / lit(127.0)
+
+  /** Quantize to int codes in [-127, 127]. */
+  def int8Quantize(v: Column, scale: Column): Column =
+    transform(v, x => round(x.cast("double") / scale).cast("int"))
+
+  /** Reconstruct doubles from codes. */
+  def int8Dequantize(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale)
 }
