@@ -108,6 +108,48 @@ object SparkEntry {
       round(avg(col("scale")), 6).as("avg_scale"))
   }
 
+  /** Sequence packing — group documents into ~budget-token shards, the
+    * batching op of a training-data pipeline. Docs are split into pack
+    * groups by key hash (packing parallelizes per group — a GLOBAL
+    * running sum would funnel the corpus through one task), then binned
+    * by the running token count's start offset within the group:
+    * contiguous docs share a pack until the budget boundary passes. Pack
+    * stats are emitted per (group, pack). Deterministic: no RNG, stable
+    * doc order. */
+  def q46_sequence_packing(s: SparkSession, d: String, budget: Int = 2000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    documents(s, d)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("g"),
+        Text.tokenCount(col("text")).as("toks"))
+      .withColumn("running", sum(col("toks")).over(w))
+      .withColumn("pack", floor((col("running") - col("toks")) / budget.toDouble).cast("long"))
+      .groupBy(col("g"), col("pack"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).cast("long").as("pack_tokens"),
+        max(col("toks")).cast("long").as("max_doc_tokens"))
+      .orderBy(col("g"), col("pack"))
+  }
+
+  /** Weighted mixture sampling — upweight/downweight sources when mixing a
+    * training set, with a reproducible hash predicate (companion to q40's
+    * stratified sampler; rates per SOURCE here, expressed in percent).
+    * Knuth multiplicative hashing of the key decorrelates the predicate
+    * from raw id ranges; identical arithmetic runs in the oracle. */
+  def q47_weighted_mix(s: SparkSession, d: String): DataFrame = {
+    val pct = when(col("source") === "web", 75)
+      .when(col("source") === "books", 50)
+      .when(col("source") === "wiki", 90)
+      .otherwise(25)
+    documents(s, d)
+      .filter(pmod(col("doc_id") * 2654435761L, lit(100L)) < pct)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("mixed_docs"),
+        sum(Text.tokenCount(col("text"))).cast("long").as("mixed_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** Pivot (long→wide conditional aggregation): revenue per priority ×
     * order status. Status values are pinned explicitly — the two-arg
     * pivot needs no driver-side distinct scan, the scale-correct form. */
@@ -644,6 +686,8 @@ object SparkEntry {
     "q43_approx_distinct"   -> (q43_approx_distinct _),
     "q44_pivot"             -> (q44_pivot _),
     "q45_int8_quantize"     -> (q45_int8_quantize _),
+    "q46_sequence_packing"  -> ((s, d) => q46_sequence_packing(s, d)),
+    "q47_weighted_mix"      -> (q47_weighted_mix _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1023,6 +1067,31 @@ object SparkEntry {
            round(max(max_err), 6) AS max_max_err,
            round(avg(scale), 6) AS avg_scale
          FROM e""",
+    "q46_sequence_packing" ->
+      """WITH t AS (
+           SELECT doc_id, doc_id % 8 AS g,
+             len(string_split(text, ' ')) AS toks
+           FROM documents),
+         r AS (
+           SELECT g, doc_id, toks,
+             sum(toks) OVER (PARTITION BY g ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+           FROM t),
+         p AS (
+           SELECT g, CAST(floor((running - toks) / 2000.0) AS BIGINT) AS pack,
+             toks FROM r)
+         SELECT g, pack, count(*) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS pack_tokens,
+           CAST(max(toks) AS BIGINT) AS max_doc_tokens
+         FROM p GROUP BY g, pack ORDER BY g, pack""",
+    "q47_weighted_mix" ->
+      """SELECT source, count(*) AS mixed_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS mixed_tokens
+         FROM documents
+         WHERE (doc_id * 2654435761) % 100 <
+           CASE WHEN source = 'web' THEN 75 WHEN source = 'books' THEN 50
+                WHEN source = 'wiki' THEN 90 ELSE 25 END
+         GROUP BY source ORDER BY source""",
   )
 
   /** The LangId trigram profile rendered as SQL VALUES rows — the oracle
