@@ -30,15 +30,12 @@ class ParquetTableStore(spark: SparkSession, warehouse: String) {
     if (fs(p).exists(p)) Some(spark.read.parquet(path(name))) else None
   }
 
-  /** Upsert `updates` into table `name` keyed by `keys`; returns post-merge
-    * row count. */
-  def upsert(name: String, updates: DataFrame, keys: Seq[String]): Long = {
-    val merged = read(name) match {
-      case Some(current) => Upsert.merge(current, updates, keys)
-      case None          => Upsert.keyDedup(updates, keys)
-    }
+  /** Stage `df` as the new content of `name`, then atomically swap it in
+    * (write completes fully before the source directory is touched, so a
+    * publish reading from the table it replaces is safe). */
+  private def publish(name: String, df: DataFrame): Unit = {
     val tmp = new Path(s"$warehouse/_tmp_$name")
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val dst = new Path(path(name))
     val f = fs(dst)
     if (f.exists(dst)) {
@@ -48,6 +45,30 @@ class ParquetTableStore(spark: SparkSession, warehouse: String) {
       if (!f.rename(tmp, dst)) { f.rename(old, dst); sys.error(s"swap failed for $name") }
       f.delete(old, true)
     } else if (!f.rename(tmp, dst)) sys.error(s"publish failed for $name")
+  }
+
+  /** Upsert `updates` into table `name` keyed by `keys`; returns post-merge
+    * row count. */
+  def upsert(name: String, updates: DataFrame, keys: Seq[String]): Long = {
+    val merged = read(name) match {
+      case Some(current) => Upsert.merge(current, updates, keys)
+      case None          => Upsert.keyDedup(updates, keys)
+    }
+    publish(name, merged)
     spark.read.parquet(path(name)).count()
+  }
+
+  /** Rewrite `name` as `targetFiles` files and swap — incremental upserts
+    * and streaming appends accumulate small files, and scan task counts
+    * should track data size, not ingest history. Returns parquet file
+    * counts (before, after). */
+  def compact(name: String, targetFiles: Int = 1): (Int, Int) = {
+    val p = new Path(path(name))
+    val f = fs(p)
+    require(f.exists(p), s"cannot compact missing table $name")
+    def nFiles = f.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+    val before = nFiles
+    publish(name, spark.read.parquet(path(name)).repartition(targetFiles))
+    (before, nFiles)
   }
 }

@@ -78,6 +78,26 @@ object StreamingDedup {
     accepted
   }
 
+  /** Compact the bucket store: per-micro-batch appends accumulate small
+    * files and (harmless but lookup-inflating) duplicate bucket rows;
+    * periodic compaction rewrites it as `targetFiles` distinct-row files
+    * with an atomic swap. Verdicts are unchanged — the filter only tests
+    * bucket membership. */
+  def compactBuckets(spark: SparkSession, bucketDir: String,
+                     targetFiles: Int = 4): Unit = {
+    val p = new Path(bucketDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val tmp = new Path(bucketDir + "_tmp")
+    spark.read.parquet(bucketDir).distinct().repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val old = new Path(bucketDir + "_old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(p, old)) sys.error(s"bucket compact swap failed: $bucketDir")
+    if (!fs.rename(tmp, p)) { fs.rename(old, p); sys.error(s"bucket compact swap failed: $bucketDir") }
+    fs.delete(old, true)
+  }
+
   /** Streaming wiring: per micro-batch, near-dup-filter against the bucket
     * store and append accepted docs to `outDir`. */
   def nearDupStream(spark: SparkSession, docsStream: DataFrame,

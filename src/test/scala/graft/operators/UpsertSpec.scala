@@ -76,4 +76,18 @@ class UpsertSpec extends SparkSpec {
       rm(dir)
     }
   }
+
+  test("compact rewrites the file layout without changing content") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_compact").toString
+    val store = new ParquetTableStore(spark, wh)
+    // simulate small-file accumulation: a direct many-partition write (the
+    // upsert path itself writes through the merge plan's partitioning)
+    current.repartition(3).write.parquet(store.path("t"))
+    val before = spark.read.parquet(store.path("t"))
+      .orderBy("k").collect().toSeq
+    val (nBefore, nAfter) = store.compact("t", targetFiles = 1)
+    assert(nBefore > 1 && nAfter == 1, s"expected 8-ish -> 1 files, got $nBefore -> $nAfter")
+    val after = spark.read.parquet(store.path("t")).orderBy("k").collect().toSeq
+    assert(after == before, "compaction must not change table content")
+  }
 }

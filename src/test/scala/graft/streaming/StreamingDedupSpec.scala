@@ -35,6 +35,16 @@ class StreamingDedupSpec extends SparkSpec {
     val b3 = Seq((7L, s"$base home")).toDF("doc_id", "text")
     val a3 = StreamingDedup.nearDupBatchFilter(spark, bucketDir, b3, "doc_id", "text")
     assert(a3.isEmpty)
+
+    // compaction dedups+rewrites the store; verdicts are unchanged
+    val rowsBefore = spark.read.parquet(bucketDir).distinct().count()
+    StreamingDedup.compactBuckets(spark, bucketDir, targetFiles = 1)
+    assert(spark.read.parquet(bucketDir).count() == rowsBefore)
+    val b4 = Seq((8L, s"$base home"), (9L, "never seen before text about volcanoes erupting"))
+      .toDF("doc_id", "text")
+    val a4 = StreamingDedup.nearDupBatchFilter(spark, bucketDir, b4, "doc_id", "text")
+    assert(a4.select("doc_id").as[Long].collect().toSeq == Seq(9L),
+      "post-compaction: history collision still drops, novelty still survives")
   }
 
   test("nearDupStream end-to-end over a file stream") {
