@@ -40,6 +40,11 @@ import graft.sources.Retry
   *     .load()                             // => (value STRING, _page INT)
   * }}}
   *
+  * `spark.readStream.format("graft-http")` gives the same source as a
+  * micro-batch stream ([[HttpMicroBatchStream]]): offsets are time
+  * watermarks and each batch fetches `updated_at_min=<last offset>` — the
+  * reference's incremental loop under Structured Streaming checkpointing.
+  *
   * Rows surface each record as its compact JSON text (`value`) plus the
   * page it arrived on — parse with `from_json` and a schema, then hand to
   * the Flatten projections. Keeping the connector schema fixed leaves all
@@ -60,8 +65,10 @@ class HttpPagedProvider extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     HttpPagedProvider.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: java.util.Map[String, String]): Table =
-    new HttpTable(HttpConf(new CaseInsensitiveStringMap(properties)))
+                        properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new HttpTable(HttpConf(opts), opts)
+  }
 }
 
 object HttpPagedProvider {
@@ -106,16 +113,21 @@ object HttpConf {
     }.sortBy(_._1))
 }
 
-class HttpTable(conf: HttpConf) extends Table with SupportsRead {
+class HttpTable(conf: HttpConf, options: CaseInsensitiveStringMap) extends Table with SupportsRead {
   override def name(): String = s"graft-http(${conf.url})"
   override def schema(): StructType = HttpPagedProvider.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = HttpPagedProvider.Schema
         override def toBatch: Batch = new HttpBatch(conf)
+        override def toMicroBatchStream(checkpointLocation: String)
+            : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+          new HttpMicroBatchStream(conf,
+            startAtMs = options.getLong("startAtMs", 0L),
+            incrementalParam = options.getOrDefault("incrementalParam", "updated_at_min"))
       }
     }
 }

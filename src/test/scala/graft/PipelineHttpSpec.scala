@@ -58,9 +58,28 @@ class PipelineHttpSpec extends SparkSpec {
       ex.getResponseBody.write(bytes)
       ex.close()
     })
+    // /stream/orders.json — independent record set for the streaming test
+    server.createContext("/stream/orders.json", (ex: HttpExchange) => {
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("").split("&")
+        .filter(_.nonEmpty)
+        .map { kv => val Array(k, v) = kv.split("=", 2); k -> java.net.URLDecoder.decode(v, "UTF-8") }
+        .toMap
+      val minTs = q.get("updated_at_min").map(OffsetDateTime.parse)
+      val page = q("page").toInt; val limit = q("limit").toInt
+      val eligible = streamRecords.get()
+        .filter(r => minTs.forall(m => !r.updatedAt.isBefore(m)))
+      val slice = eligible.slice((page - 1) * limit, page * limit)
+      val body = s"""{"orders":[${slice.map(_.json).mkString(",")}]}"""
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
     server.start()
     url = s"http://127.0.0.1:${server.getAddress.getPort}/admin/orders.json"
   }
+
+  private val streamRecords = new AtomicReference[Seq[Rec]](Nil)
 
   override def afterAll(): Unit = {
     try server.stop(0) finally super.afterAll()
@@ -102,5 +121,43 @@ class PipelineHttpSpec extends SparkSpec {
     val refunded = p.readFinal("orders").get
       .where(org.apache.spark.sql.functions.col("financial_status") === "refunded").count()
     assert(refunded == 1, "the updated row must have been re-fetched and upserted")
+  }
+
+  test("readStream micro-batches with the checkpointed offset as updated_at_min") {
+    import org.apache.spark.sql.functions.{col, get_json_object}
+    import spark.implicits._
+    streamRecords.set(fixtureRecords())
+    val root = Files.createTempDirectory("graft_http_stream").toString
+    val sUrl = url.replace("/admin/", "/stream/")
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-http")
+        .option("url", sUrl).option("recordsField", "orders")
+        .option("limit", "2").option("partitions", "2")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val ids1 = spark.read.parquet(s"$root/out")
+      .select(get_json_object(col("value"), "$.id").cast("long")).as[Long].collect().toSeq
+    // 5 raw records (incl. the cross-page duplicate of id 1001) — the raw
+    // source fetches everything; dedup is downstream's job
+    assert(ids1.size == 5, s"first run (offset epoch 0) fetches everything, got $ids1")
+
+    // a record updated after the first run's offset arrives; the next run
+    // fetches ONLY it (updated_at_min = checkpointed high-water mark)
+    val future = java.time.OffsetDateTime.now(java.time.ZoneOffset.UTC).plusHours(1)
+    val novel = streamRecords.get().head.json
+      .replaceAll(""""id"\s*:\s*\d+""", "\"id\": 9001")
+      .replaceAll(""""updated_at"\s*:\s*"[^"]+"""", s""""updated_at": "$future"""")
+    streamRecords.set(streamRecords.get() :+ Rec(future, novel))
+    runOnce()
+    val ids2 = spark.read.parquet(s"$root/out")
+      .select(get_json_object(col("value"), "$.id").cast("long")).as[Long].collect().toSeq
+    assert(ids2.size == ids1.size + 1 && ids2.contains(9001L),
+      s"second run must fetch exactly the newly-updated record, got $ids2")
   }
 }
