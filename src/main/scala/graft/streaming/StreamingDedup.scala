@@ -41,10 +41,16 @@ object StreamingDedup {
   /** MinHash near-dup filter against a persistent bucket store. Returns
     * the accepted (novel) docs of `batch` and appends their band buckets
     * to `bucketDir`. Usable directly on static batches or inside a
-    * streaming foreachBatch ([[nearDupStream]]). */
+    * streaming foreachBatch ([[nearDupStream]]).
+    *
+    * `persistAccepted` is invoked with the materialized accepted docs
+    * BEFORE their buckets are claimed — a durable sink must run in that
+    * window, or a crash between claim and sink would make the retry
+    * collide with the batch's own buckets and silently drop it. */
   def nearDupBatchFilter(spark: SparkSession, bucketDir: String,
                          batch: DataFrame, idCol: String, textCol: String,
-                         k: Int = 3): DataFrame = {
+                         k: Int = 3,
+                         persistAccepted: DataFrame => Unit = _ => ()): DataFrame = {
     val sigs = Similarity.minhashSignatures(batch, idCol, textCol, k)
     val bands = sigs
       .select(col(idCol), explode(Similarity.bandHashes(col("sig"))).as("bs"))
@@ -67,11 +73,16 @@ object StreamingDedup {
       .filter(col("_ida") < col("_idb"))
       .select(col("_idb").as(idCol)).distinct()
 
-    val dropped = dupHistory.union(dupIntra).distinct()
-    val accepted = batch.join(dropped, Seq(idCol), "left_anti")
-
-    // survivors claim their buckets (append is idempotent w.r.t. lookups:
-    // duplicate bucket rows only add lookup hits, never change verdicts)
+    val dropped = dupHistory.union(dupIntra).distinct().localCheckpoint()
+    // Verdict materialized and durably sunk BEFORE buckets are claimed: if
+    // the claim ran first and the job died in between, a retry would see
+    // the batch's own buckets in the store and silently drop every doc of
+    // the batch. With this order a crash merely re-runs an unclaimed (or
+    // already-sunk) batch — at-least-once, absorbed by the idempotent
+    // downstream merge — and duplicate bucket rows from a crash after the
+    // claim only add lookup hits, never verdicts.
+    val accepted = batch.join(dropped, Seq(idCol), "left_anti").localCheckpoint()
+    persistAccepted(accepted)
     bands.join(dropped, Seq(idCol), "left_anti")
       .select(col("band"), col("bh"))
       .write.mode(SaveMode.Append).parquet(bucketDir)
@@ -108,8 +119,8 @@ object StreamingDedup {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          nearDupBatchFilter(spark, bucketDir, batch, idCol, textCol)
-            .write.mode(SaveMode.Append).parquet(outDir)
+          nearDupBatchFilter(spark, bucketDir, batch, idCol, textCol,
+            persistAccepted = _.write.mode(SaveMode.Append).parquet(outDir))
         }
         ()
       }
