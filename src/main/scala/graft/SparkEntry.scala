@@ -136,14 +136,18 @@ object SparkEntry {
     * training set, with a reproducible hash predicate (companion to q40's
     * stratified sampler; rates per SOURCE here, expressed in percent).
     * Knuth multiplicative hashing of the key decorrelates the predicate
-    * from raw id ranges; identical arithmetic runs in the oracle. */
+    * from raw id ranges; identical arithmetic runs in the oracle. The key
+    * is reduced mod a prime BEFORE the multiply so the product stays
+    * within 2^63 for any 64-bit id — Spark would wrap silently where the
+    * oracle's BIGINT overflow errors, so the arithmetic must never
+    * overflow in either engine. */
   def q47_weighted_mix(s: SparkSession, d: String): DataFrame = {
     val pct = when(col("source") === "web", 75)
       .when(col("source") === "books", 50)
       .when(col("source") === "wiki", 90)
       .otherwise(25)
     documents(s, d)
-      .filter(pmod(col("doc_id") * 2654435761L, lit(100L)) < pct)
+      .filter(pmod(pmod(col("doc_id"), lit(100000007L)) * 2654435761L, lit(100L)) < pct)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("mixed_docs"),
         sum(Text.tokenCount(col("text"))).cast("long").as("mixed_tokens"))
@@ -628,12 +632,14 @@ object SparkEntry {
     val cand = Similarity.winnowNearDup(docs, "doc_id", "text",
       k = 16, w = 8, minShared = 4)
     Similarity.scoreCandidatesJaccard(cand, docs, "doc_id",
-        // native rolling-hash gram sets (graft.plans.CharGramHashes):
-        // Jaccard-identical to the oracle's distinct 16-char substrings
-        // w.h.p., without materializing len(text) substrings per doc
+        // native rolling-hash gram sets (graft.plans.CharGramHashes, CHAR
+        // windows — the oracle's substr slides over characters, and byte
+        // windows would shift set sizes on non-ASCII text): Jaccard-
+        // identical to the distinct 16-char substrings w.h.p., without
+        // materializing len(text) substrings per doc
         sub => sub.select(col("doc_id"),
           call_function("char_gram_hashes",
-            Text.normalize(col("text")), lit(16)).as("g")))
+            Text.normalize(col("text")), lit(16), lit(true), lit(true)).as("g")))
       .filter(col("jaccard") >= 0.3)
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -1088,7 +1094,7 @@ object SparkEntry {
       """SELECT source, count(*) AS mixed_docs,
          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS mixed_tokens
          FROM documents
-         WHERE (doc_id * 2654435761) % 100 <
+         WHERE ((doc_id % 100000007) * 2654435761) % 100 <
            CASE WHEN source = 'web' THEN 75 WHEN source = 'books' THEN 50
                 WHEN source = 'wiki' THEN 90 ELSE 25 END
          GROUP BY source ORDER BY source""",

@@ -11,6 +11,10 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // drop any previous result FIRST: if this query throws, a stale dir
+      // from an earlier run must not pass the oracle compare in its place
+      val dst = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+      dst.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(dst, true)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -25,35 +25,61 @@ object AsOfJoin {
       throw new IllegalArgumentException(
         s"$what column '$name' not found in [${df.columns.mkString(", ")}]"))
 
+  /** When the two timestamp types differ, both sides must meet at the type
+    * SQL comparison coercion would pick — the FINER one — or the `<=` flips
+    * meaning: casting a right TIMESTAMP down to a left DATE truncates
+    * 10:00 to midnight and matches rows plain SQL (and asOfComposed) would
+    * not. Date meets timestamp at the timestamp type; anything else must
+    * already match. */
+  private def meetTsType(l: org.apache.spark.sql.types.DataType,
+                         r: org.apache.spark.sql.types.DataType) = {
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    (l, r) match {
+      case _ if l == r => l
+      case (DateType, t @ (TimestampType | TimestampNTZType)) => t
+      case (t @ (TimestampType | TimestampNTZType), DateType) => t
+      // mixed LTZ/NTZ comparisons coerce to the session-zoned timestamp
+      case (TimestampType, TimestampNTZType) | (TimestampNTZType, TimestampType) => TimestampType
+      case _ => throw new IllegalArgumentException(
+        s"as-of timestamp types $l and $r are not comparable")
+    }
+  }
+
   /** Sort-merge as-of join via the custom plan. `rightTiebreak` completes
     * (rightTs, tiebreak...) to a deterministic total order; "latest" is its
-    * maximum among in-range rows. The right timestamp is cast to the left
-    * timestamp's type up front (the exec requires identical types, like any
-    * sort-merge key). */
+    * maximum among in-range rows. Mismatched timestamp types are promoted
+    * to their SQL-coercion meet in scratch columns (the exec requires
+    * identical types, like any sort-merge key; payload columns keep their
+    * own types). */
   def asOf(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
            leftTs: String, rightTs: String,
            rightCols: Seq[String], rightTiebreak: Seq[String]): DataFrame = {
     val spark = left.sparkSession
     val ltsType = resolve(left, leftTs, "leftTs").dataType
-    // cast into a scratch column so a payload column keeps its own type
+    val rtsType = resolve(right, rightTs, "rightTs").dataType
+    val meet = meetTsType(ltsType, rtsType)
+    val (l0, ltsName) =
+      if (ltsType == meet) (left, leftTs)
+      else (left.withColumn("__asof_lts", col(leftTs).cast(meet)), "__asof_lts")
     val (r0, rtsName) =
-      if (resolve(right, rightTs, "rightTs").dataType == ltsType) (right, rightTs)
-      else (right.withColumn("__asof_rts", col(rightTs).cast(ltsType)), "__asof_rts")
+      if (rtsType == meet) (right, rightTs)
+      else (right.withColumn("__asof_rts", col(rightTs).cast(meet)), "__asof_rts")
     // prune the right side to what the exec consumes — an unknown logical
     // node is opaque to ColumnPruning, so prune explicitly
     val rPruned = r0.select((Seq(rightKey, rtsName) ++ rightTiebreak ++ rightCols)
       .distinct.map(col): _*)
-    val lPlan = left.queryExecution.analyzed
+    val lPlan = l0.queryExecution.analyzed
     val rPlan = rPruned.queryExecution.analyzed
-    GraftSqlBridge.ofRows(spark, AsOfJoinPlan(
+    val out = GraftSqlBridge.ofRows(spark, AsOfJoinPlan(
       lPlan, rPlan,
-      leftKeys = Seq(resolve(left, leftKey, "leftKey")),
+      leftKeys = Seq(resolve(l0, leftKey, "leftKey")),
       rightKeys = Seq(resolve(rPruned, rightKey, "rightKey")),
-      leftTs = resolve(left, leftTs, "leftTs"),
+      leftTs = resolve(l0, ltsName, "leftTs"),
       rightTs = resolve(rPruned, rtsName, "rightTs"),
       rightTiebreaks = rightTiebreak.map(resolve(rPruned, _, "rightTiebreak")),
       rightPayload = rightCols.map(resolve(rPruned, _, "rightCol"))))
+    if (ltsName == leftTs) out else out.drop(ltsName)
   }
 
   /** Composed-from-built-ins reference implementation (range equi-join +

@@ -32,16 +32,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           k = intLit(children(1), "k"),
           w = intLit(children(2), "w"))))
 
+    def boolLit(e: Expression, what: String): Boolean = e match {
+      case Literal(b: Boolean, _) => b
+      case other => throw new IllegalArgumentException(s"$what must be a boolean literal, got $other")
+    }
     ext.injectFunction((
       new FunctionIdentifier("char_gram_hashes"),
       new ExpressionInfo(classOf[CharGramHashes].getName, "char_gram_hashes"),
       (children: Seq[Expression]) =>
         CharGramHashes(children(0), k = intLit(children(1), "k"),
-          distinct = children.lift(2).forall {
-            case Literal(b: Boolean, _) => b
-            case other => throw new IllegalArgumentException(
-              s"distinct must be a boolean literal, got $other")
-          })))
+          distinct = children.lift(2).forall(boolLit(_, "distinct")),
+          overChars = children.lift(3).exists(boolLit(_, "overChars")))))
 
     ext.injectFunction((
       new FunctionIdentifier("minhash_sig"),

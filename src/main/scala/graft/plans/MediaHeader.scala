@@ -112,7 +112,9 @@ object MediaHeader {
     var dataSize = -1L
     while (i + 8 <= b.length && (channels == 0 || dataSize < 0)) {
       val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val size = le32(b, i + 4)
+      val size = le32(b, i + 4) // unsigned 32-bit, so keep it a Long:
+      // a corrupt size >= 2^31 cast toInt would drive the cursor negative
+      // and crash the scan on one bad blob — the walk must stay total.
       if (id == "fmt " && i + 24 <= b.length) {
         channels = le16(b, i + 10)
         sampleRate = le32(b, i + 12).toInt
@@ -120,7 +122,9 @@ object MediaHeader {
       } else if (id == "data") {
         dataSize = size
       }
-      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      val next = i.toLong + 8L + size + (size & 1L) // chunks are word-aligned
+      if (next <= i || next > Int.MaxValue) i = b.length // corrupt size: stop
+      else i = next.toInt
     }
     if (channels == 0) Unknown
     else {

@@ -95,8 +95,22 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
   * occurrence in document order — the multiset, for occurrence-weighted
   * scoring like n-gram language ID. Either way the array is empty for
   * strings shorter than k — matching the `length(t) >= k` guard oracle SQL
-  * uses, so a short doc pairs with nothing. */
-case class CharGramHashes(child: Expression, k: Int, distinct: Boolean = true)
+  * uses, so a short doc pairs with nothing.
+  *
+  * Two window units:
+  *  - `overChars = false` (default): windows slide over UTF-8 BYTES with
+  *    the base-257 positional encoding — exactly injective for grams of
+  *    <= 8 bytes. Right for exact-match joins against ASCII keys (the
+  *    language-ID profile): ASCII bytes never occur inside a multi-byte
+  *    UTF-8 sequence, so a byte window equals an ASCII key iff the char
+  *    window does.
+  *  - `overChars = true`: windows slide over CHARACTERS (FNV-prime rolling
+  *    hash; set-equal to char substrings w.h.p.). Required when the gram
+  *    SET SIZES enter a score compared against substring semantics —
+  *    byte windows would count extra windows inside multi-byte chars and
+  *    shift Jaccard on any non-ASCII document. */
+case class CharGramHashes(child: Expression, k: Int, distinct: Boolean = true,
+                          overChars: Boolean = false)
   extends UnaryExpression with CodegenFallback {
 
   require(k >= 2, s"need k>=2; got k=$k")
@@ -110,36 +124,67 @@ case class CharGramHashes(child: Expression, k: Int, distinct: Boolean = true)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "char_gram_hashes"
 
-  private val Base = 257L
+  private val ByteBase = 257L
+  private val CharBase = 0x100000001B3L // FNV-64 prime; odd => invertible mod 2^64
+
+  private def dedup(hashes: Array[Long], n: Int): GenericArrayData = {
+    if (!distinct) return new GenericArrayData(
+      if (n == hashes.length) hashes else java.util.Arrays.copyOf(hashes, n))
+    java.util.Arrays.sort(hashes, 0, n)
+    var out = 1
+    var i = 1
+    while (i < n) {
+      if (hashes(i) != hashes(i - 1)) { hashes(out) = hashes(i); out += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hashes, out))
+  }
 
   override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val u = input.asInstanceOf[UTF8String]
+    if (overChars) evalChars(u.toString) else evalBytes(u.getBytes)
+  }
+
+  private def evalBytes(bytes: Array[Byte]): Any = {
     val n = bytes.length
     if (n < k) return new GenericArrayData(Array.emptyLongArray)
     val nGrams = n - k + 1
     val hashes = new Array[Long](nGrams)
     var pow = 1L
     var i = 1
-    while (i < k) { pow *= Base; i += 1 }
+    while (i < k) { pow *= ByteBase; i += 1 }
     var h = 0L
     i = 0
-    while (i < k) { h = h * Base + (bytes(i) & 0xFF); i += 1 }
+    while (i < k) { h = h * ByteBase + (bytes(i) & 0xFF); i += 1 }
     hashes(0) = h
     i = 1
     while (i < nGrams) {
-      h = (h - (bytes(i - 1) & 0xFF) * pow) * Base + (bytes(i + k - 1) & 0xFF)
+      h = (h - (bytes(i - 1) & 0xFF) * pow) * ByteBase + (bytes(i + k - 1) & 0xFF)
       hashes(i) = h
       i += 1
     }
-    if (!distinct) return new GenericArrayData(hashes)
-    java.util.Arrays.sort(hashes)
-    var out = 1
+    dedup(hashes, nGrams)
+  }
+
+  private def evalChars(s: String): Any = {
+    val n = s.length
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val nGrams = n - k + 1
+    val hashes = new Array[Long](nGrams)
+    var pow = 1L
+    var i = 1
+    while (i < k) { pow *= CharBase; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * CharBase + s.charAt(i); i += 1 }
+    hashes(0) = h
     i = 1
     while (i < nGrams) {
-      if (hashes(i) != hashes(i - 1)) { hashes(out) = hashes(i); out += 1 }
+      h = (h - s.charAt(i - 1) * pow) * CharBase + s.charAt(i + k - 1)
+      hashes(i) = h
       i += 1
     }
-    new GenericArrayData(java.util.Arrays.copyOf(hashes, out))
+    dedup(hashes, nGrams)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -170,7 +170,20 @@ abstract class HttpReaderBase(conf: HttpConf) extends PartitionReader[InternalRo
       conn.setReadTimeout(60000)
       val code = conn.getResponseCode
       if (code == 429) {
-        val after = Option(conn.getHeaderField("Retry-After")).map(_.trim.toLong).getOrElse(60L)
+        // Retry-After is either delta-seconds or an HTTP-date (RFC 7231);
+        // anything unparseable falls back to the reference's 60 s default
+        // rather than surfacing a NumberFormatException as a transport
+        // error with the wrong backoff.
+        val after = Option(conn.getHeaderField("Retry-After")).map(_.trim).map { v =>
+          v.toLongOption.getOrElse {
+            try {
+              val when = java.time.ZonedDateTime.parse(
+                v, java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME)
+              math.max(0L, java.time.Duration.between(
+                java.time.ZonedDateTime.now(when.getZone), when).toSeconds)
+            } catch { case _: java.time.format.DateTimeParseException => 60L }
+          }
+        }.getOrElse(60L)
         conn.disconnect()
         throw Retry.RateLimited(after) // ref :312-316 — server-directed wait
       }

@@ -60,6 +60,21 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.toSeq == Seq(9L), "max tiebreak must pick the larger payload_id")
   }
 
+  test("coarser LEFT timestamp promotes up — a later-in-day right row must not match") {
+    // left DATE 2024-01-02 coerces to midnight; right 10:00 the same day is
+    // AFTER it. Casting right down to DATE instead would truncate and match.
+    val left = Seq((1L, "A", java.sql.Date.valueOf("2024-01-02"))).toDF("id", "k", "d")
+    val right = Seq(
+      ("A", ts("2024-01-02 10:00:00"), 9L),  // after left midnight: no match
+      ("A", ts("2024-01-01 23:00:00"), 5L)   // before: the latest valid row
+    ).toDF("rk", "rt", "pid")
+    val out = AsOfJoin.asOf(left, right, "k", "rk", "d", "rt",
+      Seq("pid"), Seq("pid"))
+      .select("pid").as[Option[Long]].collect()
+    assert(out.toSeq == Seq(Some(5L)),
+      "SQL coercion promotes DATE to timestamp-at-midnight; 10:00 must not match")
+  }
+
   test("right timestamp of a different type is cast without touching payload") {
     val left = Seq((1L, "A", ts("2024-01-02 00:00:00"))).toDF("id", "k", "t")
     val right = Seq(("A", java.sql.Date.valueOf("2024-01-01"), 5L))

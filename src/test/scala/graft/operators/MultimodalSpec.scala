@@ -58,11 +58,16 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("media_header is total: arbitrary bytes decode as octet-stream, never throw") {
+    // RIFF chunk whose unsigned 32-bit size is 2^31 (negative as Int):
+    // the chunk walk must stop, not drive its cursor negative and throw
+    val hugeChunk = "RIFF".getBytes ++ Array[Byte](100, 0, 0, 0) ++ "WAVE".getBytes ++
+      "junk".getBytes ++ Array[Byte](0, 0, 0, 0x80.toByte) ++ Array.fill[Byte](16)(0)
     val blobs = Seq(
       Array.empty[Byte],
       "plain text".getBytes("UTF-8"),
       Array[Byte](0xFF.toByte, 0xD8.toByte), // truncated JPEG
-      "RIFFxxxxWAVE".getBytes("UTF-8")) // WAV with no fmt chunk
+      "RIFFxxxxWAVE".getBytes("UTF-8"), // WAV with no fmt chunk
+      hugeChunk)
     val out = blobs.zipWithIndex.map { case (b, i) => (i.toLong, b) }
       .toDF("id", "payload")
       .select(Multimodal.decodeMeta($"payload").as("m"))
