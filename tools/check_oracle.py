@@ -17,6 +17,22 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
+def repr_hash(df: pd.DataFrame) -> str:
+    """Hash the per-cell REPRESENTATION, not just Python equality.
+
+    Round 2's q42 compared value-equal locally (Decimal == Decimal) but
+    failed the driver's hash gate, which serializes cell values before
+    hashing — Decimal('123.40') and 123.4 are == but serialize apart.
+    Hashing repr() catches every representation lane (Decimal vs float,
+    trailing-zero scale, numpy width) so local green implies driver green.
+    """
+    import hashlib
+    h = hashlib.sha256()
+    for row in df.itertuples(index=False):
+        h.update("|".join(repr(v) for v in row).encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
@@ -48,6 +64,12 @@ def main(sf_dir, out_dir):
                                               check_exact=True)
             except AssertionError as e:
                 print(f"FAIL {name}: values differ\n{str(e)[:500]}"); ok = False
+        if ok and repr_hash(spark_df) != repr_hash(duck_df):
+            ex = next((f"row {i}: {tuple(map(repr, s))} vs {tuple(map(repr, d))}"
+                       for i, (s, d) in enumerate(zip(spark_df.itertuples(index=False),
+                                                      duck_df.itertuples(index=False)))
+                       if tuple(map(repr, s)) != tuple(map(repr, d))), "")
+            print(f"FAIL {name}: representation hash differs (values ==)\n{ex[:400]}"); ok = False
         if ok:
             print(f"PASS {name} ({len(spark_df)} rows)"); n_pass += 1
         else:
