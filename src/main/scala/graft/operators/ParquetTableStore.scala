@@ -2,13 +2,21 @@ package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types._
+import graft.sources.v2.GraftCatalog
 
-/** Parquet-directory table store with MERGE-upsert publish via
-  * write-to-temp + atomic rename (SURVEY §7.4: the reference's MERGE+
-  * TRUNCATE is transactional inside BigQuery; on files we stage and swap).
-  * Shared by the batch [[graft.Pipeline]] and the streaming foreachBatch
-  * sink. At cluster scale the same call sites would target a transactional
-  * table format; only this class changes.
+/** Parquet-directory table store with MERGE-upsert publish.
+  *
+  * Incremental upserts into an EXISTING table run as a row-level `MERGE
+  * INTO` against [[graft.sources.v2.GraftParquetTable]], whose runtime
+  * group filtering rewrites ONLY the parquet files that contain matched
+  * keys — a batch touching 0.1% of keys leaves the other files
+  * byte-identical (copy-on-write group pruning, the behavior a
+  * transactional table format gives at cluster scale; the reference's
+  * BigQuery MERGE likewise touches only matched rows, ref
+  * shopify-etl/shopify_etl.py:558-590). Tables whose schema the v2 codec
+  * cannot carry (nested/decimal/binary columns) fall back to the full
+  * write-to-temp + atomic-swap publish (SURVEY §7.4 atomicity note).
   *
   * All path operations go through Hadoop's [[FileSystem]], resolved from
   * the warehouse URI itself, so `file:///`, `hdfs://` and `s3a://`
@@ -19,6 +27,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * (old out first, then temp in) never leaves a half-visible table.
   */
 class ParquetTableStore(spark: SparkSession, warehouse: String) {
+  import ParquetTableStore._
 
   def path(name: String): String = s"$warehouse/$name"
 
@@ -32,10 +41,14 @@ class ParquetTableStore(spark: SparkSession, warehouse: String) {
 
   /** Stage `df` as the new content of `name`, then atomically swap it in
     * (write completes fully before the source directory is touched, so a
-    * publish reading from the table it replaces is safe). */
+    * publish reading from the table it replaces is safe). Timestamps are
+    * pinned to INT64 micros so every file the store ever writes stays
+    * readable by the v2 merge codec (Spark's default may be INT96). */
   private def publish(name: String, df: DataFrame): Unit = {
     val tmp = new Path(s"$warehouse/_tmp_$name")
-    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    withMicrosTimestamps(spark) {
+      df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    }
     val dst = new Path(path(name))
     val f = fs(dst)
     if (f.exists(dst)) {
@@ -48,14 +61,79 @@ class ParquetTableStore(spark: SparkSession, warehouse: String) {
   }
 
   /** Upsert `updates` into table `name` keyed by `keys`; returns post-merge
-    * row count. */
+    * row count.
+    *
+    * Existing table + codec-supported schema → row-level MERGE with per-file
+    * group pruning (untouched files are not rewritten). Otherwise → composed
+    * [[Upsert.merge]] + full snapshot publish. Both paths reduce the batch
+    * to one row per key first, so the table invariant "at most one row per
+    * (null-safe) key" holds inductively — which is also what keeps the MERGE
+    * cardinality check (one source row per target row) satisfied. */
   def upsert(name: String, updates: DataFrame, keys: Seq[String]): Long = {
-    val merged = read(name) match {
-      case Some(current) => Upsert.merge(current, updates, keys)
-      case None          => Upsert.keyDedup(updates, keys)
+    read(name) match {
+      case Some(current) if canRowLevelMerge(current.schema, updates.schema) =>
+        rowLevelMerge(name, current.schema, updates, keys)
+      case Some(current) =>
+        publish(name, Upsert.merge(current, updates, keys))
+      case None =>
+        publish(name, Upsert.keyDedup(updates, keys))
     }
-    publish(name, merged)
     spark.read.parquet(path(name)).count()
+  }
+
+  /** The v2 merge codec carries flat tables of these primitive types; the
+    * update set must bring exactly the table's columns (MERGE expands
+    * `UPDATE SET * / INSERT *` by name). */
+  private def canRowLevelMerge(table: StructType, updates: StructType): Boolean =
+    table.fields.forall(f => MergeableTypes.contains(f.dataType)) &&
+      table.fieldNames.sorted.sameElements(updates.fieldNames.sorted)
+
+  /** Run the upsert as `MERGE INTO` against a parquet-backed v2 table
+    * registered in a store-private catalog. Null-safe key equality in the
+    * ON clause mirrors [[Upsert.merge]] (a NULL key part must match itself
+    * or the row is re-inserted every run, breaking idempotence T4). */
+  private def rowLevelMerge(name: String, tableSchema: StructType,
+                            updates: DataFrame, keys: Seq[String]): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$CatalogName", classOf[GraftCatalog].getName)
+    val tablePath = path(name)
+    // identity = (location, name): a different warehouse or a recreated
+    // table gets its own catalog entry; a schema change drops + recreates
+    val fq = s"$CatalogName.store.`${name}_${pathHash(tablePath)}`"
+    val existingSchema =
+      try Some(spark.table(fq).schema) catch { case _: Exception => None }
+    val sameShape = existingSchema.exists(s =>
+      s.fields.map(f => (f.name, f.dataType)).toSeq ==
+        tableSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+    if (!sameShape) {
+      spark.sql(s"DROP TABLE IF EXISTS $fq")
+      // CREATE with LOCATION wraps the existing parquet dir; no data moves
+      spark.sql(s"CREATE TABLE $fq (${tableSchema.toDDL}) LOCATION '$tablePath'")
+    }
+    // Stage the deduped batch as parquet and merge FROM THE STAGE — the
+    // reference's own staging-table shape (stage → MERGE → truncate, ref
+    // :483-590). This (a) makes the MERGE source deterministic (the
+    // pipeline's arrival-order column is nondeterministic lineage, which
+    // ReplaceData rejects in its group-filter subquery) and (b) avoids
+    // recomputing the batch for the runtime file-pruning subquery AND the
+    // merge join.
+    val stage = new Path(s"$warehouse/_merge_src_$name")
+    val stageFs = fs(stage)
+    withMicrosTimestamps(spark) {
+      Upsert.keyDedup(updates, keys)
+        .write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    }
+    val view = s"__graft_upsert_src_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.read.parquet(stage.toString).createOrReplaceTempView(view)
+    try {
+      val on = keys.map(k => s"t.`$k` <=> u.`$k`").mkString(" AND ")
+      spark.sql(
+        s"""MERGE INTO $fq t USING $view u ON $on
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    } finally {
+      spark.catalog.dropTempView(view)
+      stageFs.delete(stage, true)
+    }
   }
 
   /** Rewrite `name` as `targetFiles` files and swap — incremental upserts
@@ -70,5 +148,31 @@ class ParquetTableStore(spark: SparkSession, warehouse: String) {
     val before = nFiles
     publish(name, spark.read.parquet(path(name)).repartition(targetFiles))
     (before, nFiles)
+  }
+}
+
+object ParquetTableStore {
+  /** Store-private catalog name ("graft" stays free for user SQL). */
+  private val CatalogName = "graft_store"
+
+  /** Column types GraftParquetTable's codec reads and writes. */
+  private val MergeableTypes: Set[DataType] =
+    Set(BooleanType, IntegerType, LongType, DoubleType, StringType, TimestampType)
+
+  private def pathHash(p: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(p.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+
+  /** Run `body` with parquet timestamps pinned to INT64 micros, restoring
+    * the previous session setting afterwards. */
+  private[operators] def withMicrosTimestamps[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 }
