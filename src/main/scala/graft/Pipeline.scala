@@ -22,10 +22,11 @@ import graft.sources.PagedNdjsonSource
   * scale the same flow targets a transactional table format; the operator
   * composition is unchanged.
   */
-class Pipeline(spark: SparkSession, warehouse: String) {
+class Pipeline(spark: SparkSession, warehouse: String,
+               autoCompactFiles: Int = 64) {
 
   val control = new SyncControl(spark, s"$warehouse/_sync_control")
-  val store = new ParquetTableStore(spark, warehouse)
+  val store = new ParquetTableStore(spark, warehouse, autoCompactFiles)
 
   def readFinal(name: String): Option[DataFrame] = store.read(name)
 

@@ -26,7 +26,8 @@ import graft.sources.v2.GraftCatalog
   * back to copy+delete, which is still correct because the swap direction
   * (old out first, then temp in) never leaves a half-visible table.
   */
-class ParquetTableStore(spark: SparkSession, warehouse: String) {
+class ParquetTableStore(spark: SparkSession, warehouse: String,
+                        autoCompactFiles: Int = 0) {
   import ParquetTableStore._
 
   def path(name: String): String = s"$warehouse/$name"
@@ -78,8 +79,21 @@ class ParquetTableStore(spark: SparkSession, warehouse: String) {
       case None =>
         publish(name, Upsert.keyDedup(updates, keys))
     }
+    maybeCompact(name)
     spark.read.parquet(path(name)).count()
   }
+
+  /** Compaction policy hook (VERDICT r2 item 9): pruned merges append a
+    * few files per batch, so file count tracks ingest history, not data
+    * size; past `autoCompactFiles` the table is rewritten down to a
+    * quarter of the threshold (0 disables — at warehouse scale compaction
+    * is usually a scheduled job per partition, not inline). */
+  private def maybeCompact(name: String): Unit =
+    if (autoCompactFiles > 0) {
+      val p = new Path(path(name))
+      val n = fs(p).listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+      if (n > autoCompactFiles) compact(name, math.max(1, autoCompactFiles / 4))
+    }
 
   /** The v2 merge codec carries flat tables of these primitive types; the
     * update set must bring exactly the table's columns (MERGE expands

@@ -127,7 +127,7 @@ object Similarity {
   def minhashNearDup(docs: DataFrame, idCol: String, textCol: String,
                      threshold: Double, k: Int = 3,
                      maxBucket: Int = 1000): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, textCol, k).localCheckpoint()
+    val sigs = Checkpoints.materialize(minhashSignatures(docs, idCol, textCol, k))
     val banded = capBuckets(
       sigs.select(col(idCol), explode(bandHashes(col("sig"))).as("bs"))
         .select(col(idCol), col("bs.band").as("band"), col("bs.bh").as("bh")),
@@ -270,19 +270,18 @@ object Similarity {
     * frame — a function, not a Column, so callers can alias intermediates
     * (e.g. normalized text) to an attribute once instead of duplicating a
     * regexp inside a per-element lambda (the O(len²) trap — LangId.scala).
-    * Returns cand's columns plus `__fa`/`__fb`. (localCheckpoint is
-    * executor-local: on a real cluster use a reliable checkpoint dir if
-    * executor loss mid-query matters.) */
+    * Returns cand's columns plus `__fa`/`__fb`. Materialization durability
+    * follows [[Checkpoints]] (`graft.checkpoint.dir` ⇒ reliable). */
   def candidateFeatures(cand: DataFrame, docs: DataFrame, idCol: String,
                         features: DataFrame => DataFrame): DataFrame = {
-    val pairs = cand.localCheckpoint()
+    val pairs = Checkpoints.materialize(cand)
     val ids = pairs.select(col("id_a").as(idCol))
       .union(pairs.select(col("id_b").as(idCol))).distinct()
     // f is joined twice (id_a side, id_b side): checkpoint it too, or the
     // corpus parquet scan + broadcast build + feature derivation behind it
     // run once per side.
-    val f = features(docs.join(broadcast(ids), Seq(idCol), "left_semi"))
-      .localCheckpoint()
+    val f = Checkpoints.materialize(
+      features(docs.join(broadcast(ids), Seq(idCol), "left_semi")))
     val Array(fid, fc) = f.columns
     pairs
       .join(f.select(col(fid).as("id_a"), col(fc).as("__fa")), "id_a")

@@ -74,6 +74,19 @@ class StorePruningSpec extends SparkSpec {
     assert(st == Seq("n2"))
   }
 
+  test("auto-compaction bounds file count across many incremental upserts") {
+    val wh = Files.createTempDirectory("graft_autocompact").toString
+    val store = new ParquetTableStore(spark, wh, autoCompactFiles = 6)
+    def fileCount = new File(store.path("t")).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    (1 to 20).foreach { i =>
+      store.upsert("t",
+        Seq((i.toString, s"v$i")).toDF("order_id", "status"), Seq("order_id"))
+      assert(fileCount <= 7, s"run $i: file count $fileCount exceeds bound")
+    }
+    assert(spark.read.parquet(store.path("t")).count() == 20)
+  }
+
   test("end-to-end Pipeline incremental run keeps untouched table files byte-identical") {
     val wh = Files.createTempDirectory("graft_prune_pipe").toString
     val pages = Files.createTempDirectory("graft_prune_pages")

@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.nio.file.Files
 import graft.SparkSpec
+import graft.operators.Similarity
 import org.apache.spark.sql.functions._
 
 class StreamingDedupSpec extends SparkSpec {
@@ -37,14 +38,58 @@ class StreamingDedupSpec extends SparkSpec {
     assert(a3.isEmpty)
 
     // compaction dedups+rewrites the store; verdicts are unchanged
-    val rowsBefore = spark.read.parquet(bucketDir).distinct().count()
-    StreamingDedup.compactBuckets(spark, bucketDir, targetFiles = 1)
+    val rowsBefore = spark.read.parquet(bucketDir).select("band", "bh").distinct().count()
+    StreamingDedup.compactBuckets(spark, bucketDir, targetTasks = 1)
     assert(spark.read.parquet(bucketDir).count() == rowsBefore)
     val b4 = Seq((8L, s"$base home"), (9L, "never seen before text about volcanoes erupting"))
       .toDF("doc_id", "text")
     val a4 = StreamingDedup.nearDupBatchFilter(spark, bucketDir, b4, "doc_id", "text")
     assert(a4.select("doc_id").as[Long].collect().toSeq == Seq(9L),
       "post-compaction: history collision still drops, novelty still survives")
+  }
+
+  test("bucket store lookup scans only the batch's hash partitions") {
+    val bucketDir = Files.createTempDirectory("graft_buckets_p").toString + "/store"
+    // seed: enough distinct docs to claim buckets across many bhp partitions
+    val seed = (1 to 60).map(i =>
+      (i.toLong, s"seed document number $i with unique content token$i about topic$i"))
+      .toDF("doc_id", "text")
+    StreamingDedup.nearDupBatchFilter(spark, bucketDir, seed, "doc_id", "text")
+    val allFiles = new java.io.File(bucketDir).listFiles()
+      .filter(_.getName.startsWith("bhp="))
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath).toSet
+    val partDirs = new java.io.File(bucketDir).listFiles()
+      .count(_.getName.startsWith("bhp="))
+    assert(partDirs > 8, s"seed must spread across partitions, got $partDirs dirs")
+
+    // a one-doc batch touches at most 16 band hashes → ≤16 partitions
+    val one = Seq((999L, "a single brand new probe document about volcano observatories"))
+      .toDF("doc_id", "text")
+    val parts = one
+      .select(org.apache.spark.sql.functions.explode(
+        Similarity.bandHashes(
+          org.apache.spark.sql.functions.call_function("minhash_sig",
+            graft.functions.Text.tokens($"text"),
+            org.apache.spark.sql.functions.lit(3),
+            org.apache.spark.sql.functions.lit(Similarity.MinhashPerms)))).as("bs"))
+      .select(org.apache.spark.sql.functions.pmod($"bs.bh",
+        org.apache.spark.sql.functions.lit(StreamingDedup.BucketStorePartitions))
+        .cast("int").as("bhp"))
+      .distinct().as[Int].collect().toSeq
+    assert(parts.size <= 16)
+
+    val pruned = StreamingDedup.prunedStore(spark, bucketDir, parts)
+    assert(pruned.isDefined)
+    val readFiles = pruned.get.inputFiles
+      .map(f => new java.io.File(new java.net.URI(f)).getAbsolutePath).toSet
+    assert(readFiles.subsetOf(allFiles))
+    assert(readFiles.size < allFiles.size,
+      s"pruned lookup must skip partitions: read ${readFiles.size} of ${allFiles.size}")
+    readFiles.foreach { f =>
+      val bhp = f.split("/").find(_.startsWith("bhp=")).get.stripPrefix("bhp=").toInt
+      assert(parts.contains(bhp), s"file $f outside the batch's partitions")
+    }
   }
 
   test("nearDupStream end-to-end over a file stream") {
