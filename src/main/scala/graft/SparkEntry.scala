@@ -359,7 +359,11 @@ object SparkEntry {
     * formulation is — and it is the stronger claim.) */
   def q20_minhash_neardup(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val cand = Similarity.minhashNearDup(docs, "doc_id", "text", 0.5)
+    // maxBucket = 0: the oracle-gated variant disables the bucket-occupancy
+    // cap so the gate tests the ALGORITHM — with a cap, a hotter fixture
+    // could silently drop true pairs and fail (or mask) the containment
+    // gate. Production callers keep the cap (ADVICE r2).
+    val cand = Similarity.minhashNearDup(docs, "doc_id", "text", 0.5, maxBucket = 0)
     Similarity.scoreCandidatesJaccard(cand, docs, "doc_id",
         // hashed shingle sets: Jaccard-identical to the oracle's string
         // shingles w.h.p., no per-shingle string materialization
@@ -377,7 +381,8 @@ object SparkEntry {
     * Hamming breaks the hash. */
   def q21_simhash_neardup(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val cand = Similarity.simhashNearDup(docs, "doc_id", "text", 3)
+    // maxBucket = 0: cap disabled inside the gated query (see q20 note)
+    val cand = Similarity.simhashNearDup(docs, "doc_id", "text", 3, maxBucket = 0)
     Similarity.candidateFeatures(cand, docs, "doc_id",
         sub => sub.select(col("doc_id"),
           md5(to_json(array_sort(array_distinct(split(col("text"), " ")))))))
@@ -636,7 +641,7 @@ object SparkEntry {
   def q41_winnow_neardup(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val cand = Similarity.winnowNearDup(docs, "doc_id", "text",
-      k = 16, w = 8, minShared = 4)
+      k = 16, w = 8, minShared = 4, maxBucket = 0) // cap disabled in the gated query (see q20 note)
     Similarity.scoreCandidatesJaccard(cand, docs, "doc_id",
         // native rolling-hash gram sets (graft.plans.CharGramHashes, CHAR
         // windows — the oracle's substr slides over characters, and byte

@@ -20,10 +20,20 @@ import graft.plans.AsOfJoinPlan
   */
 object AsOfJoin {
 
-  private def resolve(df: DataFrame, name: String, what: String): Attribute =
-    df.queryExecution.analyzed.output.find(_.name == name).getOrElse(
-      throw new IllegalArgumentException(
-        s"$what column '$name' not found in [${df.columns.mkString(", ")}]"))
+  private def resolve(df: DataFrame, name: String, what: String): Attribute = {
+    val matches = df.queryExecution.analyzed.output.filter(_.name == name)
+    matches match {
+      case Seq(one) => one
+      case Seq() => throw new IllegalArgumentException(
+        s"$what column '$name' not found in [${df.columns.mkString(", ")}]")
+      // e.g. a self-join or a prior join leaving two columns named `name`:
+      // first-match binding would silently pick a side (ADVICE r2) — fail
+      // like Spark's own ambiguous-reference error instead
+      case many => throw new IllegalArgumentException(
+        s"$what column '$name' is ambiguous: ${many.size} attributes match " +
+          s"(${many.map(a => s"$name#${a.exprId.id}").mkString(", ")})")
+    }
+  }
 
   /** When the two timestamp types differ, both sides must meet at the type
     * SQL comparison coercion would pick — the FINER one — or the `<=` flips

@@ -29,19 +29,32 @@ case class TimeOffset(ms: Long) extends Offset {
   * The param name is configurable (`incrementalParam`, default
   * updated_at_min). Page fan-out within a batch is the same strided
   * plan as the batch source. Supports Trigger.AvailableNow by pinning
-  * latestOffset at prepare time. */
-class HttpMicroBatchStream(conf: HttpConf, startAtMs: Long, incrementalParam: String)
+  * latestOffset at prepare time.
+  *
+  * `lagMs` (default 1 h, the reference's late-data buffer, ref
+  * shopify_etl.py:191-198): the committed offset is `now - lagMs`, never
+  * raw driver wall-clock. A raw-clock offset silently LOSES any record
+  * whose server-side updated_at lands before the checkpoint (server/driver
+  * clock skew, delayed commit visibility on the server) — with the lag,
+  * each batch re-reads the overlap window instead, and the idempotent
+  * keyed MERGE sink absorbs the duplicate fetch (T4). Clamped to the
+  * configured start so the first offsets never regress below it. */
+class HttpMicroBatchStream(conf: HttpConf, startAtMs: Long, incrementalParam: String,
+                           lagMs: Long = HttpMicroBatchStream.DefaultLagMs)
   extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   @volatile private var pinnedLatest: Option[Long] = None
 
+  private def lagged(): Long =
+    math.max(startAtMs, System.currentTimeMillis() - lagMs)
+
   override def initialOffset(): Offset = TimeOffset(startAtMs)
 
   override def prepareForTriggerAvailableNow(): Unit =
-    pinnedLatest = Some(System.currentTimeMillis())
+    pinnedLatest = Some(lagged())
 
   override def latestOffset(): Offset =
-    TimeOffset(pinnedLatest.getOrElse(System.currentTimeMillis()))
+    TimeOffset(pinnedLatest.getOrElse(lagged()))
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = latestOffset()
 
@@ -62,6 +75,11 @@ class HttpMicroBatchStream(conf: HttpConf, startAtMs: Long, incrementalParam: St
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+object HttpMicroBatchStream {
+  /** Default offset safety lag: the reference's 1-hour incremental buffer. */
+  val DefaultLagMs: Long = 60L * 60 * 1000
 }
 
 /** Partitions carry their batch's conf (the incremental param differs per

@@ -127,7 +127,8 @@ class HttpTable(conf: HttpConf, options: CaseInsensitiveStringMap) extends Table
             : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
           new HttpMicroBatchStream(conf,
             startAtMs = options.getLong("startAtMs", 0L),
-            incrementalParam = options.getOrDefault("incrementalParam", "updated_at_min"))
+            incrementalParam = options.getOrDefault("incrementalParam", "updated_at_min"),
+            lagMs = options.getLong("lagMs", HttpMicroBatchStream.DefaultLagMs))
       }
     }
 }

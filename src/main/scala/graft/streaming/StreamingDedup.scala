@@ -76,7 +76,18 @@ object StreamingDedup {
     * `persistAccepted` is invoked with the materialized accepted docs
     * BEFORE their buckets are claimed — a durable sink must run in that
     * window, or a crash between claim and sink would make the retry
-    * collide with the batch's own buckets and silently drop it. */
+    * collide with the batch's own buckets and silently drop it.
+    *
+    * In-batch semantics are LOCAL-MIN, not sequential first-wins: a doc is
+    * dropped iff SOME smaller batch id collides with it — so in a collision
+    * chain A~B, B~C (A≁C), both B and C are dropped, where one-at-a-time
+    * arrival would have kept C (its only colliding partner B was itself
+    * dropped). This over-drop is deliberate and accepted (ADVICE r2):
+    * near-dup clusters are conventionally treated as transitive at batch
+    * granularity (chain members are mutual near-dups of the same kept
+    * representative), the rule is deterministic and needs ONE self-join,
+    * while sequential semantics require an iterated fixpoint over collision
+    * chains — unbounded extra passes per micro-batch for a marginal case. */
   def nearDupBatchFilter(spark: SparkSession, bucketDir: String,
                          batch: DataFrame, idCol: String, textCol: String,
                          k: Int = 3,

@@ -38,6 +38,17 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(4L).isEmpty, "no matching right rows -> NULL payload")
   }
 
+  test("duplicate column names fail loudly instead of binding an arbitrary side") {
+    val left = Seq((1L, "A", ts("2024-01-01 10:00:00"))).toDF("id", "k", "t")
+    // a prior join leaving TWO columns named `t`
+    val dupT = left.crossJoin(Seq(ts("2024-01-01 09:00:00")).toDF("t"))
+    val right = Seq(("A", ts("2024-01-01 09:30:00"), 1.0)).toDF("rk", "rt", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(dupT, right, "k", "rk", "t", "rt", Seq("v"), Seq("v"))
+    }
+    assert(e.getMessage.contains("ambiguous"))
+  }
+
   test("asOf plans as the sort-merge AsOfJoinExec, not a range join") {
     val left = Seq((1L, "A", ts("2024-01-01 00:00:10"))).toDF("id", "k", "t")
     val right = Seq(("A", ts("2024-01-01 00:00:01"), 7L)).toDF("rk", "rt", "pid")
