@@ -917,6 +917,10 @@ object SparkEntry {
          d AS (SELECT doc_id,
                  ' ' || trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) || ' ' AS padded
                FROM documents),
+         hd AS (SELECT doc_id,
+                  length(regexp_replace(padded, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS han,
+                  length(regexp_replace(padded, '\\s', '', 'g')) AS nws
+                FROM d),
          t AS (SELECT doc_id,
                  unnest(list_transform(generate_series(1, length(padded) - 2),
                    i -> substr(padded, i, 3))) AS tg
@@ -926,10 +930,12 @@ object SparkEntry {
          best AS (SELECT doc_id, lang, score,
                     row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
                   FROM sc),
-         pred AS (SELECT d.doc_id,
-                    coalesce(b.lang, 'und') AS pred_lang,
-                    coalesce(b.score, 0.0) AS score
-                  FROM d LEFT JOIN (SELECT doc_id, lang, score FROM best WHERE rn = 1) b
+         pred AS (SELECT hd.doc_id,
+                    CASE WHEN hd.han > 0 AND hd.han * 2 >= hd.nws THEN 'zh'
+                         ELSE coalesce(b.lang, 'und') END AS pred_lang,
+                    CASE WHEN hd.han > 0 AND hd.han * 2 >= hd.nws THEN CAST(hd.han AS DOUBLE)
+                         ELSE coalesce(b.score, 0.0) END AS score
+                  FROM hd LEFT JOIN (SELECT doc_id, lang, score FROM best WHERE rn = 1) b
                     USING (doc_id))
          SELECT pred_lang, count(*) AS n, round(avg(score), 4) AS avg_score
          FROM pred GROUP BY pred_lang ORDER BY pred_lang""",

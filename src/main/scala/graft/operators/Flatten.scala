@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.MoneyMode
 
 /** Normalization of raw nested order documents into the six flat tables —
   * the reference's central data-model move (ref shopify-etl/shopify_etl.py

@@ -19,13 +19,19 @@ import graft.functions.Text
   */
 object LangId {
 
-  /** Seed words per language (public common function words). */
+  /** Seed words per language (public common function words). zh has no
+    * entry: Chinese runs without word spacing, so space-padded word
+    * trigrams can never match running text — zh resolves through the
+    * Han char-range vote instead (see [[predict]]). */
   private val seedWords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "that", "with", "this", "from", "have", "are"),
     "es" -> Seq("que", "los", "las", "por", "con", "para", "una", "del"),
     "de" -> Seq("der", "die", "und", "den", "von", "das", "mit", "sich"),
-    "fr" -> Seq("les", "des", "que", "une", "dans", "pour", "par", "sur"),
-    "zh" -> Seq())  // no latin trigrams; zh detection would use CJK ranges
+    "fr" -> Seq("les", "des", "que", "une", "dans", "pour", "par", "sur"))
+
+  /** Unified CJK Han block, shared verbatim by the Spark expression and the
+    * DuckDB oracle (both Java regex and RE2 accept the \x{...} class). */
+  val HanRange = "[^\\x{4e00}-\\x{9fff}]"
 
   /** (lang, trigram, weight) profile rows derived from the seed words,
     * padded like running text (" word "). Public so the correctness oracle
@@ -48,7 +54,13 @@ object LangId {
       .foldLeft(0L)((h, b) => h * 257L + (b & 0xFF))
 
   /** (idCol, pred_lang, score) — argmax language per document; docs whose
-    * trigrams match no profile get pred_lang = 'und'. */
+    * trigrams match no profile get pred_lang = 'und'.
+    *
+    * zh (ADVICE r2): documents whose non-whitespace text is majority Han
+    * characters vote 'zh' directly with score = Han char count — the
+    * char-range vote, since unspaced CJK can never match a space-padded
+    * word-trigram profile. The vote is a pure Column expression replayed
+    * verbatim by the q27 oracle. */
   def predict(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -72,10 +84,16 @@ object LangId {
       .groupBy(col(idCol))
       .agg(max_by(struct(col("score"), col("lang")), struct(col("score"), col("lang"))).as("best"))
       .select(col(idCol), col("best.lang").as("pred_lang"), col("best.score").as("score"))
-    docs.select(col(idCol))
+    prepared
+      .select(col(idCol),
+        length(regexp_replace(col("_padded"), HanRange, "")).as("_han"),
+        length(regexp_replace(col("_padded"), "\\s", "")).as("_nws"))
       .join(scored, Seq(idCol), "left")
       .select(col(idCol),
-        coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
-        coalesce(col("score"), lit(0.0)).as("score"))
+        when(col("_han") > 0 && col("_han") * 2 >= col("_nws"), lit("zh"))
+          .otherwise(coalesce(col("pred_lang"), lit("und"))).as("pred_lang"),
+        when(col("_han") > 0 && col("_han") * 2 >= col("_nws"),
+          col("_han").cast("double"))
+          .otherwise(coalesce(col("score"), lit(0.0))).as("score"))
   }
 }

@@ -339,20 +339,14 @@ object Similarity {
     takeTopK(scored, topK)
   }
 
-  /** IVF (inverted-file) ANN: candidates are partitioned into `nCells`
-    * Voronoi cells of a coarse quantizer; a query probes only its `nProbe`
-    * nearest cells. Cell id is a shuffle/join key, so search cost is
-    * (nProbe/nCells) of the corpus per query instead of all of it.
-    *
-    * The coarse quantizer here picks deterministic seed centroids (first
-    * nCells rows by id) — a k-means refinement is an offline training step
-    * that would only change how `centroids` is produced, not the plan. */
-  def annIvf(queries: DataFrame, candidates: DataFrame, idCol: String,
-             vecCol: String, topK: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    // Seed numbering happens on the driver: nCells (<= dozens) rows are a
-    // bounded collect, and it keeps the keyless-window single-partition
-    // shuffle out of the plan entirely (a foldable partition key would be
-    // optimized away and WindowExec would still coalesce to 1 partition).
+  /** Deterministic seed centroids for the IVF coarse quantizer: the first
+    * `nCells` candidate vectors by id. Seed numbering happens on the
+    * driver: nCells (<= dozens) rows are a bounded collect, and it keeps
+    * the keyless-window single-partition shuffle out of the plan entirely
+    * (a foldable partition key would be optimized away and WindowExec
+    * would still coalesce to 1 partition). */
+  def ivfSeedCentroids(candidates: DataFrame, idCol: String, vecCol: String,
+                       nCells: Int): DataFrame = {
     val spark = candidates.sparkSession
     val seedRows = candidates
       .orderBy(col(idCol)).limit(nCells)
@@ -362,10 +356,72 @@ object Similarity {
         org.apache.spark.sql.types.IntegerType, nullable = false),
       org.apache.spark.sql.types.StructField("centroid",
         candidates.schema(vecCol).dataType, nullable = false)))
-    val centroids = spark.createDataFrame(
+    spark.createDataFrame(
       java.util.List.of(seedRows.zipWithIndex.map { case (r, i) =>
         org.apache.spark.sql.Row(i, r.get(0))
       }: _*), centroidSchema)
+  }
+
+  /** Offline k-means (spherical Lloyd) refinement of the IVF coarse
+    * quantizer (VERDICT r2 item 7). Each iteration: broadcast the current
+    * centroids, assign every vector to its max-dot cell, recompute each
+    * centroid as the L2-normalized element-wise mean of its members (the
+    * spherical variant — assignment uses dot products on normalized
+    * embeddings, so centroids must stay on the sphere). Cells that lose
+    * all members keep their previous centroid.
+    *
+    * 100 TB shape: the per-iteration cost is one scan + one (cell, dim)
+    * aggregation — no pair space; centroids themselves are tiny and live
+    * on the driver between iterations. Train on a bounded sample of the
+    * corpus (pass a sampled frame), as every production IVF build does;
+    * the trained frame feeds [[annIvf]]'s `centroids` parameter. */
+  def trainIvfCentroids(candidates: DataFrame, idCol: String, vecCol: String,
+                        nCells: Int = 16, iterations: Int = 5): DataFrame = {
+    val floatVecs = candidates.schema(vecCol).dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)
+    var centroids = ivfSeedCentroids(candidates, idCol, vecCol, nCells)
+    val vecs = candidates.select(col(idCol).as("_tid"), col(vecCol).as("v"))
+    for (_ <- 1 to iterations) {
+      val assigned = vecs.crossJoin(broadcast(centroids))
+        .select(col("_tid"), col("v"), col("cell"),
+          Vectors.dotNative(col("v"), col("centroid")).as("cd"))
+        .withColumn("cr", row_number().over(
+          Window.partitionBy(col("_tid")).orderBy(col("cd").desc, col("cell").asc)))
+        .filter(col("cr") === 1)
+      // element-wise mean per cell: (cell, dim) partial aggregation
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("p", "x")))
+        .groupBy(col("cell"), col("p")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("p"), col("m")))),
+          s => s.getField("m")).as("raw"))
+      val norm = sqrt(aggregate(col("raw"), lit(0.0), (acc, x) => acc + x * x))
+      val unit = transform(col("raw"), x =>
+        if (floatVecs) (x / norm).cast("float") else x / norm)
+      val refreshed = means.select(col("cell"), unit.as("trained"))
+      // keep the previous centroid for cells that lost every member
+      centroids = centroids.as("c")
+        .join(refreshed.as("r"), Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("trained"), col("centroid")).as("centroid"))
+        .localCheckpoint() // tiny (nCells rows); cut the per-iteration lineage
+    }
+    centroids
+  }
+
+  /** IVF (inverted-file) ANN: candidates are partitioned into `nCells`
+    * Voronoi cells of a coarse quantizer; a query probes only its `nProbe`
+    * nearest cells. Cell id is a shuffle/join key, so search cost is
+    * (nProbe/nCells) of the corpus per query instead of all of it.
+    *
+    * `trainedCentroids`: pass [[trainIvfCentroids]] output for k-means
+    * cells; default is the deterministic seed quantizer (the offline
+    * training step changes only how centroids are produced, not the
+    * search plan). */
+  def annIvf(queries: DataFrame, candidates: DataFrame, idCol: String,
+             vecCol: String, topK: Int, nCells: Int = 16, nProbe: Int = 4,
+             trainedCentroids: Option[DataFrame] = None): DataFrame = {
+    val centroids = trainedCentroids.getOrElse(
+      ivfSeedCentroids(candidates, idCol, vecCol, nCells))
 
     // assignment: argmax centroid dot per vector (normalized => nearest)
     def assign(df: DataFrame, id: String, n: Int): DataFrame =

@@ -22,6 +22,21 @@ class LangIdSpec extends SparkSpec {
     assert(out(5L) == "und")
   }
 
+  test("Han char-range vote identifies zh; latin-majority mixed text does not flip") {
+    val docs = Seq(
+      (1L, "这是一个关于机器学习的文档"), // pure zh
+      (2L, "今天天气很好我们去爬山了 go"), // 12 Han vs 2 latin: majority Han
+      (3L, "the weather is nice today 天气"), // minority Han -> latin path
+      (4L, "the cat and the dog are here with that hat from this town")
+    ).toDF("doc_id", "text")
+    val out = LangId.predict(docs, "doc_id", "text")
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(out(1L) == "zh")
+    assert(out(2L) == "zh")
+    assert(out(3L) != "zh", "minority Han must fall through to the trigram path")
+    assert(out(4L) == "en")
+  }
+
   test("predict keeps every input row exactly once") {
     val docs = graft.Tables.documents(spark, sfDir)
     val out = LangId.predict(docs, "doc_id", "text")

@@ -91,6 +91,48 @@ class SimilaritySpec extends SparkSpec {
     assert(counts.forall(_ <= 5))
   }
 
+  test("k-means-refined IVF centroids improve recall over seed centroids (planted clusters)") {
+    // 8 well-separated clusters in 16-d; ids ordered so the first vectors
+    // (the deterministic seeds) ALL come from cluster 0 — the worst case
+    // for the seed quantizer, which Lloyd iterations must fix.
+    val dim = 16
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val rows = for {
+      c <- 0 until 8
+      m <- 0 until 12
+    } yield {
+      // strong per-member deterministic noise in EVERY dim: members of the
+      // same cluster disagree on which of the near-identical cluster-0
+      // seeds is nearest, so the seed quantizer splits true clusters
+      val v = Array.tabulate(dim)(j => 0.45f * (((c * 131 + m * 37 + j * 17) % 7) / 6.0f))
+      v(c * 2) += 2.2f // cluster direction dominates true similarity
+      // id layout: cluster-0 members get ids 0..11 (seeds), rest follow
+      (c * 100L + m, unit(v))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" % 100 === 0) // one probe per cluster
+
+    val brute = Similarity.annBruteForce(queries, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallOf(trained: Option[org.apache.spark.sql.DataFrame]): Double = {
+      val got = Similarity.annIvf(queries, emb, "vec_id", "embedding", 5,
+        nCells = 8, nProbe = 1, trainedCentroids = trained)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (brute intersect got).size.toDouble / brute.size
+    }
+    val seedRecall = recallOf(None)
+    val trained = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+      nCells = 8, iterations = 5)
+    assert(trained.count() == 8)
+    val trainedRecall = recallOf(Some(trained))
+    assert(trainedRecall > seedRecall,
+      s"k-means must beat degenerate seeds: seed=$seedRecall trained=$trainedRecall")
+    assert(trainedRecall >= 0.8, s"trained recall $trainedRecall too low")
+  }
+
   test("annBruteForce top-1 of a query against itself-excluded set is its nearest cluster member") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val out = Similarity.annBruteForce(emb.filter($"vec_id" === 0L), emb, "vec_id", "embedding", 1)
