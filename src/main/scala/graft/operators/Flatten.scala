@@ -28,16 +28,21 @@ object Flatten {
   private def idStr(c: org.apache.spark.sql.Column) =
     if (noneStringParity) coalesce(c.cast("string"), lit("None")) else c.cast("string")
 
+  /** Money column policy: cast + null default in the chosen mode (Dbl keeps
+    * reference float parity; Dec gives exact DECIMAL(18,2) end-to-end). */
+  private def money(c: org.apache.spark.sql.Column, mode: MoneyMode) =
+    coalesce(mode.cast(c), mode.cast(lit(0)))
+
   /** P1: orders projection (ref :350-364). */
-  def orders(raw: DataFrame): DataFrame =
+  def orders(raw: DataFrame, mode: MoneyMode = MoneyMode.Dbl): DataFrame =
     raw.select(
       col("id").cast("string").as("order_id"),
       to_timestamp(col("created_at")).as("created_at"),
       to_timestamp(col("updated_at")).as("updated_at"),
       to_timestamp(col("processed_at")).as("processed_at"),
-      coalesce(col("subtotal_price").cast("double"), lit(0.0)).as("subtotal_price"),
-      coalesce(col("total_tax").cast("double"), lit(0.0)).as("total_tax"),
-      coalesce(col("total_price").cast("double"), lit(0.0)).as("total_price"),
+      money(col("subtotal_price"), mode).as("subtotal_price"),
+      money(col("total_tax"), mode).as("total_tax"),
+      money(col("total_price"), mode).as("total_price"),
       coalesce(col("financial_status"), lit("")).as("financial_status"),
       coalesce(col("fulfillment_status"), lit("")).as("fulfillment_status"),
       coalesce(col("currency"), lit("")).as("currency"),
@@ -45,7 +50,7 @@ object Flatten {
       col("customer.id").cast("string").as("customer_id"))
 
   /** Line items: explode nested array (ref :368-377). */
-  def lineItems(raw: DataFrame): DataFrame =
+  def lineItems(raw: DataFrame, mode: MoneyMode = MoneyMode.Dbl): DataFrame =
     raw.select(col("id").cast("string").as("order_id"),
         explode(col("line_items")).as("li"))
       .select(
@@ -53,7 +58,7 @@ object Flatten {
         idStr(col("li.product_id")).as("product_id"),
         idStr(col("li.variant_id")).as("variant_id"),
         coalesce(col("li.name"), lit("")).as("product_name"),
-        coalesce(col("li.price").cast("double"), lit(0.0)).as("price"),
+        money(col("li.price"), mode).as("price"),
         coalesce(col("li.quantity"), lit(0L)).as("quantity"),
         coalesce(col("li.vendor"), lit("")).as("vendor"))
 
@@ -83,13 +88,13 @@ object Flatten {
         coalesce(col("shipping_address.zip"), lit("")).as("zip"))
 
   /** Discount codes: explode nested array (ref :407-413). */
-  def discountCodes(raw: DataFrame): DataFrame =
+  def discountCodes(raw: DataFrame, mode: MoneyMode = MoneyMode.Dbl): DataFrame =
     raw.select(col("id").cast("string").as("order_id"),
         explode(col("discount_codes")).as("dc"))
       .select(
         col("order_id"),
         coalesce(col("dc.code"), lit("")).as("code"),
-        coalesce(col("dc.amount").cast("double"), lit(0.0)).as("amount"))
+        money(col("dc.amount"), mode).as("amount"))
 
   /** P4: marketing consent — boolean → categorical (ref :417-426). */
   def marketingConsent(raw: DataFrame): DataFrame =
@@ -101,11 +106,11 @@ object Flatten {
         lit("").as("sms_consent"))
 
   /** All six tables keyed by reference table name (ref return :454-461). */
-  def all(raw: DataFrame): Map[String, DataFrame] = Map(
-    "orders"             -> orders(raw),
-    "line_items"         -> lineItems(raw),
+  def all(raw: DataFrame, mode: MoneyMode = MoneyMode.Dbl): Map[String, DataFrame] = Map(
+    "orders"             -> orders(raw, mode),
+    "line_items"         -> lineItems(raw, mode),
     "customers"          -> customers(raw),
     "shipping_addresses" -> shippingAddresses(raw),
-    "discount_codes"     -> discountCodes(raw),
+    "discount_codes"     -> discountCodes(raw, mode),
     "marketing_consent"  -> marketingConsent(raw))
 }
