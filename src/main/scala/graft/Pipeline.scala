@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.MoneyMode
 import graft.operators.{Dedup, Flatten, ParquetTableStore, SyncControl}
 import graft.sources.PagedNdjsonSource
 
@@ -23,7 +24,8 @@ import graft.sources.PagedNdjsonSource
   * composition is unchanged.
   */
 class Pipeline(spark: SparkSession, warehouse: String,
-               autoCompactFiles: Int = 64) {
+               autoCompactFiles: Int = 64,
+               moneyMode: MoneyMode = MoneyMode.Dbl) {
 
   val control = new SyncControl(spark, s"$warehouse/_sync_control")
   val store = new ParquetTableStore(spark, warehouse, autoCompactFiles)
@@ -92,8 +94,10 @@ class Pipeline(spark: SparkSession, warehouse: String,
         return Schemas.uniqueKeys.keys.map(n => n -> readFinal(n).map(_.count()).getOrElse(0L)).toMap
       }
 
-      // P1-P4 flatten, A2/A3 key dedup with null bypass, J1 merge
-      val counts = Flatten.all(deduped).map { case (name, df) =>
+      // P1-P4 flatten (money columns in the pipeline's MoneyMode — Dbl for
+      // reference float parity, Dec for exact fixed-point end-to-end),
+      // A2/A3 key dedup with null bypass, J1 merge
+      val counts = Flatten.all(deduped, moneyMode).map { case (name, df) =>
         val keys = Schemas.uniqueKeys(name)
         val withOrder = df.withColumn("_ord", monotonically_increasing_id())
         val cleaned = Dedup.compositeKeyDedup(withOrder, keys, "_ord").drop("_ord")

@@ -44,6 +44,34 @@ class PipelineSpec extends SparkSpec {
     assert(counts3("orders") == 4)
   }
 
+  test("end-to-end in Dec money mode: exact DECIMAL tables, verification green") {
+    import graft.functions.MoneyMode
+    val wh = Files.createTempDirectory("graft_wh_dec").toString
+    val p = new Pipeline(spark, wh, moneyMode = MoneyMode.Dec)
+
+    val counts = p.execute(pagesDir, forceFullLoad = true, runId = "dec1")
+    assert(counts("orders") == 4)
+    assert(counts("line_items") == 4)
+
+    // stored money columns are DECIMAL(18,2), values exact
+    val o = p.readFinal("orders").get
+    assert(o.schema("total_price").dataType.typeName == "decimal(18,2)")
+    val dec = o.filter($"order_id" === "1002")
+      .select($"total_price".cast("double")).as[Double].head()
+    assert(dec == 10.0)
+
+    // the reference verification suite passes identically in Dec mode
+    val v = p.verify()
+    Schemas.uniqueKeys.keys.foreach { t =>
+      val (total, distinct) = v(t)
+      assert(total == distinct, s"$t keys not unique in Dec mode")
+    }
+    assert(v("line_items_orphans")._1 == 0)
+
+    // idempotence holds in Dec mode too
+    assert(p.execute(pagesDir, forceFullLoad = true, runId = "dec2") == counts)
+  }
+
   test("error path records an error control row and rethrows (T6)") {
     val wh = Files.createTempDirectory("graft_wh_err").toString
     val p = new Pipeline(spark, wh)

@@ -62,6 +62,27 @@ class FlattenSpec extends SparkSpec {
     assert(dc.filter($"order_id" === "1004").count() == 2)
   }
 
+  test("Dec money mode: money columns are exact DECIMAL(18,2) across all tables") {
+    import graft.functions.MoneyMode
+    val all = Flatten.all(raw, MoneyMode.Dec)
+    val moneyCols = Map(
+      "orders" -> Seq("subtotal_price", "total_tax", "total_price"),
+      "line_items" -> Seq("price"),
+      "discount_codes" -> Seq("amount"))
+    for ((table, cols) <- moneyCols; c <- cols)
+      assert(all(table).schema(c).dataType.typeName == "decimal(18,2)",
+        s"$table.$c should be decimal(18,2)")
+    // values survive the decimal cast exactly (fixture prices are 2-dp)
+    val dbl = Flatten.orders(raw).filter($"order_id" === "1002")
+      .select($"total_price").as[Double].head()
+    val dec = all("orders").filter($"order_id" === "1002")
+      .select($"total_price".cast("double")).as[Double].head()
+    assert(dbl == dec)
+    // non-money columns are unaffected by the mode
+    assert(all("orders").schema("updated_at").dataType.typeName == "timestamp")
+    assert(all("customers").schema.fieldNames.toSeq == Schemas.customers.fieldNames.toSeq)
+  }
+
   test("flattened outputs conform to declared schemas") {
     val all = Flatten.all(raw)
     assert(all("orders").schema.fieldNames.toSeq == Schemas.orders.fieldNames.toSeq)
