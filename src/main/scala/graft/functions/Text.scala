@@ -64,6 +64,44 @@ object Text {
       .otherwise("und")
   }
 
+  /** Gopher-style repetition signal: fraction of tokens that repeat an
+    * earlier token (1 − distinct/total). High values flag boilerplate and
+    * degenerate generations; a standard pre-training quality filter. */
+  def repetitionRatio(c: Column): Column = {
+    val w = tokens(c)
+    round(lit(1.0) - size(array_distinct(w)).cast("double") / size(w).cast("double"), 4)
+  }
+
+  /** Phrase-level repetition: fraction of word bigrams that repeat.
+    * Catches copy-paste runs the unigram ratio misses (a doc can repeat
+    * every WORD without repeating any PHRASE). */
+  def bigramRepetitionRatio(c: Column): Column = {
+    val w = tokens(c)
+    val bigrams = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      .otherwise(w)
+    round(lit(1.0) - size(array_distinct(bigrams)).cast("double") /
+      size(bigrams).cast("double"), 4)
+  }
+
+  /** Context-window chunking: split a document's tokens into overlapping
+    * windows of `size` tokens advancing by `stride` (< size ⇒ overlap) —
+    * how corpora are cut to a model's sequence length. Chunk i covers
+    * tokens [i·stride+1, i·stride+size]; the last chunk starts at the
+    * final stride boundary before the end, so every token lands in ≥ 1
+    * chunk and no chunk is empty. Pure array HOFs — the chunking runs
+    * inside the scan projection, nothing shuffles until the caller
+    * aggregates. */
+  def chunkTokens(c: Column, size: Int, stride: Int): Column = {
+    require(stride > 0 && size >= stride, "need 0 < stride <= size")
+    val w = tokens(c)
+    val nTok = org.apache.spark.sql.functions.size(w)
+    val nChunks = ceil(nTok.cast("double") / stride).cast("int")
+    transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(w, i * stride + 1, size), " "))
+  }
+
   /** Content fingerprint over normalized text (md5 — matches DuckDB md5()). */
   def fingerprint(c: Column): Column = md5(normalize(c))
 

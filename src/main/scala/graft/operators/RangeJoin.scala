@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range (interval) join — match point rows to interval rows with NO equi
+  * key: `left.point ∈ [right.start, right.end)`. The reference never needs
+  * one, but a training-data pipeline does constantly (events ↔ campaign
+  * windows, log lines ↔ incident windows, samples ↔ validity intervals).
+  *
+  * Scale shape: Catalyst plans a bare inequality join as a broadcast
+  * nested loop — O(|L|·|R|) comparisons, a scale-killer the moment the
+  * interval side outgrows a broadcast. Banding fixes it: each interval is
+  * exploded into the fixed-width time buckets it covers, each point
+  * computes its own bucket, and the join becomes an EQUI join on bucket
+  * plus a residual range predicate — hash-joinable, AQE-skew-splittable,
+  * shuffle-partitioned like any other key join. A qualifying (point,
+  * interval) pair meets in exactly ONE bucket row (the point's own
+  * bucket), so the output needs no dedup.
+  *
+  * Bucket width trades replication for selectivity: intervals replicate
+  * ⌈len/width⌉×, points never replicate. Pick width ≈ the typical
+  * interval length so replication stays O(1) per interval.
+  */
+object RangeJoin {
+
+  /** Floor bucket of a timestamp in `widthSec`-second buckets. Integer
+    * arithmetic end-to-end: `us - pmod(us, w)` is an exact multiple of w
+    * (pmod keeps floor semantics for pre-epoch timestamps), and a
+    * multiple of w below 2^53 µs divides exactly in double — no
+    * float-rounding edge at bucket boundaries. */
+  private def bucketOf(c: org.apache.spark.sql.Column, widthUs: Long) = {
+    val us = unix_micros(c)
+    ((us - pmod(us, lit(widthUs))) / lit(widthUs)).cast("long")
+  }
+
+  /** Point-in-interval join: rows of `left` matched to every row of
+    * `right` whose [startCol, endCol) contains `pointCol`. Columns of both
+    * sides survive on the output (bucket column dropped). Empty or
+    * inverted intervals match nothing. */
+  def pointInInterval(left: DataFrame, pointCol: String,
+                      right: DataFrame, startCol: String, endCol: String,
+                      bucketWidthSec: Long = 86400L): DataFrame = {
+    require(bucketWidthSec > 0, "bucket width must be positive")
+    val w = bucketWidthSec * 1000000L
+    val lb = left.withColumn("_rj_bucket", bucketOf(col(pointCol), w))
+    // end is exclusive: an interval ending exactly on a bucket boundary
+    // does not cover that bucket, hence the -1 µs on the upper bound
+    val rb = right.filter(col(endCol) > col(startCol))
+      .withColumn("_rj_bucket", explode(sequence(
+        bucketOf(col(startCol), w),
+        bucketOf(timestamp_micros(unix_micros(col(endCol)) - 1), w))))
+    lb.join(rb, Seq("_rj_bucket"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("_rj_bucket")
+  }
+}
