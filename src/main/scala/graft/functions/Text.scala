@@ -74,12 +74,20 @@ object Text {
 
   /** Phrase-level repetition: fraction of word bigrams that repeat.
     * Catches copy-paste runs the unigram ratio misses (a doc can repeat
-    * every WORD without repeating any PHRASE). */
-  def bigramRepetitionRatio(c: Column): Column = {
-    val w = tokens(c)
-    val bigrams = when(size(w) >= 2,
-      transform(sequence(lit(1), size(w) - 1),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+    * every WORD without repeating any PHRASE).
+    *
+    * `w` must be a pre-materialized token-array attribute (project
+    * [[tokens]] under an alias first, like [[graft.operators.Similarity]]
+    * does with `shingleHashesOf`): the slices below evaluate `w` a constant
+    * number of times, never per element — an inline `split` here is the
+    * O(len²) HOF trap this repo measured at 23 s vs <1 s. */
+  def bigramRepetitionRatioOf(w: Column): Column = {
+    // zip token i with token i+1 via two aligned slices; no per-element
+    // lambda ever touches `w` itself, so nothing re-evaluates per token
+    val n = size(w)
+    val bigrams = when(n >= 2,
+      zip_with(slice(w, lit(1), n - 1), slice(w, lit(2), n - 1),
+        (a, b) => concat_ws(" ", a, b)))
       .otherwise(w)
     round(lit(1.0) - size(array_distinct(bigrams)).cast("double") /
       size(bigrams).cast("double"), 4)
@@ -92,14 +100,18 @@ object Text {
     * final stride boundary before the end, so every token lands in ≥ 1
     * chunk and no chunk is empty. Pure array HOFs — the chunking runs
     * inside the scan projection, nothing shuffles until the caller
-    * aggregates. */
-  def chunkTokens(c: Column, size: Int, stride: Int): Column = {
+    * aggregates.
+    *
+    * `w` must be a pre-materialized token-array attribute (see
+    * [[bigramRepetitionRatioOf]]); the `transform` lambda slices `w` per
+    * chunk, which is per-chunk work only when `w` is an attribute read —
+    * with an inline `split` it would re-tokenize the document per chunk. */
+  def chunkTokensOf(w: Column, size: Int, stride: Int): Column = {
     require(stride > 0 && size >= stride, "need 0 < stride <= size")
-    val w = tokens(c)
     val nTok = org.apache.spark.sql.functions.size(w)
     val nChunks = ceil(nTok.cast("double") / stride).cast("int")
-    transform(sequence(lit(0), nChunks - 1),
-      i => array_join(slice(w, i * stride + 1, size), " "))
+    transform(sequence(lit(0), greatest(nChunks, lit(1)) - 1),
+      i => array_join(slice(w, i * stride + 1, lit(size)), " "))
   }
 
   /** Content fingerprint over normalized text (md5 — matches DuckDB md5()). */

@@ -26,28 +26,27 @@ object Decontaminate {
     docs.select(col(idCol), Text.tokens(col(textCol)).as("_w"))
       .select(col(idCol), explode(Similarity.shingleHashesOf(col("_w"), n)).as("gram"))
 
-  /** Distinct ids of training docs sharing ≥1 n-gram with the eval set.
-    * `docs` may carry extra columns; they are preserved on the result via
-    * the final semi-join back (so callers can aggregate by any of them). */
-  def contaminated(docs: DataFrame, evalDocs: DataFrame,
-                   idCol: String, textCol: String, n: Int = 8): DataFrame = {
+  /** Distinct ids of training docs sharing ≥1 n-gram with the eval set —
+    * the broadcast-semi-join pass both public methods hang off. */
+  private def hitIds(docs: DataFrame, evalDocs: DataFrame,
+                     idCol: String, textCol: String, n: Int): DataFrame = {
     val evalGrams = gramHashes(evalDocs, idCol, textCol, n)
       .select(col("gram")).distinct()
-    val hitIds = gramHashes(docs, idCol, textCol, n)
+    gramHashes(docs, idCol, textCol, n)
       .join(broadcast(evalGrams), Seq("gram"), "left_semi")
       .select(col(idCol)).distinct()
-    docs.join(hitIds, Seq(idCol), "left_semi")
   }
+
+  /** Training docs sharing ≥1 n-gram with the eval set. `docs` may carry
+    * extra columns; they are preserved on the result via the final
+    * semi-join back (so callers can aggregate by any of them). */
+  def contaminated(docs: DataFrame, evalDocs: DataFrame,
+                   idCol: String, textCol: String, n: Int = 8): DataFrame =
+    docs.join(hitIds(docs, evalDocs, idCol, textCol, n), Seq(idCol), "left_semi")
 
   /** The keep side: training docs with NO n-gram overlap with the eval
     * set — the actual decontaminated corpus a pipeline writes out. */
   def clean(docs: DataFrame, evalDocs: DataFrame,
-            idCol: String, textCol: String, n: Int = 8): DataFrame = {
-    val evalGrams = gramHashes(evalDocs, idCol, textCol, n)
-      .select(col("gram")).distinct()
-    val hitIds = gramHashes(docs, idCol, textCol, n)
-      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
-      .select(col(idCol)).distinct()
-    docs.join(hitIds, Seq(idCol), "left_anti")
-  }
+            idCol: String, textCol: String, n: Int = 8): DataFrame =
+    docs.join(hitIds(docs, evalDocs, idCol, textCol, n), Seq(idCol), "left_anti")
 }
