@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Similarity, Upsert}
-import graft.functions.{MoneyMode, Text, Vectors}
+import graft.operators.{Decontaminate, Dedup, Monitoring, Multimodal, RangeJoin, Similarity, Upsert}
+import graft.functions.{MoneyMode, Pii, Text, Vectors}
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables._
 
@@ -493,10 +493,16 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), round(avg(col("score")), 4).as("avg_score"))
       .orderBy(col("pred_lang"))
 
-  /** Embedding-cosine near-dup on a deterministic sample (brute-force
-    * oracle baseline; the LSH bucket join in q24 is the scale path). */
+  /** Embedding-cosine near-dup, scale path: hyperplane-LSH bucket-collision
+    * candidates (symmetric (table,bucket) hash self-join — no cross product
+    * anywhere in the plan) + exact dot rescore on candidates only. The
+    * ORACLE is the exact all-pairs form on the same sample, so the gate
+    * enforces observed 100% recall of the LSH parameters (2 bits × 32
+    * tables ⇒ per-pair miss < 1e-7 at cosine 0.4) on top of score
+    * exactness. [[Similarity.cosineNearDup]] (crossJoin) survives only as
+    * the oracle-equivalent baseline, never in a gated plan. */
   def q30_cosine_neardup(s: SparkSession, d: String): DataFrame =
-    Similarity.cosineNearDup(
+    Similarity.cosineNearDupLsh(
       embeddings(s, d).filter(col("vec_id") % 4 === 0),
       "vec_id", "embedding", 0.4)
       .orderBy(col("id_a"), col("id_b"))
@@ -601,18 +607,31 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 4).as("avg_total"))
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
-  /** Edit-distance (Levenshtein) near-dup verification on a bounded sample —
-    * the exact-verification stage for fuzzy text matching. */
+  /** Edit-distance (Levenshtein) near-pair extraction: candidates from the
+    * banded-minhash sketch join, exact Levenshtein ONLY on candidates, keep
+    * pairs with normalized edit similarity >= 0.75. No all-pairs join
+    * exists in the gated plan — the ORACLE computes the brute-force
+    * all-pairs form on the same sample, so the gate enforces that the
+    * candidate stage missed nothing (qualifying pairs here sit at word
+    * 3-shingle Jaccard ≈ 0.97, where a 16-band × 4-row minhash collision
+    * is a near-certainty: miss ≈ (1-0.97⁴)¹⁶ < 1e-14) as well as exact
+    * distances. Levenshtein is O(len²) per pair — precisely why it must
+    * never run on more than the candidate set at corpus scale. */
   def q39_edit_distance(s: SparkSession, d: String): DataFrame = {
-    val sample = documents(s, d).filter(col("doc_id") % 100 === 0)
-      .select(col("doc_id"), col("source"), col("text"))
-    val a = sample.select(col("doc_id").as("id_a"), col("source"), col("text").as("text_a"))
-    val b = sample.select(col("doc_id").as("id_b"), col("source"), col("text").as("text_b"))
-    a.join(b, Seq("source"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("source"), col("id_a"), col("id_b"),
-        levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"))
-      .orderBy(col("source"), col("id_a"), col("id_b"))
+    val sample = documents(s, d).filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"))
+    val cand = Similarity.minhashNearDup(sample, "doc_id", "text",
+      threshold = 0.5, k = 3, maxBucket = 0).select("id_a", "id_b")
+    val ta = sample.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+    val tb = sample.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+    cand.join(ta, "id_a").join(tb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"),
+        round(lit(1.0) - levenshtein(col("text_a"), col("text_b")).cast("double") /
+          greatest(length(col("text_a")), length(col("text_b"))).cast("double"), 4)
+          .as("edit_sim"))
+      .filter(col("edit_sim") >= 0.75)
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Deterministic stratified sampling — the data-mixing op of a training
@@ -653,6 +672,149 @@ object SparkEntry {
             Text.normalize(col("text")), lit(16), lit(true), lit(true)).as("g")))
       .filter(col("jaccard") >= 0.3)
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** PII scrub gate (functions.Pii): emails/phones are PLANTED
+    * deterministically into the synthetic corpus (which contains neither —
+    * measured zero '@' and zero digit-hyphen runs), so detection counts,
+    * the redaction fingerprint, and the recall-biased phone pattern's
+    * false-positive envelope are all pinned by the oracle, which replays
+    * the identical planting + RE2-safe patterns in DuckDB. */
+  def q48_pii(s: SparkSession, d: String): DataFrame = {
+    val idStr = col("doc_id").cast("string")
+    val planted = documents(s, d).select(col("doc_id"), col("source"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" contact user"), idStr, lit("@example.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(lit(" call 555-"), lpad(idStr, 4, "0"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          concat(lit(" fax +1-415-"), lpad(idStr, 3, "0"), lit("-"),
+            lpad(idStr, 4, "0"))).otherwise(lit(""))).as("text"))
+    planted
+      .select(col("source"),
+        Pii.emailCount(col("text")).as("ec"),
+        Pii.phoneCount(col("text")).as("pc"),
+        Pii.redact(col("text")).as("red"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ec") + col("pc") > 0, 1).otherwise(0)).cast("long").as("docs_with_pii"),
+        sum(col("ec")).cast("long").as("emails"),
+        sum(col("pc")).cast("long").as("phones"),
+        sum(length(col("red"))).cast("long").as("redacted_chars"),
+        min(md5(col("red"))).as("redaction_fp"))
+      .orderBy(col("source"))
+  }
+
+  /** Benchmark-decontamination gate (operators.Decontaminate): the eval
+    * fixture is built IN-QUERY as the 12-token substring (tokens 5..16) of
+    * every 25th corpus doc, so known 8-gram overlaps exist by construction
+    * — those docs (and their near-dups sharing the run) must flag. Gates
+    * the per-source contaminated/clean partition; the oracle replays the
+    * exact token-8-gram intersection on gram STRINGS (set-equivalent to
+    * the broadcast hashed-gram semi join w.h.p., same equivalence as
+    * q20's oracle). */
+  def q49_decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    val evalDocs = documents(s, d)
+      .filter(pmod(col("doc_id"), lit(25)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(Text.tokens(col("text")), 5, 12), " ").as("text"))
+    val cont = Decontaminate.contaminated(docs, evalDocs, "doc_id", "text", n = 8)
+      .groupBy(col("source")).agg(count(lit(1)).as("hits"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(cont, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("hits"), lit(0L)).cast("long").as("contaminated"),
+        (col("n_docs") - coalesce(col("hits"), lit(0L))).cast("long").as("clean"))
+      .orderBy(col("source"))
+  }
+
+  /** Range-join gate (operators.RangeJoin): per-order promotional windows
+    * [o_orderdate, +1..7 days) derived from every 100th order, matched
+    * against ALL order dates as points through the banded equi join; the
+    * oracle runs the plain inequality join. The plan-shape assertion (hash
+    * join on _rj_bucket, no BroadcastNestedLoop) lives in RangeJoinSpec.
+    * Midnight-stamped points sit exactly on bucket boundaries, so the
+    * inclusive-start/exclusive-end edges are load-bearing here. */
+  def q50_range_join(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val iv = o.filter(pmod(col("o_orderkey"), lit(100)) === 0)
+      .select(col("o_orderkey").as("iv_id"), col("o_orderdate").as("iv_start"),
+        expr("timestampadd(DAY, CAST(CAST(o_orderkey / 100 AS BIGINT) % 7 + 1 AS INT), o_orderdate)")
+          .as("iv_end"))
+    val pts = o.select(col("o_orderkey").as("pt_id"),
+      col("o_orderdate").as("pt_ts"), col("o_totalprice"))
+    RangeJoin.pointInInterval(pts, "pt_ts", iv, "iv_start", "iv_end")
+      .groupBy(col("iv_id"))
+      .agg(count(lit(1)).as("n_points"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("iv_id"))
+  }
+
+  /** Context-window chunking gate (functions.Text.chunkTokensOf): every
+    * doc cut into 64-token windows advancing by 32 (50% overlap). Gates
+    * chunk counts and the summed per-chunk token count per source — the
+    * overlap arithmetic (every token in ≥1 chunk, no empty chunk) is what
+    * the totals pin; the per-doc invariants are property-tested in
+    * TextSpec. Token arrays are pre-aliased attributes before every HOF
+    * (the O(len²) re-evaluation trap — see chunkTokensOf's scaladoc). */
+  def q51_chunk_tokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("source"), Text.tokens(col("text")).as("w"))
+      .select(col("source"), Text.chunkTokensOf(col("w"), size = 64, stride = 32).as("chunks"))
+      .select(col("source"), size(col("chunks")).as("n_chunks"),
+        aggregate(transform(col("chunks"), c => size(split(c, " "))),
+          lit(0L), (acc, x) => acc + x.cast("long")).as("chunk_toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chunks")).cast("long").as("total_chunks"),
+        max(col("n_chunks")).cast("long").as("max_chunks"),
+        sum(col("chunk_toks")).cast("long").as("chunk_tokens"))
+      .orderBy(col("source"))
+
+  /** Media-header decode gate: planted JPEG/WAV/non-container byte
+    * literals run through the REAL plans.MediaHeader parser (marker walk /
+    * RIFF chunk walk); the oracle pins the expected header fields as
+    * literals — the payloads are constants, so their correct decode is a
+    * known constant (same gate style as q43's literal-TRUE tolerance).
+    * JPEG: 8×6 SOF0 baseline frame. WAV: PCM, 2 ch, 8 kHz, block align 4,
+    * 16-byte data chunk ⇒ 4 sample frames. "Hello" must fall through to
+    * octet-stream with zeroed fields, not fail the scan. */
+  def q52_media_header(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val jpegHex = "ffd8" + "ffc00011" + "08" + "0006" + "0008" + "03" +
+      "010011" + "020011" + "030011" + "ffd9"
+    val wavHex = "52494646" + "34000000" + "57415645" +
+      "666d7420" + "10000000" + "0100" + "0200" + "401f0000" + "007d0000" +
+      "0400" + "1000" + "64617461" + "10000000" + ("00" * 16)
+    val txtHex = "48656c6c6f"
+    Seq((1L, jpegHex), (2L, wavHex), (3L, txtHex)).toDF("media_id", "hex")
+      .select(col("media_id"), Multimodal.decodeMeta(unhex(col("hex"))).as("m"))
+      .select(col("media_id"), col("m.mime").as("mime"),
+        col("m.width").as("width"), col("m.height").as("height"),
+        col("m.n_frames").as("n_frames"),
+        col("m.sample_rate").as("sample_rate"), col("m.channels").as("channels"))
+      .orderBy(col("media_id"))
+  }
+
+  /** Monitoring alert probes (operators.Monitoring, ref
+    * monitoring-guide.md:43-53): per-day run stats derived from the event
+    * stream (records = rows, violations = 'error' events, exec metric =
+    * the day's summed value as a duration proxy), evaluated against
+    * trailing-window baselines. Thresholds are tightened vs the
+    * reference's defaults (25%/50%/5%) so this uniform synthetic feed
+    * exercises BOTH polarities of every alert; the operator's defaults
+    * remain the reference's. */
+  def q53_monitoring_alerts(s: SparkSession, d: String): DataFrame = {
+    val runs = events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("records"),
+        count(when(col("event_type") === "error", 1)).as("violations"),
+        round(sum(col("value")), 2).as("exec_sec"))
+    Monitoring.alerts(runs, "day", "exec_sec", "records", "violations",
+        execOverFrac = 0.05, recordUnderFrac = 0.97, integrityFrac = 0.20)
+      .orderBy(col("day"))
   }
 
   // ------------------------------------------------------------- registry
@@ -705,6 +867,12 @@ object SparkEntry {
     "q45_int8_quantize"     -> (q45_int8_quantize _),
     "q46_sequence_packing"  -> ((s, d) => q46_sequence_packing(s, d)),
     "q47_weighted_mix"      -> (q47_weighted_mix _),
+    "q48_pii"               -> (q48_pii _),
+    "q49_decontaminate"     -> (q49_decontaminate _),
+    "q50_range_join"        -> (q50_range_join _),
+    "q51_chunk_tokens"      -> (q51_chunk_tokens _),
+    "q52_media_header"      -> (q52_media_header _),
+    "q53_monitoring_alerts" -> (q53_monitoring_alerts _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1019,11 +1187,14 @@ object SparkEntry {
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
     "q39_edit_distance" ->
-      """WITH s AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 100 = 0)
-         SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
-         FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
-         ORDER BY source, id_a, id_b""",
+      """WITH s AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+                 round(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+                   CAST(greatest(length(a.text), length(b.text)) AS DOUBLE), 4) AS edit_sim
+               FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         SELECT id_a, id_b, edit_dist, edit_sim FROM p
+         WHERE edit_sim >= 0.75 ORDER BY id_a, id_b""",
     "q40_stratified_sample" ->
       """SELECT lang, count(*) AS sampled_docs,
          CAST(sum(n_chars) AS BIGINT) AS sampled_chars
@@ -1115,6 +1286,97 @@ object SparkEntry {
            CASE WHEN source = 'web' THEN 75 WHEN source = 'books' THEN 50
                 WHEN source = 'wiki' THEN 90 ELSE 25 END
          GROUP BY source ORDER BY source""",
+    "q48_pii" ->
+      s"""WITH planted AS (
+           SELECT source,
+             text ||
+             CASE WHEN doc_id % 7 = 0
+                  THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                  ELSE '' END ||
+             CASE WHEN doc_id % 11 = 0
+                  THEN ' call 555-' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+                  ELSE '' END ||
+             CASE WHEN doc_id % 13 = 0
+                  THEN ' fax +1-415-' || lpad(CAST(doc_id AS VARCHAR), 3, '0') ||
+                       '-' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+                  ELSE '' END AS text
+           FROM documents),
+         m AS (SELECT source,
+             len(regexp_extract_all(text, '${Pii.emailPattern}')) AS ec,
+             len(regexp_extract_all(text, '${Pii.phonePattern}')) AS pc,
+             regexp_replace(regexp_replace(text, '${Pii.emailPattern}', '<EMAIL>', 'g'),
+               '${Pii.phonePattern}', '<PHONE>', 'g') AS red
+           FROM planted)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN ec + pc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+           CAST(sum(ec) AS BIGINT) AS emails,
+           CAST(sum(pc) AS BIGINT) AS phones,
+           CAST(sum(length(red)) AS BIGINT) AS redacted_chars,
+           min(md5(red)) AS redaction_fp
+         FROM m GROUP BY source ORDER BY source""",
+    "q49_decontaminate" ->
+      """WITH dt AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+         ev AS (SELECT array_to_string((string_split(text, ' '))[5:16], ' ') AS etext
+                FROM documents WHERE doc_id % 25 = 0),
+         evw AS (SELECT string_split(etext, ' ') AS w FROM ev),
+         evg AS (SELECT DISTINCT unnest(CASE WHEN len(w) >= 8
+                   THEN list_transform(generate_series(1, len(w) - 7),
+                          i -> array_to_string(w[i:i+7], ' '))
+                   ELSE [array_to_string(w, ' ')] END) AS gram FROM evw),
+         dg AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 8
+                  THEN list_transform(generate_series(1, len(w) - 7),
+                         i -> array_to_string(w[i:i+7], ' '))
+                  ELSE [array_to_string(w, ' ')] END) AS gram FROM dt),
+         hit AS (SELECT DISTINCT doc_id FROM dg JOIN evg USING (gram))
+         SELECT d.source, count(*) AS n_docs,
+           CAST(count(h.doc_id) AS BIGINT) AS contaminated,
+           CAST(count(*) - count(h.doc_id) AS BIGINT) AS clean
+         FROM dt d LEFT JOIN hit h USING (doc_id)
+         GROUP BY d.source ORDER BY d.source""",
+    "q50_range_join" ->
+      """WITH iv AS (
+           SELECT o_orderkey AS iv_id, o_orderdate AS iv_start,
+             o_orderdate + to_days(CAST(CAST(o_orderkey / 100 AS BIGINT) % 7 + 1 AS INT)) AS iv_end
+           FROM orders WHERE o_orderkey % 100 = 0)
+         SELECT iv.iv_id, count(*) AS n_points,
+           round(sum(o.o_totalprice), 2) AS revenue
+         FROM orders o JOIN iv
+           ON o.o_orderdate >= iv.iv_start AND o.o_orderdate < iv.iv_end
+         GROUP BY iv.iv_id ORDER BY iv.iv_id""",
+    "q51_chunk_tokens" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+         c AS (SELECT source,
+             list_transform(
+               generate_series(0, greatest(CAST(ceil(len(w) / 32.0) AS INT), 1) - 1),
+               i -> len(w[i*32+1 : i*32+64])) AS cl
+           FROM t)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(len(cl)) AS BIGINT) AS total_chunks,
+           CAST(max(len(cl)) AS BIGINT) AS max_chunks,
+           CAST(sum(list_sum(cl)) AS BIGINT) AS chunk_tokens
+         FROM c GROUP BY source ORDER BY source""",
+    "q52_media_header" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), 'image/jpeg', 8, 6, CAST(1 AS BIGINT), 0, 0),
+           (CAST(2 AS BIGINT), 'audio/wav', 0, 0, CAST(4 AS BIGINT), 8000, 2),
+           (CAST(3 AS BIGINT), 'application/octet-stream', 0, 0, CAST(0 AS BIGINT), 0, 0))
+           t(media_id, mime, width, height, n_frames, sample_rate, channels)
+         ORDER BY media_id""",
+    "q53_monitoring_alerts" ->
+      """WITH r AS (
+           SELECT CAST(ts AS DATE) AS day, count(*) AS records,
+             count(CASE WHEN event_type = 'error' THEN 1 END) AS violations,
+             round(sum(value), 2) AS exec_sec
+           FROM events GROUP BY 1),
+         w AS (SELECT day, records, violations, exec_sec,
+             avg(exec_sec) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS eb,
+             avg(records)  OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS rb
+           FROM r)
+         SELECT day, records, violations, exec_sec,
+           coalesce(exec_sec > 1.05 * eb, false) AS exec_time_alert,
+           coalesce(records < 0.97 * rb, false) AS record_count_alert,
+           coalesce(violations > 0.20 * records, false) AS integrity_alert
+         FROM w ORDER BY day""",
   )
 
   /** The LangId trigram profile rendered as SQL VALUES rows — the oracle

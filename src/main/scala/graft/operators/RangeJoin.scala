@@ -28,9 +28,17 @@ object RangeJoin {
     * arithmetic end-to-end: `us - pmod(us, w)` is an exact multiple of w
     * (pmod keeps floor semantics for pre-epoch timestamps), and a
     * multiple of w below 2^53 µs divides exactly in double — no
-    * float-rounding edge at bucket boundaries. */
+    * float-rounding edge at bucket boundaries.
+    *
+    * TIMESTAMP_NTZ columns (what parquet micros/millis without tz read
+    * as) are cast to TIMESTAMP for the epoch-micros extraction: under a
+    * UTC session (graft's default) the cast is an exact identity, and
+    * under any fixed-offset zone it is a constant shift applied to points
+    * and intervals alike — bucket ALIGNMENT only needs monotonicity, and
+    * the membership predicate itself always compares the original
+    * columns. */
   private def bucketOf(c: org.apache.spark.sql.Column, widthUs: Long) = {
-    val us = unix_micros(c)
+    val us = unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
     ((us - pmod(us, lit(widthUs))) / lit(widthUs)).cast("long")
   }
 
@@ -49,7 +57,8 @@ object RangeJoin {
     val rb = right.filter(col(endCol) > col(startCol))
       .withColumn("_rj_bucket", explode(sequence(
         bucketOf(col(startCol), w),
-        bucketOf(timestamp_micros(unix_micros(col(endCol)) - 1), w))))
+        bucketOf(timestamp_micros(
+          unix_micros(col(endCol).cast(org.apache.spark.sql.types.TimestampType)) - 1), w))))
     lb.join(rb, Seq("_rj_bucket"))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("_rj_bucket")

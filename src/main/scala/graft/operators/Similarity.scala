@@ -313,6 +313,35 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Scale path for [[cosineNearDup]]: candidate pairs come from multi-table
+    * hyperplane-LSH bucket collisions — a symmetric self EQUI join on
+    * (table, bucket), hash-joinable and AQE-splittable, never a cross
+    * product — and the exact dot product runs only on the deduped candidate
+    * pairs. Per qualifying pair the miss probability is (1-p^bits)^tables
+    * with p = 1-θ/π (θ the pair's angle); the defaults (2 bits, 32 tables)
+    * put it below 1e-7 at cosine 0.4, and the gate's exact all-pairs oracle
+    * (q30) enforces observed full recall at the verified SF. At corpus
+    * scale, raise `nBits` so per-bucket occupancy stays bounded (the
+    * bits/tables trade is recall vs bucket size, same knob as [[annLsh]])
+    * and cap pathological buckets with [[capBuckets]]. */
+  def cosineNearDupLsh(vectors: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, nBits: Int = 2, nTables: Int = 32,
+                       maxBucket: Int = 0): DataFrame = {
+    val bk = vectors.select(col(idCol).as("id"),
+      posexplode(Vectors.lshSketch(col(vecCol), nBits, nTables)).as(Seq("t", "bkt")))
+    val capped = capBuckets(bk, Seq("t", "bkt"), maxBucket)
+    val pairs = capped.select(col("id").as("id_a"), col("t"), col("bkt"))
+      .join(capped.select(col("id").as("id_b"), col("t"), col("bkt")), Seq("t", "bkt"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val va = vectors.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val vb = vectors.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    pairs.join(va, "id_a").join(vb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(Vectors.dotNative(col("va"), col("vb")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   // ----------------------------------------------------------------- ANN
 
   /** Bounded top-k of (neighbor_id, score) per query via the

@@ -48,4 +48,39 @@ class TextSpec extends SparkSpec {
     assert(scores.forall(sc => sc >= 0.0 && sc <= 1.0))
     assert(scores(0) > scores(1))
   }
+
+  test("chunkTokensOf covers every token, overlaps by size-stride, no empty chunk") {
+    // generated docs of 1..50 distinct numbered tokens; size=8, stride=4
+    val docs = spark.range(1, 51).select(col("id"),
+      transform(sequence(lit(1), col("id").cast("int")),
+        i => concat(lit("t"), i.cast("string"))).as("w"))
+    val chunked = docs.select(col("id"), col("w"),
+      Text.chunkTokensOf(col("w"), size = 8, stride = 4).as("chunks"))
+    val rows = chunked.select(col("id"),
+        size(col("w")).as("n"),
+        size(col("chunks")).as("nc"),
+        // chunk token counts, and the distinct set of all covered tokens
+        transform(col("chunks"), c => size(split(c, " "))).as("lens"),
+        array_distinct(flatten(transform(col("chunks"), c => split(c, " ")))).as("covered"))
+      .as[(Long, Int, Int, Seq[Int], Seq[String])].collect()
+    for ((id, n, nc, lens, covered) <- rows) {
+      assert(nc == math.max(math.ceil(n / 4.0).toInt, 1), s"doc $id chunk count")
+      assert(lens.forall(_ > 0), s"doc $id has an empty chunk")
+      assert(lens.forall(_ <= 8), s"doc $id chunk over size")
+      assert(covered.size == n, s"doc $id: ${covered.size} of $n tokens covered")
+      // every non-final chunk advances by exactly stride and is full when
+      // enough tokens remain
+      lens.init.zipWithIndex.foreach { case (l, i) =>
+        if (i * 4 + 8 <= n) assert(l == 8, s"doc $id chunk $i not full")
+      }
+    }
+  }
+
+  test("chunkTokensOf with stride == size partitions exactly (no overlap)") {
+    val docs = Seq(Seq.tabulate(10)(i => s"w$i")).toDF("w")
+    val out = docs.select(Text.chunkTokensOf(col("w"), 4, 4).as("chunks"))
+      .select(flatten(transform(col("chunks"), c => split(c, " "))).as("all"))
+      .as[Seq[String]].head()
+    assert(out == Seq.tabulate(10)(i => s"w$i")) // concatenation == original
+  }
 }

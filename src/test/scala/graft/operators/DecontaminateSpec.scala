@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 12-token docs; doc 2 shares its tail 8-gram run with eval doc 100
+  private def docs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+    (2L, "one two three four five six seven eight nine ten eleven twelve"),
+    (3L, "red orange yellow green blue indigo violet cyan magenta black white gray"),
+    (4L, "short doc under eight tokens")
+  ).toDF("doc_id", "text")
+
+  private def evalDocs = Seq(
+    (100L, "three four five six seven eight nine ten"), // 8 tokens ⊂ doc 2
+    (101L, "totally unrelated benchmark question text here now ok")
+  ).toDF("doc_id", "text")
+
+  test("flags exactly the docs sharing an 8-gram with the eval set") {
+    val c = Decontaminate.contaminated(docs, evalDocs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(c == Seq(2L))
+  }
+
+  test("clean and contaminated partition the corpus") {
+    val c = Decontaminate.contaminated(docs, evalDocs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val k = Decontaminate.clean(docs, evalDocs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert((c & k).isEmpty)
+    assert((c | k) == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("short docs fall back to whole-text grams (exact-match only)") {
+    val shortEval = Seq((200L, "short doc under eight tokens")).toDF("doc_id", "text")
+    val c = Decontaminate.contaminated(docs, shortEval, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(c == Seq(4L)) // identical short text matches; nothing else can
+    val near = Seq((201L, "short doc under eight token")).toDF("doc_id", "text")
+    assert(Decontaminate.contaminated(docs, near, "doc_id", "text").count() == 0L)
+  }
+
+  test("wider n flags nothing when the shared run is shorter than n") {
+    // doc 2 shares an 8-token run with eval 100; at n=9 no 9-gram overlaps
+    assert(Decontaminate.contaminated(docs, evalDocs, "doc_id", "text", n = 9).count() == 0L)
+  }
+
+  test("extra corpus columns survive contaminated()") {
+    val withCols = docs.withColumn("source", lit("web"))
+    val out = Decontaminate.contaminated(withCols, evalDocs, "doc_id", "text")
+    assert(out.columns.toSeq == Seq("doc_id", "text", "source"))
+  }
+}

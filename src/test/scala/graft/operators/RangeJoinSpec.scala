@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def points = Seq(
+    (1L, ts("2024-03-01 00:00:00")), // exactly on an interval start
+    (2L, ts("2024-03-02 12:30:00")),
+    (3L, ts("2024-03-05 00:00:00")), // exactly on iv10's exclusive end
+    (4L, ts("2024-03-09 23:59:59.999999")), // 1µs before iv11's end
+    (5L, ts("2024-02-28 23:59:59"))  // before everything
+  ).toDF("pt_id", "pt")
+
+  private def intervals = Seq(
+    (10L, ts("2024-03-01 00:00:00"), ts("2024-03-05 00:00:00")), // spans 4 buckets
+    (11L, ts("2024-03-02 06:00:00"), ts("2024-03-10 00:00:00")), // spans 8+
+    (12L, ts("2024-03-03 00:00:00"), ts("2024-03-03 00:00:00")), // empty
+    (13L, ts("2024-03-04 00:00:00"), ts("2024-03-01 00:00:00"))  // inverted
+  ).toDF("iv_id", "s", "e")
+
+  private def matches =
+    RangeJoin.pointInInterval(points, "pt", intervals, "s", "e")
+      .select("pt_id", "iv_id").as[(Long, Long)].collect().toSet
+
+  test("inclusive start, exclusive end, across many buckets") {
+    assert(matches == Set(
+      (1L, 10L),            // on start — inclusive
+      (2L, 10L), (2L, 11L), // mid-interval
+      (3L, 11L),            // on iv10's END — excluded there, inside iv11
+      (4L, 11L)))           // 1µs before end — included
+  }
+
+  test("empty and inverted intervals match nothing") {
+    assert(!matches.exists { case (_, iv) => iv == 12L || iv == 13L })
+  }
+
+  test("each qualifying pair is emitted exactly once (no bucket dup)") {
+    val all = RangeJoin.pointInInterval(points, "pt", intervals, "s", "e")
+      .select("pt_id", "iv_id").as[(Long, Long)].collect().toSeq
+    assert(all.size == all.toSet.size)
+  }
+
+  test("plan is an equi join on the band bucket, not a nested loop") {
+    val plan = RangeJoin.pointInInterval(points, "pt", intervals, "s", "e")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("_rj_bucket"), plan)
+  }
+
+  test("narrow buckets replicate intervals but keep results identical") {
+    val wide = RangeJoin.pointInInterval(points, "pt", intervals, "s", "e", 86400L)
+      .select("pt_id", "iv_id").as[(Long, Long)].collect().toSet
+    val narrow = RangeJoin.pointInInterval(points, "pt", intervals, "s", "e", 3600L)
+      .select("pt_id", "iv_id").as[(Long, Long)].collect().toSet
+    assert(wide == narrow)
+  }
+}
