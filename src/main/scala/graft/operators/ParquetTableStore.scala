@@ -71,6 +71,8 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
     * (null-safe) key" holds inductively — which is also what keeps the MERGE
     * cardinality check (one source row per target row) satisfied. */
   def upsert(name: String, updates: DataFrame, keys: Seq[String]): Long = {
+    read(name).foreach(current =>
+      checkNumericParity(name, current.schema, updates.schema))
     read(name) match {
       case Some(current) if canRowLevelMerge(current.schema, updates.schema) =>
         rowLevelMerge(name, current.schema, updates, keys)
@@ -81,6 +83,31 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
     }
     maybeCompact(name)
     spark.read.parquet(path(name)).count()
+  }
+
+  /** Money-representation guard (ADVICE r4): a Dec-mode batch merged into
+    * a Dbl-mode warehouse (or vice versa) would silently cast
+    * decimal↔double through `UPDATE SET * / INSERT *` or `unionByName`,
+    * quietly voiding the "exact DECIMAL end-to-end" guarantee the caller
+    * chose. A representation switch must be an explicit migration
+    * (rewrite the table), never an implicit cast inside an upsert. */
+  private def checkNumericParity(name: String, stored: StructType,
+                                 incoming: StructType): Unit = {
+    val storedTypes = stored.fields.map(f => f.name -> f.dataType).toMap
+    incoming.fields.foreach { f =>
+      storedTypes.get(f.name).foreach { st =>
+        val clash = (st, f.dataType) match {
+          case (_: DecimalType, DoubleType | FloatType) => true
+          case (DoubleType | FloatType, _: DecimalType) => true
+          case _                                        => false
+        }
+        if (clash) throw new IllegalArgumentException(
+          s"table '$name' stores column '${f.name}' as ${st.simpleString} but the " +
+            s"batch brings ${f.dataType.simpleString}: refusing the silent " +
+            "decimal<->double cast (money-mode mismatch). Re-run with the table's " +
+            "MoneyMode, or migrate the table explicitly (read, cast, publish).")
+      }
+    }
   }
 
   /** Compaction policy hook (VERDICT r2 item 9): pruned merges append a

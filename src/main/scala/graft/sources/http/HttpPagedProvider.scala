@@ -37,6 +37,11 @@ import graft.sources.Retry
   *     .option("limit", "250")
   *     .option("partitions", "8")          // pages mode fan-out
   *     .option("param.updated_at_min", "2024-01-01T00:00:00Z")
+  *     .option("header.X-Api-Key", "k1")   // static request headers
+  *     .option("auth.token", "tok")        // static bearer, or:
+  *     .option("auth.tokenUrl", "https://auth.host/token") // OAuth2
+  *     .option("auth.clientId", "cid")     //   client-credentials grant,
+  *     .option("auth.clientSecret", "sec") //   cached + refreshed on 401
   *     .load()                             // => (value STRING, _page INT)
   * }}}
   *
@@ -77,11 +82,31 @@ object HttpPagedProvider {
     StructField("_page", IntegerType, nullable = false)))
 }
 
+/** Authenticated-API configuration, serializable to executors. Either a
+  * static `token`, or a client-credentials token endpoint (`tokenUrl` +
+  * `clientId`/`clientSecret`) whose responses are cached per executor and
+  * refreshed on expiry or 401 — the standard OAuth2-style pattern the
+  * reference's authenticated ingester follows (ref
+  * youtube-data-ingestion/fetch_youtube_data.py:6-18: installed-app flow
+  * with persisted, auto-refreshed credentials; here re-expressed as the
+  * generic headless server-to-server grant — no provider-specific client
+  * config is copied). */
+case class AuthConf(
+    token: Option[String], tokenUrl: Option[String],
+    clientId: String, clientSecret: String,
+    tokenField: String, scheme: String) {
+  require(token.isDefined || tokenUrl.isDefined,
+    "auth requires either auth.token or auth.tokenUrl")
+  /** Cache key: one token per (endpoint, client) per JVM. */
+  def cacheKey: String = s"${tokenUrl.getOrElse("")}|$clientId"
+}
+
 /** Everything a reader needs, serializable to executors. */
 case class HttpConf(
     url: String, mode: String, recordsField: String, limit: Int,
     partitions: Int, maxRetries: Int, baseDelayMs: Long,
-    minIntervalMs: Long, params: Seq[(String, String)]) {
+    minIntervalMs: Long, params: Seq[(String, String)],
+    headers: Seq[(String, String)] = Nil, auth: Option[AuthConf] = None) {
   require(mode == "pages" || mode == "cursor", s"mode must be pages|cursor, got $mode")
 
   def pageUrl(page: Int): String =
@@ -110,7 +135,80 @@ object HttpConf {
     minIntervalMs = o.getLong("minIntervalMs", 0L),
     params = o.asCaseSensitiveMap().asScala.toSeq.collect {
       case (k, v) if k.startsWith("param.") => (k.stripPrefix("param."), v)
-    }.sortBy(_._1))
+    }.sortBy(_._1),
+    headers = o.asCaseSensitiveMap().asScala.toSeq.collect {
+      case (k, v) if k.startsWith("header.") => (k.stripPrefix("header."), v)
+    }.sortBy(_._1),
+    auth =
+      if (o.containsKey("auth.token") || o.containsKey("auth.tokenUrl"))
+        Some(AuthConf(
+          token = Option(o.get("auth.token")),
+          tokenUrl = Option(o.get("auth.tokenUrl")),
+          clientId = o.getOrDefault("auth.clientId", ""),
+          clientSecret = o.getOrDefault("auth.clientSecret", ""),
+          tokenField = o.getOrDefault("auth.tokenField", "access_token"),
+          scheme = o.getOrDefault("auth.scheme", "Bearer")))
+      else None)
+}
+
+/** Per-JVM bearer-token cache with expiry and 401-driven invalidation.
+  * One live token per (tokenUrl, clientId); concurrent readers on an
+  * executor share it, so a 1000-partition scan performs ONE token fetch
+  * per executor per expiry window instead of one per task — the part of
+  * authenticated ingestion that matters at cluster scale. */
+object TokenProvider {
+  private case class Cached(token: String, expiresAtMs: Long)
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Cached]()
+  /** Refresh this long before the server-reported expiry — a token that
+    * expires mid-request is a 401 and a wasted round-trip. */
+  private val SkewMs = 30000L
+
+  def authorization(auth: AuthConf): String =
+    s"${auth.scheme} ${token(auth)}"
+
+  private def token(auth: AuthConf): String = auth.token.getOrElse {
+    val now = System.currentTimeMillis()
+    val hit = cache.get(auth.cacheKey)
+    if (hit != null && hit.expiresAtMs > now) hit.token
+    else cache.compute(auth.cacheKey, (_, old) =>
+      if (old != null && old.expiresAtMs > now) old else fetchToken(auth)).token
+  }
+
+  /** Drop the cached token (called on 401 so the retry re-authenticates). */
+  def invalidate(auth: AuthConf): Unit = cache.remove(auth.cacheKey)
+
+  /** OAuth2 client-credentials grant (RFC 6749 §4.4): form-POST to the
+    * token endpoint, token + optional expires_in in the JSON response. */
+  private def fetchToken(auth: AuthConf): Cached = {
+    val url = auth.tokenUrl.getOrElse(
+      throw new IllegalStateException("no auth.tokenUrl and no static auth.token"))
+    val conn = new URI(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setConnectTimeout(30000)
+    conn.setReadTimeout(60000)
+    conn.setDoOutput(true)
+    conn.setRequestProperty("Content-Type", "application/x-www-form-urlencoded")
+    val form = Seq(
+      "grant_type" -> "client_credentials",
+      "client_id" -> auth.clientId,
+      "client_secret" -> auth.clientSecret)
+      .map { case (k, v) => k + "=" + java.net.URLEncoder.encode(v, "UTF-8") }
+      .mkString("&")
+    conn.getOutputStream.write(form.getBytes(StandardCharsets.UTF_8))
+    val code = conn.getResponseCode
+    if (code != 200) {
+      conn.disconnect()
+      throw new RuntimeException(s"token endpoint returned HTTP $code")
+    }
+    val body = new String(conn.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+    conn.disconnect()
+    val root = new ObjectMapper().readTree(body)
+    val tok = root.path(auth.tokenField)
+    if (!tok.isTextual)
+      throw new RuntimeException(s"token response lacks text field '${auth.tokenField}'")
+    val ttlMs = root.path("expires_in").asLong(3600L) * 1000L
+    Cached(tok.asText(), System.currentTimeMillis() + math.max(0L, ttlMs - SkewMs))
+  }
 }
 
 class HttpTable(conf: HttpConf, options: CaseInsensitiveStringMap) extends Table with SupportsRead {
@@ -169,7 +267,17 @@ abstract class HttpReaderBase(conf: HttpConf) extends PartitionReader[InternalRo
       conn.setRequestMethod("GET")
       conn.setConnectTimeout(30000)
       conn.setReadTimeout(60000)
+      conf.headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+      conf.auth.foreach(a =>
+        conn.setRequestProperty("Authorization", TokenProvider.authorization(a)))
       val code = conn.getResponseCode
+      if (code == 401 && conf.auth.exists(_.tokenUrl.isDefined)) {
+        // expired/revoked bearer: drop the cached token so the retry
+        // attempt re-authenticates through the token endpoint
+        conn.disconnect()
+        conf.auth.foreach(TokenProvider.invalidate)
+        throw new RuntimeException(s"HTTP 401 from $url (token invalidated, will re-auth)")
+      }
       if (code == 429) {
         // Retry-After is either delta-seconds or an HTTP-date (RFC 7231);
         // anything unparseable falls back to the reference's 60 s default

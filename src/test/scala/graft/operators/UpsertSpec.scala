@@ -77,6 +77,22 @@ class UpsertSpec extends SparkSpec {
     }
   }
 
+  test("upsert refuses a decimal<->double money-mode switch (no silent cast)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_money").toString
+    val store = new ParquetTableStore(spark, wh)
+    val dec = Seq((1L, "a")).toDF("k", "s")
+      .withColumn("price", lit("10.50").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+    val dbl = Seq((2L, "b")).toDF("k", "s").withColumn("price", lit(20.5))
+    store.upsert("t", dec, Seq("k"))
+    val e = intercept[IllegalArgumentException] { store.upsert("t", dbl, Seq("k")) }
+    assert(e.getMessage.contains("money-mode mismatch"))
+    // and the reverse direction: double warehouse, decimal batch
+    store.upsert("t2", dbl, Seq("k"))
+    intercept[IllegalArgumentException] { store.upsert("t2", dec, Seq("k")) }
+    // same-representation upserts still flow
+    assert(store.upsert("t", dec, Seq("k")) == 1L)
+  }
+
   test("compact rewrites the file layout without changing content") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh_compact").toString
     val store = new ParquetTableStore(spark, wh)

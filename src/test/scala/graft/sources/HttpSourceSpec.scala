@@ -68,9 +68,48 @@ class HttpSourceSpec extends SparkSpec {
         respond(ex, 200, s"""{"items":[${ids.map(record).mkString(",")}]}""", "Link" -> link)
       }
     })
+    // /token — OAuth2 client-credentials endpoint: issues tok-1, tok-2, …
+    // and records the client_id it saw
+    server.createContext("/token", (ex: HttpExchange) => {
+      val form = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      lastTokenForm = form
+      val n = tokenIssues.incrementAndGet()
+      respond(ex, 200, s"""{"access_token":"tok-$n","token_type":"bearer","expires_in":3600}""")
+    })
+    // /secure — requires X-Api-Key AND the CURRENTLY issued bearer; each
+    // token only survives `tokenUses` requests, then 401s (forced refresh)
+    server.createContext("/secure", (ex: HttpExchange) => {
+      val h = ex.getRequestHeaders
+      val authOk = Option(h.getFirst("Authorization"))
+        .contains(s"Bearer tok-${tokenIssues.get()}") &&
+        tokenUses.incrementAndGet() <= 2
+      if (Option(h.getFirst("X-Api-Key")).isEmpty) respond(ex, 403, "")
+      else if (!authOk) { tokenUses.set(0); respond(ex, 401, "") }
+      else {
+        val q = query(ex)
+        val page = q("page").toInt; val limit = q("limit").toInt
+        val ids = (0 until Total).slice((page - 1) * limit, page * limit)
+        respond(ex, 200, s"""{"items":[${ids.map(record).mkString(",")}]}""")
+      }
+    })
+    // /statictok — accepts exactly one fixed bearer, no token endpoint
+    server.createContext("/statictok", (ex: HttpExchange) => {
+      if (!Option(ex.getRequestHeaders.getFirst("Authorization")).contains("Bearer fixed-tok"))
+        respond(ex, 401, "")
+      else {
+        val q = query(ex)
+        val ids = (0 until 5).slice((q("page").toInt - 1) * q("limit").toInt,
+          q("page").toInt * q("limit").toInt)
+        respond(ex, 200, s"""{"items":[${ids.map(record).mkString(",")}]}""")
+      }
+    })
     server.start()
     base = s"http://127.0.0.1:${server.getAddress.getPort}"
   }
+
+  private val tokenIssues = new AtomicInteger(0)
+  private val tokenUses = new AtomicInteger(0)
+  @volatile private var lastTokenForm: String = ""
 
   override def afterAll(): Unit = {
     try server.stop(0) finally super.afterAll()
@@ -112,6 +151,36 @@ class HttpSourceSpec extends SparkSpec {
     val ids = df.select(get_json_object($"value", "$.id").cast("int")).as[Int].collect()
     assert(ids.sorted.toSeq == ((0 until 20) ++ (40 until Total)),
       "empty page with a next link must not stop the walk")
+  }
+
+  test("static bearer token and header.* options reach the request") {
+    val df = read("/statictok", "pages", "partitions" -> "1",
+      "auth.token" -> "fixed-tok", "header.X-Trace" -> "t1")
+    assert(df.count() == 5)
+  }
+
+  test("client-credentials flow: token fetched, cached, refreshed on 401") {
+    tokenIssues.set(0); tokenUses.set(0)
+    val df = read("/secure", "pages", "partitions" -> "1",
+      "header.X-Api-Key" -> "k1",
+      "auth.tokenUrl" -> s"$base/token",
+      "auth.clientId" -> "cid-1", "auth.clientSecret" -> "sec-1")
+    val ids = df.select(get_json_object($"value", "$.id").cast("int")).as[Int].collect()
+    assert(ids.sorted.toSeq == (0 until Total),
+      "every page must land despite periodic token expiry")
+    assert(tokenIssues.get() >= 2, "at least one 401-driven token refresh")
+    assert(tokenIssues.get() < 10, "token cache must be reused across pages")
+    assert(lastTokenForm.contains("grant_type=client_credentials") &&
+      lastTokenForm.contains("client_id=cid-1") &&
+      lastTokenForm.contains("client_secret=sec-1"))
+  }
+
+  test("missing required header fails the scan (no silent empty result)") {
+    val df = read("/secure", "pages", "partitions" -> "1", "maxRetries" -> "1",
+      "auth.tokenUrl" -> s"$base/token", "auth.clientId" -> "cid-1",
+      "auth.clientSecret" -> "sec-1")
+    val e = intercept[org.apache.spark.SparkException] { df.count() }
+    assert(e.getMessage.contains("403") || e.getCause != null)
   }
 
   test("from_json round-trip into relational form") {
