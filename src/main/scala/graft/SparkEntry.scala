@@ -817,6 +817,40 @@ object SparkEntry {
       .orderBy(col("day"))
   }
 
+  /** Repetition-based quality filter (functions.Text.repetitionRatio +
+    * bigramRepetitionRatioOf): the boilerplate/copy-paste gate of corpus
+    * prep — unigram repetition catches word-level loops, the bigram ratio
+    * catches repeated PHRASES the unigram ratio misses. Both ratios are
+    * computed in the scan projection off one pre-aliased token array (the
+    * O(len²) HOF trap the bigram function's scaladoc documents); the
+    * thresholds (bigram ≤ 0.05, unigram ≤ 0.55) split this corpus
+    * mid-distribution so the gate exercises both keep and drop paths. */
+  def q54_repetition_filter(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("source"), Text.repetitionRatio(col("text")).as("ur"),
+        Text.tokens(col("text")).as("w"))
+      .select(col("source"), col("ur"), Text.bigramRepetitionRatioOf(col("w")).as("br"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("ur")), 4).as("avg_unigram_rep"),
+        round(avg(col("br")), 4).as("avg_bigram_rep"),
+        round(max(col("br")), 4).as("max_bigram_rep"),
+        sum(when(col("br") <= 0.05 && col("ur") <= 0.55, 1).otherwise(0))
+          .cast("long").as("kept_docs"))
+      .orderBy(col("source"))
+
+  /** Gap-based sessionization, batch form (streaming.Sessionize
+    * .batchSessions): the ANSI-expressible analog of the
+    * flatMapGroupsWithState streaming sessionizer, gated end-to-end — lag
+    * flags 24 h gaps, a running sum numbers sessions, one aggregate per
+    * (user, session). The oracle replays the identical window program. */
+  def q55_sessionize(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Sessionize.batchSessions(
+      events(s, d).filter(col("user_id") < 100)
+        .select(col("user_id"), col("ts"), col("value")),
+      "user_id", "ts", "value", gap = "24 hours")
+      .orderBy(col("user_id"), col("session_start"))
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -873,6 +907,8 @@ object SparkEntry {
     "q51_chunk_tokens"      -> (q51_chunk_tokens _),
     "q52_media_header"      -> (q52_media_header _),
     "q53_monitoring_alerts" -> (q53_monitoring_alerts _),
+    "q54_repetition_filter" -> (q54_repetition_filter _),
+    "q55_sessionize"        -> (q55_sessionize _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1377,6 +1413,40 @@ object SparkEntry {
            coalesce(records < 0.97 * rb, false) AS record_count_alert,
            coalesce(violations > 0.20 * records, false) AS integrity_alert
          FROM w ORDER BY day""",
+    "q54_repetition_filter" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+         b AS (SELECT source, w,
+             CASE WHEN len(w) >= 2
+                  THEN list_transform(generate_series(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1])
+                  ELSE w END AS bg
+           FROM t),
+         r AS (SELECT source,
+             round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 4) AS ur,
+             round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 4) AS br
+           FROM b)
+         SELECT source, count(*) AS n_docs,
+           round(avg(ur), 4) AS avg_unigram_rep,
+           round(avg(br), 4) AS avg_bigram_rep,
+           round(max(br), 4) AS max_bigram_rep,
+           CAST(sum(CASE WHEN br <= 0.05 AND ur <= 0.55 THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_docs
+         FROM r GROUP BY source ORDER BY source""",
+    "q55_sessionize" ->
+      """WITH e AS (SELECT user_id, ts, value FROM events WHERE user_id < 100),
+         l AS (SELECT user_id, ts, value,
+             CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                       > 86400000000
+                  THEN 1 ELSE 0 END AS brk
+           FROM e),
+         s AS (SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sess
+           FROM l)
+         SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+         FROM s GROUP BY user_id, sess
+         ORDER BY user_id, session_start""",
   )
 
   /** The LangId trigram profile rendered as SQL VALUES rows — the oracle

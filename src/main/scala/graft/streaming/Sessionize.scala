@@ -70,4 +70,38 @@ object Sessionize {
           }
       }
   }
+
+  /** Batch gap-sessionization — the window-function analog of [[sessions]]
+    * (lag to flag gap breaks, running sum to number sessions, then one
+    * hash aggregate per (user, session)). Same semantics on a static
+    * table, ANSI-expressible, and therefore the oracle-checkable
+    * verification of the streaming form: session structure depends only on
+    * the per-user timestamp MULTISET (equal-timestamp peers land in the
+    * same RANGE frame in every engine), so batch and stream agree run to
+    * run. One shuffle on the user key serves both windows and the final
+    * aggregate. */
+  def batchSessions(events: org.apache.spark.sql.DataFrame, userCol: String,
+                    tsCol: String, valueCol: String,
+                    gap: String = "30 minutes"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    val gapUs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .getDuration(iv, java.util.concurrent.TimeUnit.MICROSECONDS)
+    require(gapUs > 0, s"session gap must be positive, got '$gap'")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+    val us = unix_micros(col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
+    events
+      .withColumn("_us", us)
+      .withColumn("_prev", lag(col("_us"), 1).over(w))
+      .withColumn("_brk",
+        when(col("_prev").isNull || col("_us") - col("_prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("_sess", sum(col("_brk")).over(w))
+      .groupBy(col(userCol), col("_sess"))
+      .agg(min(col(tsCol)).as("session_start"), max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col(valueCol)), 2).as("total_value"))
+      .drop("_sess")
+  }
 }

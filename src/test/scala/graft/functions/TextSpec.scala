@@ -76,6 +76,23 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("repetition ratios: phrase loops score high on bigram, low-novelty on unigram") {
+    val df = Seq(
+      "a b c d e f g h",          // all distinct: ur=0, br=0
+      "spam spam spam spam",      // one word looped: ur high, br high
+      "x y x y x y x y",          // two words alternating: ur high, br high
+      "one"                       // single token: bigram falls back to tokens
+    ).toDF("text")
+      .select($"text", Text.repetitionRatio($"text").as("ur"),
+        Text.tokens($"text").as("w"))
+      .select($"ur", Text.bigramRepetitionRatioOf($"w").as("br"))
+      .as[(Double, Double)].collect()
+    assert(df(0) == ((0.0, 0.0)))
+    assert(df(1)._1 == 0.75 && df(1)._2 > 0.6) // 4 tokens 1 distinct; 3 bigrams 1 distinct
+    assert(df(2)._1 == 0.75 && df(2)._2 > 0.6)
+    assert(df(3) == ((0.0, 0.0))) // no repetition derivable from one token
+  }
+
   test("chunkTokensOf with stride == size partitions exactly (no overlap)") {
     val docs = Seq(Seq.tabulate(10)(i => s"w$i")).toDF("w")
     val out = docs.select(Text.chunkTokensOf(col("w"), 4, 4).as("chunks"))

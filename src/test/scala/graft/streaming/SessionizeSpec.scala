@@ -69,4 +69,32 @@ class SessionizeSpec extends SparkSpec {
     q.stop()
     assert(sessions.size == 2, s"expected 2 sessions, got $sessions")
   }
+
+  test("batchSessions agrees with the streaming sessionizer") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:10:00"), 2.0),
+      (1L, ts("2024-01-01 10:20:00"), 3.0),
+      (1L, ts("2024-01-01 11:30:00"), 4.0), // > 30 min after 10:20 — new session
+      (2L, ts("2024-01-01 10:00:00"), 9.0),
+      (3L, ts("2024-01-01 09:00:00"), 5.0),
+      (3L, ts("2024-01-01 09:00:00"), 6.0)) // equal-ts peers: one session
+      .toDF("user_id", "ts", "value")
+    val out = Sessionize.batchSessions(events, "user_id", "ts", "value", "30 minutes")
+      .orderBy("user_id", "session_start")
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:20:00"), 3L, 6.0),
+      (1L, ts("2024-01-01 11:30:00"), ts("2024-01-01 11:30:00"), 1L, 4.0),
+      (2L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:00"), 1L, 9.0),
+      (3L, ts("2024-01-01 09:00:00"), ts("2024-01-01 09:00:00"), 2L, 11.0)))
+  }
+
+  test("batchSessions single shuffle: both windows and the aggregate share one exchange") {
+    val events = Seq((1L, ts("2024-01-01 10:00:00"), 1.0)).toDF("user_id", "ts", "value")
+    val plan = Sessionize.batchSessions(events, "user_id", "ts", "value")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected one hash exchange, got $exchanges:\n$plan")
+  }
 }
