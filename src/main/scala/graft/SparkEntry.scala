@@ -851,6 +851,48 @@ object SparkEntry {
       "user_id", "ts", "value", gap = "24 hours")
       .orderBy(col("user_id"), col("session_start"))
 
+  /** BPE-style merge-pair statistics — the per-round statistic a byte-pair
+    * tokenizer trainer computes: counts of ADJACENT CHARACTER pairs inside
+    * words, global top-10 (TakeOrderedAndProject, no full sort). The
+    * inner transform runs over a post-explode word ATTRIBUTE, so the
+    * per-pair substring never re-evaluates the source row (HOF trap). */
+  def q56_bpe_pairs(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(Text.tokens(col("text"))).as("x"))
+      .filter(length(col("x")) >= 2)
+      .select(explode(
+        expr("transform(sequence(1, char_length(x) - 1), i -> substring(x, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(10)
+
+  /** Unigram-LM quality scoring (the simplified shape of CCNet-style LM
+    * filtering): token frequencies trained over the corpus itself, each
+    * doc scored by its mean log10 token probability, sources summarized
+    * with a keep count at a mid-distribution threshold. Two passes over
+    * the corpus by design — train then score, the standard shape — with
+    * the vocab-sized frequency table BROADCAST onto the scoring pass (a
+    * unigram table is KBs even at 100 TB corpus scale). */
+  def q57_lm_quality(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d).select(col("doc_id"), col("source"),
+      explode(Text.tokens(col("text"))).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = freq.agg(sum(col("c")).as("s"))
+    val logp = freq.crossJoin(broadcast(total))
+      .select(col("tok"), log10(col("c").cast("double") / col("s").cast("double")).as("lp"))
+    val perDoc = toks.join(broadcast(logp), Seq("tok"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(round(avg(col("lp")), 4).as("doc_lp"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("doc_lp")), 4).as("avg_doc_lp"),
+        round(min(col("doc_lp")), 4).as("min_doc_lp"),
+        sum(when(col("doc_lp") >= -1.477, 1).otherwise(0)).cast("long").as("kept_docs"))
+      .orderBy(col("source"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -909,6 +951,8 @@ object SparkEntry {
     "q53_monitoring_alerts" -> (q53_monitoring_alerts _),
     "q54_repetition_filter" -> (q54_repetition_filter _),
     "q55_sessionize"        -> (q55_sessionize _),
+    "q56_bpe_pairs"         -> (q56_bpe_pairs _),
+    "q57_lm_quality"        -> (q57_lm_quality _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1447,6 +1491,26 @@ object SparkEntry {
            count(*) AS n_events, round(sum(value), 2) AS total_value
          FROM s GROUP BY user_id, sess
          ORDER BY user_id, session_start""",
+    "q56_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS x FROM documents),
+         p AS (SELECT unnest(list_transform(generate_series(1, length(x) - 1),
+                 i -> substr(x, i, 2))) AS pair
+               FROM w WHERE length(x) >= 2)
+         SELECT pair, count(*) AS cnt FROM p GROUP BY pair
+         ORDER BY cnt DESC, pair LIMIT 10""",
+    "q57_lm_quality" ->
+      """WITH t AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+         f AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+         tot AS (SELECT sum(c) AS s FROM f),
+         sc AS (SELECT doc_id, source,
+                  round(avg(log10(CAST(c AS DOUBLE) / (SELECT s FROM tot))), 4) AS doc_lp
+                FROM t JOIN f USING (tok) GROUP BY doc_id, source)
+         SELECT source, count(*) AS n_docs,
+           round(avg(doc_lp), 4) AS avg_doc_lp,
+           round(min(doc_lp), 4) AS min_doc_lp,
+           CAST(sum(CASE WHEN doc_lp >= -1.477 THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs
+         FROM sc GROUP BY source ORDER BY source""",
   )
 
   /** The LangId trigram profile rendered as SQL VALUES rows — the oracle
