@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Decontaminate, Dedup, Monitoring, Multimodal, RangeJoin, Similarity, Upsert}
+import graft.operators.{Decontaminate, Dedup, Monitoring, Multimodal, RangeJoin, Similarity, Skew, Upsert}
 import graft.functions.{MoneyMode, Pii, Text, Vectors}
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables._
@@ -893,6 +893,33 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** Two-phase salted aggregation gate (operators.Skew.saltedAgg): the
+    * hot-key mitigation must be RESULT-IDENTICAL to the direct groupBy for
+    * algebraic aggregates — which is exactly what the oracle (a plain
+    * GROUP BY) enforces. l_returnflag has 3 values over all of lineitem:
+    * precisely the funnel-one-key-into-one-task shape salting exists for. */
+  def q58_salted_agg(s: SparkSession, d: String): DataFrame =
+    Skew.saltedAgg(
+      lineitem(s, d).select(col("l_returnflag"), col("l_quantity")),
+      "l_returnflag", salt = 16,
+      partials = Seq((sum(col("l_quantity")), "p_qty"), (count(lit(1)), "p_n")),
+      finals = Seq(
+        (round(sum(col("p_qty")), 2), "sum_qty"),
+        (sum(col("p_n")).cast("long"), "n_rows")))
+      .orderBy(col("l_returnflag"))
+
+  /** Salted equi-join gate (operators.Skew.saltedJoin): big side salted,
+    * small side replicated salt×, join on (key, salt) — result must equal
+    * the plain inner join, which the oracle runs. */
+  def q59_salted_join(s: SparkSession, d: String): DataFrame = {
+    val big = lineitem(s, d).select(col("l_suppkey").as("suppkey"), col("l_quantity"))
+    val small = supplier(s, d).select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    Skew.saltedJoin(big, small, "suppkey", salt = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("s_nationkey"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -953,6 +980,8 @@ object SparkEntry {
     "q55_sessionize"        -> (q55_sessionize _),
     "q56_bpe_pairs"         -> (q56_bpe_pairs _),
     "q57_lm_quality"        -> (q57_lm_quality _),
+    "q58_salted_agg"        -> (q58_salted_agg _),
+    "q59_salted_join"       -> (q59_salted_join _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1511,6 +1540,15 @@ object SparkEntry {
            round(min(doc_lp), 4) AS min_doc_lp,
            CAST(sum(CASE WHEN doc_lp >= -1.477 THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs
          FROM sc GROUP BY source ORDER BY source""",
+    "q58_salted_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q59_salted_join" ->
+      """SELECT s.s_nationkey, count(*) AS n_items,
+         round(sum(l.l_quantity), 2) AS sum_qty
+         FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         GROUP BY s.s_nationkey ORDER BY s.s_nationkey""",
   )
 
   /** The LangId trigram profile rendered as SQL VALUES rows — the oracle

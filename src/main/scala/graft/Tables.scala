@@ -36,6 +36,24 @@ object Tables {
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
-  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** Parallelism floor for the expression-heavy tables. The driver's test
+    * parquet is ONE row group per table, so Spark cannot split the scan —
+    * every sketch/regex/vector projection would run on a single core no
+    * matter the cluster. A production corpus arrives with scan parallelism
+    * (many files / row groups); this round-robin repartition re-establishes
+    * it after the scan for the two tables whose downstream work is
+    * projection-dominated (documents: fingerprints, MinHash/SimHash/winnow
+    * sketches, PII regexes, tokenization; embeddings: LSH sketches, dot
+    * products). One narrow shuffle of the raw rows buys full-width
+    * execution of everything above it; the agg/join tables (lineitem,
+    * orders, events) are NOT floored — their scan projections are cheap
+    * casts and their first shuffle arrives immediately anyway, so the
+    * extra exchange would only add cost. */
+  private def floored(df: DataFrame): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    df.repartition(parallelism)
+  }
+
+  def documents(s: SparkSession, d: String): DataFrame  = floored(load(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame = floored(load(s, d, "embeddings"))
 }
