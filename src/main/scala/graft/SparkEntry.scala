@@ -920,6 +920,41 @@ object SparkEntry {
       .orderBy(col("s_nationkey"))
   }
 
+  /** Frame-sampling gate (operators.Multimodal.sampleFrames): evenly
+    * spaced frame indices, at most maxFrames per media row, ceil stride
+    * (floor would emit up to 2×maxFrames-1). Metadata is synthesized from
+    * orders so the oracle can replay the exact stride arithmetic with
+    * generate_series; zero-frame payloads must be dropped, not exploded. */
+  def q60_frame_sampling(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val meta = orders(s, d).filter(pmod(col("o_orderkey"), lit(50)) === 0)
+      .select(col("o_orderkey").as("id"), lit(0L).as("byteLen"),
+        lit("audio/wav").as("mime"), lit(0).as("width"), lit(0).as("height"),
+        pmod(col("o_orderkey"), lit(1000)).cast("long").as("nFrames"),
+        lit(8000).as("sampleRate"), lit(2).as("channels"))
+      .as[Multimodal.MediaMeta]
+    Multimodal.sampleFrames(meta, maxFrames = 10)
+      .groupBy(col("id"), col("nFrames").as("n_frames"))
+      .agg(count(lit(1)).as("n_sampled"), max(col("frame_idx")).as("max_idx"))
+      .orderBy(col("id"))
+  }
+
+  /** Approximate-quantile tolerance gate (same formulation as q43's HLL
+    * gate): the query emits the exact interpolated percentiles plus
+    * booleans asserting the sketch estimates (approx_percentile, 1e4
+    * accuracy) sit within 1%; the oracle asserts the same exact values and
+    * literal TRUEs, so estimator drift breaks the hash. */
+  def q61_approx_quantile(s: SparkSession, d: String): DataFrame =
+    orders(s, d).agg(
+      round(expr("percentile(o_totalprice, 0.5)"), 2).as("exact_p50"),
+      round(expr("percentile(o_totalprice, 0.95)"), 2).as("exact_p95"),
+      (abs(expr("approx_percentile(o_totalprice, 0.5, 10000)") -
+          expr("percentile(o_totalprice, 0.5)")) /
+        expr("percentile(o_totalprice, 0.5)") <= 0.01).as("p50_within_1pct"),
+      (abs(expr("approx_percentile(o_totalprice, 0.95, 10000)") -
+          expr("percentile(o_totalprice, 0.95)")) /
+        expr("percentile(o_totalprice, 0.95)") <= 0.01).as("p95_within_1pct"))
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -982,6 +1017,8 @@ object SparkEntry {
     "q57_lm_quality"        -> (q57_lm_quality _),
     "q58_salted_agg"        -> (q58_salted_agg _),
     "q59_salted_join"       -> (q59_salted_join _),
+    "q60_frame_sampling"    -> (q60_frame_sampling _),
+    "q61_approx_quantile"   -> (q61_approx_quantile _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1549,6 +1586,21 @@ object SparkEntry {
          round(sum(l.l_quantity), 2) AS sum_qty
          FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
          GROUP BY s.s_nationkey ORDER BY s.s_nationkey""",
+    "q60_frame_sampling" ->
+      """WITH m AS (SELECT o_orderkey AS id, CAST(o_orderkey % 1000 AS BIGINT) AS nf
+                    FROM orders WHERE o_orderkey % 50 = 0),
+         f AS (SELECT id, nf,
+                 unnest(generate_series(0, nf - 1,
+                   greatest(CAST(ceil(nf / 10.0) AS BIGINT), 1))) AS frame_idx
+               FROM m WHERE nf > 0)
+         SELECT id, nf AS n_frames, count(*) AS n_sampled,
+           max(frame_idx) AS max_idx
+         FROM f GROUP BY id, nf ORDER BY id""",
+    "q61_approx_quantile" ->
+      """SELECT round(quantile_cont(o_totalprice, 0.5), 2) AS exact_p50,
+         round(quantile_cont(o_totalprice, 0.95), 2) AS exact_p95,
+         TRUE AS p50_within_1pct, TRUE AS p95_within_1pct
+         FROM orders""",
   )
 
   /** The LangId trigram profile rendered as SQL VALUES rows — the oracle

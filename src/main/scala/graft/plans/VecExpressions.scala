@@ -6,16 +6,51 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
-/** Deterministic ±1 pseudo-random signs for hyperplane sketches, shared by
-  * interpreted eval and generated code (object methods compile to static
-  * forwarders, so codegen can call `graft.plans.GraftHash.sgn(...)`). */
+/** Deterministic Gaussian hyperplane coefficients for LSH sketches, shared
+  * by interpreted eval and generated code (object methods compile to static
+  * forwarders, so codegen can call `graft.plans.GraftHash.gaussRow(...)`). */
 object GraftHash {
-  /** Sign of hyperplane j at dimension i — a 64-bit splitmix-style mix of
-    * (j, i); stable across JVMs/executors (no RNG state). */
-  def sgn(j: Int, i: Int): Double = {
-    var h = (j.toLong * 100003L + i.toLong + 1L) * 0x9E3779B97F4A7C15L
-    h ^= (h >>> 32)
-    if ((h & 1L) == 0L) 1.0 else -1.0
+
+  private def mix(x: Long): Long = {
+    var h = x * 0x9E3779B97F4A7C15L
+    h ^= (h >>> 30); h *= 0xBF58476D1CE4E5B9L
+    h ^= (h >>> 27); h *= 0x94D049BB133111EBL
+    h ^ (h >>> 31)
+  }
+
+  /** GAUSSIAN coefficient of hyperplane j at dimension i — deterministic
+    * Box-Muller over two hash-derived uniforms; stable across
+    * JVMs/executors (no RNG state).
+    *
+    * Gaussian (not ±1 Rademacher) coefficients are load-bearing for
+    * recall math: only a rotation-invariant hyperplane distribution gives
+    * P(plane separates a, b) = θ/π for EVERY pair. Under ±1 planes the
+    * separation probability is pair-structure-dependent and was MEASURED
+    * here to reach ~0.8 for specific cosine-0.4 embedding pairs — four
+    * qualifying pairs missed all 32 tables (SimilaritySpec caught it);
+    * with Gaussian planes the (1-(1-θ/π)^bits)-per-table bound holds and
+    * the same configuration misses with probability < 1e-7. */
+  def gauss(j: Int, i: Int): Double = {
+    val a = mix(j.toLong * 0x51D0F14A7L + i.toLong + 1L)
+    val b = mix(a + 0x632BE59BD9B4E019L)
+    // uniforms in (0,1]: take 53 bits, never exactly 0 (ln(0) = -inf)
+    val u1 = ((a >>> 11) + 1L).toDouble / 9007199254740993.0
+    val u2 = (b >>> 11).toDouble / 9007199254740992.0
+    math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+  }
+
+  /** Coefficients of hyperplane `j` for dimensions [0, dim), memoized
+    * per JVM: the Box-Muller transcendentals are row-independent, so the
+    * sketch hot loop must be a multiply-add over a cached array, not a
+    * log+cos per (plane, dim, ROW). The cache is tiny (planes × dim
+    * doubles) and grows monotonically to the widest vector seen. */
+  private val rows = new java.util.concurrent.ConcurrentHashMap[Integer, Array[Double]]()
+  def gaussRow(j: Int, dim: Int): Array[Double] = {
+    val hit = rows.get(j)
+    if (hit != null && hit.length >= dim) hit
+    else rows.compute(j, (_, old) =>
+      if (old != null && old.length >= dim) old
+      else Array.tabulate(math.max(dim, 64))(i => gauss(j, i)))
   }
 }
 
@@ -121,12 +156,12 @@ case class VecLshSketch(child: Expression, nBits: Int, nTables: Int)
       var code = 0L
       var j = 0
       while (j < nBits) {
-        val hj = t * nBits + j
+        val coefs = GraftHash.gaussRow(t * nBits + j, dim)
         var p = 0.0
         var i = 0
         while (i < dim) {
           val xv = if (fl) v.getFloat(i).toDouble else v.getDouble(i)
-          p += xv * GraftHash.sgn(hj, i)
+          p += xv * coefs(i)
           i += 1
         }
         if (p >= 0) code |= (1L << j)
@@ -150,9 +185,9 @@ case class VecLshSketch(child: Expression, nBits: Int, nTables: Int)
          |for (int $t = 0; $t < $nTables; $t++) {
          |  long $code = 0L;
          |  for (int $j = 0; $j < $nBits; $j++) {
-         |    int $hj = $t * $nBits + $j;
+         |    double[] $hj = graft.plans.GraftHash.gaussRow($t * $nBits + $j, $dim);
          |    double $p = 0.0;
-         |    for (int $i = 0; $i < $dim; $i++) { $p += $get * graft.plans.GraftHash.sgn($hj, $i); }
+         |    for (int $i = 0; $i < $dim; $i++) { $p += $get * $hj[$i]; }
          |    if ($p >= 0) $code |= (1L << $j);
          |  }
          |  $codes[$t] = $code;

@@ -140,6 +140,17 @@ class SimilaritySpec extends SparkSpec {
     assert(out.select("score").as[Double].head() <= 1.0001)
   }
 
+  test("cosineNearDupLsh matches the brute-force form on real vectors, without a cross product") {
+    val emb = graft.Tables.embeddings(spark, sfDir).filter($"vec_id" % 2 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect().toSet
+    val brute = pairs(Similarity.cosineNearDup(emb, "vec_id", "embedding", 0.4))
+    val lsh = Similarity.cosineNearDupLsh(emb, "vec_id", "embedding", 0.4)
+    assert(pairs(lsh) == brute, "LSH candidates must reach every qualifying pair with exact scores")
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("capBuckets prunes only over-occupied buckets") {
     val df = (Seq.fill(100)("hot") ++ Seq.fill(3)("cold")).zipWithIndex
       .map { case (b, i) => (i.toLong, b) }.toDF("id", "bucket")
