@@ -56,44 +56,58 @@ object LangId {
   /** (idCol, pred_lang, score) — argmax language per document; docs whose
     * trigrams match no profile get pred_lang = 'und'.
     *
+    * Zero-shuffle scoring: the profile is a compile-time constant, so each
+    * language's trigram→weight table is baked in as a foldable map LITERAL
+    * (constant-folded once, not rebuilt per element) and each language
+    * score is an `aggregate` fold over the doc's gram-hash array inside
+    * the scan projection — no explode, no broadcast join, no per-doc
+    * aggregation exchange. The earlier formulation (explode → broadcast
+    * profile join → groupBy(doc, lang) → argmax) shuffled ~len(doc) rows
+    * per document twice; at 100 TB the scoring stage now shuffles nothing
+    * (per-doc scoring is embarrassingly parallel and lives with the scan).
+    * Argmax = array_max over struct(score, lang) — lexicographic struct
+    * order IS (score DESC, lang DESC tie-break), the oracle's rule.
+    *
     * zh (ADVICE r2): documents whose non-whitespace text is majority Han
     * characters vote 'zh' directly with score = Han char count — the
     * char-range vote, since unspaced CJK can never match a space-padded
     * word-trigram profile. The vote is a pure Column expression replayed
     * verbatim by the q27 oracle. */
   def predict(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    // join on the injective trigram hash: the exploded doc side carries a
-    // long instead of a per-position 3-char substring allocation
-    val profile = profileRows.map { case (lang, tg, w) => (lang, trigramHash(tg), w) }
-      .toDF("lang", "tgh", "w")
+    val byLang: Seq[(String, Seq[(Long, Double)])] = profileRows
+      .groupBy(_._1).view.mapValues(_.map { case (_, tg, w) => (trigramHash(tg), w) })
+      .toSeq.sortBy(_._1)
     // Alias the normalized padded text BEFORE the gram expression:
     // embedding `normalize(text)` as a raw expression at both use sites
     // (length + lambda body) would duplicate the regexp per trigram element
     // (O(len²) per doc — measured 23s vs <1s at sf0.1). As a multi-referenced
     // non-cheap alias, CollapseProject keeps it a separate projection.
+    // Same trap for the gram ARRAY: aliased once, folded over per language.
     val prepared = docs.select(col(idCol),
       concat(lit(" "), Text.normalize(col(textCol)), lit(" ")).as("_padded"))
-    val scored = prepared
-      .select(col(idCol), explode(call_function("char_gram_hashes",
-        col("_padded"), lit(3), lit(false))).as("tgh"))
-      .join(broadcast(profile), "tgh")
-      .groupBy(col(idCol), col("lang"))
-      .agg(sum(col("w")).as("score"))
-      .groupBy(col(idCol))
-      .agg(max_by(struct(col("score"), col("lang")), struct(col("score"), col("lang"))).as("best"))
-      .select(col(idCol), col("best.lang").as("pred_lang"), col("best.score").as("score"))
-    prepared
+    val withGrams = prepared.select(col(idCol), col("_padded"),
+      call_function("char_gram_hashes", col("_padded"), lit(3), lit(false)).as("_g"))
+    val scoreCols = byLang.map { case (lang, entries) =>
+      val weightOf = map(entries.flatMap { case (h, w) => Seq(lit(h), lit(w)) }: _*)
+      aggregate(col("_g"), lit(0.0),
+        (acc, h) => acc + coalesce(element_at(weightOf, h), lit(0.0))).as(s"_s_$lang")
+    }
+    val best = array_max(array(byLang.map { case (lang, _) =>
+      struct(col(s"_s_$lang").as("score"), lit(lang).as("lang"))
+    }: _*))
+    withGrams
+      .select(col(idCol) +: col("_padded") +: scoreCols: _*)
       .select(col(idCol),
         length(regexp_replace(col("_padded"), HanRange, "")).as("_han"),
-        length(regexp_replace(col("_padded"), "\\s", "")).as("_nws"))
-      .join(scored, Seq(idCol), "left")
+        length(regexp_replace(col("_padded"), "\\s", "")).as("_nws"),
+        best.as("_best"))
       .select(col(idCol),
         when(col("_han") > 0 && col("_han") * 2 >= col("_nws"), lit("zh"))
-          .otherwise(coalesce(col("pred_lang"), lit("und"))).as("pred_lang"),
+          .when(col("_best.score") > 0.0, col("_best.lang"))
+          .otherwise(lit("und")).as("pred_lang"),
         when(col("_han") > 0 && col("_han") * 2 >= col("_nws"),
           col("_han").cast("double"))
-          .otherwise(coalesce(col("score"), lit(0.0))).as("score"))
+          .otherwise(when(col("_best.score") > 0.0, col("_best.score")).otherwise(lit(0.0)))
+          .as("score"))
   }
 }

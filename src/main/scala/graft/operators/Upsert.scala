@@ -79,10 +79,4 @@ object Upsert {
     }
   }
 
-  /** Idempotent write: MERGE applied twice with the same batch must leave the
-    * table unchanged (reference T4 exactly-once-effect). Verified by property
-    * test; this method is the batch used inside streaming foreachBatch. */
-  def mergeIdempotent(current: DataFrame, updates: DataFrame, keys: Seq[String],
-                      orderCol: String): DataFrame =
-    merge(current, updates, keys, Some(orderCol))
 }
