@@ -504,7 +504,11 @@ object SparkEntry {
   def q30_cosine_neardup(s: SparkSession, d: String): DataFrame =
     Similarity.cosineNearDupLsh(
       embeddings(s, d).filter(col("vec_id") % 4 === 0),
-      "vec_id", "embedding", 0.4)
+      // gate parameters, NOT the operator defaults: the exhaustive-recall
+      // oracle at the low 0.4 threshold needs 2-bit tables (per-pair miss
+      // < 1e-7) and no cap on this bounded sample; production callers keep
+      // the selective 8-bit default + cap (see cosineNearDupLsh scaladoc)
+      "vec_id", "embedding", 0.4, nBits = 2, nTables = 32, maxBucket = 0)
       .orderBy(col("id_a"), col("id_b"))
 
   /** IVF-partitioned ANN gated by planted-duplicate self-retrieval (same
@@ -827,9 +831,9 @@ object SparkEntry {
     * mid-distribution so the gate exercises both keep and drop paths. */
   def q54_repetition_filter(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .select(col("source"), Text.repetitionRatio(col("text")).as("ur"),
-        Text.tokens(col("text")).as("w"))
-      .select(col("source"), col("ur"), Text.bigramRepetitionRatioOf(col("w")).as("br"))
+      .select(col("source"), Text.tokens(col("text")).as("w"))
+      .select(col("source"), Text.repetitionRatioOf(col("w")).as("ur"),
+        Text.bigramRepetitionRatioOf(col("w")).as("br"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         round(avg(col("ur")), 4).as("avg_unigram_rep"),
@@ -872,9 +876,12 @@ object SparkEntry {
     * filtering): token frequencies trained over the corpus itself, each
     * doc scored by its mean log10 token probability, sources summarized
     * with a keep count at a mid-distribution threshold. Two passes over
-    * the corpus by design — train then score, the standard shape — with
-    * the vocab-sized frequency table BROADCAST onto the scoring pass (a
-    * unigram table is KBs even at 100 TB corpus scale). */
+    * the corpus by design — train then score, the standard shape. The
+    * token→logp join is a plain shuffle join: a web corpus's distinct
+    * vocabulary grows with corpus size (Heaps' law — billions of rows at
+    * 100 TB), so it must NOT be broadcast-hinted; AQE still downgrades to
+    * broadcast at runtime when the trained table is actually small (as
+    * here). Only the single-row grand total broadcasts unconditionally. */
   def q57_lm_quality(s: SparkSession, d: String): DataFrame = {
     val toks = documents(s, d).select(col("doc_id"), col("source"),
       explode(Text.tokens(col("text"))).as("tok"))
@@ -882,7 +889,7 @@ object SparkEntry {
     val total = freq.agg(sum(col("c")).as("s"))
     val logp = freq.crossJoin(broadcast(total))
       .select(col("tok"), log10(col("c").cast("double") / col("s").cast("double")).as("lp"))
-    val perDoc = toks.join(broadcast(logp), Seq("tok"))
+    val perDoc = toks.join(logp, Seq("tok"))
       .groupBy(col("doc_id"), col("source"))
       .agg(round(avg(col("lp")), 4).as("doc_lp"))
     perDoc.groupBy(col("source"))

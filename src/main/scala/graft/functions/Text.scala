@@ -67,10 +67,14 @@ object Text {
   /** Gopher-style repetition signal: fraction of tokens that repeat an
     * earlier token (1 − distinct/total). High values flag boilerplate and
     * degenerate generations; a standard pre-training quality filter. */
-  def repetitionRatio(c: Column): Column = {
-    val w = tokens(c)
+  def repetitionRatio(c: Column): Column = repetitionRatioOf(tokens(c))
+
+  /** Unigram repetition off a token-array expression. Prefer passing a
+    * pre-aliased attribute when combined with other token-array consumers
+    * in one projection (q54 computes both repetition ratios from ONE
+    * aliased split — re-tokenizing per metric multiplies the scan cost). */
+  def repetitionRatioOf(w: Column): Column =
     round(lit(1.0) - size(array_distinct(w)).cast("double") / size(w).cast("double"), 4)
-  }
 
   /** Phrase-level repetition: fraction of word bigrams that repeat.
     * Catches copy-paste runs the unigram ratio misses (a doc can repeat

@@ -71,13 +71,12 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
     * (null-safe) key" holds inductively — which is also what keeps the MERGE
     * cardinality check (one source row per target row) satisfied. */
   def upsert(name: String, updates: DataFrame, keys: Seq[String]): Long = {
-    read(name).foreach(current =>
-      checkNumericParity(name, current.schema, updates.schema))
     read(name) match {
-      case Some(current) if canRowLevelMerge(current.schema, updates.schema) =>
-        rowLevelMerge(name, current.schema, updates, keys)
       case Some(current) =>
-        publish(name, Upsert.merge(current, updates, keys))
+        checkNumericParity(name, current.schema, updates.schema)
+        if (canRowLevelMerge(current.schema, updates.schema))
+          rowLevelMerge(name, current.schema, updates, keys)
+        else publish(name, Upsert.merge(current, updates, keys))
       case None =>
         publish(name, Upsert.keyDedup(updates, keys))
     }
@@ -93,19 +92,30 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
     * (rewrite the table), never an implicit cast inside an upsert. */
   private def checkNumericParity(name: String, stored: StructType,
                                  incoming: StructType): Unit = {
+    // Recursive: the fallback merge path (the one nested/decimal schemas
+    // take) widens through unionByName at ANY depth, so a decimal inside a
+    // struct/array/map is exactly as exposed as a top-level column.
+    def clash(a: DataType, b: DataType, at: String): Option[(String, DataType, DataType)] =
+      (a, b) match {
+        case (_: DecimalType, DoubleType | FloatType) => Some((at, a, b))
+        case (DoubleType | FloatType, _: DecimalType) => Some((at, a, b))
+        case (x: StructType, y: StructType) =>
+          val yf = y.fields.map(f => f.name -> f.dataType).toMap
+          x.fields.iterator.flatMap(f =>
+            yf.get(f.name).flatMap(clash(f.dataType, _, s"$at.${f.name}"))).nextOption()
+        case (ArrayType(x, _), ArrayType(y, _)) => clash(x, y, s"$at[]")
+        case (MapType(xk, xv, _), MapType(yk, yv, _)) =>
+          clash(xk, yk, s"$at<key>").orElse(clash(xv, yv, s"$at<value>"))
+        case _ => None
+      }
     val storedTypes = stored.fields.map(f => f.name -> f.dataType).toMap
     incoming.fields.foreach { f =>
-      storedTypes.get(f.name).foreach { st =>
-        val clash = (st, f.dataType) match {
-          case (_: DecimalType, DoubleType | FloatType) => true
-          case (DoubleType | FloatType, _: DecimalType) => true
-          case _                                        => false
-        }
-        if (clash) throw new IllegalArgumentException(
-          s"table '$name' stores column '${f.name}' as ${st.simpleString} but the " +
-            s"batch brings ${f.dataType.simpleString}: refusing the silent " +
-            "decimal<->double cast (money-mode mismatch). Re-run with the table's " +
-            "MoneyMode, or migrate the table explicitly (read, cast, publish).")
+      storedTypes.get(f.name).flatMap(clash(_, f.dataType, f.name)).foreach {
+        case (path, st, in) => throw new IllegalArgumentException(
+          s"table '$name' stores '$path' as ${st.simpleString} but the batch " +
+            s"brings ${in.simpleString}: refusing the silent decimal<->double " +
+            "cast (money-mode mismatch). Re-run with the table's MoneyMode, or " +
+            "migrate the table explicitly (read, cast, publish).")
       }
     }
   }

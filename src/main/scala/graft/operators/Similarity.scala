@@ -318,15 +318,21 @@ object Similarity {
     * (table, bucket), hash-joinable and AQE-splittable, never a cross
     * product — and the exact dot product runs only on the deduped candidate
     * pairs. Per qualifying pair the miss probability is (1-p^bits)^tables
-    * with p = 1-θ/π (θ the pair's angle); the defaults (2 bits, 32 tables)
-    * put it below 1e-7 at cosine 0.4, and the gate's exact all-pairs oracle
-    * (q30) enforces observed full recall at the verified SF. At corpus
-    * scale, raise `nBits` so per-bucket occupancy stays bounded (the
-    * bits/tables trade is recall vs bucket size, same knob as [[annLsh]])
-    * and cap pathological buckets with [[capBuckets]]. */
+    * with p = 1-θ/π (θ the pair's angle; Gaussian planes, so the bound
+    * holds for EVERY pair — see [[graft.plans.GraftHash.gauss]]).
+    *
+    * The DEFAULTS (8 bits → 256 buckets/table, 24 tables, cap 1000) are
+    * the corpus-scale shape for the near-DUPLICATE regime: at cosine 0.9
+    * the per-pair miss is (1-0.856⁸)²⁴ ≈ 3e-4 while bucket occupancy
+    * stays n/256 per table — a 2-bit table would pour n/4 of the corpus
+    * into one bucket and the self-join would emit ~(n/4)² rows from a
+    * single task. Lower `nBits` (and disable the cap) ONLY for bounded
+    * inputs where a low threshold demands near-total recall — q30's gate
+    * does exactly that (2 bits × 32 tables, miss < 1e-7 at cosine 0.4, on
+    * a fixed sample) because its oracle enforces exhaustive recall. */
   def cosineNearDupLsh(vectors: DataFrame, idCol: String, vecCol: String,
-                       threshold: Double, nBits: Int = 2, nTables: Int = 32,
-                       maxBucket: Int = 0): DataFrame = {
+                       threshold: Double, nBits: Int = 8, nTables: Int = 24,
+                       maxBucket: Int = 1000): DataFrame = {
     val bk = vectors.select(col(idCol).as("id"),
       posexplode(Vectors.lshSketch(col(vecCol), nBits, nTables)).as(Seq("t", "bkt")))
     val capped = capBuckets(bk, Seq("t", "bkt"), maxBucket)

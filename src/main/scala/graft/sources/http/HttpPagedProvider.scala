@@ -170,8 +170,15 @@ object TokenProvider {
     val now = System.currentTimeMillis()
     val hit = cache.get(auth.cacheKey)
     if (hit != null && hit.expiresAtMs > now) hit.token
-    else cache.compute(auth.cacheKey, (_, old) =>
-      if (old != null && old.expiresAtMs > now) old else fetchToken(auth)).token
+    else {
+      // fetch OUTSIDE any map lock: a slow token endpoint must not block
+      // unrelated cache keys behind a ConcurrentHashMap bin lock. Two
+      // readers refreshing the same expired key concurrently both fetch
+      // (benign — last write wins, both tokens are valid).
+      val fresh = fetchToken(auth)
+      cache.put(auth.cacheKey, fresh)
+      fresh.token
+    }
   }
 
   /** Drop the cached token (called on 401 so the retry re-authenticates). */
@@ -183,31 +190,31 @@ object TokenProvider {
     val url = auth.tokenUrl.getOrElse(
       throw new IllegalStateException("no auth.tokenUrl and no static auth.token"))
     val conn = new URI(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
-    conn.setRequestMethod("POST")
-    conn.setConnectTimeout(30000)
-    conn.setReadTimeout(60000)
-    conn.setDoOutput(true)
-    conn.setRequestProperty("Content-Type", "application/x-www-form-urlencoded")
-    val form = Seq(
-      "grant_type" -> "client_credentials",
-      "client_id" -> auth.clientId,
-      "client_secret" -> auth.clientSecret)
-      .map { case (k, v) => k + "=" + java.net.URLEncoder.encode(v, "UTF-8") }
-      .mkString("&")
-    conn.getOutputStream.write(form.getBytes(StandardCharsets.UTF_8))
-    val code = conn.getResponseCode
-    if (code != 200) {
-      conn.disconnect()
-      throw new RuntimeException(s"token endpoint returned HTTP $code")
-    }
-    val body = new String(conn.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
-    conn.disconnect()
-    val root = new ObjectMapper().readTree(body)
-    val tok = root.path(auth.tokenField)
-    if (!tok.isTextual)
-      throw new RuntimeException(s"token response lacks text field '${auth.tokenField}'")
-    val ttlMs = root.path("expires_in").asLong(3600L) * 1000L
-    Cached(tok.asText(), System.currentTimeMillis() + math.max(0L, ttlMs - SkewMs))
+    // disconnect on EVERY exit — a reset mid-read or malformed JSON under
+    // the retry loop must not leak sockets on long-lived executors
+    try {
+      conn.setRequestMethod("POST")
+      conn.setConnectTimeout(30000)
+      conn.setReadTimeout(60000)
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/x-www-form-urlencoded")
+      val form = Seq(
+        "grant_type" -> "client_credentials",
+        "client_id" -> auth.clientId,
+        "client_secret" -> auth.clientSecret)
+        .map { case (k, v) => k + "=" + java.net.URLEncoder.encode(v, "UTF-8") }
+        .mkString("&")
+      conn.getOutputStream.write(form.getBytes(StandardCharsets.UTF_8))
+      val code = conn.getResponseCode
+      if (code != 200) throw new RuntimeException(s"token endpoint returned HTTP $code")
+      val body = new String(conn.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+      val root = new ObjectMapper().readTree(body)
+      val tok = root.path(auth.tokenField)
+      if (!tok.isTextual)
+        throw new RuntimeException(s"token response lacks text field '${auth.tokenField}'")
+      val ttlMs = root.path("expires_in").asLong(3600L) * 1000L
+      Cached(tok.asText(), System.currentTimeMillis() + math.max(0L, ttlMs - SkewMs))
+    } finally conn.disconnect()
   }
 }
 
@@ -271,12 +278,17 @@ abstract class HttpReaderBase(conf: HttpConf) extends PartitionReader[InternalRo
       conf.auth.foreach(a =>
         conn.setRequestProperty("Authorization", TokenProvider.authorization(a)))
       val code = conn.getResponseCode
-      if (code == 401 && conf.auth.exists(_.tokenUrl.isDefined)) {
-        // expired/revoked bearer: drop the cached token so the retry
-        // attempt re-authenticates through the token endpoint
+      if (code == 401) {
         conn.disconnect()
-        conf.auth.foreach(TokenProvider.invalidate)
-        throw new RuntimeException(s"HTTP 401 from $url (token invalidated, will re-auth)")
+        if (conf.auth.exists(_.tokenUrl.isDefined)) {
+          // expired/revoked bearer: drop the cached token and retry NOW —
+          // the next attempt re-authenticates; transport backoff here would
+          // stall every task at each routine token-expiry window
+          conf.auth.foreach(TokenProvider.invalidate)
+          throw Retry.Immediate(s"HTTP 401 from $url (token invalidated, re-authenticating)")
+        }
+        // no refresh path (static token or no auth): retrying cannot help
+        throw Retry.Fatal(s"HTTP 401 from $url (no token-refresh path; check credentials)")
       }
       if (code == 429) {
         // Retry-After is either delta-seconds or an HTTP-date (RFC 7231);

@@ -145,7 +145,11 @@ class SimilaritySpec extends SparkSpec {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect().toSet
     val brute = pairs(Similarity.cosineNearDup(emb, "vec_id", "embedding", 0.4))
-    val lsh = Similarity.cosineNearDupLsh(emb, "vec_id", "embedding", 0.4)
+    // q30's gate parameters (low threshold ⇒ low-selectivity tables, no
+    // cap on the bounded sample); the 8-bit defaults target the cosine-0.9
+    // near-duplicate regime and would trade this recall for selectivity
+    val lsh = Similarity.cosineNearDupLsh(emb, "vec_id", "embedding", 0.4,
+      nBits = 2, nTables = 32, maxBucket = 0)
     assert(pairs(lsh) == brute, "LSH candidates must reach every qualifying pair with exact scores")
     val plan = lsh.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)

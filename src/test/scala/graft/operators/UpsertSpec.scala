@@ -91,6 +91,16 @@ class UpsertSpec extends SparkSpec {
     intercept[IllegalArgumentException] { store.upsert("t2", dec, Seq("k")) }
     // same-representation upserts still flow
     assert(store.upsert("t", dec, Seq("k")) == 1L)
+    // NESTED decimal<->double is just as exposed (the fallback merge path
+    // widens through unionByName at any depth) — must also refuse
+    val nestedDec = Seq((1L, "a")).toDF("k", "s")
+      .withColumn("m", struct(lit("1.50")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("price")))
+    val nestedDbl = Seq((2L, "b")).toDF("k", "s")
+      .withColumn("m", struct(lit(2.5).as("price")))
+    store.upsert("t3", nestedDec, Seq("k"))
+    val ne = intercept[IllegalArgumentException] { store.upsert("t3", nestedDbl, Seq("k")) }
+    assert(ne.getMessage.contains("m.price"))
   }
 
   test("compact rewrites the file layout without changing content") {

@@ -41,4 +41,35 @@ class RetrySpec extends AnyFunSuite {
     assert(e.getMessage == "boom 4")
     assert(sleeps.size == 3, "no sleep after the final failed attempt")
   }
+
+  test("Immediate retries without sleeping but still consumes an attempt") {
+    val sleeps = ArrayBuffer[Long]()
+    var calls = 0
+    val out = Retry.withRetries(maxRetries = 3, baseDelayMs = 3000, sleep = sleeps += _) { () =>
+      calls += 1
+      if (calls == 1) throw Retry.Immediate("token refreshed")
+      "ok"
+    }
+    assert(out == "ok" && calls == 2)
+    assert(sleeps.isEmpty, "a repaired failure must not pay transport backoff")
+    // but it cannot spin forever: attempts are still counted
+    var n = 0
+    intercept[Retry.Immediate] {
+      Retry.withRetries(maxRetries = 3, sleep = sleeps += _) { () =>
+        n += 1; throw Retry.Immediate("never helps")
+      }
+    }
+    assert(n == 3)
+  }
+
+  test("Fatal aborts on the first attempt with no retry and no sleep") {
+    val sleeps = ArrayBuffer[Long]()
+    var calls = 0
+    intercept[Retry.Fatal] {
+      Retry.withRetries(maxRetries = 5, sleep = sleeps += _) { () =>
+        calls += 1; throw Retry.Fatal("bad static credentials")
+      }
+    }
+    assert(calls == 1 && sleeps.isEmpty)
+  }
 }
