@@ -962,6 +962,29 @@ object SparkEntry {
           expr("percentile(o_totalprice, 0.95)")) /
         expr("percentile(o_totalprice, 0.95)") <= 0.01).as("p95_within_1pct"))
 
+  /** Near-dup cluster formation (Similarity.dedupClusters) — pairwise
+    * matches (q20's exact-verified Jaccard ≥ 0.6 pairs) become connected
+    * components; each component keeps its min-id representative. This is
+    * the step that turns a pair list into an actual deduplicated corpus.
+    * The oracle recomputes the same exact pair set and closes it with a
+    * recursive CTE, so both the pair recall AND the component structure
+    * are hash-gated. */
+  def q62_dedup_clusters(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val cand = Similarity.minhashNearDup(docs, "doc_id", "text", 0.5, maxBucket = 0)
+    val pairs = Similarity.scoreCandidatesJaccard(cand, docs, "doc_id",
+        sub => sub.select(col("doc_id"), Text.tokens(col("text")).as("_w"))
+          .select(col("doc_id"), Similarity.shingleHashesOf(col("_w"), 3).as("g")))
+      .filter(col("jaccard") >= 0.6)
+      .select("id_a", "id_b")
+    Similarity.dedupClusters(pairs, docs.select(col("doc_id")), "doc_id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .filter(col("cluster_size") >= 2)
+      .select(col("label").as("cluster_rep"), col("cluster_size"))
+      .orderBy(col("cluster_rep"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1026,6 +1049,7 @@ object SparkEntry {
     "q59_salted_join"       -> (q59_salted_join _),
     "q60_frame_sampling"    -> (q60_frame_sampling _),
     "q61_approx_quantile"   -> (q61_approx_quantile _),
+    "q62_dedup_clusters"    -> (q62_dedup_clusters _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1608,6 +1632,34 @@ object SparkEntry {
          round(quantile_cont(o_totalprice, 0.95), 2) AS exact_p95,
          TRUE AS p50_within_1pct, TRUE AS p95_within_1pct
          FROM orders""",
+    "q62_dedup_clusters" ->
+      """WITH RECURSIVE
+         toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(w) - 2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [array_to_string(w, ' ')] END AS g
+           FROM toks),
+         sz AS (SELECT doc_id, len(g) AS n FROM sh),
+         e AS (SELECT doc_id, unnest(g) AS gram FROM sh),
+         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+                FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         p AS (SELECT id_a, id_b
+               FROM pr JOIN sz sa ON sa.doc_id = pr.id_a
+                       JOIN sz sb ON sb.doc_id = pr.id_b
+               WHERE round(CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE), 4) >= 0.6),
+         edges AS (SELECT id_a AS id, id_b AS nb FROM p
+                   UNION ALL SELECT id_b, id_a FROM p),
+         reach(id, r) AS (
+           SELECT id, nb FROM edges
+           UNION
+           SELECT reach.id, e2.nb FROM reach JOIN edges e2 ON e2.id = reach.r),
+         labels AS (SELECT id, least(id, min(r)) AS label FROM reach GROUP BY id)
+         SELECT label AS cluster_rep, count(*) AS cluster_size
+         FROM labels GROUP BY label HAVING count(*) >= 2
+         ORDER BY cluster_rep""",
   )
 
   /** The LangId trigram profile rendered as SQL VALUES rows — the oracle

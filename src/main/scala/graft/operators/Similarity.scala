@@ -348,6 +348,42 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Connected components over a near-dup PAIR set — the final step of
+    * fuzzy dedup: pairwise matches become clusters, each cluster keeps one
+    * representative (the minimum id). Label propagation to fixpoint: each
+    * round every node takes the min label over itself and its neighbors;
+    * rounds needed = cluster diameter, and near-dup clusters are
+    * shallow (they form around shared content, not long chains), so the
+    * loop converges in a handful of rounds. Each round is one shuffle on
+    * the node id; labels are localCheckpointed per round so the plan does
+    * not recompute the whole history. At extreme graph scale the
+    * O(log n)-round alternating large-star/small-star algorithm (public:
+    * Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) drops in behind the same signature. The driver-side loop
+    * condition reads ONE count per round — no data is collected. */
+  def dedupClusters(pairs: DataFrame, nodes: DataFrame, idCol: String,
+                    maxRounds: Int = 20): DataFrame = {
+    val edges = Checkpoints.materialize(
+      pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
+        .union(pairs.select(col("id_b").as("id"), col("id_a").as("nb"))))
+    var labels = Checkpoints.materialize(
+      nodes.select(col(idCol).as("id"), col(idCol).as("label")))
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val viaNeighbors = edges.join(labels.withColumnRenamed("id", "nb"), "nb")
+        .groupBy(col("id")).agg(min(col("label")).as("nb_label"))
+      val next = Checkpoints.materialize(
+        labels.join(viaNeighbors, Seq("id"), "left")
+          .select(col("id"), least(col("label"), coalesce(col("nb_label"), col("label"))).as("label")))
+      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      round += 1
+    }
+    labels
+  }
+
   // ----------------------------------------------------------------- ANN
 
   /** Bounded top-k of (neighbor_id, score) per query via the

@@ -155,6 +155,25 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("dedupClusters: transitive chains collapse to one min-id representative") {
+    val nodes = (1L to 10L).toDF("doc_id")
+    // chain 1-2-3-4 (diameter 3), pair 6-7, singletons 5,8,9,10
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L)).toDF("id_a", "id_b")
+    val labels = Similarity.dedupClusters(pairs, nodes, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(labels(_) == 1L), s"chain must share rep 1: $labels")
+    assert(labels(6L) == 6L && labels(7L) == 6L)
+    assert(Seq(5L, 8L, 9L, 10L).forall(id => labels(id) == id), "singletons keep themselves")
+  }
+
+  test("dedupClusters: representative is cluster-min regardless of edge direction") {
+    val nodes = Seq(3L, 9L, 5L).toDF("doc_id")
+    val pairs = Seq((9L, 5L), (5L, 3L)).toDF("id_a", "id_b")
+    val labels = Similarity.dedupClusters(pairs, nodes, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(3L -> 3L, 9L -> 3L, 5L -> 3L))
+  }
+
   test("capBuckets prunes only over-occupied buckets") {
     val df = (Seq.fill(100)("hot") ++ Seq.fill(3)("cold")).zipWithIndex
       .map { case (b, i) => (i.toLong, b) }.toDF("id", "bucket")
