@@ -95,22 +95,26 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
     // Recursive: the fallback merge path (the one nested/decimal schemas
     // take) widens through unionByName at ANY depth, so a decimal inside a
     // struct/array/map is exactly as exposed as a top-level column.
+    // Name matching is CASE-INSENSITIVE to mirror the resolver the guarded
+    // path actually uses (unionByName under the default
+    // spark.sql.caseSensitive=false): a batch bringing 'Price' against a
+    // stored 'price' WOULD merge-and-widen, so it must also be checked.
     def clash(a: DataType, b: DataType, at: String): Option[(String, DataType, DataType)] =
       (a, b) match {
         case (_: DecimalType, DoubleType | FloatType) => Some((at, a, b))
         case (DoubleType | FloatType, _: DecimalType) => Some((at, a, b))
         case (x: StructType, y: StructType) =>
-          val yf = y.fields.map(f => f.name -> f.dataType).toMap
+          val yf = y.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
           x.fields.iterator.flatMap(f =>
-            yf.get(f.name).flatMap(clash(f.dataType, _, s"$at.${f.name}"))).nextOption()
+            yf.get(f.name.toLowerCase).flatMap(clash(f.dataType, _, s"$at.${f.name}"))).nextOption()
         case (ArrayType(x, _), ArrayType(y, _)) => clash(x, y, s"$at[]")
         case (MapType(xk, xv, _), MapType(yk, yv, _)) =>
           clash(xk, yk, s"$at<key>").orElse(clash(xv, yv, s"$at<value>"))
         case _ => None
       }
-    val storedTypes = stored.fields.map(f => f.name -> f.dataType).toMap
+    val storedTypes = stored.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
     incoming.fields.foreach { f =>
-      storedTypes.get(f.name).flatMap(clash(_, f.dataType, f.name)).foreach {
+      storedTypes.get(f.name.toLowerCase).flatMap(clash(_, f.dataType, f.name)).foreach {
         case (path, st, in) => throw new IllegalArgumentException(
           s"table '$name' stores '$path' as ${st.simpleString} but the batch " +
             s"brings ${in.simpleString}: refusing the silent decimal<->double " +

@@ -360,14 +360,22 @@ object Similarity {
     * O(log n)-round alternating large-star/small-star algorithm (public:
     * Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC'14) drops in behind the same signature. The driver-side loop
-    * condition reads ONE count per round — no data is collected. */
+    * condition reads ONE count per round — no data is collected.
+    * Exceeding `maxRounds` without a fixpoint THROWS: truncated
+    * propagation would silently split clusters and let duplicates
+    * survive dedup. */
   def dedupClusters(pairs: DataFrame, nodes: DataFrame, idCol: String,
                     maxRounds: Int = 20): DataFrame = {
     val edges = Checkpoints.materialize(
       pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
         .union(pairs.select(col("id_b").as("id"), col("id_a").as("nb"))))
-    var labels = Checkpoints.materialize(
-      nodes.select(col(idCol).as("id"), col(idCol).as("label")))
+    // Only edge-INCIDENT nodes can ever change label, and at corpus scale
+    // they are a small fraction of the corpus — iterating the full node
+    // set would re-join and re-checkpoint corpus-sized frames every round
+    // for rows that cannot move. Singletons (label = id) union in once at
+    // the end, untouched by the loop.
+    val touched = Checkpoints.materialize(edges.select(col("id")).distinct())
+    var labels = Checkpoints.materialize(touched.select(col("id"), col("id").as("label")))
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -378,10 +386,21 @@ object Similarity {
           .select(col("id"), least(col("label"), coalesce(col("nb_label"), col("label"))).as("label")))
       converged = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).isEmpty
+      // bound the materialization footprint at two frames: the previous
+      // round's labels are dead once `next` exists and convergence is read
+      labels.unpersist()
       labels = next
       round += 1
     }
-    labels
+    if (!converged) throw new IllegalStateException(
+      s"dedupClusters did not converge in $maxRounds rounds: a component's " +
+        "diameter exceeds the bound, and truncated propagation would SILENTLY " +
+        "split clusters (duplicates would survive dedup). Raise maxRounds, or " +
+        "switch to the log-round large-star/small-star formulation.")
+    val singletons = nodes.select(col(idCol).as("id"))
+      .join(touched, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("label"))
+    labels.unionByName(singletons)
   }
 
   // ----------------------------------------------------------------- ANN

@@ -166,18 +166,26 @@ object TokenProvider {
   def authorization(auth: AuthConf): String =
     s"${auth.scheme} ${token(auth)}"
 
+  private val inflight = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private def token(auth: AuthConf): String = auth.token.getOrElse {
-    val now = System.currentTimeMillis()
-    val hit = cache.get(auth.cacheKey)
-    if (hit != null && hit.expiresAtMs > now) hit.token
-    else {
-      // fetch OUTSIDE any map lock: a slow token endpoint must not block
-      // unrelated cache keys behind a ConcurrentHashMap bin lock. Two
-      // readers refreshing the same expired key concurrently both fetch
-      // (benign — last write wins, both tokens are valid).
-      val fresh = fetchToken(auth)
-      cache.put(auth.cacheKey, fresh)
-      fresh.token
+    val key = auth.cacheKey
+    def live(): Option[String] =
+      Option(cache.get(key)).filter(_.expiresAtMs > System.currentTimeMillis()).map(_.token)
+    live().getOrElse {
+      // SINGLE-FLIGHT per key, on a dedicated mutex (NOT the CHM bin lock,
+      // so a hung token endpoint cannot block unrelated keys): at an
+      // expiry boundary the winner of the race fetches once and every
+      // other concurrent task reuses its result — without this, N running
+      // tasks would each POST the token endpoint per expiry window.
+      val lock = inflight.computeIfAbsent(key, _ => new Object)
+      lock.synchronized {
+        live().getOrElse {
+          val fresh = fetchToken(auth)
+          cache.put(key, fresh)
+          fresh.token
+        }
+      }
     }
   }
 
@@ -280,7 +288,11 @@ abstract class HttpReaderBase(conf: HttpConf) extends PartitionReader[InternalRo
       val code = conn.getResponseCode
       if (code == 401) {
         conn.disconnect()
-        if (conf.auth.exists(_.tokenUrl.isDefined)) {
+        // refreshable ONLY when the bearer actually comes from the token
+        // endpoint: with a static auth.token set, the token provider always
+        // prefers it, so "invalidate and retry" would re-send the same
+        // rejected token with zero backoff — that config fails fast below
+        if (conf.auth.exists(a => a.token.isEmpty && a.tokenUrl.isDefined)) {
           // expired/revoked bearer: drop the cached token and retry NOW —
           // the next attempt re-authenticates; transport backoff here would
           // stall every task at each routine token-expiry window

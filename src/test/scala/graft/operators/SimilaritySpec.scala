@@ -166,6 +166,15 @@ class SimilaritySpec extends SparkSpec {
     assert(Seq(5L, 8L, 9L, 10L).forall(id => labels(id) == id), "singletons keep themselves")
   }
 
+  test("dedupClusters: exceeding maxRounds throws instead of silently splitting clusters") {
+    val nodes = (1L to 4L).toDF("doc_id")
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b") // diameter 3 → 4 rounds
+    val e = intercept[IllegalStateException] {
+      Similarity.dedupClusters(chain, nodes, "doc_id", maxRounds = 3)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("dedupClusters: representative is cluster-min regardless of edge direction") {
     val nodes = Seq(3L, 9L, 5L).toDF("doc_id")
     val pairs = Seq((9L, 5L), (5L, 3L)).toDF("id_a", "id_b")

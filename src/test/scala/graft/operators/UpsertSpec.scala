@@ -101,6 +101,11 @@ class UpsertSpec extends SparkSpec {
     store.upsert("t3", nestedDec, Seq("k"))
     val ne = intercept[IllegalArgumentException] { store.upsert("t3", nestedDbl, Seq("k")) }
     assert(ne.getMessage.contains("m.price"))
+    // case-mismatched names still merge under the default case-insensitive
+    // resolver, so they must still be guarded
+    val caseDbl = Seq((2L, "b")).toDF("k", "s").withColumn("Price", lit(2.5))
+    store.upsert("t4", dec.withColumnRenamed("price", "price"), Seq("k"))
+    intercept[IllegalArgumentException] { store.upsert("t4", caseDbl, Seq("k")) }
   }
 
   test("compact rewrites the file layout without changing content") {
