@@ -985,6 +985,51 @@ object SparkEntry {
       .orderBy(col("cluster_rep"))
   }
 
+  /** Column-statistics profiling (ANALYZE-style) — the stats-collection
+    * pass a warehouse runs before planning and a data pipeline runs for
+    * drift monitoring: per column row/null/distinct counts, min/max, and
+    * an HLL-estimate tolerance bit (q43's pattern). ONE scan, ONE
+    * aggregate for every column's stats together — never a pass per
+    * column. Numeric and string min/max ride separate typed columns, so
+    * no cross-engine numeric-to-string formatting lane is opened. */
+  def q63_column_stats(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    def nulls(c: String) = sum(when(col(c).isNull, 1).otherwise(0)).cast("long")
+    def within2(c: String) =
+      abs(approx_count_distinct(col(c), 0.005).cast("double") -
+          countDistinct(col(c)).cast("double")) /
+        countDistinct(col(c)).cast("double") <= 0.02
+    val agg = o.agg(
+      count(lit(1)).as("n"),
+      nulls("o_custkey").as("nn_ck"), countDistinct(col("o_custkey")).as("nd_ck"),
+      within2("o_custkey").as("ok_ck"),
+      round(min(col("o_custkey")), 2).as("mn_ck"), round(max(col("o_custkey")), 2).as("mx_ck"),
+      nulls("o_totalprice").as("nn_tp"), countDistinct(col("o_totalprice")).as("nd_tp"),
+      within2("o_totalprice").as("ok_tp"),
+      round(min(col("o_totalprice")), 2).as("mn_tp"), round(max(col("o_totalprice")), 2).as("mx_tp"),
+      nulls("o_orderstatus").as("nn_os"), countDistinct(col("o_orderstatus")).as("nd_os"),
+      within2("o_orderstatus").as("ok_os"),
+      min(col("o_orderstatus")).as("mn_os"), max(col("o_orderstatus")).as("mx_os"))
+    agg.select(explode(array(
+        struct(lit("o_custkey").as("column_name"), col("n").as("n_rows"),
+          col("nn_ck").as("n_nulls"), col("nd_ck").as("n_distinct"),
+          col("ok_ck").as("approx_within_2pct"),
+          col("mn_ck").cast("double").as("min_num"), col("mx_ck").cast("double").as("max_num"),
+          lit(null).cast("string").as("min_str"), lit(null).cast("string").as("max_str")),
+        struct(lit("o_totalprice").as("column_name"), col("n").as("n_rows"),
+          col("nn_tp").as("n_nulls"), col("nd_tp").as("n_distinct"),
+          col("ok_tp").as("approx_within_2pct"),
+          col("mn_tp").cast("double").as("min_num"), col("mx_tp").cast("double").as("max_num"),
+          lit(null).cast("string").as("min_str"), lit(null).cast("string").as("max_str")),
+        struct(lit("o_orderstatus").as("column_name"), col("n").as("n_rows"),
+          col("nn_os").as("n_nulls"), col("nd_os").as("n_distinct"),
+          col("ok_os").as("approx_within_2pct"),
+          lit(null).cast("double").as("min_num"), lit(null).cast("double").as("max_num"),
+          col("mn_os").as("min_str"), col("mx_os").as("max_str")))).as("r"))
+      .select(col("r.*"))
+      .orderBy(col("column_name"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1050,6 +1095,7 @@ object SparkEntry {
     "q60_frame_sampling"    -> (q60_frame_sampling _),
     "q61_approx_quantile"   -> (q61_approx_quantile _),
     "q62_dedup_clusters"    -> (q62_dedup_clusters _),
+    "q63_column_stats"      -> (q63_column_stats _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1660,6 +1706,29 @@ object SparkEntry {
          SELECT label AS cluster_rep, count(*) AS cluster_size
          FROM labels GROUP BY label HAVING count(*) >= 2
          ORDER BY cluster_rep""",
+    "q63_column_stats" ->
+      """SELECT 'o_custkey' AS column_name, count(*) AS n_rows,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           count(DISTINCT o_custkey) AS n_distinct, TRUE AS approx_within_2pct,
+           round(CAST(min(o_custkey) AS DOUBLE), 2) AS min_num,
+           round(CAST(max(o_custkey) AS DOUBLE), 2) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderstatus', count(*),
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT o_orderstatus), TRUE,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           min(o_orderstatus), max(o_orderstatus)
+         FROM orders
+         UNION ALL
+         SELECT 'o_totalprice', count(*),
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT o_totalprice), TRUE,
+           round(min(o_totalprice), 2), round(max(o_totalprice), 2),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+         FROM orders
+         ORDER BY column_name""",
   )
 
   /** The LangId trigram profile rendered as SQL VALUES rows — the oracle

@@ -49,4 +49,35 @@ object Decontaminate {
   def clean(docs: DataFrame, evalDocs: DataFrame,
             idCol: String, textCol: String, n: Int = 8): DataFrame =
     docs.join(hitIds(docs, evalDocs, idCol, textCol, n), Seq(idCol), "left_anti")
+
+  /** [[clean]] for a STREAM: contamination depends only on a row's own
+    * grams and the static eval set, so it is a stateless per-row filter —
+    * no join, no state, no watermark; valid in any output mode, and
+    * row-identical to the batch [[clean]].
+    *
+    * The eval set materializes ONCE driver-side (benchmark suites are MBs
+    * by construction — this is a bounded collect) into two literals:
+    * a bloom filter consulted per gram inside the scan projection (the
+    * cheap hot path: one might_contain per gram), and the exact hash
+    * array consulted ONLY when the bloom fires — so bloom false positives
+    * cost a rare exact check, never a dropped clean document. */
+  def cleanStream(docs: DataFrame, evalDocs: DataFrame,
+                  idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val evalGrams = gramHashes(evalDocs, idCol, textCol, n)
+      .select(col("gram")).distinct()
+    val hashes: Array[Long] = evalGrams.collect().map(_.getLong(0)) // bounded: eval set
+    if (hashes.isEmpty) return docs
+    val bloom = evalGrams.agg(
+      call_function("graft_bloom_agg", col("gram"),
+        lit(math.max(hashes.length.toLong, 1L))).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val bloomHit = exists(col("_g"),
+      g => call_function("graft_might_contain", lit(bloom), g))
+    val exactHit = arrays_overlap(col("_g"), lit(hashes))
+    docs
+      .withColumn("_w", Text.tokens(col(textCol)))
+      .withColumn("_g", Similarity.shingleHashesOf(col("_w"), n))
+      .filter(!when(bloomHit, exactHit).otherwise(lit(false)))
+      .drop("_w", "_g")
+  }
 }

@@ -195,6 +195,40 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
     * and streaming appends accumulate small files, and scan task counts
     * should track data size, not ingest history. Returns parquet file
     * counts (before, after). */
+  /** Upsert into a PARTITIONED parquet table, rewriting ONLY the
+    * partitions the batch touches (dynamic partition overwrite): a daily
+    * batch against a years-deep table reads and writes O(batch), never
+    * O(table) — the partition-pruning analogue of the row-level merge's
+    * file-group pruning, for tables organized by a date/bucket column.
+    *
+    * Contract: `partitionCol` must be STABLE per key (a key cannot move
+    * between partitions — standard for date-partitioned facts); a moving
+    * key would leave its old row in the untouched partition. The distinct
+    * partition list of the batch is collected driver-side — bounded by
+    * partitions-per-batch (a handful of days), never table size. The
+    * per-partition swap is the file source's dynamic-overwrite commit;
+    * crash-safety caveats are those of SURVEY §7.4 (a transactional table
+    * format takes over at warehouse scale). */
+  def upsertPartitioned(name: String, updates: DataFrame, keys: Seq[String],
+                        partitionCol: String): Long = {
+    val dst = new Path(path(name))
+    val writer = (df: DataFrame) => withMicrosTimestamps(spark) {
+      df.write.partitionBy(partitionCol)
+        .option("partitionOverwriteMode", "dynamic")
+        .mode(SaveMode.Overwrite).parquet(dst.toString)
+    }
+    if (!fs(dst).exists(dst)) {
+      writer(Upsert.keyDedup(updates, keys))
+    } else {
+      val current = spark.read.parquet(dst.toString)
+      checkNumericParity(name, current.schema, updates.schema)
+      val parts = updates.select(updates(partitionCol)).distinct().collect().map(_.get(0))
+      val affected = current.filter(current(partitionCol).isin(parts: _*))
+      writer(Upsert.merge(affected, updates, keys))
+    }
+    spark.read.parquet(dst.toString).count()
+  }
+
   def compact(name: String, targetFiles: Int = 1): (Int, Int) = {
     val p = new Path(path(name))
     val f = fs(p)

@@ -48,6 +48,30 @@ class DecontaminateSpec extends SparkSpec {
     assert(Decontaminate.contaminated(docs, evalDocs, "doc_id", "text", n = 9).count() == 0L)
   }
 
+  test("cleanStream on a real stream equals batch clean(), row for row") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, String)]
+    val streamDocs = mem.toDF().toDF("doc_id", "text")
+    val out = Decontaminate.cleanStream(streamDocs, evalDocs, "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("clean_stream")
+      .outputMode("append").start()
+    docs.as[(Long, String)].collect().foreach(mem.addData(_))
+    q.processAllAvailable()
+    val streamed = spark.sql("SELECT doc_id FROM clean_stream")
+      .as[Long].collect().toSet
+    q.stop()
+    val batch = Decontaminate.clean(docs, evalDocs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(streamed == Set(1L, 3L, 4L)) // doc 2 is the contaminated one
+  }
+
+  test("cleanStream with an empty eval set keeps everything") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Decontaminate.cleanStream(docs, empty, "doc_id", "text").count() == 4L)
+  }
+
   test("extra corpus columns survive contaminated()") {
     val withCols = docs.withColumn("source", lit("web"))
     val out = Decontaminate.contaminated(withCols, evalDocs, "doc_id", "text")

@@ -108,6 +108,47 @@ class UpsertSpec extends SparkSpec {
     intercept[IllegalArgumentException] { store.upsert("t4", caseDbl, Seq("k")) }
   }
 
+  test("upsertPartitioned rewrites only touched partitions, byte-identically elsewhere") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_part").toString
+    val store = new ParquetTableStore(spark, wh)
+    val base = Seq(
+      (1L, "d1", "old"), (2L, "d1", "old"),
+      (3L, "d2", "old"),
+      (4L, "d3", "old")).toDF("k", "day", "status")
+    assert(store.upsertPartitioned("t", base, Seq("k"), "day") == 4L)
+
+    def fileState(day: String): Seq[(String, Long, Long)] = {
+      val dir = new java.io.File(s"$wh/t/day=$day")
+      dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length(), f.lastModified())).toSeq.sorted
+    }
+    val d2Before = fileState("d2")
+    val d3Before = fileState("d3")
+
+    // batch touches d1 (update k=2) and a NEW partition d4
+    val batch = Seq((2L, "d1", "new"), (5L, "d4", "new")).toDF("k", "day", "status")
+    assert(store.upsertPartitioned("t", batch, Seq("k"), "day") == 5L)
+
+    val after = spark.read.parquet(s"$wh/t").orderBy("k")
+      .as[(Long, String, String)].collect().toSeq
+    assert(after == Seq((1L, "old", "d1"), (2L, "new", "d1"), (3L, "old", "d2"),
+      (4L, "old", "d3"), (5L, "new", "d4"))
+      || after == Seq((1L, "d1", "old"), (2L, "d1", "new"), (3L, "d2", "old"),
+      (4L, "d3", "old"), (5L, "d4", "new")),
+      s"merged content wrong: $after")
+    assert(fileState("d2") == d2Before, "untouched partition d2 must not be rewritten")
+    assert(fileState("d3") == d3Before, "untouched partition d3 must not be rewritten")
+  }
+
+  test("upsertPartitioned is idempotent per batch") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_part2").toString
+    val store = new ParquetTableStore(spark, wh)
+    val batch = Seq((1L, "d1", 1.0), (2L, "d2", 2.0)).toDF("k", "day", "v")
+    store.upsertPartitioned("t", batch, Seq("k"), "day")
+    assert(store.upsertPartitioned("t", batch, Seq("k"), "day") == 2L)
+    assert(spark.read.parquet(s"$wh/t").count() == 2L)
+  }
+
   test("compact rewrites the file layout without changing content") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh_compact").toString
     val store = new ParquetTableStore(spark, wh)
