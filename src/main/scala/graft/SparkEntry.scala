@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Decontaminate, Dedup, Monitoring, Multimodal, RangeJoin, Similarity, Skew, Upsert}
+import graft.operators.{Bucketing, Decontaminate, Dedup, Monitoring, Multimodal, RangeJoin, Similarity, Skew, Upsert}
 import graft.functions.{MoneyMode, Pii, Text, Vectors}
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables._
@@ -1030,6 +1030,27 @@ object SparkEntry {
       .orderBy(col("column_name"))
   }
 
+  /** Co-located bucketed join gate (operators.Bucketing): both sides
+    * written bucketed+sorted on the join key — the pay-the-shuffle-once-
+    * at-write strategy for repeatedly-joined warehouse facts — then joined
+    * through the catalog with no exchange on either side (plan asserted in
+    * BucketingSpec). The gate hashes the RESULT against the plain-join
+    * oracle: bucketed layout must change the plan, never the answer. */
+  def q64_bucketed_join(s: SparkSession, d: String): DataFrame = {
+    Bucketing.writeBucketed(
+      lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice")),
+      "q64_li", "l_orderkey", 8)
+    Bucketing.writeBucketed(
+      orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+      "q64_o", "o_orderkey", 8)
+    Bucketing.readTable(s, "q64_li")
+      .join(Bucketing.readTable(s, "q64_o"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1096,6 +1117,7 @@ object SparkEntry {
     "q61_approx_quantile"   -> (q61_approx_quantile _),
     "q62_dedup_clusters"    -> (q62_dedup_clusters _),
     "q63_column_stats"      -> (q63_column_stats _),
+    "q64_bucketed_join"     -> (q64_bucketed_join _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1729,6 +1751,11 @@ object SparkEntry {
            CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
          FROM orders
          ORDER BY column_name""",
+    "q64_bucketed_join" ->
+      """SELECT o.o_orderpriority, count(*) AS n_items,
+         round(sum(l.l_extendedprice), 2) AS revenue
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""",
   )
 
   /** The LangId trigram profile rendered as SQL VALUES rows — the oracle

@@ -34,4 +34,19 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS o_bucketed")
     }
   }
+
+  test("q64 gated query: the only hash exchange is the aggregation's, never the join's") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = graft.SparkEntry.q64_bucketed_join(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 1,
+        s"bucketed join must not shuffle its inputs; got $exchanges hash exchanges:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      spark.sql("DROP TABLE IF EXISTS q64_li")
+      spark.sql("DROP TABLE IF EXISTS q64_o")
+    }
+  }
 }
