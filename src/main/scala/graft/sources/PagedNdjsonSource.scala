@@ -58,4 +58,46 @@ object PagedNdjsonSource {
   def readCapped(spark: SparkSession, dir: String, schema: StructType,
                  maxRecords: Int): DataFrame =
     read(spark, dir, schema).limit(maxRecords)
+
+  /** Dead-letter routing: one PERMISSIVE scan, two outputs — rows that
+    * parse against `schema` continue typed (same shape as [[read]]); rows
+    * that do not (malformed JSON, or a type mismatch in any declared
+    * column) route to the dead-letter side carrying the RAW line, the
+    * source file, and a reason, for replay after a fix. At pipeline scale
+    * a single corrupt page must neither kill the batch (FAILFAST) nor
+    * silently vanish (DROPMALFORMED) — it must land somewhere auditable;
+    * the reference's error path records run-level failures only
+    * (shopify_etl.py error status), so per-RECORD quarantine is part of
+    * the engine's hardening beyond it.
+    *
+    * Implementation note: lines are scanned as TEXT and parsed with
+    * `from_json` in the projection (PERMISSIVE + a corrupt-record field
+    * inside the struct) - not via the JSON datasource, whose internal
+    * corrupt column cannot be queried from a raw scan without caching the
+    * whole frame (Spark's QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction).
+    * The text form also preserves the TRUE raw line for replay, not the
+    * parser's reconstruction of it. */
+  def readWithDeadLetter(spark: SparkSession, dir: String, schema: StructType)
+      : (DataFrame, DataFrame) = {
+    val corruptCol = "_corrupt_record"
+    val parseSchema = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(corruptCol,
+        org.apache.spark.sql.types.StringType, nullable = true))
+    val parseOpts = new java.util.HashMap[String, String]
+    parseOpts.put("mode", "PERMISSIVE")
+    parseOpts.put("columnNameOfCorruptRecord", corruptCol)
+    val base = spark.read.text(dir)
+      .withColumn("_page_file", col("_metadata.file_name"))
+      .select(col("value"), col("_page_file"),
+        from_json(col("value"), parseSchema, parseOpts).as("_r"))
+    val good = base.filter(col(s"_r.$corruptCol").isNull)
+      .select(col("_r.*") +: Seq(col("_page_file")): _*)
+      .drop(corruptCol)
+      .withColumn("_arrival_order",
+        struct(col("_page_file").as("f"), monotonically_increasing_id().as("r")))
+    val dead = base.filter(col(s"_r.$corruptCol").isNotNull)
+      .select(col("value").as("raw"), col("_page_file"),
+        lit("malformed or type-mismatched record").as("reason"))
+    (good, dead)
+  }
 }

@@ -91,4 +91,27 @@ class FlattenSpec extends SparkSpec {
     assert(all("orders").schema("total_price").dataType.typeName == "double")
     assert(all("orders").schema("updated_at").dataType.typeName == "timestamp")
   }
+
+  test("dead-letter routing quarantines malformed records, keeps the rest typed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dlq")
+    java.nio.file.Files.write(dir.resolve("page_00.ndjson"),
+      ("""{"id": 1, "name": "ok-one", "updated_at": "2024-01-01T00:00:00Z"}""" + "\n" +
+       """{"id": "not-a-number", "name": "bad-type"}""" + "\n" +
+       """this is not json at all""" + "\n" +
+       """{"id": 2, "name": "ok-two", "updated_at": "2024-01-02T00:00:00Z"}""" + "\n")
+        .getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("updated_at", org.apache.spark.sql.types.StringType)))
+    val (good, dead) = graft.sources.PagedNdjsonSource
+      .readWithDeadLetter(spark, dir.toString, schema)
+    assert(good.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    val raws = dead.select("raw").as[String].collect().toSeq
+    assert(raws.size == 2, s"expected 2 dead rows, got $raws")
+    assert(raws.exists(_.contains("not-a-number")) && raws.exists(_.contains("not json")))
+    assert(dead.columns.toSeq == Seq("raw", "_page_file", "reason"))
+    // the good side keeps the paged-scan contract (arrival order present)
+    assert(good.columns.contains("_arrival_order"))
+  }
 }
