@@ -19,9 +19,14 @@ object Bucketing {
     // behind (metadata died with the session, files did not); saveAsTable
     // refuses to adopt such a location, so drop both metadata and path
     // before writing — otherwise the first run after any restart fails.
+    // The path comes from the session catalog's OWN resolution (current
+    // database, case normalization), never a hand-built
+    // <warehouse>/<table> string that could miss the real orphan — or
+    // delete an unrelated same-named directory.
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table)
+      spark.sessionState.catalog.defaultTablePath(ident))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)

@@ -52,32 +52,39 @@ object Decontaminate {
 
   /** [[clean]] for a STREAM: contamination depends only on a row's own
     * grams and the static eval set, so it is a stateless per-row filter —
-    * no join, no state, no watermark; valid in any output mode, and
-    * row-identical to the batch [[clean]].
+    * no join, no state, no watermark; valid in any output mode. For a
+    * corpus with unique, non-null ids (the table-store invariant) the
+    * kept ROWS equal batch [[clean]]'s; the per-row form is strictly
+    * row-local, so rows sharing a duplicated id are judged independently
+    * where the batch anti-join condemns them together.
     *
     * The eval set materializes ONCE driver-side (benchmark suites are MBs
-    * by construction — this is a bounded collect) into two literals:
-    * a bloom filter consulted per gram inside the scan projection (the
-    * cheap hot path: one might_contain per gram), and the exact hash
-    * array consulted ONLY when the bloom fires — so bloom false positives
-    * cost a rare exact check, never a dropped clean document. */
+    * by construction — this is a bounded collect) into two literals built
+    * from the SAME collected array, no second Spark job: a bloom filter
+    * (`spark.util.sketch.BloomFilter` — the class Spark's own runtime
+    * filters wrap, byte-compatible with the registered
+    * graft_might_contain probe) consulted per gram inside the scan
+    * projection, and the exact hash array consulted ONLY when the bloom
+    * fires — false positives cost a rare exact check, never a dropped
+    * clean document. */
   def cleanStream(docs: DataFrame, evalDocs: DataFrame,
                   idCol: String, textCol: String, n: Int = 8): DataFrame = {
-    val evalGrams = gramHashes(evalDocs, idCol, textCol, n)
+    val hashes: Array[Long] = gramHashes(evalDocs, idCol, textCol, n)
       .select(col("gram")).distinct()
-    val hashes: Array[Long] = evalGrams.collect().map(_.getLong(0)) // bounded: eval set
+      .collect().map(_.getLong(0)) // bounded: eval set
     if (hashes.isEmpty) return docs
-    val bloom = evalGrams.agg(
-      call_function("graft_bloom_agg", col("gram"),
-        lit(math.max(hashes.length.toLong, 1L))).as("bf"))
-      .head().getAs[Array[Byte]]("bf")
-    val bloomHit = exists(col("_g"),
+    val sketch = org.apache.spark.util.sketch.BloomFilter.create(hashes.length.toLong)
+    hashes.foreach(sketch.putLong)
+    val out = new java.io.ByteArrayOutputStream()
+    sketch.writeTo(out)
+    val bloom = out.toByteArray
+    val bloomHit = exists(col("__dc_g"),
       g => call_function("graft_might_contain", lit(bloom), g))
-    val exactHit = arrays_overlap(col("_g"), lit(hashes))
+    val exactHit = arrays_overlap(col("__dc_g"), lit(hashes))
     docs
-      .withColumn("_w", Text.tokens(col(textCol)))
-      .withColumn("_g", Similarity.shingleHashesOf(col("_w"), n))
+      .withColumn("__dc_w", Text.tokens(col(textCol)))
+      .withColumn("__dc_g", Similarity.shingleHashesOf(col("__dc_w"), n))
       .filter(!when(bloomHit, exactHit).otherwise(lit(false)))
-      .drop("_w", "_g")
+      .drop("__dc_w", "__dc_g")
   }
 }

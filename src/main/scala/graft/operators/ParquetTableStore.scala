@@ -202,13 +202,21 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
     * file-group pruning, for tables organized by a date/bucket column.
     *
     * Contract: `partitionCol` must be STABLE per key (a key cannot move
-    * between partitions — standard for date-partitioned facts); a moving
-    * key would leave its old row in the untouched partition. The distinct
-    * partition list of the batch is collected driver-side — bounded by
-    * partitions-per-batch (a handful of days), never table size. The
-    * per-partition swap is the file source's dynamic-overwrite commit;
-    * crash-safety caveats are those of SURVEY §7.4 (a transactional table
-    * format takes over at warehouse scale). */
+    * between partitions — standard for date-partitioned facts; a moving
+    * key would leave its old row in the untouched partition) and NON-NULL
+    * in the batch: `isin` membership can never select a stored NULL
+    * partition, so a null-partition batch would dynamic-overwrite the
+    * default partition with only its own rows, silently dropping stored
+    * keys — rejected up front instead. The distinct partition list of the
+    * batch is collected driver-side — bounded by partitions-per-batch (a
+    * handful of days), never table size. The per-partition swap is the
+    * file source's dynamic-overwrite commit; crash-safety caveats are
+    * those of SURVEY §7.4 (a transactional table format takes over at
+    * warehouse scale).
+    *
+    * Returns the post-merge row count of the TOUCHED partitions — an
+    * O(batch) read; counting the whole table per batch would be the
+    * O(table) scan this method exists to avoid. */
   def upsertPartitioned(name: String, updates: DataFrame, keys: Seq[String],
                         partitionCol: String): Long = {
     val dst = new Path(path(name))
@@ -217,16 +225,22 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
         .option("partitionOverwriteMode", "dynamic")
         .mode(SaveMode.Overwrite).parquet(dst.toString)
     }
+    val parts = updates.select(updates(partitionCol)).distinct().collect().map(_.get(0))
+    if (parts.contains(null)) throw new IllegalArgumentException(
+      s"upsertPartitioned('$name'): batch contains NULL $partitionCol values; " +
+        "a null partition cannot be merged partition-prunedly (isin never selects " +
+        "a stored NULL partition, so stored rows there would be silently dropped). " +
+        "Clean or default the partition column upstream.")
     if (!fs(dst).exists(dst)) {
       writer(Upsert.keyDedup(updates, keys))
     } else {
       val current = spark.read.parquet(dst.toString)
       checkNumericParity(name, current.schema, updates.schema)
-      val parts = updates.select(updates(partitionCol)).distinct().collect().map(_.get(0))
       val affected = current.filter(current(partitionCol).isin(parts: _*))
       writer(Upsert.merge(affected, updates, keys))
     }
-    spark.read.parquet(dst.toString).count()
+    val post = spark.read.parquet(dst.toString)
+    post.filter(post(partitionCol).isin(parts: _*)).count()
   }
 
   def compact(name: String, targetFiles: Int = 1): (Int, Int) = {

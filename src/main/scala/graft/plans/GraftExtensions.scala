@@ -70,21 +70,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           nBits = intLit(children(1), "nBits"),
           nTables = intLit(children(2), "nTables"))))
 
-    // Spark ships BloomFilterAggregate / BloomFilterMightContain for its
-    // own runtime-filter rewrites but does not SQL-register them; exposing
-    // them here (graft_ prefix — no clash if later Spark versions register
-    // the builtin names) gives the streaming decontamination filter a
-    // codegen'd bloom probe instead of a per-row set scan.
-    ext.injectFunction((
-      new FunctionIdentifier("graft_bloom_agg"),
-      new ExpressionInfo(
-        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
-        "graft_bloom_agg"),
-      (children: Seq[Expression]) =>
-        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-          children(0), children(1))
-          .toAggregateExpression()))
-
+    // Spark ships BloomFilterMightContain for its own runtime-filter
+    // rewrites but does not SQL-register it; exposing it here (graft_
+    // prefix — no clash if later Spark versions register the builtin
+    // name) gives the streaming decontamination filter a codegen'd bloom
+    // probe instead of a per-row set scan. The filter bytes come from
+    // spark.util.sketch.BloomFilter — the same class the expression
+    // deserializes.
     ext.injectFunction((
       new FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(

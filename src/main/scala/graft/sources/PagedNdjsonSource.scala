@@ -59,16 +59,21 @@ object PagedNdjsonSource {
                  maxRecords: Int): DataFrame =
     read(spark, dir, schema).limit(maxRecords)
 
-  /** Dead-letter routing: one PERMISSIVE scan, two outputs — rows that
-    * parse against `schema` continue typed (same shape as [[read]]); rows
-    * that do not (malformed JSON, or a type mismatch in any declared
-    * column) route to the dead-letter side carrying the RAW line, the
-    * source file, and a reason, for replay after a fix. At pipeline scale
-    * a single corrupt page must neither kill the batch (FAILFAST) nor
-    * silently vanish (DROPMALFORMED) — it must land somewhere auditable;
-    * the reference's error path records run-level failures only
-    * (shopify_etl.py error status), so per-RECORD quarantine is part of
-    * the engine's hardening beyond it.
+  /** Dead-letter routing: one PERMISSIVE parse DEFINITION, two outputs —
+    * rows that parse against `schema` continue typed (same shape as
+    * [[read]]); rows that do not (malformed JSON, a type mismatch in any
+    * declared column, or a blank line) route to the dead-letter side
+    * carrying the RAW line, the source file, and a reason, for replay
+    * after a fix. At pipeline scale a single corrupt page must neither
+    * kill the batch (FAILFAST) nor silently vanish (DROPMALFORMED) — it
+    * must land somewhere auditable; the reference's error path records
+    * run-level failures only (shopify_etl.py error status), so per-RECORD
+    * quarantine is part of the engine's hardening beyond it.
+    *
+    * Cost note: the two frames share a lazy definition, so CONSUMING both
+    * re-reads and re-parses the input once each; a caller landing both
+    * sides at corpus scale should persist the parsed frame (or write both
+    * sides in one pass) rather than pay the scan twice.
     *
     * Implementation note: lines are scanned as TEXT and parsed with
     * `from_json` in the projection (PERMISSIVE + a corrupt-record field
@@ -90,12 +95,15 @@ object PagedNdjsonSource {
       .withColumn("_page_file", col("_metadata.file_name"))
       .select(col("value"), col("_page_file"),
         from_json(col("value"), parseSchema, parseOpts).as("_r"))
-    val good = base.filter(col(s"_r.$corruptCol").isNull)
+    // A blank/whitespace-only line parses to a NULL struct, not a
+    // corrupt-record row — without the isNotNull guard it would slip
+    // through as an all-null typed row and poison key dedup downstream.
+    val good = base.filter(col("_r").isNotNull && col(s"_r.$corruptCol").isNull)
       .select(col("_r.*") +: Seq(col("_page_file")): _*)
       .drop(corruptCol)
       .withColumn("_arrival_order",
         struct(col("_page_file").as("f"), monotonically_increasing_id().as("r")))
-    val dead = base.filter(col(s"_r.$corruptCol").isNotNull)
+    val dead = base.filter(col("_r").isNull || col(s"_r.$corruptCol").isNotNull)
       .select(col("value").as("raw"), col("_page_file"),
         lit("malformed or type-mismatched record").as("reason"))
     (good, dead)

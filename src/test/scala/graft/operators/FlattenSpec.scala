@@ -98,6 +98,7 @@ class FlattenSpec extends SparkSpec {
       ("""{"id": 1, "name": "ok-one", "updated_at": "2024-01-01T00:00:00Z"}""" + "\n" +
        """{"id": "not-a-number", "name": "bad-type"}""" + "\n" +
        """this is not json at all""" + "\n" +
+       "   " + "\n" +
        """{"id": 2, "name": "ok-two", "updated_at": "2024-01-02T00:00:00Z"}""" + "\n")
         .getBytes("UTF-8"))
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -108,7 +109,7 @@ class FlattenSpec extends SparkSpec {
       .readWithDeadLetter(spark, dir.toString, schema)
     assert(good.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
     val raws = dead.select("raw").as[String].collect().toSeq
-    assert(raws.size == 2, s"expected 2 dead rows, got $raws")
+    assert(raws.size == 3, s"expected 3 dead rows (incl. the blank line), got $raws")
     assert(raws.exists(_.contains("not-a-number")) && raws.exists(_.contains("not json")))
     assert(dead.columns.toSeq == Seq("raw", "_page_file", "reason"))
     // the good side keeps the paged-scan contract (arrival order present)

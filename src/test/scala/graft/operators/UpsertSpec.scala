@@ -115,7 +115,7 @@ class UpsertSpec extends SparkSpec {
       (1L, "d1", "old"), (2L, "d1", "old"),
       (3L, "d2", "old"),
       (4L, "d3", "old")).toDF("k", "day", "status")
-    assert(store.upsertPartitioned("t", base, Seq("k"), "day") == 4L)
+    assert(store.upsertPartitioned("t", base, Seq("k"), "day") == 4L) // all partitions touched on create
 
     def fileState(day: String): Seq[(String, Long, Long)] = {
       val dir = new java.io.File(s"$wh/t/day=$day")
@@ -127,7 +127,8 @@ class UpsertSpec extends SparkSpec {
 
     // batch touches d1 (update k=2) and a NEW partition d4
     val batch = Seq((2L, "d1", "new"), (5L, "d4", "new")).toDF("k", "day", "status")
-    assert(store.upsertPartitioned("t", batch, Seq("k"), "day") == 5L)
+    // return counts rows in TOUCHED partitions only (O(batch), by contract)
+    assert(store.upsertPartitioned("t", batch, Seq("k"), "day") == 3L)
 
     val after = spark.read.parquet(s"$wh/t").orderBy("k")
       .as[(Long, String, String)].collect().toSeq
@@ -147,6 +148,16 @@ class UpsertSpec extends SparkSpec {
     store.upsertPartitioned("t", batch, Seq("k"), "day")
     assert(store.upsertPartitioned("t", batch, Seq("k"), "day") == 2L)
     assert(spark.read.parquet(s"$wh/t").count() == 2L)
+  }
+
+  test("upsertPartitioned rejects NULL partition values (would silently drop stored rows)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_part3").toString
+    val store = new ParquetTableStore(spark, wh)
+    val batch = Seq((1L, Option("d1"), 1.0), (2L, None, 2.0)).toDF("k", "day", "v")
+    val e = intercept[IllegalArgumentException] {
+      store.upsertPartitioned("t", batch, Seq("k"), "day")
+    }
+    assert(e.getMessage.contains("NULL day"))
   }
 
   test("compact rewrites the file layout without changing content") {
