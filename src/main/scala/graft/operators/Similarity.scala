@@ -381,15 +381,18 @@ object Similarity {
     while (!converged && round < maxRounds) {
       val viaNeighbors = edges.join(labels.withColumnRenamed("id", "nb"), "nb")
         .groupBy(col("id")).agg(min(col("label")).as("nb_label"))
+      // carry the previous label through the materialization so the
+      // convergence check is a filter on the CHECKPOINTED rows — not an
+      // extra join-and-scan of two label frames per round
       val next = Checkpoints.materialize(
         labels.join(viaNeighbors, Seq("id"), "left")
-          .select(col("id"), least(col("label"), coalesce(col("nb_label"), col("label"))).as("label")))
-      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).isEmpty
+          .select(col("id"), col("label").as("__old"),
+            least(col("label"), coalesce(col("nb_label"), col("label"))).as("label")))
+      converged = next.filter(col("label") =!= col("__old")).isEmpty
       // bound the materialization footprint at two frames: the previous
       // round's labels are dead once `next` exists and convergence is read
       labels.unpersist()
-      labels = next
+      labels = next.drop("__old")
       round += 1
     }
     if (!converged) throw new IllegalStateException(
