@@ -24,8 +24,12 @@ import graft.operators.{Decontaminate, LangId, Similarity}
   *
   * `curate` returns the curated frame plus a per-stage row-count report —
   * corpus prep without survivorship accounting is undebuggable. Counting
-  * costs one action per stage; pass `report = false` to skip counts and
-  * keep the whole flow one lazy plan.
+  * costs one action per stage; pass `report = false` to skip the counts.
+  * Note curate() is EAGER either way: the decontaminated frame is
+  * materialized inside (its three dedup-stage consumers would otherwise
+  * re-run the whole upstream chain), and with `report = true` the
+  * quality-filtered frame is materialized too so the per-stage counts do
+  * not replay the language-ID prefix once per count.
   */
 object CorpusPipeline {
 
@@ -38,7 +42,13 @@ object CorpusPipeline {
       minQuality: Double = 0.3,
       maxBigramRepetition: Double = 0.2,
       dedupJaccard: Double = 0.6,
-      decontaminateN: Int = 8)
+      decontaminateN: Int = 8,
+      /** Occupancy cap on dedup candidate buckets (see
+        * [[operators.Similarity.capBuckets]]) — the production guard
+        * against a boilerplate mega-bucket emitting m² candidate rows.
+        * Gates that replay exact all-pairs recall (q65) pass 0, the same
+        * explicit divergence q30/q62 document. */
+      dedupMaxBucket: Int = 1000)
 
   /** Curate `docs` (idCol, textCol + any carry-through columns) against a
     * held-out `evalDocs` set. Returns (curated docs with `textCol`
@@ -58,11 +68,17 @@ object CorpusPipeline {
     val nLang = n(afterLang)
 
     // 2. quality floor + phrase-repetition ceiling, one aliased token array
-    val afterQuality = afterLang
+    val qualityFiltered = afterLang
       .withColumn("__cp_w", Text.tokens(col(textCol)))
       .filter(Text.qualityScore(col(textCol)) >= config.minQuality &&
         Text.bigramRepetitionRatioOf(col("__cp_w")) <= config.maxBigramRepetition)
       .drop("__cp_w")
+    // under report=true the remaining stages and counts read this frame
+    // repeatedly - cut the lineage once instead of replaying the
+    // language-ID prefix per consumer
+    val afterQuality =
+      if (report) graft.operators.Checkpoints.materialize(qualityFiltered)
+      else qualityFiltered
     val nQuality = n(afterQuality)
 
     // 3. PII scrub in place (redaction is idempotent — PiiSpec property)
@@ -80,7 +96,8 @@ object CorpusPipeline {
     // 5. near-dup dedup: candidates → exact verify → components → keep rep
     val pairs = Similarity.scoreCandidatesJaccard(
         Similarity.minhashNearDup(decontaminated, idCol, textCol,
-          threshold = math.max(0.1, config.dedupJaccard - 0.1)),
+          threshold = math.max(0.1, config.dedupJaccard - 0.1),
+          maxBucket = config.dedupMaxBucket),
         decontaminated, idCol,
         sub => sub.select(col(idCol), Text.tokens(col(textCol)).as("__cp_w"))
           .select(col(idCol), Similarity.shingleHashesOf(col("__cp_w"), 3).as("g")))

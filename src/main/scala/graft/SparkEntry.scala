@@ -1075,7 +1075,9 @@ object SparkEntry {
       .select((col("doc_id") + 500000L).as("doc_id"),
         array_join(slice(Text.tokens(col("text")), 3, 12), " ").as("text"))
     val (curated, _) = CorpusPipeline.curate(docs, evalDocs, "doc_id", "text",
-      report = false)
+      // gate parameters: the oracle replays exact all-pairs recall, so the
+      // production bucket cap is disabled here (q30/q62's documented trade)
+      CorpusPipeline.Config(dedupMaxBucket = 0), report = false)
     curated.groupBy(col("source"))
       .agg(count(lit(1)).as("n_curated"),
         sum(length(col("text"))).cast("long").as("curated_chars"),
