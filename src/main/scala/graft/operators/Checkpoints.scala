@@ -36,4 +36,18 @@ object Checkpoints {
         df.localCheckpoint()
     }
   }
+
+  /** Release the block storage behind a frame produced by [[materialize]].
+    * `Dataset.unpersist` only drops cache-manager entries — it does NOT
+    * unpersist the block-backed RDD inside a localCheckpoint'ed frame, so
+    * per-round checkpoints in iterative operators would linger until the
+    * ContextCleaner eventually GCs them. This walks the analyzed plan for
+    * `LogicalRDD` leaves and unpersists their RDDs directly. No-op for
+    * reliable checkpoints (file-backed, not block-persisted). */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -220,11 +220,6 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
   def upsertPartitioned(name: String, updates: DataFrame, keys: Seq[String],
                         partitionCol: String): Long = {
     val dst = new Path(path(name))
-    val writer = (df: DataFrame) => withMicrosTimestamps(spark) {
-      df.write.partitionBy(partitionCol)
-        .option("partitionOverwriteMode", "dynamic")
-        .mode(SaveMode.Overwrite).parquet(dst.toString)
-    }
     val parts = updates.select(updates(partitionCol)).distinct().collect().map(_.get(0))
     if (parts.contains(null)) throw new IllegalArgumentException(
       s"upsertPartitioned('$name'): batch contains NULL $partitionCol values; " +
@@ -232,12 +227,42 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
         "a stored NULL partition, so stored rows there would be silently dropped). " +
         "Clean or default the partition column upstream.")
     if (!fs(dst).exists(dst)) {
-      writer(Upsert.keyDedup(updates, keys))
+      withMicrosTimestamps(spark) {
+        Upsert.keyDedup(updates, keys).write.partitionBy(partitionCol)
+          .mode(SaveMode.Overwrite).parquet(dst.toString)
+      }
     } else {
       val current = spark.read.parquet(dst.toString)
       checkNumericParity(name, current.schema, updates.schema)
       val affected = current.filter(current(partitionCol).isin(parts: _*))
-      writer(Upsert.merge(affected, updates, keys))
+      // Stage the merged touched partitions to a TMP dir first, then swap
+      // each partition directory in via rename — the same publish pattern
+      // as upsert()'s snapshot path. Never dynamic-overwrite dst directly:
+      // the merged plan lazily READS the very files the overwrite replaces,
+      // and while dynamic overwrite defers deletion to job commit, a
+      // failure during that commit window can lose touched partitions.
+      // With the stage-then-rename order the source files are untouched
+      // until the merge is fully materialized in tmp.
+      val tmp = new Path(s"$warehouse/_tmp_${name}_upsert")
+      val f = fs(dst)
+      if (f.exists(tmp)) f.delete(tmp, true)
+      withMicrosTimestamps(spark) {
+        Upsert.merge(affected, updates, keys).write.partitionBy(partitionCol)
+          .mode(SaveMode.Overwrite).parquet(tmp.toString)
+      }
+      f.listStatus(tmp).filter(_.isDirectory).foreach { st =>
+        val pdir = st.getPath.getName // "col=value"
+        val target = new Path(dst, pdir)
+        val old = new Path(s"$warehouse/_old_${name}_$pdir")
+        if (f.exists(old)) f.delete(old, true)
+        if (f.exists(target) && !f.rename(target, old))
+          sys.error(s"partition swap failed for $name/$pdir")
+        if (!f.rename(st.getPath, target)) {
+          f.rename(old, target); sys.error(s"partition swap failed for $name/$pdir")
+        }
+        f.delete(old, true)
+      }
+      f.delete(tmp, true)
     }
     val post = spark.read.parquet(dst.toString)
     post.filter(post(partitionCol).isin(parts: _*)).count()

@@ -36,10 +36,31 @@ object RangeJoin {
     * under any fixed-offset zone it is a constant shift applied to points
     * and intervals alike — bucket ALIGNMENT only needs monotonicity, and
     * the membership predicate itself always compares the original
-    * columns. */
+    * columns. A REGION zone with DST breaks that monotonicity (a local
+    * time inside a spring-forward gap maps past later wall-clock
+    * instants, so a gap point can land above its interval-end bucket and
+    * miss a genuine match) — [[pointInInterval]] therefore REFUSES to run
+    * NTZ columns under a non-fixed-offset session timezone instead of
+    * silently dropping matches. */
   private def bucketOf(c: org.apache.spark.sql.Column, widthUs: Long) = {
     val us = unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
     ((us - pmod(us, lit(widthUs))) / lit(widthUs)).cast("long")
+  }
+
+  /** Enforce the fixed-offset assumption bucketOf's NTZ→TIMESTAMP cast
+    * relies on, but only when an NTZ column is actually involved —
+    * instant (TIMESTAMP) columns extract epoch micros zone-independently. */
+  private def requireFixedOffsetForNtz(df: DataFrame, cols: Seq[String]): Unit = {
+    val ntz = cols.filter(c =>
+      df.schema(c).dataType == org.apache.spark.sql.types.TimestampNTZType)
+    if (ntz.nonEmpty) {
+      val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+      require(java.time.ZoneId.of(tz).getRules.isFixedOffset,
+        s"pointInInterval on TIMESTAMP_NTZ column(s) ${ntz.mkString(", ")} requires a " +
+          s"fixed-offset session timezone (got '$tz'): DST gaps make the local-to-" +
+          "instant bucket mapping non-monotonic, which can silently drop matches. " +
+          "Set spark.sql.session.timeZone to UTC or a fixed offset.")
+    }
   }
 
   /** Point-in-interval join: rows of `left` matched to every row of
@@ -50,6 +71,8 @@ object RangeJoin {
                       right: DataFrame, startCol: String, endCol: String,
                       bucketWidthSec: Long = 86400L): DataFrame = {
     require(bucketWidthSec > 0, "bucket width must be positive")
+    requireFixedOffsetForNtz(left, Seq(pointCol))
+    requireFixedOffsetForNtz(right, Seq(startCol, endCol))
     val w = bucketWidthSec * 1000000L
     val lb = left.withColumn("_rj_bucket", bucketOf(col(pointCol), w))
     // end is exclusive: an interval ending exactly on a bucket boundary

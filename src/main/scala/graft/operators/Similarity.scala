@@ -390,8 +390,10 @@ object Similarity {
             least(col("label"), coalesce(col("nb_label"), col("label"))).as("label")))
       converged = next.filter(col("label") =!= col("__old")).isEmpty
       // bound the materialization footprint at two frames: the previous
-      // round's labels are dead once `next` exists and convergence is read
-      labels.unpersist()
+      // round's labels are dead once `next` exists and convergence is read.
+      // Checkpoints.release (not Dataset.unpersist, which leaves the
+      // localCheckpoint's block-backed RDD persisted) actually frees them.
+      Checkpoints.release(labels)
       labels = next.drop("__old")
       round += 1
     }
@@ -475,12 +477,19 @@ object Similarity {
     var centroids = ivfSeedCentroids(candidates, idCol, vecCol, nCells)
     val vecs = candidates.select(col(idCol).as("_tid"), col(vecCol).as("v"))
     for (_ <- 1 to iterations) {
+      // argmax centroid per vector as a HASH aggregate (max_by over a
+      // lexicographic (cd, -cell) struct = cd desc, cell asc tie-break),
+      // not a row_number window: the window partitions by vector id, so it
+      // sort-shuffles the full n×nCells expansion every iteration, while
+      // max_by combines map-side and ships one row per vector (the same
+      // argmax-as-aggregate move as Dedup.firstWinsAgg).
       val assigned = vecs.crossJoin(broadcast(centroids))
         .select(col("_tid"), col("v"), col("cell"),
           Vectors.dotNative(col("v"), col("centroid")).as("cd"))
-        .withColumn("cr", row_number().over(
-          Window.partitionBy(col("_tid")).orderBy(col("cd").desc, col("cell").asc)))
-        .filter(col("cr") === 1)
+        .groupBy(col("_tid"))
+        .agg(max_by(struct(col("cell"), col("v")),
+          struct(col("cd"), (-col("cell")).as("nc"))).as("b"))
+        .select(col("_tid"), col("b.v").as("v"), col("b.cell").as("cell"))
       // element-wise mean per cell: (cell, dim) partial aggregation
       val means = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("p", "x")))
@@ -516,15 +525,30 @@ object Similarity {
     val centroids = trainedCentroids.getOrElse(
       ivfSeedCentroids(candidates, idCol, vecCol, nCells))
 
-    // assignment: argmax centroid dot per vector (normalized => nearest)
-    def assign(df: DataFrame, id: String, n: Int): DataFrame =
-      df.crossJoin(broadcast(centroids))
+    // assignment: top-n centroid dots per vector (normalized => nearest),
+    // as hash aggregates rather than a row_number window — the window
+    // partitions by vector id and sort-shuffles the whole n×nCells
+    // expansion; max_by / TopKAggregator combine map-side and ship one
+    // bounded row per vector (same ordering: cd desc, cell asc).
+    def assign(df: DataFrame, id: String, n: Int): DataFrame = {
+      val scored = df.crossJoin(broadcast(centroids))
         .select(col(id), col("v"), col("cell"),
           Vectors.dotNative(col("v"), col("centroid")).as("cd"))
-        .withColumn("cr", row_number().over(
-          Window.partitionBy(col(id)).orderBy(col("cd").desc, col("cell").asc)))
-        .filter(col("cr") <= n)
-        .select(col(id), col("v"), col("cell"))
+      if (n == 1)
+        scored.groupBy(col(id))
+          .agg(max_by(struct(col("cell"), col("v")),
+            struct(col("cd"), (-col("cell")).as("nc"))).as("b"))
+          .select(col(id), col("b.v").as("v"), col("b.cell").as("cell"))
+      else
+        // v is constant within the group (it IS the group's vector);
+        // TopKAggregator keeps the nProbe best (cd desc, cell asc) cells
+        // in an O(n) map-side buffer.
+        scored.groupBy(col(id))
+          .agg(first(col("v")).as("v"),
+            graft.functions.TopK.topK(n)(col("cell").cast("long"), col("cd")).as("tk"))
+          .select(col(id), col("v"), explode(col("tk")).as("cs"))
+          .select(col(id), col("v"), col("cs._1").cast("int").as("cell"))
+    }
 
     val cAssigned = assign(
       candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("v")),

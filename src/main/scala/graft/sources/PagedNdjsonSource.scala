@@ -27,15 +27,20 @@ object PagedNdjsonSource {
   /** Read all pages in a directory with a declared schema; adds
     * `_page_file` (file name — pages are written with sortable names,
     * mirroring ascending pagination ref :274) and `_arrival_order`, a
-    * STRUCT of (file name, within-scan row id) that sorts in arrival order.
+    * STRUCT of (file name, file split offset, within-split row id) that
+    * sorts in arrival order.
     *
     * Deliberately NOT a global row_number window: that would funnel the
     * whole scan through one task and block predicate pushdown. The struct
-    * is computed map-side; monotonically_increasing_id's partition-indexed
-    * high bits preserve row order within a file's splits, and the file name
-    * dominates the ordering across pages. An optional pushed-down filter
-    * (see [[readIncremental]]) is applied directly on the scan, below any
-    * nondeterministic column. */
+    * is computed map-side. `_metadata.file_block_start` carries the
+    * split's byte offset explicitly because monotonically_increasing_id
+    * alone does NOT order splits of one large file: its partition-indexed
+    * high bits follow FilePartition packing (by size), not split offset.
+    * Within one split a single task reads rows sequentially, so the id
+    * orders rows correctly there — the (name, offset, id) lexicographic
+    * struct is therefore arrival-ordered for any split layout. An
+    * optional pushed-down filter (see [[readIncremental]]) is applied
+    * directly on the scan, below any nondeterministic column. */
   def read(spark: SparkSession, dir: String, schema: StructType,
            scanFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val base = spark.read.schema(schema).json(dir)
@@ -43,7 +48,9 @@ object PagedNdjsonSource {
     filtered
       .withColumn("_page_file", col("_metadata.file_name"))
       .withColumn("_arrival_order",
-        struct(col("_page_file").as("f"), monotonically_increasing_id().as("r")))
+        struct(col("_page_file").as("f"),
+          col("_metadata.file_block_start").as("b"),
+          monotonically_increasing_id().as("r")))
   }
 
   /** Incremental read: only records with `tsCol >= startTs` (the reference's
@@ -93,16 +100,19 @@ object PagedNdjsonSource {
     parseOpts.put("columnNameOfCorruptRecord", corruptCol)
     val base = spark.read.text(dir)
       .withColumn("_page_file", col("_metadata.file_name"))
-      .select(col("value"), col("_page_file"),
+      .withColumn("_block_start", col("_metadata.file_block_start"))
+      .select(col("value"), col("_page_file"), col("_block_start"),
         from_json(col("value"), parseSchema, parseOpts).as("_r"))
     // A blank/whitespace-only line parses to a NULL struct, not a
     // corrupt-record row — without the isNotNull guard it would slip
     // through as an all-null typed row and poison key dedup downstream.
     val good = base.filter(col("_r").isNotNull && col(s"_r.$corruptCol").isNull)
-      .select(col("_r.*") +: Seq(col("_page_file")): _*)
+      .select(col("_r.*") +: Seq(col("_page_file"), col("_block_start")): _*)
       .drop(corruptCol)
       .withColumn("_arrival_order",
-        struct(col("_page_file").as("f"), monotonically_increasing_id().as("r")))
+        struct(col("_page_file").as("f"), col("_block_start").as("b"),
+          monotonically_increasing_id().as("r")))
+      .drop("_block_start")
     val dead = base.filter(col("_r").isNull || col(s"_r.$corruptCol").isNotNull)
       .select(col("value").as("raw"), col("_page_file"),
         lit("malformed or type-mismatched record").as("reason"))

@@ -25,12 +25,19 @@ object Sinks {
 
   /** S7: load NDJSON with a declared schema and append to a staging parquet
     * table. Tolerant ingest: undeclared fields dropped, malformed rows
-    * PERMISSIVE-nulled (ref ignore_unknown_values=True :134). */
+    * PERMISSIVE-nulled (ref ignore_unknown_values=True :134).
+    *
+    * Returns the LOADED-BATCH row count (the reference's records_processed,
+    * shopify_etl.py:207-235) by re-counting the batch NDJSON — O(batch).
+    * Never count the staging table here: staging grows monotonically
+    * between truncates, so a full `read.parquet(staging).count()` per chunk
+    * load is O(table) and returns the cumulative count, the wrong number
+    * AND a scan that grows without bound on a years-deep staging dir. */
   def loadNdjsonToStaging(spark: SparkSession, ndjsonDir: String,
                           schema: StructType, stagingPath: String): Long = {
     val df = spark.read.schema(schema).option("mode", "PERMISSIVE").json(ndjsonDir)
     df.write.mode(SaveMode.Append).parquet(stagingPath)
-    spark.read.parquet(stagingPath).count()
+    df.count()
   }
 
   /** S9: create an empty parquet table with the declared schema if missing.

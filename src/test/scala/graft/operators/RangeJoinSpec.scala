@@ -60,4 +60,27 @@ class RangeJoinSpec extends SparkSpec {
       .select("pt_id", "iv_id").as[(Long, Long)].collect().toSet
     assert(wide == narrow)
   }
+
+  test("NTZ columns under a DST session timezone are refused, not silently mis-bucketed") {
+    // NTZ bucketing casts local → instant; a region zone's spring-forward
+    // gap makes that non-monotonic, so the operator must refuse up front.
+    val pNtz = points.select($"pt_id", to_timestamp_ntz(date_format($"pt", "yyyy-MM-dd HH:mm:ss")).as("pt"))
+    val iNtz = intervals.select($"iv_id",
+      to_timestamp_ntz(date_format($"s", "yyyy-MM-dd HH:mm:ss")).as("s"),
+      to_timestamp_ntz(date_format($"e", "yyyy-MM-dd HH:mm:ss")).as("e"))
+    val tzKey = "spark.sql.session.timeZone"
+    val prev = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "America/Los_Angeles")
+      val e = intercept[IllegalArgumentException] {
+        RangeJoin.pointInInterval(pNtz, "pt", iNtz, "s", "e")
+      }
+      assert(e.getMessage.contains("fixed-offset"))
+      // fixed offsets are fine, and instant (TIMESTAMP) columns never care
+      spark.conf.set(tzKey, "+02:00")
+      assert(RangeJoin.pointInInterval(pNtz, "pt", iNtz, "s", "e").count() >= 1)
+      spark.conf.set(tzKey, "America/Los_Angeles")
+      assert(RangeJoin.pointInInterval(points, "pt", intervals, "s", "e").count() >= 1)
+    } finally spark.conf.set(tzKey, prev)
+  }
 }

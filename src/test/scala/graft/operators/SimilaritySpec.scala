@@ -91,6 +91,21 @@ class SimilaritySpec extends SparkSpec {
     assert(counts.forall(_ <= 5))
   }
 
+  test("IVF cell assignment is a hash aggregate, not a window over the n×nCells expansion") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter($"vec_id" < 4)
+    // both the nProbe=1 argmax (max_by) and nProbe>1 (TopKAggregator) paths,
+    // and the k-means trainer, must keep WindowExec out of the plan: a
+    // window partitioned by vector id sort-shuffles nCells rows per vector,
+    // while the aggregates combine map-side (Dedup.firstWinsAgg pattern)
+    val ivfPlan = Similarity.annIvf(queries, emb, "vec_id", "embedding", 5,
+      nCells = 16, nProbe = 4).queryExecution.executedPlan.toString
+    assert(!ivfPlan.contains("Window"), ivfPlan)
+    val trained = Similarity.trainIvfCentroids(emb.filter($"vec_id" < 64),
+      "vec_id", "embedding", nCells = 4, iterations = 1)
+    assert(trained.count() == 4) // plan is checkpoint-cut; count proves it ran
+  }
+
   test("k-means-refined IVF centroids improve recall over seed centroids (planted clusters)") {
     // 8 well-separated clusters in 16-d; ids ordered so the first vectors
     // (the deterministic seeds) ALL come from cluster 0 — the worst case

@@ -28,6 +28,15 @@ class SinksSpec extends SparkSpec {
     assert(n == 2)
     val cols = spark.read.parquet(staging).columns.toSet
     assert(!cols.contains("unknown"))
+
+    // records_processed semantics: a second load returns ITS batch count,
+    // not the cumulative staging-table count (no O(table) re-scan per load)
+    val nd2 = Files.createTempDirectory("graft_nd2").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$nd2/b.ndjson"),
+      """{"id": 3, "created_at": "2024-01-03T00:00:00+00:00"}""" + "\n")
+    val n2 = Sinks.loadNdjsonToStaging(spark, nd2, Schemas.rawOrder, staging)
+    assert(n2 == 1, s"second load must report its own batch (got $n2)")
+    assert(spark.read.parquet(staging).count() == 3, "staging accumulates both batches")
   }
 
   test("ensureTable creates empty typed table once; truncate empties it (S9/S10)") {
