@@ -1098,6 +1098,51 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** Invented boilerplate sentence for q66's planted mega-bucket: passes
+    * every pre-dedup curation stage (LangId predicts 'en', quality 0.65,
+    * bigram repetition 0, no PII patterns, no corpus-derived eval gram)
+    * and shares NO word 3-shingle with the corpus vocabulary, so its
+    * minhash band buckets contain exactly the planted copies. */
+  private val q66BoilerText =
+    "this standard disclosure notice accompanies every bulk export bundle " +
+    "and describes retention policy review obligations for downstream " +
+    "archival partners including quarterly audit summaries prepared under " +
+    "the coastal registry framework with additional provenance checkpoints " +
+    "documented separately"
+
+  /** Capped PRODUCTION dedup path, end to end (VERDICT r5 next-round #1):
+    * [[CorpusPipeline.curate]] under the DEFAULT Config — dedupMaxBucket
+    * = 1000 ENGAGED, unlike q65/q30/q62 whose all-pairs oracles require
+    * cap-disabled runs. The fixture plants a 1200-copy boilerplate
+    * mega-bucket on top of the half-corpus: identical text ⇒ identical
+    * signatures ⇒ every one of its 16 band buckets holds exactly the
+    * 1200 copies > cap ⇒ [[Similarity.capBuckets]] MUST prune them all,
+    * so the boilerplate survives curation uncollapsed (a mega-bucket
+    * carries no pair signal at corpus scale — exact dedup upstream is
+    * the tool for verbatim copies), while the corpus's own near-dup
+    * pairs keep meeting in their selective small buckets (max possible
+    * occupancy = sample size << cap) and still collapse to one
+    * representative. The oracle replays the cap rule's provable
+    * consequence: pair formation excludes the planted ids, everything
+    * else is q65's exact replay. */
+  def q66_capped_curation(s: SparkSession, d: String): DataFrame = {
+    val corpus = documents(s, d).filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("doc_id"), col("text"), col("source"))
+    val boiler = s.range(1200).select((col("id") + 800000L).as("doc_id"),
+      lit(q66BoilerText).as("text"), lit("boilerplate").as("source"))
+    val evalDocs = documents(s, d).filter(pmod(col("doc_id"), lit(40)) === 0)
+      .select((col("doc_id") + 500000L).as("doc_id"),
+        array_join(slice(Text.tokens(col("text")), 3, 12), " ").as("text"))
+    val (curated, _) = CorpusPipeline.curate(
+      corpus.unionByName(boiler), evalDocs, "doc_id", "text",
+      CorpusPipeline.Config(), report = false) // DEFAULT config: cap = 1000
+    curated.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_curated"),
+        sum(length(col("text"))).cast("long").as("curated_chars"),
+        min(md5(col("text"))).as("content_fp"))
+      .orderBy(col("source"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1166,6 +1211,7 @@ object SparkEntry {
     "q63_column_stats"      -> (q63_column_stats _),
     "q64_bucketed_join"     -> (q64_bucketed_join _),
     "q65_corpus_curation"   -> (q65_corpus_curation _),
+    "q66_capped_curation"   -> (q66_capped_curation _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1883,6 +1929,119 @@ object SparkEntry {
            FROM toks),
          sz AS (SELECT doc_id, len(g) AS n FROM sh),
          eg AS (SELECT doc_id, unnest(g) AS gram FROM sh),
+         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+                FROM eg a JOIN eg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         p AS (SELECT id_a, id_b
+               FROM pr JOIN sz sa ON sa.doc_id = pr.id_a
+                       JOIN sz sb ON sb.doc_id = pr.id_b
+               WHERE round(CAST(shared AS DOUBLE) /
+                 CAST(sa.n + sb.n - shared AS DOUBLE), 4) >= 0.6),
+         edges AS (SELECT id_a AS id, id_b AS nb FROM p
+                   UNION ALL SELECT id_b, id_a FROM p),
+         reach(id, r) AS (
+           SELECT id, nb FROM edges
+           UNION
+           SELECT reach.id, e2.nb FROM reach JOIN edges e2 ON e2.id = reach.r),
+         lbl AS (SELECT id, least(id, min(r)) AS label FROM reach GROUP BY id),
+         keep AS (SELECT t.doc_id FROM toks t LEFT JOIN lbl ON lbl.id = t.doc_id
+                  WHERE lbl.id IS NULL OR lbl.label = t.doc_id)
+         SELECT dc.source, count(*) AS n_curated,
+           CAST(sum(length(dc.text)) AS BIGINT) AS curated_chars,
+           min(md5(dc.text)) AS content_fp
+         FROM dc JOIN keep USING (doc_id)
+         GROUP BY dc.source ORDER BY dc.source""",
+
+    // q66: q65's exact stage replay over (half-corpus + 1200 planted
+    // boilerplate copies), with ONE divergence — pair formation excludes
+    // the planted ids (doc_id >= 800000). That is the cap rule's provable
+    // consequence, replayed: the planted docs are identical, so every one
+    // of their 16 minhash band buckets holds exactly the 1200 copies,
+    // 1200 > dedupMaxBucket = 1000, and capBuckets prunes all of them —
+    // no planted doc can emit a candidate pair. Corpus buckets can never
+    // engage the cap here (max occupancy = 250-doc sample < 1000), so the
+    // corpus side remains the plain all-pairs replay. The exclusion also
+    // keeps the oracle's gram self-join from exploding through 1200
+    // identical gram sets.
+    "q66_capped_curation" ->
+      s"""WITH RECURSIVE
+         pl AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 2 = 0
+                UNION ALL
+                SELECT 800000 + i AS doc_id, 'boilerplate' AS source,
+                  'this standard disclosure notice accompanies every bulk export bundle and describes retention policy review obligations for downstream archival partners including quarterly audit summaries prepared under the coastal registry framework with additional provenance checkpoints documented separately' AS text
+                FROM generate_series(0, 1199) t(i)),
+         pad AS (SELECT doc_id,
+                   ' ' || trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) || ' ' AS padded
+                 FROM pl),
+         hd AS (SELECT doc_id,
+                  length(regexp_replace(padded, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS han,
+                  length(regexp_replace(padded, '\\s', '', 'g')) AS nws
+                FROM pad),
+         tg AS (SELECT doc_id,
+                  unnest(list_transform(generate_series(1, length(padded) - 2),
+                    i -> substr(padded, i, 3))) AS tg
+                FROM pad),
+         prof AS (SELECT p.lang, p.tg, CAST(p.w AS DOUBLE) AS w
+                  FROM (VALUES $langProfileValues) p(lang, tg, w)),
+         sc AS (SELECT doc_id, lang, sum(w) AS score
+                FROM tg JOIN prof USING (tg) GROUP BY doc_id, lang),
+         best AS (SELECT doc_id, lang,
+                    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+                  FROM sc),
+         pred AS (SELECT hd.doc_id,
+                    CASE WHEN hd.han > 0 AND hd.han * 2 >= hd.nws THEN 'zh'
+                         ELSE coalesce(b.lang, 'und') END AS pred_lang
+                  FROM hd LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b
+                    USING (doc_id)),
+         lk AS (SELECT pl.doc_id, pl.source, pl.text FROM pl JOIN pred USING (doc_id)
+                WHERE pred.pred_lang IN ('en','es','de','fr','zh')),
+         qw AS (SELECT doc_id, source, text, string_split(text, ' ') AS w FROM lk),
+         qf AS (SELECT doc_id, source, text FROM qw
+                WHERE round(
+                    least(1.0, CAST(len(list_filter(w,
+                      x -> x IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE)
+                      / len(w) * 2.0) * 0.4
+                    + (CASE WHEN CAST(length(text) AS DOUBLE) / len(w) BETWEEN 2.0 AND 12.0
+                            THEN 1.0 ELSE 0.0 END) * 0.3
+                    + (CASE WHEN len(w) >= 20 THEN 1.0
+                            ELSE CAST(len(w) AS DOUBLE) / 20.0 END) * 0.3, 4) >= 0.3
+                  AND round(1.0 -
+                    CAST(len(list_distinct(CASE WHEN len(w) >= 2
+                      THEN list_transform(generate_series(1, len(w) - 1),
+                             i -> w[i] || ' ' || w[i+1])
+                      ELSE w END)) AS DOUBLE) /
+                    len(CASE WHEN len(w) >= 2
+                      THEN list_transform(generate_series(1, len(w) - 1),
+                             i -> w[i] || ' ' || w[i+1])
+                      ELSE w END), 4) <= 0.2),
+         rd AS (SELECT doc_id, source,
+             regexp_replace(regexp_replace(text, '${Pii.emailPattern}', '<EMAIL>', 'g'),
+               '${Pii.phonePattern}', '<PHONE>', 'g') AS text
+           FROM qf),
+         ev AS (SELECT array_to_string((string_split(text, ' '))[3:14], ' ') AS etext
+                FROM documents WHERE doc_id % 40 = 0),
+         evw AS (SELECT string_split(etext, ' ') AS w FROM ev),
+         evg AS (SELECT DISTINCT unnest(CASE WHEN len(w) >= 8
+                   THEN list_transform(generate_series(1, len(w) - 7),
+                          i -> array_to_string(w[i:i+7], ' '))
+                   ELSE [array_to_string(w, ' ')] END) AS gram FROM evw),
+         dgr AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 8
+                   THEN list_transform(generate_series(1, len(w) - 7),
+                          i -> array_to_string(w[i:i+7], ' '))
+                   ELSE [array_to_string(w, ' ')] END) AS gram
+                 FROM (SELECT doc_id, string_split(text, ' ') AS w FROM rd)),
+         hit AS (SELECT DISTINCT doc_id FROM dgr JOIN evg USING (gram)),
+         dc AS (SELECT rd.doc_id, rd.source, rd.text FROM rd
+                LEFT JOIN hit USING (doc_id) WHERE hit.doc_id IS NULL),
+         toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM dc),
+         sh AS (SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(w) - 2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [array_to_string(w, ' ')] END AS g
+           FROM toks),
+         sz AS (SELECT doc_id, len(g) AS n FROM sh),
+         eg AS (SELECT doc_id, unnest(g) AS gram FROM sh WHERE doc_id < 800000),
          pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
                 FROM eg a JOIN eg b ON a.gram = b.gram AND a.doc_id < b.doc_id
                 GROUP BY 1, 2),

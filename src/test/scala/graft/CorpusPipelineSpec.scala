@@ -70,4 +70,32 @@ class CorpusPipelineSpec extends SparkSpec {
       report = false)
     assert(lazyRep == CorpusPipeline.CurationReport(-1, -1, -1, -1, -1))
   }
+
+  test("cap-ENGAGED curation: mega-bucket pruned, selective near-dups still collapse") {
+    // Both texts pass every pre-dedup stage (en, quality >= 0.3,
+    // repetition 0, no PII, no eval gram). The 60 identical boilerplate
+    // copies fill every band bucket they occupy past the cap, so the cap
+    // MUST prune them (all survive dedup); the near-dup pair meets in its
+    // own small buckets and must still collapse to the min id.
+    val boiler = "this standard disclosure notice accompanies every bulk " +
+      "export bundle and describes retention policy review obligations for " +
+      "downstream archival partners including quarterly audit summaries " +
+      "prepared under the coastal registry framework with additional " +
+      "provenance checkpoints documented separately"
+    val near = "the migration committee published detailed seasonal routing " +
+      "charts covering upland corridors and lowland crossings with annotated " +
+      "elevation profiles compiled from volunteer observation logs gathered " +
+      "across successive autumn surveys throughout the northern flyway"
+    val planted = ((0 until 60).map(i => (800000L + i, boiler, "b")) ++ Seq(
+      (1L, near, "s"),
+      (2L, near.replace("autumn", "spring"), "s"))).toDF("doc_id", "text", "source")
+    val emptyEval = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val (out, _) = CorpusPipeline.curate(planted, emptyEval, "doc_id", "text",
+      CorpusPipeline.Config(dedupMaxBucket = 10), report = false)
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert((0 until 60).forall(i => ids.contains(800000L + i)),
+      "cap-pruned boilerplate must survive uncollapsed")
+    assert(ids.contains(1L) && !ids.contains(2L),
+      "the selective near-dup pair must still dedupe to its min id")
+  }
 }
