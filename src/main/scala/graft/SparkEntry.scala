@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Bucketing, Decontaminate, Dedup, Monitoring, Multimodal, RangeJoin, Similarity, Skew, Upsert}
+import graft.operators.{Bucketing, Decontaminate, Dedup, Flatten, Monitoring, Multimodal, RangeJoin, Similarity, Skew, Upsert}
 import graft.functions.{MoneyMode, Pii, Text, Vectors}
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables._
@@ -1143,6 +1143,84 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** q67's raw-order NDJSON fixture (FIXTURES.md §A.1): two "pages"
+    * covering the whole normalization matrix — duplicate order id across
+    * pages (A1 first-wins), customer missing / id-less / partial (P2
+    * presence guards + ""/false defaults), accepts_marketing true / false
+    * / absent (P4), shipping_address missing / partial (P3), discount
+    * codes missing code or amount (F9), line items with missing
+    * product/variant ids (F6 NULL decision) and duplicate composite keys
+    * both valid (deduped) and null-keyed (bypass) (A3). Written to a
+    * fixed path so the DuckDB oracle reads the SAME bytes via read_json
+    * — the reference's tolerant-ingest semantics land under one hash. */
+  private val q67FixtureDir = "/tmp/graft_fixture_q67"
+
+  private val q67Page00 =
+    """{"id":1001,"created_at":"2024-03-01T10:00:00+00:00","updated_at":"2024-03-02T11:30:00+00:00","processed_at":"2024-03-01T10:00:05+00:00","subtotal_price":"95.00","total_price":"103.50","total_tax":"8.50","financial_status":"paid","fulfillment_status":"fulfilled","currency":"USD","source_name":"web","customer":{"id":501,"email":"a@b.co","created_at":"2023-01-01T00:00:00+00:00","first_name":"Ada","last_name":"L","phone":"+1555","verified_email":true,"accepts_marketing":true},"line_items":[{"product_id":9001,"variant_id":8001,"name":"Widget","price":"47.50","quantity":2,"vendor":"Acme"},{"product_id":9001,"variant_id":8001,"name":"Widget dup","price":"47.50","quantity":9,"vendor":"Acme"},{"product_id":9002,"variant_id":8002,"name":"Gadget","price":"5.00","quantity":1,"vendor":"Bolt"}],"shipping_address":{"first_name":"Ada","last_name":"L","address1":"1 Main St","city":"Springfield","province":"IL","country":"US","zip":"62701"},"discount_codes":[{"code":"SAVE10","amount":"10.00"}]}
+      |{"id":1002,"created_at":"2024-03-02T09:00:00+00:00","updated_at":"2024-03-02T09:05:00+00:00","processed_at":"2024-03-02T09:00:01+00:00","subtotal_price":"20.00","total_price":"20.00","total_tax":"0.00","currency":"USD","line_items":[{"name":"Mystery","price":"10.00","quantity":1,"vendor":"Acme"},{"name":"Mystery","price":"10.00","quantity":1,"vendor":"Acme"}]}
+      |{"id":1003,"created_at":"2024-03-03T08:00:00+00:00","updated_at":"2024-03-03T08:30:00+00:00","processed_at":"2024-03-03T08:00:02+00:00","subtotal_price":"50.00","total_price":"55.00","total_tax":"5.00","financial_status":"pending","currency":"EUR","source_name":"pos","customer":{"id":502},"line_items":[{"product_id":9003,"variant_id":8003,"name":"Doohickey","price":"50.00","quantity":1,"vendor":"Acme"}],"shipping_address":{"first_name":"Bo","city":"Lyon","country":"FR"},"discount_codes":[{"code":"X"},{"amount":"2.50"}]}
+      |{"id":1004,"created_at":"2024-03-04T12:00:00+00:00","updated_at":"2024-03-04T12:30:00+00:00","processed_at":"2024-03-04T12:00:03+00:00","subtotal_price":"10.00","total_price":"11.00","total_tax":"1.00","financial_status":"paid","fulfillment_status":"partial","currency":"USD","source_name":"web","customer":{"email":"ghost@x.io","accepts_marketing":true},"line_items":[{"product_id":9004,"variant_id":8004,"name":"Whatsit","price":"10.00","quantity":1,"vendor":"Cog"}]}
+      |""".stripMargin
+
+  private val q67Page01 =
+    """{"id":1001,"created_at":"2024-03-01T10:00:00+00:00","updated_at":"2024-03-05T00:00:00+00:00","processed_at":"2024-03-01T10:00:05+00:00","subtotal_price":"999.00","total_price":"999.00","total_tax":"0.00","financial_status":"refunded","currency":"USD","source_name":"web","customer":{"id":501,"email":"changed@b.co","created_at":"2023-01-01T00:00:00+00:00","first_name":"Ada","last_name":"L","phone":"+1555","verified_email":false,"accepts_marketing":false},"line_items":[{"product_id":9009,"variant_id":8009,"name":"Late","price":"999.00","quantity":1,"vendor":"Late"}]}
+      |{"id":1005,"created_at":"2024-03-05T10:00:00+00:00","updated_at":"2024-03-05T10:30:00+00:00","processed_at":"2024-03-05T10:00:05+00:00","subtotal_price":"30.00","total_price":"33.00","total_tax":"3.00","financial_status":"paid","fulfillment_status":"fulfilled","currency":"GBP","source_name":"api","customer":{"id":503,"email":"c@d.eu","created_at":"2023-06-01T12:00:00+00:00","first_name":"Cy","last_name":"D","phone":"","verified_email":false,"accepts_marketing":false},"line_items":[{"product_id":9005,"name":"NoVariant","price":"30.00","quantity":1,"vendor":"Acme"},{"product_id":9005,"name":"NoVariant","price":"30.00","quantity":2,"vendor":"Acme"}],"shipping_address":{"first_name":"Cy","last_name":"D","address1":"2 High St","city":"Leeds","province":"","country":"GB","zip":"LS1"},"discount_codes":[]}
+      |{"id":1006,"created_at":"2024-03-06T10:00:00+00:00","updated_at":"2024-03-06T10:30:00+00:00","processed_at":"2024-03-06T10:00:05+00:00","subtotal_price":"0.00","total_price":"0.00","total_tax":"0.00","financial_status":"paid","fulfillment_status":"fulfilled","currency":"USD","source_name":"web","customer":{"id":504,"email":"e@f.gh","created_at":"2023-07-01T00:00:00+00:00","first_name":"Evi","last_name":"F","phone":"+4477","verified_email":true,"accepts_marketing":true},"line_items":[],"shipping_address":{"first_name":"Evi","last_name":"F","address1":"3 Low Rd","city":"Hull","province":"","country":"GB","zip":"HU1"}}
+      |{"id":1007,"created_at":"2024-03-07T10:00:00+00:00","updated_at":"2024-03-07T10:30:00+00:00","processed_at":"2024-03-07T10:00:05+00:00","subtotal_price":"60.00","total_price":"60.00","total_tax":"0.00","financial_status":"paid","fulfillment_status":"","currency":"USD","source_name":"web","line_items":[{"product_id":9007,"variant_id":8007,"name":"First","price":"60.00","quantity":1,"vendor":"Acme"},{"product_id":9007,"variant_id":8007,"name":"Second","price":"60.00","quantity":5,"vendor":"Acme"}]}
+      |""".stripMargin
+
+  private def q67WriteFixture(): Unit = {
+    val dir = java.nio.file.Paths.get(q67FixtureDir)
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(dir.resolve("page_00.ndjson"), q67Page00)
+    java.nio.file.Files.writeString(dir.resolve("page_01.ndjson"), q67Page01)
+  }
+
+  /** Flatten/normalization matrix gate (VERDICT r5 next-round #2): raw
+    * nested order NDJSON → A1 first-wins across pages →
+    * [[graft.operators.Flatten]].customers / shippingAddresses /
+    * marketingConsent / discountCodes / lineItemsOrdered →
+    * [[graft.operators.Dedup.compositeKeyDedup]] — one tall
+    * (entity, key, row-fingerprint) frame, so every presence guard,
+    * ""/false/0 default, NULL-id decision, and null-bypass dedup row
+    * sits under the oracle hash. Money crosses as integer cents and
+    * timestamps as formatted strings: both engines then hash identical
+    * canonical text (q42's representation lesson). */
+  def q67_flatten_matrix(s: SparkSession, d: String): DataFrame = {
+    q67WriteFixture()
+    val raw = graft.sources.PagedNdjsonSource.read(s, q67FixtureDir, Schemas.rawOrder)
+    val fw = Dedup.firstWins(raw, Seq("id"), "_arrival_order")
+    def cents(c: org.apache.spark.sql.Column) =
+      round(c * 100, 0).cast("long").cast("string")
+    val cust = Flatten.customers(fw).select(lit("customers").as("entity"),
+      col("customer_id").as("k"),
+      md5(concat(col("email"), lit("|"),
+        coalesce(date_format(col("created_at"), "yyyy-MM-dd HH:mm:ss"), lit("NULL")),
+        lit("|"), col("first_name"), lit("|"), col("last_name"), lit("|"),
+        col("phone"), lit("|"),
+        col("verified_email").cast("int").cast("string"))).as("fp"))
+    val cons = Flatten.marketingConsent(fw).select(lit("marketing_consent").as("entity"),
+      col("customer_id").as("k"),
+      md5(concat(col("email_consent"), lit("|"), col("sms_consent"))).as("fp"))
+    val ship = Flatten.shippingAddresses(fw).select(lit("shipping_addresses").as("entity"),
+      col("order_id").as("k"),
+      md5(concat(col("first_name"), lit("|"), col("last_name"), lit("|"),
+        col("address1"), lit("|"), col("city"), lit("|"), col("province"),
+        lit("|"), col("country"), lit("|"), col("zip"))).as("fp"))
+    val disc = Flatten.discountCodes(fw).select(lit("discount_codes").as("entity"),
+      col("order_id").as("k"),
+      md5(concat(col("code"), lit("|"), cents(col("amount")))).as("fp"))
+    val li = Dedup.compositeKeyDedup(Flatten.lineItemsOrdered(fw),
+        Seq("order_id", "product_id", "variant_id"), "__pos")
+      .select(lit("line_items").as("entity"), col("order_id").as("k"),
+        md5(concat(coalesce(col("product_id"), lit("NULL")), lit("|"),
+          coalesce(col("variant_id"), lit("NULL")), lit("|"),
+          col("product_name"), lit("|"), cents(col("price")), lit("|"),
+          col("quantity").cast("string"), lit("|"), col("vendor"))).as("fp"))
+    cust.unionByName(cons).unionByName(ship).unionByName(disc).unionByName(li)
+      .orderBy(col("entity"), col("k"), col("fp"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1212,6 +1290,7 @@ object SparkEntry {
     "q64_bucketed_join"     -> (q64_bucketed_join _),
     "q65_corpus_curation"   -> (q65_corpus_curation _),
     "q66_capped_curation"   -> (q66_capped_curation _),
+    "q67_flatten_matrix"    -> (q67_flatten_matrix _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2064,6 +2143,81 @@ object SparkEntry {
            min(md5(dc.text)) AS content_fp
          FROM dc JOIN keep USING (doc_id)
          GROUP BY dc.source ORDER BY dc.source""",
+
+    // q67: DuckDB reads the SAME fixture NDJSON bytes (written by the
+    // Spark query before the oracle runs) and replays the normalization
+    // matrix. First-wins = min filename per id (pages have sortable names,
+    // ids unique within a page); composite dedup = min array position per
+    // (order_id, product_id, variant_id) among all-keys-present rows,
+    // null-key rows kept unconditionally (A3's bypass).
+    "q67_flatten_matrix" ->
+      """WITH raw AS (
+           SELECT * FROM read_json('/tmp/graft_fixture_q67/*.ndjson',
+             format='newline_delimited', filename=true,
+             columns={id:'BIGINT', created_at:'VARCHAR', updated_at:'VARCHAR', processed_at:'VARCHAR',
+               subtotal_price:'VARCHAR', total_price:'VARCHAR', total_tax:'VARCHAR',
+               financial_status:'VARCHAR', fulfillment_status:'VARCHAR', currency:'VARCHAR', source_name:'VARCHAR',
+               customer:'STRUCT(id BIGINT, email VARCHAR, created_at VARCHAR, first_name VARCHAR, last_name VARCHAR, phone VARCHAR, verified_email BOOLEAN, accepts_marketing BOOLEAN)',
+               line_items:'STRUCT(product_id BIGINT, variant_id BIGINT, name VARCHAR, price VARCHAR, quantity BIGINT, vendor VARCHAR)[]',
+               shipping_address:'STRUCT(first_name VARCHAR, last_name VARCHAR, address1 VARCHAR, city VARCHAR, province VARCHAR, country VARCHAR, zip VARCHAR)',
+               discount_codes:'STRUCT(code VARCHAR, amount VARCHAR)[]'})),
+         fw AS (SELECT * FROM (
+                  SELECT *, row_number() OVER (PARTITION BY id ORDER BY filename) AS rn FROM raw)
+                WHERE rn = 1),
+         cust AS (SELECT CAST(customer.id AS VARCHAR) AS k,
+             md5(coalesce(customer.email, '') || '|' ||
+                 coalesce(strftime(CAST(customer.created_at AS TIMESTAMP), '%Y-%m-%d %H:%M:%S'), 'NULL') || '|' ||
+                 coalesce(customer.first_name, '') || '|' ||
+                 coalesce(customer.last_name, '') || '|' ||
+                 coalesce(customer.phone, '') || '|' ||
+                 CAST(CAST(coalesce(customer.verified_email, false) AS INT) AS VARCHAR)) AS fp
+           FROM fw WHERE customer IS NOT NULL AND customer.id IS NOT NULL),
+         cons AS (SELECT CAST(customer.id AS VARCHAR) AS k,
+             md5((CASE WHEN customer.accepts_marketing THEN 'yes' ELSE 'no' END) || '|') AS fp
+           FROM fw WHERE customer IS NOT NULL AND customer.id IS NOT NULL),
+         ship AS (SELECT CAST(id AS VARCHAR) AS k,
+             md5(coalesce(shipping_address.first_name, '') || '|' ||
+                 coalesce(shipping_address.last_name, '') || '|' ||
+                 coalesce(shipping_address.address1, '') || '|' ||
+                 coalesce(shipping_address.city, '') || '|' ||
+                 coalesce(shipping_address.province, '') || '|' ||
+                 coalesce(shipping_address.country, '') || '|' ||
+                 coalesce(shipping_address.zip, '')) AS fp
+           FROM fw WHERE shipping_address IS NOT NULL),
+         disc AS (SELECT CAST(id AS VARCHAR) AS k,
+             md5(coalesce(dc.code, '') || '|' ||
+                 CAST(CAST(round(coalesce(CAST(dc.amount AS DOUBLE), 0.0) * 100, 0) AS BIGINT) AS VARCHAR)) AS fp
+           FROM (SELECT id, unnest(discount_codes) AS dc FROM fw)),
+         li AS (SELECT CAST(id AS VARCHAR) AS order_id, pos,
+             CAST(line_items[pos].product_id AS VARCHAR) AS product_id,
+             CAST(line_items[pos].variant_id AS VARCHAR) AS variant_id,
+             coalesce(line_items[pos].name, '') AS product_name,
+             round(coalesce(CAST(line_items[pos].price AS DOUBLE), 0.0) * 100, 0) AS price_cents,
+             coalesce(line_items[pos].quantity, 0) AS quantity,
+             coalesce(line_items[pos].vendor, '') AS vendor
+           FROM fw, unnest(generate_series(1, len(line_items))) AS t(pos)),
+         lid AS (SELECT * FROM (
+                   SELECT *, row_number() OVER (
+                     PARTITION BY order_id, product_id, variant_id ORDER BY pos) AS rn
+                   FROM li WHERE product_id IS NOT NULL AND variant_id IS NOT NULL)
+                 WHERE rn = 1
+                 UNION ALL
+                 SELECT *, 0 AS rn FROM li
+                 WHERE product_id IS NULL OR variant_id IS NULL),
+         lifp AS (SELECT order_id AS k,
+             md5(coalesce(product_id, 'NULL') || '|' ||
+                 coalesce(variant_id, 'NULL') || '|' ||
+                 product_name || '|' ||
+                 CAST(CAST(price_cents AS BIGINT) AS VARCHAR) || '|' ||
+                 CAST(quantity AS VARCHAR) || '|' || vendor) AS fp
+           FROM lid)
+         SELECT entity, k, fp FROM (
+           SELECT 'customers' AS entity, k, fp FROM cust
+           UNION ALL SELECT 'marketing_consent', k, fp FROM cons
+           UNION ALL SELECT 'shipping_addresses', k, fp FROM ship
+           UNION ALL SELECT 'discount_codes', k, fp FROM disc
+           UNION ALL SELECT 'line_items', k, fp FROM lifp)
+         ORDER BY entity, k, fp""",
   )
 
   /** The LangId trigram profile rendered as SQL VALUES rows — the oracle

@@ -49,18 +49,29 @@ object Flatten {
       coalesce(col("source_name"), lit("")).as("source_name"),
       col("customer.id").cast("string").as("customer_id"))
 
-  /** Line items: explode nested array (ref :368-377). */
-  def lineItems(raw: DataFrame, mode: MoneyMode = MoneyMode.Dbl): DataFrame =
+  /** Line items with their 0-based position in the order's array as
+    * `__pos` — the deterministic within-order arrival ordinal (the
+    * reference keeps list order, shopify_etl.py:368-377), which is what
+    * [[Dedup.compositeKeyDedup]] needs as its order column: the exploded
+    * rows of one order all share the parent's arrival order, so without
+    * the ordinal a first-wins tie-break among duplicate composite keys
+    * would be nondeterministic. */
+  def lineItemsOrdered(raw: DataFrame, mode: MoneyMode = MoneyMode.Dbl): DataFrame =
     raw.select(col("id").cast("string").as("order_id"),
-        explode(col("line_items")).as("li"))
+        posexplode(col("line_items")).as(Seq("__pos", "li")))
       .select(
         col("order_id"),
+        col("__pos"),
         idStr(col("li.product_id")).as("product_id"),
         idStr(col("li.variant_id")).as("variant_id"),
         coalesce(col("li.name"), lit("")).as("product_name"),
         money(col("li.price"), mode).as("price"),
         coalesce(col("li.quantity"), lit(0L)).as("quantity"),
         coalesce(col("li.vendor"), lit("")).as("vendor"))
+
+  /** Line items: explode nested array (ref :368-377). */
+  def lineItems(raw: DataFrame, mode: MoneyMode = MoneyMode.Dbl): DataFrame =
+    lineItemsOrdered(raw, mode).drop("__pos")
 
   /** P2: customers projection, presence-guarded (ref :380-390). */
   def customers(raw: DataFrame): DataFrame =
