@@ -1221,6 +1221,161 @@ object SparkEntry {
       .orderBy(col("entity"), col("k"), col("fp"))
   }
 
+  /** NDJSON stage/load roundtrip gate (VERDICT r5 next-round #8, S6/S7/
+    * U1/U2): a deterministic orders slice (plus an UNDECLARED extra
+    * field) is exported as chunked NDJSON ([[graft.sources.Sinks
+    * .writeNdjsonChunks]]), two syntactically-malformed lines are
+    * planted, and the directory is reloaded with the declared schema via
+    * [[graft.sources.Sinks.loadNdjsonToStaging]] (PERMISSIVE: the junk
+    * lines land as all-null rows — the auditable-not-fatal tolerance the
+    * reference gets from ignore_unknown_values, shopify_etl.py:134).
+    * The gate hashes per-status aggregates of the reloaded staging table
+    * (the corrupt rows form their own '__corrupt' group) plus the
+    * dead-letter reader's split counts; DuckDB replays by reading the
+    * same staged bytes with read_json(ignore_errors), whose failed lines
+    * null out identically. Only SYNTACTICALLY broken lines are planted:
+    * on a type-mismatched field Spark's PERMISSIVE nulls the whole
+    * record while DuckDB nulls just the field — a real cross-engine
+    * tolerance divergence this gate deliberately keeps out of the hash. */
+  def q68_ndjson_roundtrip(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    val base = "/tmp/graft_fixture_q68"
+    val pages = s"$base/pages"
+    val staging = s"$base/staging"
+    // clean slate: the load is an APPEND (U1) — without it, re-runs of the
+    // gate would accumulate batches and the hash would drift
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val slice = orders(s, d).filter(pmod(col("o_orderkey"), lit(50)) === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        lit("undeclared").as("extra_field"))
+    graft.sources.Sinks.writeNdjsonChunks(slice.repartition(1), pages, chunkSize = 100)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(pages, "zz_malformed.ndjson"),
+      "this line is not json\n{{{ also not json }}}\n")
+    val declared = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType)))
+    graft.sources.Sinks.loadNdjsonToStaging(s, pages, declared, staging)
+    val perStatus = s.read.parquet(staging)
+      .groupBy(coalesce(col("o_orderstatus"), lit("__corrupt")).as("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("o_totalprice")) * 100, 0).cast("long").as("sum_cents"),
+        countDistinct(col("o_orderkey")).as("n_keys"))
+    // the dead-letter reader must split the same directory identically:
+    // good rows = typed, dead rows = the planted junk (quarantined, not
+    // silently vanished) — pinned as two more groups under the same hash
+    val (good, dead) =
+      graft.sources.PagedNdjsonSource.readWithDeadLetter(s, pages, declared)
+    val split = toSplitDf(s, Seq(
+      ("__dead_letter_rows", dead.count()),
+      ("__good_rows", good.count())))
+    perStatus.unionByName(split).orderBy(col("o_orderstatus"))
+  }
+
+  /** (label, n, nullable cents, keys) rows → a frame shaped like q68's
+    * per-status aggregate, for the split-count union. */
+  private def toSplitDf(s: SparkSession, rows: Seq[(String, Long)]): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderstatus",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_rows",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("sum_cents",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("n_keys",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    s.createDataFrame(java.util.List.of(rows.map { case (k, n) =>
+      org.apache.spark.sql.Row(k, n, null, 0L)
+    }: _*), schema)
+  }
+
+  /** q69's two-round fixture: round A (two pages, with a cross-page
+    * duplicate the in-round first-wins must drop) establishes the
+    * warehouse; round B updates order 2001 (new totals, changed customer
+    * email, flipped consent, an updated and an added line item, changed
+    * shipping, a second discount code) and inserts order 2004 — so the
+    * final tables exercise MERGE's update-matched, insert-unmatched, and
+    * never-delete semantics per key family. */
+  private val q69RoundA0 =
+    """{"id":2001,"created_at":"2024-04-01T10:00:00+00:00","updated_at":"2024-04-01T10:30:00+00:00","processed_at":"2024-04-01T10:00:05+00:00","subtotal_price":"95.00","total_price":"103.50","total_tax":"8.50","financial_status":"paid","fulfillment_status":"fulfilled","currency":"USD","source_name":"web","customer":{"id":601,"email":"a@one.co","created_at":"2023-01-01T00:00:00+00:00","first_name":"Ann","last_name":"One","phone":"+1","verified_email":true,"accepts_marketing":true},"line_items":[{"product_id":9001,"variant_id":8001,"name":"Widget","price":"47.50","quantity":2,"vendor":"Acme"},{"product_id":9002,"variant_id":8002,"name":"Gadget","price":"5.00","quantity":1,"vendor":"Bolt"}],"shipping_address":{"first_name":"Ann","last_name":"One","address1":"1 Main St","city":"Springfield","province":"IL","country":"US","zip":"62701"},"discount_codes":[{"code":"SAVE10","amount":"10.00"}]}
+      |{"id":2002,"created_at":"2024-04-01T11:00:00+00:00","updated_at":"2024-04-01T11:30:00+00:00","processed_at":"2024-04-01T11:00:05+00:00","subtotal_price":"20.00","total_price":"20.00","total_tax":"0.00","currency":"USD","line_items":[{"product_id":9003,"variant_id":8003,"name":"Thing","price":"20.00","quantity":1,"vendor":"Cog"}]}
+      |""".stripMargin
+  private val q69RoundA1 =
+    """{"id":2001,"created_at":"2024-04-01T10:00:00+00:00","updated_at":"2024-04-01T10:45:00+00:00","processed_at":"2024-04-01T10:00:05+00:00","subtotal_price":"777.00","total_price":"777.00","total_tax":"0.00","financial_status":"decoy","currency":"USD","source_name":"web","customer":{"id":601,"email":"decoy@one.co","created_at":"2023-01-01T00:00:00+00:00","first_name":"Ann","last_name":"One","phone":"+1","verified_email":true,"accepts_marketing":true},"line_items":[{"product_id":9099,"variant_id":8099,"name":"Decoy","price":"777.00","quantity":1,"vendor":"Decoy"}]}
+      |{"id":2003,"created_at":"2024-04-01T12:00:00+00:00","updated_at":"2024-04-01T12:30:00+00:00","processed_at":"2024-04-01T12:00:05+00:00","subtotal_price":"40.00","total_price":"44.00","total_tax":"4.00","financial_status":"pending","fulfillment_status":"","currency":"EUR","source_name":"pos","customer":{"id":602,"email":"b@two.eu","created_at":"2023-02-01T00:00:00+00:00","first_name":"Bea","last_name":"Two","phone":"+33","verified_email":false,"accepts_marketing":false},"line_items":[{"product_id":9004,"variant_id":8004,"name":"Other","price":"40.00","quantity":1,"vendor":"Acme"}],"shipping_address":{"first_name":"Bea","last_name":"Two","address1":"2 Rue","city":"Lyon","province":"","country":"FR","zip":"69001"}}
+      |""".stripMargin
+  private val q69RoundB0 =
+    """{"id":2001,"created_at":"2024-04-01T10:00:00+00:00","updated_at":"2024-04-02T09:00:00+00:00","processed_at":"2024-04-01T10:00:05+00:00","subtotal_price":"110.00","total_price":"120.00","total_tax":"10.00","financial_status":"paid","fulfillment_status":"shipped","currency":"USD","source_name":"web","customer":{"id":601,"email":"b@one.co","created_at":"2023-01-01T00:00:00+00:00","first_name":"Ann","last_name":"One","phone":"+1","verified_email":true,"accepts_marketing":false},"line_items":[{"product_id":9001,"variant_id":8001,"name":"Widget","price":"47.50","quantity":5,"vendor":"Acme"},{"product_id":9010,"variant_id":8010,"name":"Addon","price":"15.00","quantity":1,"vendor":"Acme"}],"shipping_address":{"first_name":"Ann","last_name":"One","address1":"9 New Ave","city":"Chicago","province":"IL","country":"US","zip":"60601"},"discount_codes":[{"code":"NEWCODE","amount":"5.00"}]}
+      |{"id":2004,"created_at":"2024-04-02T08:00:00+00:00","updated_at":"2024-04-02T08:30:00+00:00","processed_at":"2024-04-02T08:00:05+00:00","subtotal_price":"60.00","total_price":"66.00","total_tax":"6.00","financial_status":"paid","fulfillment_status":"fulfilled","currency":"USD","source_name":"api","customer":{"id":603,"email":"c@three.io","created_at":"2023-03-01T00:00:00+00:00","first_name":"Cal","last_name":"Three","phone":"+44","verified_email":true,"accepts_marketing":true},"line_items":[{"product_id":9005,"variant_id":8005,"name":"Late","price":"60.00","quantity":1,"vendor":"Bolt"}],"shipping_address":{"first_name":"Cal","last_name":"Three","address1":"3 Way","city":"Leeds","province":"","country":"GB","zip":"LS2"}}
+      |""".stripMargin
+
+  /** End-to-end incremental lifecycle gate (VERDICT r5 next-round #6,
+    * T1-T6 + §3.1): [[graft.streaming.Incremental.runBatchTwin]] runs the
+    * stream's exact per-round body — arrival-ordered page read, in-round
+    * first-wins dedup, flatten, keyed MERGE upsert per table — over two
+    * sync rounds into a fresh warehouse, and the gate hashes every row
+    * of all six FINAL tables (the lifecycle's real output, read back
+    * from the store's parquet). IncrementalSpec proves the streaming
+    * query writes the identical warehouse on a batches≡rounds fixture,
+    * so the oracle row covers the reference's primary lifecycle. */
+  def q69_incremental_lifecycle(s: SparkSession, d: String): DataFrame = {
+    val base = "/tmp/graft_fixture_q69"
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    def write(rel: String, content: String): Unit = {
+      val path = java.nio.file.Paths.get(base, rel)
+      java.nio.file.Files.createDirectories(path.getParent)
+      java.nio.file.Files.writeString(path, content)
+    }
+    write("roundA/page_00.ndjson", q69RoundA0)
+    write("roundA/page_01.ndjson", q69RoundA1)
+    write("roundB/page_00.ndjson", q69RoundB0)
+    graft.streaming.Incremental.runBatchTwin(
+      s, Seq(s"$base/roundA", s"$base/roundB"), s"$base/warehouse")
+
+    def t(name: String) = s.read.parquet(s"$base/warehouse/$name")
+    def fmt(c: org.apache.spark.sql.Column) =
+      coalesce(date_format(c, "yyyy-MM-dd HH:mm:ss"), lit("NULL"))
+    def cents(c: org.apache.spark.sql.Column) =
+      round(c * 100, 0).cast("long").cast("string")
+    val ords = t("orders").select(lit("orders").as("entity"),
+      col("order_id").as("k"),
+      md5(concat(fmt(col("created_at")), lit("|"), fmt(col("updated_at")),
+        lit("|"), fmt(col("processed_at")), lit("|"),
+        cents(col("subtotal_price")), lit("|"), cents(col("total_tax")),
+        lit("|"), cents(col("total_price")), lit("|"),
+        col("financial_status"), lit("|"), col("fulfillment_status"),
+        lit("|"), col("currency"), lit("|"), col("source_name"), lit("|"),
+        coalesce(col("customer_id"), lit("NULL")))).as("fp"))
+    val lis = t("line_items").select(lit("line_items").as("entity"),
+      concat_ws("/", col("order_id"), col("product_id"), col("variant_id")).as("k"),
+      md5(concat(col("product_name"), lit("|"), cents(col("price")), lit("|"),
+        col("quantity").cast("string"), lit("|"), col("vendor"))).as("fp"))
+    val custs = t("customers").select(lit("customers").as("entity"),
+      col("customer_id").as("k"),
+      md5(concat(col("email"), lit("|"), fmt(col("created_at")), lit("|"),
+        col("first_name"), lit("|"), col("last_name"), lit("|"), col("phone"),
+        lit("|"), col("verified_email").cast("int").cast("string"))).as("fp"))
+    val ships = t("shipping_addresses").select(lit("shipping_addresses").as("entity"),
+      col("order_id").as("k"),
+      md5(concat(col("first_name"), lit("|"), col("last_name"), lit("|"),
+        col("address1"), lit("|"), col("city"), lit("|"), col("province"),
+        lit("|"), col("country"), lit("|"), col("zip"))).as("fp"))
+    val discs = t("discount_codes").select(lit("discount_codes").as("entity"),
+      concat_ws("/", col("order_id"), col("code")).as("k"),
+      md5(cents(col("amount"))).as("fp"))
+    val cons = t("marketing_consent").select(lit("marketing_consent").as("entity"),
+      col("customer_id").as("k"),
+      md5(concat(col("email_consent"), lit("|"), col("sms_consent"))).as("fp"))
+    ords.unionByName(lis).unionByName(custs).unionByName(ships)
+      .unionByName(discs).unionByName(cons)
+      .orderBy(col("entity"), col("k"), col("fp"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1291,6 +1446,8 @@ object SparkEntry {
     "q65_corpus_curation"   -> (q65_corpus_curation _),
     "q66_capped_curation"   -> (q66_capped_curation _),
     "q67_flatten_matrix"    -> (q67_flatten_matrix _),
+    "q68_ndjson_roundtrip"  -> (q68_ndjson_roundtrip _),
+    "q69_incremental_lifecycle" -> (q69_incremental_lifecycle _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2217,6 +2374,161 @@ object SparkEntry {
            UNION ALL SELECT 'shipping_addresses', k, fp FROM ship
            UNION ALL SELECT 'discount_codes', k, fp FROM disc
            UNION ALL SELECT 'line_items', k, fp FROM lifp)
+         ORDER BY entity, k, fp""",
+
+    // q68: DuckDB re-reads the staged NDJSON the Spark query wrote
+    // (part-* chunk files + the planted junk file; the glob list skips
+    // _SUCCESS and CRC artifacts) with the SAME declared schema.
+    // ignore_errors turns each syntactically-broken line into an all-null
+    // row — exactly Spark's PERMISSIVE record-nulling — so the '__corrupt'
+    // group and the dead-letter split both fall out of the same read.
+    "q68_ndjson_roundtrip" ->
+      """WITH loaded AS (
+           SELECT * FROM read_json(
+             ['/tmp/graft_fixture_q68/pages/part-*.json',
+              '/tmp/graft_fixture_q68/pages/zz_malformed.ndjson'],
+             format='newline_delimited', ignore_errors=true,
+             columns={o_orderkey:'BIGINT', o_orderstatus:'VARCHAR', o_totalprice:'DOUBLE'})),
+         per_status AS (
+           SELECT coalesce(o_orderstatus, '__corrupt') AS o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS sum_cents,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys
+           FROM loaded GROUP BY 1),
+         corrupt_n AS (
+           SELECT CAST(count(*) AS BIGINT) AS n FROM loaded WHERE o_orderkey IS NULL
+             AND o_orderstatus IS NULL AND o_totalprice IS NULL)
+         SELECT o_orderstatus, n_rows, sum_cents, n_keys FROM per_status
+         UNION ALL SELECT '__dead_letter_rows', n, NULL, 0 FROM corrupt_n
+         UNION ALL SELECT '__good_rows',
+           (SELECT CAST(count(*) AS BIGINT) FROM loaded) - n, NULL, 0 FROM corrupt_n
+         ORDER BY o_orderstatus""",
+
+    // q69: replay the two-round incremental lifecycle from the same
+    // fixture NDJSON the gate wrote. Per round: first-wins per id (min
+    // filename — ids unique within a page), flatten. Merge: a round-B row
+    // wins on its table's key, round-A rows without a B match survive
+    // (MERGE updates matched, inserts unmatched, never deletes).
+    "q69_incremental_lifecycle" ->
+      """WITH rawA AS (
+           SELECT * FROM read_json('/tmp/graft_fixture_q69/roundA/*.ndjson',
+             format='newline_delimited', filename=true,
+             columns={id:'BIGINT', created_at:'VARCHAR', updated_at:'VARCHAR', processed_at:'VARCHAR',
+               subtotal_price:'VARCHAR', total_price:'VARCHAR', total_tax:'VARCHAR',
+               financial_status:'VARCHAR', fulfillment_status:'VARCHAR', currency:'VARCHAR', source_name:'VARCHAR',
+               customer:'STRUCT(id BIGINT, email VARCHAR, created_at VARCHAR, first_name VARCHAR, last_name VARCHAR, phone VARCHAR, verified_email BOOLEAN, accepts_marketing BOOLEAN)',
+               line_items:'STRUCT(product_id BIGINT, variant_id BIGINT, name VARCHAR, price VARCHAR, quantity BIGINT, vendor VARCHAR)[]',
+               shipping_address:'STRUCT(first_name VARCHAR, last_name VARCHAR, address1 VARCHAR, city VARCHAR, province VARCHAR, country VARCHAR, zip VARCHAR)',
+               discount_codes:'STRUCT(code VARCHAR, amount VARCHAR)[]'})),
+         rawB AS (
+           SELECT * FROM read_json('/tmp/graft_fixture_q69/roundB/*.ndjson',
+             format='newline_delimited', filename=true,
+             columns={id:'BIGINT', created_at:'VARCHAR', updated_at:'VARCHAR', processed_at:'VARCHAR',
+               subtotal_price:'VARCHAR', total_price:'VARCHAR', total_tax:'VARCHAR',
+               financial_status:'VARCHAR', fulfillment_status:'VARCHAR', currency:'VARCHAR', source_name:'VARCHAR',
+               customer:'STRUCT(id BIGINT, email VARCHAR, created_at VARCHAR, first_name VARCHAR, last_name VARCHAR, phone VARCHAR, verified_email BOOLEAN, accepts_marketing BOOLEAN)',
+               line_items:'STRUCT(product_id BIGINT, variant_id BIGINT, name VARCHAR, price VARCHAR, quantity BIGINT, vendor VARCHAR)[]',
+               shipping_address:'STRUCT(first_name VARCHAR, last_name VARCHAR, address1 VARCHAR, city VARCHAR, province VARCHAR, country VARCHAR, zip VARCHAR)',
+               discount_codes:'STRUCT(code VARCHAR, amount VARCHAR)[]'})),
+         fwA AS (SELECT * FROM (
+                   SELECT *, row_number() OVER (PARTITION BY id ORDER BY filename) AS rn
+                   FROM rawA) WHERE rn = 1),
+         fwB AS (SELECT * FROM (
+                   SELECT *, row_number() OVER (PARTITION BY id ORDER BY filename) AS rn
+                   FROM rawB) WHERE rn = 1),
+         oA AS (SELECT CAST(id AS VARCHAR) AS k,
+             md5(coalesce(strftime(CAST(created_at AS TIMESTAMP), '%Y-%m-%d %H:%M:%S'), 'NULL') || '|' ||
+                 coalesce(strftime(CAST(updated_at AS TIMESTAMP), '%Y-%m-%d %H:%M:%S'), 'NULL') || '|' ||
+                 coalesce(strftime(CAST(processed_at AS TIMESTAMP), '%Y-%m-%d %H:%M:%S'), 'NULL') || '|' ||
+                 CAST(CAST(round(coalesce(CAST(subtotal_price AS DOUBLE), 0.0) * 100, 0) AS BIGINT) AS VARCHAR) || '|' ||
+                 CAST(CAST(round(coalesce(CAST(total_tax AS DOUBLE), 0.0) * 100, 0) AS BIGINT) AS VARCHAR) || '|' ||
+                 CAST(CAST(round(coalesce(CAST(total_price AS DOUBLE), 0.0) * 100, 0) AS BIGINT) AS VARCHAR) || '|' ||
+                 coalesce(financial_status, '') || '|' || coalesce(fulfillment_status, '') || '|' ||
+                 coalesce(currency, '') || '|' || coalesce(source_name, '') || '|' ||
+                 coalesce(CAST(customer.id AS VARCHAR), 'NULL')) AS fp
+           FROM fwA),
+         oB AS (SELECT CAST(id AS VARCHAR) AS k,
+             md5(coalesce(strftime(CAST(created_at AS TIMESTAMP), '%Y-%m-%d %H:%M:%S'), 'NULL') || '|' ||
+                 coalesce(strftime(CAST(updated_at AS TIMESTAMP), '%Y-%m-%d %H:%M:%S'), 'NULL') || '|' ||
+                 coalesce(strftime(CAST(processed_at AS TIMESTAMP), '%Y-%m-%d %H:%M:%S'), 'NULL') || '|' ||
+                 CAST(CAST(round(coalesce(CAST(subtotal_price AS DOUBLE), 0.0) * 100, 0) AS BIGINT) AS VARCHAR) || '|' ||
+                 CAST(CAST(round(coalesce(CAST(total_tax AS DOUBLE), 0.0) * 100, 0) AS BIGINT) AS VARCHAR) || '|' ||
+                 CAST(CAST(round(coalesce(CAST(total_price AS DOUBLE), 0.0) * 100, 0) AS BIGINT) AS VARCHAR) || '|' ||
+                 coalesce(financial_status, '') || '|' || coalesce(fulfillment_status, '') || '|' ||
+                 coalesce(currency, '') || '|' || coalesce(source_name, '') || '|' ||
+                 coalesce(CAST(customer.id AS VARCHAR), 'NULL')) AS fp
+           FROM fwB),
+         liA AS (SELECT CAST(id AS VARCHAR) || '/' || CAST(line_items[pos].product_id AS VARCHAR)
+                   || '/' || CAST(line_items[pos].variant_id AS VARCHAR) AS k,
+             md5(coalesce(line_items[pos].name, '') || '|' ||
+                 CAST(CAST(round(coalesce(CAST(line_items[pos].price AS DOUBLE), 0.0) * 100, 0) AS BIGINT) AS VARCHAR) || '|' ||
+                 CAST(coalesce(line_items[pos].quantity, 0) AS VARCHAR) || '|' ||
+                 coalesce(line_items[pos].vendor, '')) AS fp
+           FROM fwA, unnest(generate_series(1, len(line_items))) AS t(pos)),
+         liB AS (SELECT CAST(id AS VARCHAR) || '/' || CAST(line_items[pos].product_id AS VARCHAR)
+                   || '/' || CAST(line_items[pos].variant_id AS VARCHAR) AS k,
+             md5(coalesce(line_items[pos].name, '') || '|' ||
+                 CAST(CAST(round(coalesce(CAST(line_items[pos].price AS DOUBLE), 0.0) * 100, 0) AS BIGINT) AS VARCHAR) || '|' ||
+                 CAST(coalesce(line_items[pos].quantity, 0) AS VARCHAR) || '|' ||
+                 coalesce(line_items[pos].vendor, '')) AS fp
+           FROM fwB, unnest(generate_series(1, len(line_items))) AS t(pos)),
+         cA AS (SELECT CAST(customer.id AS VARCHAR) AS k,
+             md5(coalesce(customer.email, '') || '|' ||
+                 coalesce(strftime(CAST(customer.created_at AS TIMESTAMP), '%Y-%m-%d %H:%M:%S'), 'NULL') || '|' ||
+                 coalesce(customer.first_name, '') || '|' || coalesce(customer.last_name, '') || '|' ||
+                 coalesce(customer.phone, '') || '|' ||
+                 CAST(CAST(coalesce(customer.verified_email, false) AS INT) AS VARCHAR)) AS fp
+           FROM fwA WHERE customer IS NOT NULL AND customer.id IS NOT NULL),
+         cB AS (SELECT CAST(customer.id AS VARCHAR) AS k,
+             md5(coalesce(customer.email, '') || '|' ||
+                 coalesce(strftime(CAST(customer.created_at AS TIMESTAMP), '%Y-%m-%d %H:%M:%S'), 'NULL') || '|' ||
+                 coalesce(customer.first_name, '') || '|' || coalesce(customer.last_name, '') || '|' ||
+                 coalesce(customer.phone, '') || '|' ||
+                 CAST(CAST(coalesce(customer.verified_email, false) AS INT) AS VARCHAR)) AS fp
+           FROM fwB WHERE customer IS NOT NULL AND customer.id IS NOT NULL),
+         shA AS (SELECT CAST(id AS VARCHAR) AS k,
+             md5(coalesce(shipping_address.first_name, '') || '|' ||
+                 coalesce(shipping_address.last_name, '') || '|' ||
+                 coalesce(shipping_address.address1, '') || '|' ||
+                 coalesce(shipping_address.city, '') || '|' ||
+                 coalesce(shipping_address.province, '') || '|' ||
+                 coalesce(shipping_address.country, '') || '|' ||
+                 coalesce(shipping_address.zip, '')) AS fp
+           FROM fwA WHERE shipping_address IS NOT NULL),
+         shB AS (SELECT CAST(id AS VARCHAR) AS k,
+             md5(coalesce(shipping_address.first_name, '') || '|' ||
+                 coalesce(shipping_address.last_name, '') || '|' ||
+                 coalesce(shipping_address.address1, '') || '|' ||
+                 coalesce(shipping_address.city, '') || '|' ||
+                 coalesce(shipping_address.province, '') || '|' ||
+                 coalesce(shipping_address.country, '') || '|' ||
+                 coalesce(shipping_address.zip, '')) AS fp
+           FROM fwB WHERE shipping_address IS NOT NULL),
+         dA AS (SELECT CAST(id AS VARCHAR) || '/' || coalesce(dc.code, '') AS k,
+             md5(CAST(CAST(round(coalesce(CAST(dc.amount AS DOUBLE), 0.0) * 100, 0) AS BIGINT) AS VARCHAR)) AS fp
+           FROM (SELECT id, unnest(discount_codes) AS dc FROM fwA)),
+         dB AS (SELECT CAST(id AS VARCHAR) || '/' || coalesce(dc.code, '') AS k,
+             md5(CAST(CAST(round(coalesce(CAST(dc.amount AS DOUBLE), 0.0) * 100, 0) AS BIGINT) AS VARCHAR)) AS fp
+           FROM (SELECT id, unnest(discount_codes) AS dc FROM fwB)),
+         mcA AS (SELECT CAST(customer.id AS VARCHAR) AS k,
+             md5((CASE WHEN customer.accepts_marketing THEN 'yes' ELSE 'no' END) || '|') AS fp
+           FROM fwA WHERE customer IS NOT NULL AND customer.id IS NOT NULL),
+         mcB AS (SELECT CAST(customer.id AS VARCHAR) AS k,
+             md5((CASE WHEN customer.accepts_marketing THEN 'yes' ELSE 'no' END) || '|') AS fp
+           FROM fwB WHERE customer IS NOT NULL AND customer.id IS NOT NULL)
+         SELECT entity, k, fp FROM (
+           SELECT 'orders' AS entity, k, fp FROM oB
+           UNION ALL SELECT 'orders', k, fp FROM oA WHERE k NOT IN (SELECT k FROM oB)
+           UNION ALL SELECT 'line_items', k, fp FROM liB
+           UNION ALL SELECT 'line_items', k, fp FROM liA WHERE k NOT IN (SELECT k FROM liB)
+           UNION ALL SELECT 'customers', k, fp FROM cB
+           UNION ALL SELECT 'customers', k, fp FROM cA WHERE k NOT IN (SELECT k FROM cB)
+           UNION ALL SELECT 'shipping_addresses', k, fp FROM shB
+           UNION ALL SELECT 'shipping_addresses', k, fp FROM shA WHERE k NOT IN (SELECT k FROM shB)
+           UNION ALL SELECT 'discount_codes', k, fp FROM dB
+           UNION ALL SELECT 'discount_codes', k, fp FROM dA WHERE k NOT IN (SELECT k FROM dB)
+           UNION ALL SELECT 'marketing_consent', k, fp FROM mcB
+           UNION ALL SELECT 'marketing_consent', k, fp FROM mcA WHERE k NOT IN (SELECT k FROM mcB))
          ORDER BY entity, k, fp""",
   )
 

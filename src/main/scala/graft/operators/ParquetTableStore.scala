@@ -47,7 +47,12 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
     * readable by the v2 merge codec (Spark's default may be INT96). */
   private def publish(name: String, df: DataFrame): Unit = {
     val tmp = new Path(s"$warehouse/_tmp_$name")
-    withMicrosTimestamps(spark) {
+    // Pin the conf on the FRAME's session, not the store's: inside a
+    // streaming foreachBatch the batch frame belongs to a cloned session
+    // with isolated conf, and a pin on the outer session would not reach
+    // the write — the publish would emit INT96 files the merge codec
+    // cannot read back (caught by IncrementalSpec's batch-twin test).
+    withMicrosTimestamps(df.sparkSession) {
       df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     }
     val dst = new Path(path(name))
@@ -70,7 +75,16 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
     * to one row per key first, so the table invariant "at most one row per
     * (null-safe) key" holds inductively — which is also what keeps the MERGE
     * cardinality check (one source row per target row) satisfied. */
-  def upsert(name: String, updates: DataFrame, keys: Seq[String]): Long = {
+  def upsert(name: String, updates: DataFrame, keys: Seq[String]): Long =
+    upsert(name, updates, keys, countAfter = true)
+
+  /** As [[upsert]]; `countAfter = false` skips the post-merge row count
+    * (an extra O(table) job per call) and returns -1 — for callers like
+    * the incremental lifecycle that upsert six tables per round and read
+    * counts from their own telemetry, the 12 count jobs per round are
+    * pure overhead. */
+  def upsert(name: String, updates: DataFrame, keys: Seq[String],
+             countAfter: Boolean): Long = {
     read(name) match {
       case Some(current) =>
         checkNumericParity(name, current.schema, updates.schema)
@@ -81,7 +95,7 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
         publish(name, Upsert.keyDedup(updates, keys))
     }
     maybeCompact(name)
-    spark.read.parquet(path(name)).count()
+    if (countAfter) spark.read.parquet(path(name)).count() else -1L
   }
 
   /** Money-representation guard (ADVICE r4): a Dec-mode batch merged into
@@ -173,7 +187,9 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
     // merge join.
     val stage = new Path(s"$warehouse/_merge_src_$name")
     val stageFs = fs(stage)
-    withMicrosTimestamps(spark) {
+    // updates.sparkSession, not the store's: see publish (foreachBatch
+    // frames carry a cloned session with isolated conf)
+    withMicrosTimestamps(updates.sparkSession) {
       Upsert.keyDedup(updates, keys)
         .write.mode(SaveMode.Overwrite).parquet(stage.toString)
     }
@@ -227,7 +243,7 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
         "a stored NULL partition, so stored rows there would be silently dropped). " +
         "Clean or default the partition column upstream.")
     if (!fs(dst).exists(dst)) {
-      withMicrosTimestamps(spark) {
+      withMicrosTimestamps(updates.sparkSession) {
         Upsert.keyDedup(updates, keys).write.partitionBy(partitionCol)
           .mode(SaveMode.Overwrite).parquet(dst.toString)
       }
@@ -246,7 +262,7 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
       val tmp = new Path(s"$warehouse/_tmp_${name}_upsert")
       val f = fs(dst)
       if (f.exists(tmp)) f.delete(tmp, true)
-      withMicrosTimestamps(spark) {
+      withMicrosTimestamps(updates.sparkSession) {
         Upsert.merge(affected, updates, keys).write.partitionBy(partitionCol)
           .mode(SaveMode.Overwrite).parquet(tmp.toString)
       }

@@ -29,6 +29,59 @@ class IncrementalSpec extends SparkSpec {
     assert(spark.read.parquet(s"$wh/orders").count() == 4)
   }
 
+  test("streaming run and runBatchTwin produce the identical warehouse (q69's twin proof)") {
+    // Fixture whose micro-batches align with batch rounds: one file per
+    // trigger (maxFilesPerTrigger=1), explicit modification times pin the
+    // stream's file order to the twin's round order. The round-3 row for
+    // 3001 is an UPDATE arriving well outside the 1 h dedup window:
+    // 3002's 13:00 event pushes the round-1 watermark to 12:00, past
+    // 3001's dedup-state expiry (entry time + 1 h delay = 11:31), and
+    // state cleanup runs at the END of the batch where the watermark has
+    // passed it — hence the middle round, after which the update flows to
+    // the MERGE. The same round-3-wins outcome is what the batch twin
+    // computes. An update arriving INSIDE the 1 h window is deliberately
+    // swallowed by both the stream (dropDuplicatesWithinWatermark) and
+    // the reference (its 1 h overlap re-fetch assumes at-least-once
+    // redelivery of the same version).
+    val pages = Files.createTempDirectory("graft_twin_pages").toString
+    val fixture = Seq(
+      "r0.ndjson" -> (
+        """{"id":3001,"created_at":"2024-05-01T10:00:00+00:00","updated_at":"2024-05-01T10:30:00+00:00","processed_at":"2024-05-01T10:00:05+00:00","subtotal_price":"10.00","total_price":"11.00","total_tax":"1.00","financial_status":"paid","currency":"USD","customer":{"id":701,"email":"x@y.z","created_at":"2023-01-01T00:00:00+00:00","first_name":"X","last_name":"Y","verified_email":true,"accepts_marketing":true},"line_items":[{"product_id":1,"variant_id":1,"name":"A","price":"10.00","quantity":1,"vendor":"V"}]}""" + "\n" +
+        """{"id":3001,"created_at":"2024-05-01T10:00:00+00:00","updated_at":"2024-05-01T10:31:00+00:00","processed_at":"2024-05-01T10:00:05+00:00","subtotal_price":"99.00","total_price":"99.00","total_tax":"0.00","financial_status":"decoy","currency":"USD","line_items":[]}""" + "\n" +
+        """{"id":3002,"created_at":"2024-05-01T11:00:00+00:00","updated_at":"2024-05-01T13:00:00+00:00","processed_at":"2024-05-01T11:00:05+00:00","subtotal_price":"20.00","total_price":"22.00","total_tax":"2.00","financial_status":"paid","currency":"USD","line_items":[{"product_id":2,"variant_id":2,"name":"B","price":"20.00","quantity":2,"vendor":"V"}]}""" + "\n"),
+      "r1.ndjson" -> (
+        """{"id":3005,"created_at":"2024-05-01T14:00:00+00:00","updated_at":"2024-05-01T14:30:00+00:00","processed_at":"2024-05-01T14:00:05+00:00","subtotal_price":"5.00","total_price":"5.00","total_tax":"0.00","financial_status":"paid","currency":"USD","line_items":[{"product_id":5,"variant_id":5,"name":"Mid","price":"5.00","quantity":1,"vendor":"V"}]}""" + "\n"),
+      "r2.ndjson" -> (
+        """{"id":3001,"created_at":"2024-05-01T10:00:00+00:00","updated_at":"2024-05-02T09:00:00+00:00","processed_at":"2024-05-01T10:00:05+00:00","subtotal_price":"15.00","total_price":"16.50","total_tax":"1.50","financial_status":"paid","fulfillment_status":"shipped","currency":"USD","customer":{"id":701,"email":"new@y.z","created_at":"2023-01-01T00:00:00+00:00","first_name":"X","last_name":"Y","verified_email":true,"accepts_marketing":false},"line_items":[{"product_id":1,"variant_id":1,"name":"A","price":"15.00","quantity":3,"vendor":"V"}]}""" + "\n" +
+        """{"id":3003,"created_at":"2024-05-02T08:00:00+00:00","updated_at":"2024-05-02T08:30:00+00:00","processed_at":"2024-05-02T08:00:05+00:00","subtotal_price":"30.00","total_price":"33.00","total_tax":"3.00","financial_status":"paid","currency":"USD","line_items":[{"product_id":3,"variant_id":3,"name":"C","price":"30.00","quantity":1,"vendor":"W"}]}""" + "\n"))
+    val files = fixture.zipWithIndex.map { case ((name, content), i) =>
+      val p = java.nio.file.Paths.get(pages, name)
+      java.nio.file.Files.writeString(p, content)
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 100000L))
+      p
+    }
+
+    val whStream = Files.createTempDirectory("graft_twin_whs").toString
+    val whBatch = Files.createTempDirectory("graft_twin_whb").toString
+    val cp = Files.createTempDirectory("graft_twin_cp").toString
+    Incremental.run(spark, pages, whStream, cp).awaitTermination(120000)
+
+    // batch twin: one round per file, in the same order
+    val rounds = files.map { f =>
+      val dir = Files.createTempDirectory("graft_twin_round").toString
+      java.nio.file.Files.copy(f, java.nio.file.Paths.get(dir, f.getFileName.toString))
+      dir
+    }
+    Incremental.runBatchTwin(spark, rounds, whBatch)
+
+    for (t <- Schemas.uniqueKeys.keys) {
+      val a = spark.read.parquet(s"$whStream/$t").collect().map(_.toSeq).toSet
+      val b = spark.read.parquet(s"$whBatch/$t").collect().map(_.toSeq).toSet
+      assert(a == b, s"table $t diverges between stream and batch twin:\n$a\nvs\n$b")
+    }
+  }
+
   test("stream-static enrichment join: streaming events pick up static dimension columns") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((13L, "gold"), (12L, "silver")).toDF("user_id", "tier")
