@@ -985,6 +985,29 @@ object SparkEntry {
       .orderBy(col("cluster_rep"))
   }
 
+  /** q62's cluster formation through [[Similarity.dedupClustersLogRounds]]
+    * — the O(log n)-round large-star/small-star contraction (Kiveris et
+    * al. SoCC'14) that replaces label propagation when component
+    * diameter is adversarial (pathological boilerplate chains). Same
+    * pair generation, same oracle: the two formulations must be
+    * result-identical on the corpus, and the equivalence is additionally
+    * property-tested on random graphs in SimilaritySpec. */
+  def q70_dedup_clusters_ls(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val cand = Similarity.minhashNearDup(docs, "doc_id", "text", 0.5, maxBucket = 0)
+    val pairs = Similarity.scoreCandidatesJaccard(cand, docs, "doc_id",
+        sub => sub.select(col("doc_id"), Text.tokens(col("text")).as("_w"))
+          .select(col("doc_id"), Similarity.shingleHashesOf(col("_w"), 3).as("g")))
+      .filter(col("jaccard") >= 0.6)
+      .select("id_a", "id_b")
+    Similarity.dedupClustersLogRounds(pairs, docs.select(col("doc_id")), "doc_id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .filter(col("cluster_size") >= 2)
+      .select(col("label").as("cluster_rep"), col("cluster_size"))
+      .orderBy(col("cluster_rep"))
+  }
+
   /** Column-statistics profiling (ANALYZE-style) — the stats-collection
     * pass a warehouse runs before planning and a data pipeline runs for
     * drift monitoring: per column row/null/distinct counts, min/max, and
@@ -1448,6 +1471,7 @@ object SparkEntry {
     "q67_flatten_matrix"    -> (q67_flatten_matrix _),
     "q68_ndjson_roundtrip"  -> (q68_ndjson_roundtrip _),
     "q69_incremental_lifecycle" -> (q69_incremental_lifecycle _),
+    "q70_dedup_clusters_ls" -> (q70_dedup_clusters_ls _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2530,6 +2554,38 @@ object SparkEntry {
            UNION ALL SELECT 'marketing_consent', k, fp FROM mcB
            UNION ALL SELECT 'marketing_consent', k, fp FROM mcA WHERE k NOT IN (SELECT k FROM mcB))
          ORDER BY entity, k, fp""",
+
+    // q70: byte-identical oracle to q62 — star contraction and label
+    // propagation must produce the same clusters, and the oracle's
+    // recursive closure is formulation-independent.
+    "q70_dedup_clusters_ls" ->
+      """WITH RECURSIVE
+         toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(w) - 2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [array_to_string(w, ' ')] END AS g
+           FROM toks),
+         sz AS (SELECT doc_id, len(g) AS n FROM sh),
+         e AS (SELECT doc_id, unnest(g) AS gram FROM sh),
+         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+                FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         p AS (SELECT id_a, id_b
+               FROM pr JOIN sz sa ON sa.doc_id = pr.id_a
+                       JOIN sz sb ON sb.doc_id = pr.id_b
+               WHERE round(CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE), 4) >= 0.6),
+         edges AS (SELECT id_a AS id, id_b AS nb FROM p
+                   UNION ALL SELECT id_b, id_a FROM p),
+         reach(id, r) AS (
+           SELECT id, nb FROM edges
+           UNION
+           SELECT reach.id, e2.nb FROM reach JOIN edges e2 ON e2.id = reach.r),
+         labels AS (SELECT id, least(id, min(r)) AS label FROM reach GROUP BY id)
+         SELECT label AS cluster_rep, count(*) AS cluster_size
+         FROM labels GROUP BY label HAVING count(*) >= 2
+         ORDER BY cluster_rep""",
   )
 
   /** The LangId trigram profile rendered as SQL VALUES rows — the oracle

@@ -356,10 +356,10 @@ object Similarity {
     * shallow (they form around shared content, not long chains), so the
     * loop converges in a handful of rounds. Each round is one shuffle on
     * the node id; labels are localCheckpointed per round so the plan does
-    * not recompute the whole history. At extreme graph scale the
-    * O(log n)-round alternating large-star/small-star algorithm (public:
-    * Kiveris et al., "Connected Components in MapReduce and Beyond",
-    * SoCC'14) drops in behind the same signature. The driver-side loop
+    * not recompute the whole history. At extreme graph scale
+    * [[dedupClustersLogRounds]] (alternating large-star/small-star,
+    * Kiveris et al. SoCC'14) drops in behind the same signature with an
+    * O(log n) round bound. The driver-side loop
     * condition reads ONE count per round — no data is collected.
     * Exceeding `maxRounds` without a fixpoint THROWS: truncated
     * propagation would silently split clusters and let duplicates
@@ -401,11 +401,93 @@ object Similarity {
       s"dedupClusters did not converge in $maxRounds rounds: a component's " +
         "diameter exceeds the bound, and truncated propagation would SILENTLY " +
         "split clusters (duplicates would survive dedup). Raise maxRounds, or " +
-        "switch to the log-round large-star/small-star formulation.")
+        "switch to dedupClustersLogRounds (log-round star contraction, same " +
+        "signature and result — equivalence property-tested).")
     val singletons = nodes.select(col(idCol).as("id"))
       .join(touched, Seq("id"), "left_anti")
       .select(col("id"), col("id").as("label"))
     labels.unionByName(singletons)
+  }
+
+  /** Connected components in O(log n) rounds — the alternating
+    * large-star/small-star algorithm (public: Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) that [[dedupClusters]]
+    * documents as its extreme-scale drop-in: label propagation needs
+    * diameter-many rounds, so a pathological chain-shaped component
+    * (adversarial boilerplate that links A~B~C~... pairwise) would blow
+    * its round bound, while star contraction collapses any component in
+    * logarithmically many rounds regardless of shape.
+    *
+    *  - large-star: per node u, connect every neighbor v > u to
+    *    m = min(N(u) ∪ u);
+    *  - small-star: per node u, connect every neighbor v <= u (and u)
+    *    to m.
+    *
+    * Each half-round is ONE groupBy shuffle on the node id plus a join
+    * back to the (checkpointed) edge set; convergence = the edge set
+    * reaching a fixpoint where every edge points directly at its
+    * component minimum. Returns (id, label) over ALL `nodes`, exactly
+    * like [[dedupClusters]] (equivalence property-tested). */
+  def dedupClustersLogRounds(pairs: DataFrame, nodes: DataFrame, idCol: String,
+                             maxRounds: Int = 30): DataFrame = {
+    // symmetric, self-loop-free, deduped edge set
+    var edges = Checkpoints.materialize(
+      pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+        .filter(col("u") =!= col("v")).distinct())
+    val touched = Checkpoints.materialize(edges.select(col("u").as("id")).distinct())
+
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      // large-star reasons over the FULL neighborhood, so the canonical
+      // (larger -> smaller) set is symmetrized first; small-star operates
+      // on exactly the canonical orientation (paper's formulation)
+      val in =
+        if (large) e.union(e.select(col("v").as("u"), col("u").as("v")))
+        else e
+      // m(u) = min over N(u) and u itself (u is a grouping column)
+      val mins = in.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val joined = in.join(mins, "u")
+      val emitted =
+        if (large)
+          // connect strictly-larger neighbors to the min
+          joined.filter(col("v") > col("u"))
+            .select(col("v").as("u"), col("m").as("v"))
+        else
+          // connect smaller neighbors AND u itself to the min
+          joined.select(col("v").as("u"), col("m").as("v"))
+            .union(mins.select(col("u"), col("m").as("v")))
+      // canonical output: directed u -> v with u > v, no self-loops,
+      // deduped — the fixpoint is each node pointing at its component min
+      emitted.filter(col("u") =!= col("v")).distinct()
+    }
+
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val next = Checkpoints.materialize(star(star(edges, large = true), large = false))
+      // fixpoint when the (canonical, deduped) edge sets are identical;
+      // two anti-joins over checkpointed frames, no data collected
+      converged =
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty &&
+        edges.join(next, Seq("u", "v"), "left_anti").isEmpty
+      Checkpoints.release(edges)
+      edges = next
+      round += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"dedupClustersLogRounds did not converge in $maxRounds rounds " +
+        "(log-bounded contraction should need ~log2(n); raise maxRounds)")
+    // at fixpoint every edge is (node > min) -> component min
+    val labels = edges.groupBy(col("u")).agg(min(col("v")).as("label"))
+      .select(col("u").as("id"), col("label"))
+    val mins = edges.select(col("v").as("id")).distinct()
+      .join(labels, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("label"))
+    val singletons = nodes.select(col(idCol).as("id"))
+      .join(touched, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("label"))
+    labels.unionByName(mins).unionByName(singletons)
   }
 
   // ----------------------------------------------------------------- ANN

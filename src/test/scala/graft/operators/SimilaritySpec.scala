@@ -198,6 +198,38 @@ class SimilaritySpec extends SparkSpec {
     assert(labels == Map(3L -> 3L, 9L -> 3L, 5L -> 3L))
   }
 
+  test("dedupClustersLogRounds ≡ label propagation on seeded random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 12) {
+      val n = 4 + rnd.nextInt(30)
+      val ids = (0 until n).map(_.toLong)
+      val nEdges = rnd.nextInt(2 * n)
+      val edges = Seq.fill(nEdges) {
+        val a = ids(rnd.nextInt(n)); val b = ids(rnd.nextInt(n))
+        (a, b)
+      }.filter(p => p._1 != p._2)
+      val nodes = ids.toDF("doc_id")
+      val pairs = edges.toDF("id_a", "id_b")
+      val lp = Similarity.dedupClusters(pairs, nodes, "doc_id", maxRounds = 64)
+        .as[(Long, Long)].collect().toMap
+      val ls = Similarity.dedupClustersLogRounds(pairs, nodes, "doc_id")
+        .as[(Long, Long)].collect().toMap
+      assert(ls == lp, s"trial $trial (n=$n, edges=$edges): $ls vs $lp")
+    }
+  }
+
+  test("log-rounds contraction collapses a chain label propagation's bound rejects") {
+    // 64-node chain: diameter 63 — label propagation at maxRounds=20 throws
+    // (existing spec), star contraction needs ~log2(64) double-rounds
+    val n = 64
+    val nodes = (0L until n.toLong).toDF("doc_id")
+    val chain = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val labels = Similarity.dedupClustersLogRounds(chain, nodes, "doc_id", maxRounds = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == n && labels.values.forall(_ == 0L),
+      s"chain must collapse to representative 0: $labels")
+  }
+
   test("capBuckets prunes only over-occupied buckets") {
     val df = (Seq.fill(100)("hot") ++ Seq.fill(3)("cold")).zipWithIndex
       .map { case (b, i) => (i.toLong, b) }.toDF("id", "bucket")
