@@ -1053,32 +1053,43 @@ object SparkEntry {
       .orderBy(col("column_name"))
   }
 
+  /** One bucketed-table-pair write per (catalog, sf-dir) per JVM: the
+    * POINT of bucketing is pay-the-shuffle-once-at-write, joins cheap
+    * forever after, so re-bucketing inside every q64 invocation would
+    * make the gate's bench number measure the write, not the
+    * exchange-free join it showcases (VERDICT r5). The key carries the
+    * session's SharedState identity (a second SparkSession with a fresh
+    * in-memory catalog must re-write — catalog metadata died with its
+    * predecessor) and the source dir (a bench and a verify at different
+    * SFs never share a stale table); BOTH tables are written under the
+    * one compute() so concurrent invocations cannot interleave a d1
+    * lineitem table with a d2 orders table. */
+  private val bucketedReady = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureQ64Tables(s: SparkSession, d: String): Unit =
+    // map key = catalog identity, value = the dir whose data the tables
+    // currently hold: switching dirs (and switching BACK) re-writes,
+    // because the writes overwrite the same catalog table names
+    bucketedReady.compute(
+      String.valueOf(System.identityHashCode(s.sharedState)), (_, prev) => {
+        if (prev != d) {
+          Bucketing.writeBucketed(
+            lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice")),
+            "q64_li", "l_orderkey", 8)
+          Bucketing.writeBucketed(
+            orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+            "q64_o", "o_orderkey", 8)
+        }
+        d
+      })
+
   /** Co-located bucketed join gate (operators.Bucketing): both sides
     * written bucketed+sorted on the join key — the pay-the-shuffle-once-
     * at-write strategy for repeatedly-joined warehouse facts — then joined
     * through the catalog with no exchange on either side (plan asserted in
     * BucketingSpec). The gate hashes the RESULT against the plain-join
     * oracle: bucketed layout must change the plan, never the answer. */
-  /** One bucketed-table write per (table, sf-dir) per JVM: the POINT of
-    * bucketing is pay-the-shuffle-once-at-write, joins cheap forever
-    * after, so re-bucketing inside every q64 invocation would make the
-    * gate's bench number measure the write, not the exchange-free join
-    * it showcases (VERDICT r5). Keyed on the source dir so a bench and a
-    * verify run at different SFs never share a stale table. */
-  private val bucketedReady = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def ensureBucketed(table: String, dir: String, write: () => Unit): Unit =
-    bucketedReady.compute(table, (_, prev) => {
-      if (prev != dir) write()
-      dir
-    })
-
   def q64_bucketed_join(s: SparkSession, d: String): DataFrame = {
-    ensureBucketed("q64_li", d, () => Bucketing.writeBucketed(
-      lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice")),
-      "q64_li", "l_orderkey", 8))
-    ensureBucketed("q64_o", d, () => Bucketing.writeBucketed(
-      orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
-      "q64_o", "o_orderkey", 8))
+    ensureQ64Tables(s, d)
     Bucketing.readTable(s, "q64_li")
       .join(Bucketing.readTable(s, "q64_o"), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
@@ -1192,11 +1203,25 @@ object SparkEntry {
       |{"id":1007,"created_at":"2024-03-07T10:00:00+00:00","updated_at":"2024-03-07T10:30:00+00:00","processed_at":"2024-03-07T10:00:05+00:00","subtotal_price":"60.00","total_price":"60.00","total_tax":"0.00","financial_status":"paid","fulfillment_status":"","currency":"USD","source_name":"web","line_items":[{"product_id":9007,"variant_id":8007,"name":"First","price":"60.00","quantity":1,"vendor":"Acme"},{"product_id":9007,"variant_id":8007,"name":"Second","price":"60.00","quantity":5,"vendor":"Acme"}]}
       |""".stripMargin
 
+  /** Canonical cross-engine cell forms shared by the fixture gates
+    * (q67/q69): money as integer cents, timestamps as formatted text
+    * (q42's representation lesson). The DuckDB oracles mirror these
+    * expressions exactly — one shared definition per form, so a future
+    * change cannot drift between gates. */
+  private def centsOf(c: org.apache.spark.sql.Column) =
+    round(c * 100, 0).cast("long").cast("string")
+  private def fmtTs(c: org.apache.spark.sql.Column) =
+    coalesce(date_format(c, "yyyy-MM-dd HH:mm:ss"), lit("NULL"))
+
   private def q67WriteFixture(): Unit = {
-    val dir = java.nio.file.Paths.get(q67FixtureDir)
-    java.nio.file.Files.createDirectories(dir)
-    java.nio.file.Files.writeString(dir.resolve("page_00.ndjson"), q67Page00)
-    java.nio.file.Files.writeString(dir.resolve("page_01.ndjson"), q67Page01)
+    // clean slate: Spark reads the whole directory while the oracle globs
+    // '*.ndjson' — a stale file (older fixture revision, other tooling)
+    // would make the two engines read different row sets
+    val dir = new java.io.File(q67FixtureDir)
+    if (dir.exists) dir.listFiles().foreach(_.delete())
+    java.nio.file.Files.createDirectories(dir.toPath)
+    java.nio.file.Files.writeString(dir.toPath.resolve("page_00.ndjson"), q67Page00)
+    java.nio.file.Files.writeString(dir.toPath.resolve("page_01.ndjson"), q67Page01)
   }
 
   /** Flatten/normalization matrix gate (VERDICT r5 next-round #2): raw
@@ -1213,12 +1238,9 @@ object SparkEntry {
     q67WriteFixture()
     val raw = graft.sources.PagedNdjsonSource.read(s, q67FixtureDir, Schemas.rawOrder)
     val fw = Dedup.firstWins(raw, Seq("id"), "_arrival_order")
-    def cents(c: org.apache.spark.sql.Column) =
-      round(c * 100, 0).cast("long").cast("string")
     val cust = Flatten.customers(fw).select(lit("customers").as("entity"),
       col("customer_id").as("k"),
-      md5(concat(col("email"), lit("|"),
-        coalesce(date_format(col("created_at"), "yyyy-MM-dd HH:mm:ss"), lit("NULL")),
+      md5(concat(col("email"), lit("|"), fmtTs(col("created_at")),
         lit("|"), col("first_name"), lit("|"), col("last_name"), lit("|"),
         col("phone"), lit("|"),
         col("verified_email").cast("int").cast("string"))).as("fp"))
@@ -1232,13 +1254,13 @@ object SparkEntry {
         lit("|"), col("country"), lit("|"), col("zip"))).as("fp"))
     val disc = Flatten.discountCodes(fw).select(lit("discount_codes").as("entity"),
       col("order_id").as("k"),
-      md5(concat(col("code"), lit("|"), cents(col("amount")))).as("fp"))
+      md5(concat(col("code"), lit("|"), centsOf(col("amount")))).as("fp"))
     val li = Dedup.compositeKeyDedup(Flatten.lineItemsOrdered(fw),
         Seq("order_id", "product_id", "variant_id"), "__pos")
       .select(lit("line_items").as("entity"), col("order_id").as("k"),
         md5(concat(coalesce(col("product_id"), lit("NULL")), lit("|"),
           coalesce(col("variant_id"), lit("NULL")), lit("|"),
-          col("product_name"), lit("|"), cents(col("price")), lit("|"),
+          col("product_name"), lit("|"), centsOf(col("price")), lit("|"),
           col("quantity").cast("string"), lit("|"), col("vendor"))).as("fp"))
     cust.unionByName(cons).unionByName(ship).unionByName(disc).unionByName(li)
       .orderBy(col("entity"), col("k"), col("fp"))
@@ -1289,7 +1311,11 @@ object SparkEntry {
         countDistinct(col("o_orderkey")).as("n_keys"))
     // the dead-letter reader must split the same directory identically:
     // good rows = typed, dead rows = the planted junk (quarantined, not
-    // silently vanished) — pinned as two more groups under the same hash
+    // silently vanished) — pinned as two more groups under the same hash.
+    // Counting both sides pays the shared lazy parse twice (the cost
+    // readWithDeadLetter's scaladoc warns bulk callers about) — accepted
+    // here: the fixture is bounded and the gate wants the reader's OWN
+    // split, not a re-derivation of it.
     val (good, dead) =
       graft.sources.PagedNdjsonSource.readWithDeadLetter(s, pages, declared)
     val split = toSplitDf(s, Seq(
@@ -1361,26 +1387,22 @@ object SparkEntry {
       s, Seq(s"$base/roundA", s"$base/roundB"), s"$base/warehouse")
 
     def t(name: String) = s.read.parquet(s"$base/warehouse/$name")
-    def fmt(c: org.apache.spark.sql.Column) =
-      coalesce(date_format(c, "yyyy-MM-dd HH:mm:ss"), lit("NULL"))
-    def cents(c: org.apache.spark.sql.Column) =
-      round(c * 100, 0).cast("long").cast("string")
     val ords = t("orders").select(lit("orders").as("entity"),
       col("order_id").as("k"),
-      md5(concat(fmt(col("created_at")), lit("|"), fmt(col("updated_at")),
-        lit("|"), fmt(col("processed_at")), lit("|"),
-        cents(col("subtotal_price")), lit("|"), cents(col("total_tax")),
-        lit("|"), cents(col("total_price")), lit("|"),
+      md5(concat(fmtTs(col("created_at")), lit("|"), fmtTs(col("updated_at")),
+        lit("|"), fmtTs(col("processed_at")), lit("|"),
+        centsOf(col("subtotal_price")), lit("|"), centsOf(col("total_tax")),
+        lit("|"), centsOf(col("total_price")), lit("|"),
         col("financial_status"), lit("|"), col("fulfillment_status"),
         lit("|"), col("currency"), lit("|"), col("source_name"), lit("|"),
         coalesce(col("customer_id"), lit("NULL")))).as("fp"))
     val lis = t("line_items").select(lit("line_items").as("entity"),
       concat_ws("/", col("order_id"), col("product_id"), col("variant_id")).as("k"),
-      md5(concat(col("product_name"), lit("|"), cents(col("price")), lit("|"),
+      md5(concat(col("product_name"), lit("|"), centsOf(col("price")), lit("|"),
         col("quantity").cast("string"), lit("|"), col("vendor"))).as("fp"))
     val custs = t("customers").select(lit("customers").as("entity"),
       col("customer_id").as("k"),
-      md5(concat(col("email"), lit("|"), fmt(col("created_at")), lit("|"),
+      md5(concat(col("email"), lit("|"), fmtTs(col("created_at")), lit("|"),
         col("first_name"), lit("|"), col("last_name"), lit("|"), col("phone"),
         lit("|"), col("verified_email").cast("int").cast("string"))).as("fp"))
     val ships = t("shipping_addresses").select(lit("shipping_addresses").as("entity"),
@@ -1390,7 +1412,7 @@ object SparkEntry {
         lit("|"), col("country"), lit("|"), col("zip"))).as("fp"))
     val discs = t("discount_codes").select(lit("discount_codes").as("entity"),
       concat_ws("/", col("order_id"), col("code")).as("k"),
-      md5(cents(col("amount"))).as("fp"))
+      md5(centsOf(col("amount"))).as("fp"))
     val cons = t("marketing_consent").select(lit("marketing_consent").as("entity"),
       col("customer_id").as("k"),
       md5(concat(col("email_consent"), lit("|"), col("sms_consent"))).as("fp"))

@@ -47,19 +47,23 @@ object RangeJoin {
     ((us - pmod(us, lit(widthUs))) / lit(widthUs)).cast("long")
   }
 
-  /** Enforce the fixed-offset assumption bucketOf's NTZ→TIMESTAMP cast
-    * relies on, but only when an NTZ column is actually involved —
-    * instant (TIMESTAMP) columns extract epoch micros zone-independently. */
+  /** Enforce the fixed-offset assumption bucketOf's cast-to-TIMESTAMP
+    * relies on. Instant (TIMESTAMP) columns extract epoch micros
+    * zone-independently; EVERY other bucketable type — TIMESTAMP_NTZ,
+    * STRING timestamps without an explicit offset, DATE — goes through
+    * the same session-zone local-to-instant mapping, so all of them are
+    * guarded, not just NTZ. */
   private def requireFixedOffsetForNtz(df: DataFrame, cols: Seq[String]): Unit = {
-    val ntz = cols.filter(c =>
-      df.schema(c).dataType == org.apache.spark.sql.types.TimestampNTZType)
-    if (ntz.nonEmpty) {
+    val local = cols.filter(c =>
+      df.schema(c).dataType != org.apache.spark.sql.types.TimestampType)
+    if (local.nonEmpty) {
       val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
       require(java.time.ZoneId.of(tz).getRules.isFixedOffset,
-        s"pointInInterval on TIMESTAMP_NTZ column(s) ${ntz.mkString(", ")} requires a " +
-          s"fixed-offset session timezone (got '$tz'): DST gaps make the local-to-" +
-          "instant bucket mapping non-monotonic, which can silently drop matches. " +
-          "Set spark.sql.session.timeZone to UTC or a fixed offset.")
+        s"pointInInterval on non-instant column(s) ${local.mkString(", ")} (NTZ/string/" +
+          s"date) requires a fixed-offset session timezone (got '$tz'): DST gaps make " +
+          "the local-to-instant bucket mapping non-monotonic, which can silently drop " +
+          "matches. Set spark.sql.session.timeZone to UTC or a fixed offset, or cast " +
+          "to TIMESTAMP with an explicit zone upstream.")
     }
   }
 

@@ -65,7 +65,9 @@ class IncrementalSpec extends SparkSpec {
     val whStream = Files.createTempDirectory("graft_twin_whs").toString
     val whBatch = Files.createTempDirectory("graft_twin_whb").toString
     val cp = Files.createTempDirectory("graft_twin_cp").toString
-    Incremental.run(spark, pages, whStream, cp).awaitTermination(120000)
+    assert(Incremental.run(spark, pages, whStream, cp).awaitTermination(120000),
+      "streaming query did not finish within the timeout — comparing a " +
+        "partially-built warehouse would produce a misleading diff")
 
     // batch twin: one round per file, in the same order
     val rounds = files.map { f =>
