@@ -1068,10 +1068,13 @@ object SparkEntry {
   private def ensureQ64Tables(s: SparkSession, d: String): Unit =
     // map key = catalog identity, value = the dir whose data the tables
     // currently hold: switching dirs (and switching BACK) re-writes,
-    // because the writes overwrite the same catalog table names
+    // because the writes overwrite the same catalog table names. The
+    // tableExists check backstops identity-hash reuse (a GC'd SharedState's
+    // address can be handed to a fresh catalog that holds no tables).
     bucketedReady.compute(
       String.valueOf(System.identityHashCode(s.sharedState)), (_, prev) => {
-        if (prev != d) {
+        if (prev != d || !s.catalog.tableExists("q64_li") ||
+            !s.catalog.tableExists("q64_o")) {
           Bucketing.writeBucketed(
             lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice")),
             "q64_li", "l_orderkey", 8)

@@ -49,13 +49,16 @@ object RangeJoin {
 
   /** Enforce the fixed-offset assumption bucketOf's cast-to-TIMESTAMP
     * relies on. Instant (TIMESTAMP) columns extract epoch micros
-    * zone-independently; EVERY other bucketable type — TIMESTAMP_NTZ,
-    * STRING timestamps without an explicit offset, DATE — goes through
-    * the same session-zone local-to-instant mapping, so all of them are
-    * guarded, not just NTZ. */
+    * zone-independently, and so do NUMERIC epoch columns (long/double →
+    * timestamp is an instant conversion); the LOCAL types — TIMESTAMP_NTZ,
+    * STRING timestamps without an explicit offset, DATE — go through the
+    * session-zone local-to-instant mapping and are the ones guarded. */
   private def requireFixedOffsetForNtz(df: DataFrame, cols: Seq[String]): Unit = {
-    val local = cols.filter(c =>
-      df.schema(c).dataType != org.apache.spark.sql.types.TimestampType)
+    import org.apache.spark.sql.types.{DateType, StringType, TimestampNTZType}
+    val local = cols.filter(c => df.schema(c).dataType match {
+      case TimestampNTZType | StringType | DateType => true
+      case _ => false
+    })
     if (local.nonEmpty) {
       val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
       require(java.time.ZoneId.of(tz).getRules.isFixedOffset,
