@@ -1065,25 +1065,38 @@ object SparkEntry {
     * one compute() so concurrent invocations cannot interleave a d1
     * lineitem table with a d2 orders table. */
   private val bucketedReady = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def ensureQ64Tables(s: SparkSession, d: String): Unit =
+  private val bucketedLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def ensureQ64Tables(s: SparkSession, d: String): Unit = {
     // map key = catalog identity, value = the dir whose data the tables
     // currently hold: switching dirs (and switching BACK) re-writes,
     // because the writes overwrite the same catalog table names. The
     // tableExists check backstops identity-hash reuse (a GC'd SharedState's
     // address can be handed to a fresh catalog that holds no tables).
-    bucketedReady.compute(
-      String.valueOf(System.identityHashCode(s.sharedState)), (_, prev) => {
-        if (prev != d || !s.catalog.tableExists("q64_li") ||
-            !s.catalog.tableExists("q64_o")) {
-          Bucketing.writeBucketed(
-            lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice")),
-            "q64_li", "l_orderkey", 8)
-          Bucketing.writeBucketed(
-            orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
-            "q64_o", "o_orderkey", 8)
-        }
-        d
-      })
+    // Serialization is a per-key monitor rather than compute()'s own
+    // locking because the READY mark must be REMOVED before the writes
+    // start: compute() keeps the previous mapping when the remapping
+    // function throws, so a write failure after q64_li committed (with
+    // the NEW dir's data) would leave a mapping still naming the OLD dir
+    // — a later call with that old dir would see prev==d plus both
+    // tables present and silently skip the rewrite, joining mixed-dir
+    // tables. With remove-first, any failure leaves NO mapping and the
+    // next call rewrites both tables unconditionally.
+    val key = String.valueOf(System.identityHashCode(s.sharedState))
+    val lock = bucketedLocks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      if (bucketedReady.get(key) != d || !s.catalog.tableExists("q64_li") ||
+          !s.catalog.tableExists("q64_o")) {
+        bucketedReady.remove(key)
+        Bucketing.writeBucketed(
+          lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice")),
+          "q64_li", "l_orderkey", 8)
+        Bucketing.writeBucketed(
+          orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+          "q64_o", "o_orderkey", 8)
+        bucketedReady.put(key, d)
+      }
+    }
+  }
 
   /** Co-located bucketed join gate (operators.Bucketing): both sides
     * written bucketed+sorted on the join key — the pay-the-shuffle-once-
@@ -1399,8 +1412,15 @@ object SparkEntry {
         col("financial_status"), lit("|"), col("fulfillment_status"),
         lit("|"), col("currency"), lit("|"), col("source_name"), lit("|"),
         coalesce(col("customer_id"), lit("NULL")))).as("fp"))
+    // Key segments carry an explicit NULL sentinel: bare concat_ws SKIPS
+    // null columns, which both diverges from the oracle's NULL-propagating
+    // `||` and collides (1, NULL, 3) with (1, 3, NULL) into one key
+    // (ADVICE r6 #4). With every segment coalesced, concat_ws ≡ concat.
+    def seg(c: org.apache.spark.sql.Column) =
+      coalesce(c.cast("string"), lit("NULL"))
     val lis = t("line_items").select(lit("line_items").as("entity"),
-      concat_ws("/", col("order_id"), col("product_id"), col("variant_id")).as("k"),
+      concat_ws("/", seg(col("order_id")), seg(col("product_id")),
+        seg(col("variant_id"))).as("k"),
       md5(concat(col("product_name"), lit("|"), centsOf(col("price")), lit("|"),
         col("quantity").cast("string"), lit("|"), col("vendor"))).as("fp"))
     val custs = t("customers").select(lit("customers").as("entity"),
@@ -1414,7 +1434,7 @@ object SparkEntry {
         col("address1"), lit("|"), col("city"), lit("|"), col("province"),
         lit("|"), col("country"), lit("|"), col("zip"))).as("fp"))
     val discs = t("discount_codes").select(lit("discount_codes").as("entity"),
-      concat_ws("/", col("order_id"), col("code")).as("k"),
+      concat_ws("/", seg(col("order_id")), seg(col("code"))).as("k"),
       md5(centsOf(col("amount"))).as("fp"))
     val cons = t("marketing_consent").select(lit("marketing_consent").as("entity"),
       col("customer_id").as("k"),
@@ -2507,15 +2527,17 @@ object SparkEntry {
                  coalesce(currency, '') || '|' || coalesce(source_name, '') || '|' ||
                  coalesce(CAST(customer.id AS VARCHAR), 'NULL')) AS fp
            FROM fwB),
-         liA AS (SELECT CAST(id AS VARCHAR) || '/' || CAST(line_items[pos].product_id AS VARCHAR)
-                   || '/' || CAST(line_items[pos].variant_id AS VARCHAR) AS k,
+         liA AS (SELECT coalesce(CAST(id AS VARCHAR), 'NULL') || '/' ||
+                   coalesce(CAST(line_items[pos].product_id AS VARCHAR), 'NULL') || '/' ||
+                   coalesce(CAST(line_items[pos].variant_id AS VARCHAR), 'NULL') AS k,
              md5(coalesce(line_items[pos].name, '') || '|' ||
                  CAST(CAST(round(coalesce(CAST(line_items[pos].price AS DOUBLE), 0.0) * 100, 0) AS BIGINT) AS VARCHAR) || '|' ||
                  CAST(coalesce(line_items[pos].quantity, 0) AS VARCHAR) || '|' ||
                  coalesce(line_items[pos].vendor, '')) AS fp
            FROM fwA, unnest(generate_series(1, len(line_items))) AS t(pos)),
-         liB AS (SELECT CAST(id AS VARCHAR) || '/' || CAST(line_items[pos].product_id AS VARCHAR)
-                   || '/' || CAST(line_items[pos].variant_id AS VARCHAR) AS k,
+         liB AS (SELECT coalesce(CAST(id AS VARCHAR), 'NULL') || '/' ||
+                   coalesce(CAST(line_items[pos].product_id AS VARCHAR), 'NULL') || '/' ||
+                   coalesce(CAST(line_items[pos].variant_id AS VARCHAR), 'NULL') AS k,
              md5(coalesce(line_items[pos].name, '') || '|' ||
                  CAST(CAST(round(coalesce(CAST(line_items[pos].price AS DOUBLE), 0.0) * 100, 0) AS BIGINT) AS VARCHAR) || '|' ||
                  CAST(coalesce(line_items[pos].quantity, 0) AS VARCHAR) || '|' ||
@@ -2553,10 +2575,10 @@ object SparkEntry {
                  coalesce(shipping_address.country, '') || '|' ||
                  coalesce(shipping_address.zip, '')) AS fp
            FROM fwB WHERE shipping_address IS NOT NULL),
-         dA AS (SELECT CAST(id AS VARCHAR) || '/' || coalesce(dc.code, '') AS k,
+         dA AS (SELECT coalesce(CAST(id AS VARCHAR), 'NULL') || '/' || coalesce(dc.code, 'NULL') AS k,
              md5(CAST(CAST(round(coalesce(CAST(dc.amount AS DOUBLE), 0.0) * 100, 0) AS BIGINT) AS VARCHAR)) AS fp
            FROM (SELECT id, unnest(discount_codes) AS dc FROM fwA)),
-         dB AS (SELECT CAST(id AS VARCHAR) || '/' || coalesce(dc.code, '') AS k,
+         dB AS (SELECT coalesce(CAST(id AS VARCHAR), 'NULL') || '/' || coalesce(dc.code, 'NULL') AS k,
              md5(CAST(CAST(round(coalesce(CAST(dc.amount AS DOUBLE), 0.0) * 100, 0) AS BIGINT) AS VARCHAR)) AS fp
            FROM (SELECT id, unnest(discount_codes) AS dc FROM fwB)),
          mcA AS (SELECT CAST(customer.id AS VARCHAR) AS k,
@@ -2567,17 +2589,17 @@ object SparkEntry {
            FROM fwB WHERE customer IS NOT NULL AND customer.id IS NOT NULL)
          SELECT entity, k, fp FROM (
            SELECT 'orders' AS entity, k, fp FROM oB
-           UNION ALL SELECT 'orders', k, fp FROM oA WHERE k NOT IN (SELECT k FROM oB)
+           UNION ALL SELECT 'orders', k, fp FROM oA WHERE NOT EXISTS (SELECT 1 FROM oB WHERE oB.k = oA.k)
            UNION ALL SELECT 'line_items', k, fp FROM liB
-           UNION ALL SELECT 'line_items', k, fp FROM liA WHERE k NOT IN (SELECT k FROM liB)
+           UNION ALL SELECT 'line_items', k, fp FROM liA WHERE NOT EXISTS (SELECT 1 FROM liB WHERE liB.k = liA.k)
            UNION ALL SELECT 'customers', k, fp FROM cB
-           UNION ALL SELECT 'customers', k, fp FROM cA WHERE k NOT IN (SELECT k FROM cB)
+           UNION ALL SELECT 'customers', k, fp FROM cA WHERE NOT EXISTS (SELECT 1 FROM cB WHERE cB.k = cA.k)
            UNION ALL SELECT 'shipping_addresses', k, fp FROM shB
-           UNION ALL SELECT 'shipping_addresses', k, fp FROM shA WHERE k NOT IN (SELECT k FROM shB)
+           UNION ALL SELECT 'shipping_addresses', k, fp FROM shA WHERE NOT EXISTS (SELECT 1 FROM shB WHERE shB.k = shA.k)
            UNION ALL SELECT 'discount_codes', k, fp FROM dB
-           UNION ALL SELECT 'discount_codes', k, fp FROM dA WHERE k NOT IN (SELECT k FROM dB)
+           UNION ALL SELECT 'discount_codes', k, fp FROM dA WHERE NOT EXISTS (SELECT 1 FROM dB WHERE dB.k = dA.k)
            UNION ALL SELECT 'marketing_consent', k, fp FROM mcB
-           UNION ALL SELECT 'marketing_consent', k, fp FROM mcA WHERE k NOT IN (SELECT k FROM mcB))
+           UNION ALL SELECT 'marketing_consent', k, fp FROM mcA WHERE NOT EXISTS (SELECT 1 FROM mcB WHERE mcB.k = mcA.k))
          ORDER BY entity, k, fp""",
 
     // q70: byte-identical oracle to q62 — star contraction and label

@@ -233,6 +233,48 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
     * Returns the post-merge row count of the TOUCHED partitions — an
     * O(batch) read; counting the whole table per batch would be the
     * O(table) scan this method exists to avoid. */
+  /** Per-table directory holding mid-swap partition backups. A dedicated
+    * directory (not a flat `_old_${name}_${pdir}` sibling) keeps recovery
+    * unambiguous: with the flat scheme a backup of table `t_x` partition
+    * `p=1` and of table `t` partition `x_p=1` share one name. */
+  private def backupDir(name: String): String = s"$warehouse/_old_$name"
+
+  /** Crash recovery for [[upsertPartitioned]]'s per-partition swap: a
+    * crash between rename(target→backup) and rename(tmp→target) leaves
+    * the partition present ONLY in its backup — without this sweep the
+    * next merge touching that partition would read `current` minus the
+    * lost rows and then delete the backup, silently and permanently
+    * dropping stored data. Run on entry, BEFORE the merge plans over
+    * `current`:
+    *   - backup present, target missing → the swap died mid-flight;
+    *     restore the backup (the pre-merge rows: the crashed batch never
+    *     published, so its caller re-runs the whole batch).
+    *   - backup present, target present → the swap completed and only
+    *     the cleanup delete was lost; the backup is stale, drop it.
+    *   - backup present, table dir gone → unrecoverable ambiguity
+    *     (the table was removed around an interrupted merge); fail
+    *     loudly rather than guess.
+    */
+  private def recoverPartitionBackups(name: String, dst: Path): Unit = {
+    val root = new Path(backupDir(name))
+    val f = fs(root)
+    if (!f.exists(root)) return
+    f.listStatus(root).filter(_.isDirectory).foreach { st =>
+      val pdir = st.getPath.getName // "col=value"
+      if (!f.exists(dst)) sys.error(
+        s"upsertPartitioned('$name'): found backup ${st.getPath} from an " +
+          "interrupted partition swap but the table directory itself is " +
+          "missing — refusing to merge over an ambiguous state; restore or " +
+          "remove the backup manually.")
+      val target = new Path(dst, pdir)
+      if (f.exists(target)) f.delete(st.getPath, true)
+      else if (!f.rename(st.getPath, target)) sys.error(
+        s"upsertPartitioned('$name'): failed to restore interrupted-swap " +
+          s"backup ${st.getPath} to $target")
+    }
+    f.delete(root, true)
+  }
+
   def upsertPartitioned(name: String, updates: DataFrame, keys: Seq[String],
                         partitionCol: String): Long = {
     val dst = new Path(path(name))
@@ -242,6 +284,7 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
         "a null partition cannot be merged partition-prunedly (isin never selects " +
         "a stored NULL partition, so stored rows there would be silently dropped). " +
         "Clean or default the partition column upstream.")
+    recoverPartitionBackups(name, dst)
     if (!fs(dst).exists(dst)) {
       withMicrosTimestamps(updates.sparkSession) {
         Upsert.keyDedup(updates, keys).write.partitionBy(partitionCol)
@@ -266,10 +309,12 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
         Upsert.merge(affected, updates, keys).write.partitionBy(partitionCol)
           .mode(SaveMode.Overwrite).parquet(tmp.toString)
       }
+      val backupRoot = new Path(backupDir(name))
+      f.mkdirs(backupRoot)
       f.listStatus(tmp).filter(_.isDirectory).foreach { st =>
         val pdir = st.getPath.getName // "col=value"
         val target = new Path(dst, pdir)
-        val old = new Path(s"$warehouse/_old_${name}_$pdir")
+        val old = new Path(backupRoot, pdir)
         if (f.exists(old)) f.delete(old, true)
         if (f.exists(target) && !f.rename(target, old))
           sys.error(s"partition swap failed for $name/$pdir")
@@ -279,6 +324,7 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
         f.delete(old, true)
       }
       f.delete(tmp, true)
+      f.delete(backupRoot, true)
     }
     val post = spark.read.parquet(dst.toString)
     post.filter(post(partitionCol).isin(parts: _*)).count()

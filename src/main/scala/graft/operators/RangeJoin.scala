@@ -52,11 +52,24 @@ object RangeJoin {
     * zone-independently, and so do NUMERIC epoch columns (long/double →
     * timestamp is an instant conversion); the LOCAL types — TIMESTAMP_NTZ,
     * STRING timestamps without an explicit offset, DATE — go through the
-    * session-zone local-to-instant mapping and are the ones guarded. */
-  private def requireFixedOffsetForNtz(df: DataFrame, cols: Seq[String]): Unit = {
+    * session-zone local-to-instant mapping and are the ones guarded.
+    *
+    * STRING is only conditionally local: a string WITH an explicit offset
+    * ('2024-03-01T10:00:00+00:00') casts to TIMESTAMP session-zone-
+    * independently, so refusing every string column under a region-zone
+    * session (Spark's default is the JVM zone) would reject perfectly
+    * safe callers. The data type cannot reveal which case holds, so
+    * callers whose string values all carry explicit offsets opt out via
+    * `assumeInstantStrings`; the guard then skips StringType and any
+    * offset-LESS value is on the caller (it would fall back to the
+    * session-zone mapping the flag asserts away). NTZ and DATE carry no
+    * offset by construction and stay guarded unconditionally. */
+  private def requireFixedOffsetForNtz(df: DataFrame, cols: Seq[String],
+                                       assumeInstantStrings: Boolean): Unit = {
     import org.apache.spark.sql.types.{DateType, StringType, TimestampNTZType}
     val local = cols.filter(c => df.schema(c).dataType match {
-      case TimestampNTZType | StringType | DateType => true
+      case TimestampNTZType | DateType => true
+      case StringType => !assumeInstantStrings
       case _ => false
     })
     if (local.nonEmpty) {
@@ -65,8 +78,9 @@ object RangeJoin {
         s"pointInInterval on non-instant column(s) ${local.mkString(", ")} (NTZ/string/" +
           s"date) requires a fixed-offset session timezone (got '$tz'): DST gaps make " +
           "the local-to-instant bucket mapping non-monotonic, which can silently drop " +
-          "matches. Set spark.sql.session.timeZone to UTC or a fixed offset, or cast " +
-          "to TIMESTAMP with an explicit zone upstream.")
+          "matches. Set spark.sql.session.timeZone to UTC or a fixed offset, cast " +
+          "to TIMESTAMP with an explicit zone upstream, or — if every string value " +
+          "carries an explicit offset — pass assumeInstantStrings = true.")
     }
   }
 
@@ -76,10 +90,11 @@ object RangeJoin {
     * inverted intervals match nothing. */
   def pointInInterval(left: DataFrame, pointCol: String,
                       right: DataFrame, startCol: String, endCol: String,
-                      bucketWidthSec: Long = 86400L): DataFrame = {
+                      bucketWidthSec: Long = 86400L,
+                      assumeInstantStrings: Boolean = false): DataFrame = {
     require(bucketWidthSec > 0, "bucket width must be positive")
-    requireFixedOffsetForNtz(left, Seq(pointCol))
-    requireFixedOffsetForNtz(right, Seq(startCol, endCol))
+    requireFixedOffsetForNtz(left, Seq(pointCol), assumeInstantStrings)
+    requireFixedOffsetForNtz(right, Seq(startCol, endCol), assumeInstantStrings)
     val w = bucketWidthSec * 1000000L
     val lb = left.withColumn("_rj_bucket", bucketOf(col(pointCol), w))
     // end is exclusive: an interval ending exactly on a bucket boundary

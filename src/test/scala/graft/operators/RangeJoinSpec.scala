@@ -83,4 +83,28 @@ class RangeJoinSpec extends SparkSpec {
       assert(RangeJoin.pointInInterval(points, "pt", intervals, "s", "e").count() >= 1)
     } finally spark.conf.set(tzKey, prev)
   }
+
+  test("offset-bearing instant strings run under a region zone via assumeInstantStrings") {
+    // A string WITH an explicit offset casts session-zone-independently;
+    // the type system can't see that, so the caller asserts it. The
+    // result must equal the TIMESTAMP-column run bit for bit.
+    def iso(c: org.apache.spark.sql.Column) =
+      concat(date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), lit("+00:00"))
+    val pStr = points.select($"pt_id", iso($"pt").as("pt"))
+    val iStr = intervals.select($"iv_id", iso($"s").as("s"), iso($"e").as("e"))
+    val tzKey = "spark.sql.session.timeZone"
+    val prev = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "America/Los_Angeles")
+      // without the flag: refused (string might be offset-less)
+      val e = intercept[IllegalArgumentException] {
+        RangeJoin.pointInInterval(pStr, "pt", iStr, "s", "e")
+      }
+      assert(e.getMessage.contains("assumeInstantStrings"))
+      val got = RangeJoin.pointInInterval(pStr, "pt", iStr, "s", "e",
+          assumeInstantStrings = true)
+        .select("pt_id", "iv_id").as[(Long, Long)].collect().toSet
+      assert(got == matches)
+    } finally spark.conf.set(tzKey, prev)
+  }
 }

@@ -150,6 +150,43 @@ class UpsertSpec extends SparkSpec {
     assert(spark.read.parquet(s"$wh/t").count() == 2L)
   }
 
+  test("upsertPartitioned recovers a partition stranded in its mid-swap backup") {
+    // Simulate a crash between rename(target→backup) and rename(tmp→target):
+    // the partition exists ONLY under _old_t/. Without entry recovery the
+    // next merge would read `current` minus those rows and then delete the
+    // backup — silent permanent data loss (ADVICE r6 #2).
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_recover").toString
+    val store = new ParquetTableStore(spark, wh)
+    val base = Seq((1L, "d1", "old"), (2L, "d2", "old")).toDF("k", "day", "status")
+    store.upsertPartitioned("t", base, Seq("k"), "day")
+    // strand d1 in the backup location
+    val f = new java.io.File(s"$wh/_old_t"); f.mkdirs()
+    assert(new java.io.File(s"$wh/t/day=d1").renameTo(new java.io.File(s"$wh/_old_t/day=d1")))
+    // a merge touching d1 must see the restored k=1 row and keep it
+    val batch = Seq((3L, "d1", "new")).toDF("k", "day", "status")
+    store.upsertPartitioned("t", batch, Seq("k"), "day")
+    val after = spark.read.parquet(s"$wh/t").orderBy("k")
+      .select("k", "status").as[(Long, String)].collect().toSeq
+    assert(after == Seq((1L, "old"), (2L, "old"), (3L, "new")),
+      s"stranded row lost: $after")
+    assert(!new java.io.File(s"$wh/_old_t").exists(), "backup dir must be cleaned up")
+
+    // stale backup with the target present (crash after swap, before the
+    // cleanup delete): recovery must keep the NEWER target, drop the backup
+    val lfs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    new java.io.File(s"$wh/_old_t").mkdirs()
+    org.apache.hadoop.fs.FileUtil.copy(
+      lfs, new org.apache.hadoop.fs.Path(s"$wh/t/day=d1"),
+      lfs, new org.apache.hadoop.fs.Path(s"$wh/_old_t/day=d2"),
+      false, spark.sparkContext.hadoopConfiguration)
+    store.upsertPartitioned("t", Seq((4L, "d2", "x")).toDF("k", "day", "status"),
+      Seq("k"), "day")
+    val d2rows = spark.read.parquet(s"$wh/t").filter($"day" === "d2")
+      .select("k").as[Long].collect().toSet
+    assert(d2rows == Set(2L, 4L), s"stale backup must not shadow merged rows: $d2rows")
+    assert(!new java.io.File(s"$wh/_old_t").exists(), "stale backup must be dropped")
+  }
+
   test("upsertPartitioned rejects NULL partition values (would silently drop stored rows)") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh_part3").toString
     val store = new ParquetTableStore(spark, wh)
