@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Bucketing, Decontaminate, Dedup, Flatten, Monitoring, Multimodal, RangeJoin, Similarity, Skew, Upsert}
+import graft.operators.{Bucketing, Decontaminate, Dedup, Flatten, Monitoring, Multimodal, RangeJoin, Scd2, Similarity, Skew, SnapshotDiff, Upsert}
 import graft.functions.{MoneyMode, Pii, Text, Vectors}
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables._
@@ -1444,6 +1444,50 @@ object SparkEntry {
       .orderBy(col("entity"), col("k"), col("fp"))
   }
 
+  /** CDC snapshot diff gate ([[graft.operators.SnapshotDiff]]): two
+    * deterministic snapshots derived from `orders` — the "old" state drops
+    * every 11th key; the "new" state drops every 13th key, reprices every
+    * 5th (+10%, exact integer cents arithmetic so both engines agree bit
+    * for bit) and flips every 17th status to 'R' — then one full-outer
+    * diff classifies insert/update/delete and drops unchanged rows. The
+    * oracle replays the same derivation with a FULL JOIN + IS DISTINCT
+    * FROM. Money stays in integer cents end-to-end: `(cents * 11) div 10`
+    * avoids the double-rounding lane a `price * 1.1` would open. */
+  def q71_snapshot_diff(s: SparkSession, d: String): DataFrame = {
+    val ords = orders(s, d)
+    val baseCents = round(col("o_totalprice") * 100, 0).cast("long")
+    val olds = ords.filter(col("o_orderkey") % 11 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+        baseCents.as("cents"))
+    val news = ords.filter(col("o_orderkey") % 13 =!= 0)
+      .withColumn("base_cents", baseCents)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 17 === 0, lit("R"))
+          .otherwise(col("o_orderstatus")).as("status"),
+        when(col("o_orderkey") % 5 === 0, expr("(base_cents * 11) div 10"))
+          .otherwise(col("base_cents")).as("cents"))
+    SnapshotDiff.diff(olds, news, Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("change_type"),
+        col("old_status"), col("new_status"),
+        col("old_cents"), col("new_cents"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** SCD2 history gate ([[graft.operators.Scd2]]): each customer's order
+    * status stream becomes a type-2 dimension — consecutive identical
+    * statuses collapse into one validity interval, `valid_to` is the next
+    * segment's start (null = current), tie-broken by order key so
+    * same-day changes are reproducible. Oracle: the same lag-collapse +
+    * lead-interval formulation as DuckDB window SQL. */
+  def q72_scd2_history(s: SparkSession, d: String): DataFrame =
+    Scd2.fromChangeLog(
+      orders(s, d).select(col("o_custkey").as("cust_key"),
+        col("o_orderdate"), col("o_orderkey"),
+        col("o_orderstatus").as("status")),
+      key = "cust_key", ts = "o_orderdate", tieBreak = "o_orderkey",
+      attrs = Seq("status"))
+      .orderBy(col("cust_key"), col("valid_from"), col("status"))
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1517,6 +1561,8 @@ object SparkEntry {
     "q68_ndjson_roundtrip"  -> (q68_ndjson_roundtrip _),
     "q69_incremental_lifecycle" -> (q69_incremental_lifecycle _),
     "q70_dedup_clusters_ls" -> (q70_dedup_clusters_ls _),
+    "q71_snapshot_diff"     -> (q71_snapshot_diff _),
+    "q72_scd2_history"      -> (q72_scd2_history _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2633,6 +2679,48 @@ object SparkEntry {
          SELECT label AS cluster_rep, count(*) AS cluster_size
          FROM labels GROUP BY label HAVING count(*) >= 2
          ORDER BY cluster_rep""",
+
+    // q71: CDC diff of two derived snapshots — FULL JOIN + IS DISTINCT
+    // FROM mirrors SnapshotDiff's null-safe compare; cents arithmetic is
+    // integer end-to-end so repricing is bit-exact across engines.
+    "q71_snapshot_diff" ->
+      """WITH olds AS (
+           SELECT o_orderkey AS k, o_orderstatus AS status,
+                  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+           FROM orders WHERE o_orderkey % 11 <> 0),
+         news AS (
+           SELECT o_orderkey AS k,
+                  CASE WHEN o_orderkey % 17 = 0 THEN 'R' ELSE o_orderstatus END AS status,
+                  CASE WHEN o_orderkey % 5 = 0
+                       THEN (CAST(round(o_totalprice * 100, 0) AS BIGINT) * 11) // 10
+                       ELSE CAST(round(o_totalprice * 100, 0) AS BIGINT) END AS cents
+           FROM orders WHERE o_orderkey % 13 <> 0)
+         SELECT coalesce(o.k, n.k) AS o_orderkey,
+                CASE WHEN o.k IS NULL THEN 'insert'
+                     WHEN n.k IS NULL THEN 'delete' ELSE 'update' END AS change_type,
+                o.status AS old_status, n.status AS new_status,
+                o.cents AS old_cents, n.cents AS new_cents
+         FROM olds o FULL JOIN news n ON o.k = n.k
+         WHERE o.k IS NULL OR n.k IS NULL
+            OR o.status IS DISTINCT FROM n.status
+            OR o.cents IS DISTINCT FROM n.cents
+         ORDER BY o_orderkey""",
+
+    // q72: SCD2 — lag-collapse consecutive identical statuses, lead() for
+    // the validity interval; (ts, orderkey) ordering matches the Spark
+    // window's tie-break exactly.
+    "q72_scd2_history" ->
+      """WITH log AS (SELECT o_custkey AS k, o_orderdate AS ts,
+                             o_orderkey AS tie, o_orderstatus AS v FROM orders),
+         d AS (SELECT k, ts, tie, v,
+                      lag(v) OVER (PARTITION BY k ORDER BY ts, tie) AS pv FROM log),
+         c AS (SELECT k, ts, tie, v FROM d WHERE pv IS NULL OR pv <> v),
+         h AS (SELECT k, v, ts AS valid_from,
+                      lead(ts) OVER (PARTITION BY k ORDER BY ts, tie) AS valid_to
+               FROM c)
+         SELECT k AS cust_key, v AS status, valid_from, valid_to,
+                CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+         FROM h ORDER BY cust_key, valid_from, status""",
   )
 
   /** The LangId trigram profile rendered as SQL VALUES rows — the oracle
