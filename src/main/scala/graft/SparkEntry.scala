@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Bucketing, Decontaminate, Dedup, Flatten, Monitoring, Multimodal, RangeJoin, Scd2, Similarity, Skew, SnapshotDiff, Upsert}
-import graft.functions.{MoneyMode, Pii, Text, Vectors}
+import graft.operators.{Bucketing, CorpusShuffle, Decontaminate, Dedup, Flatten, Monitoring, Multimodal, RangeJoin, Scd2, Similarity, Skew, SnapshotDiff, Upsert}
+import graft.functions.{MoneyMode, Pii, Text, Vectors, Web}
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables._
 
@@ -1488,6 +1488,55 @@ object SparkEntry {
       attrs = Seq("status"))
       .orderBy(col("cust_key"), col("valid_from"), col("status"))
 
+  /** Domain-level web filtering gate ([[graft.functions.Web]]): the
+    * CCNet/RefinedWeb curation stage — URL → host → registrable domain,
+    * a blocklist anti-join (the blocked frame stays a join side, not an
+    * `isin` literal, so a million-domain blocklist works unchanged; AQE
+    * broadcasts it while it is small), then per-domain corpus stats.
+    * URLs are synthesized deterministically from (source, doc_id) since
+    * the test corpus carries no URL column; both engines build the same
+    * string, so the gated logic is the extraction + filter + rollup. */
+  def q73_domain_stats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d).withColumn("url",
+      concat(lit("https://"), col("source"), lit(".example.com/p/"),
+        col("doc_id").cast("string")))
+    val hosts = docs.withColumn("host", Web.urlHost(col("url")))
+    val blocked = Seq("src3.example.com", "src7.example.com").toDF("host")
+    hosts.join(blocked, Seq("host"), "left_anti")
+      .groupBy(col("host").as("domain"),
+        Web.registrableDomain(col("host")).as("registrable"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy(col("domain"))
+  }
+
+  /** Deterministic corpus shuffle gate ([[graft.operators.CorpusShuffle]]):
+    * the audit view of the md5-permutation — per-shard occupancy and key
+    * boundaries, identical for any engine that can compute md5. The
+    * ORDERED output path (range partition + per-partition sort, no global
+    * window) is plan- and determinism-asserted in CorpusShuffleSpec;
+    * hashing the full permutation ORDER cross-engine is redundant with
+    * the per-shard min/max/count the oracle already pins. */
+  def q74_corpus_shuffle(s: SparkSession, d: String): DataFrame =
+    CorpusShuffle.shardStats(documents(s, d), "doc_id", "42")
+      .orderBy(col("shard"))
+
+  /** Duplicate n-gram span gate ([[Similarity.dupGramStats]]): per-doc
+    * duplicated-8-gram counts with an EXACT integer threshold
+    * (`n_dup * 5 >= n_grams` ≡ fraction ≥ 0.2 with no float boundary);
+    * the reported fraction is rounded only for display. Oracle replays
+    * with string grams — hashed vs string grams agree w.h.p. (q20/q22
+    * precedent). */
+  def q75_dup_ngram_spans(s: SparkSession, d: String): DataFrame =
+    Similarity.dupGramStats(documents(s, d), "doc_id", "text", 8)
+      .filter(col("n_dup") * 5 >= col("n_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_grams").cast("double"), 4)
+          .as("dup_fraction"))
+      .orderBy(col("doc_id"))
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1563,6 +1612,9 @@ object SparkEntry {
     "q70_dedup_clusters_ls" -> (q70_dedup_clusters_ls _),
     "q71_snapshot_diff"     -> (q71_snapshot_diff _),
     "q72_scd2_history"      -> (q72_scd2_history _),
+    "q73_domain_stats"      -> (q73_domain_stats _),
+    "q74_corpus_shuffle"    -> (q74_corpus_shuffle _),
+    "q75_dup_ngram_spans"   -> (q75_dup_ngram_spans _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2721,6 +2773,54 @@ object SparkEntry {
          SELECT k AS cust_key, v AS status, valid_from, valid_to,
                 CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
          FROM h ORDER BY cust_key, valid_from, status""",
+
+    // q73: domain extraction + blocklist + per-domain rollup; URLs built
+    // identically on both engines from (source, doc_id).
+    "q73_domain_stats" ->
+      """WITH docs AS (SELECT doc_id, lang, n_chars,
+                  'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
+           FROM documents),
+         ext AS (SELECT *, lower(regexp_extract(url, '^https?://([^/:?#]+)', 1)) AS host
+                 FROM docs),
+         nb AS (SELECT * FROM ext
+                WHERE host NOT IN ('src3.example.com', 'src7.example.com'))
+         SELECT host AS domain,
+                regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS registrable,
+                count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                count(DISTINCT lang) AS n_langs
+         FROM nb GROUP BY 1, 2 ORDER BY domain""",
+
+    // q74: md5 permutation audit — per-shard occupancy and key
+    // boundaries; md5 is engine-independent by construction.
+    "q74_corpus_shuffle" ->
+      """WITH h AS (SELECT doc_id, md5('42/' || CAST(doc_id AS VARCHAR)) AS hk
+                    FROM documents)
+         SELECT substr(hk, 1, 2) AS shard, count(*) AS n_docs,
+                min(hk) AS min_key, max(hk) AS max_key
+         FROM h GROUP BY 1 ORDER BY shard""",
+
+    // q75: duplicate 8-gram spans with string grams (hashed-gram
+    // equivalence w.h.p., q20/q22 precedent); integer threshold — no
+    // float boundary in the filter.
+    "q75_dup_ngram_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         g AS (SELECT doc_id,
+                 CASE WHEN len(w) >= 8
+                      THEN list_distinct(list_transform(generate_series(1, len(w) - 7),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+                                  w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]))
+                      ELSE [array_to_string(w, ' ')] END AS grams
+               FROM toks),
+         e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+         dfc AS (SELECT gram, count(*) AS df FROM e GROUP BY 1),
+         per AS (SELECT e.doc_id, count(*) AS n_grams,
+                        sum(CASE WHEN dfc.df > 1 THEN 1 ELSE 0 END) AS n_dup
+                 FROM e JOIN dfc ON e.gram = dfc.gram GROUP BY 1)
+         SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+                CAST(n_dup AS BIGINT) AS n_dup,
+                round(CAST(n_dup AS DOUBLE) / n_grams, 4) AS dup_fraction
+         FROM per WHERE n_dup * 5 >= n_grams ORDER BY doc_id""",
   )
 
   /** The LangId trigram profile rendered as SQL VALUES rows — the oracle

@@ -649,6 +649,41 @@ object Similarity {
     takeTopK(scored, topK)
   }
 
+  /** Duplicate n-gram span statistics — the distributed shape of
+    * exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better", arXiv:2107.06499): a corpus
+    * suffix array is inherently sequential, so the Spark formulation
+    * counts, per document, how many of its DISTINCT word n-grams occur
+    * in at least one other document. A document whose grams are mostly
+    * corpus-duplicated is a boilerplate/copy candidate even when no
+    * single whole-doc fingerprint matches (the case MinHash-style
+    * whole-doc sketches miss: long shared spans inside otherwise
+    * distinct pages).
+    *
+    * Grams are hashed ([[shingleHashesOf]] — xxhash64-combined tokens,
+    * no gram string materialized), value-identical to string shingles
+    * w.h.p., the same precedent as q20/q22's oracles. Scale shape:
+    * explode distinct grams (≤ len(doc) rows/doc) → one gram-keyed hash
+    * agg for document frequency → gram-keyed attach join (NOT
+    * broadcast-hinted: the gram vocabulary grows with the corpus —
+    * Heaps' law, q57's policy; AQE downgrades to broadcast when it is
+    * actually small) → one doc-keyed agg. Every stage is a hash
+    * shuffle on a key with bounded per-key load (a gram's join fan-out
+    * is its df — linear in corpus size, never quadratic). */
+  def dupGramStats(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    val grams = docs
+      .select(col(idCol), graft.functions.Text.tokens(col(textCol)).as("_w"))
+      .select(col(idCol), explode(shingleHashesOf(col("_w"), n)).as("gram"))
+    // grams are distinct per doc (shingleHashesOf array_distincts), so a
+    // plain count per gram IS the document frequency
+    val dfCounts = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    grams.join(dfCounts, Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup"))
+  }
+
   /** Multi-table LSH ANN: `nTables` independent hyperplane hash tables of
     * `nBits` each; a candidate is any vector sharing a bucket with the query
     * in ANY table (standard recall amplification: P = 1-(1-p^b)^L). Exact
