@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Bucketing, CorpusShuffle, Decontaminate, Dedup, Flatten, Monitoring, Multimodal, RangeJoin, Scd2, Similarity, Skew, SnapshotDiff, Upsert}
+import graft.operators.{Bucketing, CorpusShuffle, Decontaminate, Dedup, Flatten, IncrementalAgg, Monitoring, Multimodal, RangeJoin, Scd2, SketchRollup, Similarity, Skew, SnapshotDiff, Upsert}
 import graft.functions.{MoneyMode, Pii, Text, Vectors, Web}
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables._
@@ -1537,6 +1537,50 @@ object SparkEntry {
           .as("dup_fraction"))
       .orderBy(col("doc_id"))
 
+  /** Incremental-rollup maintenance gate ([[graft.operators.IncrementalAgg]]):
+    * a pre-cutoff state table and a post-cutoff delta batch are each
+    * reduced to mergeable partials (cnt/sum/min/max), folded at daily
+    * granularity, RE-aggregated to the coarser per-type granularity from
+    * partials alone, and finished — history never rescanned. The oracle
+    * recomputes the same measures directly from all raw rows, so the
+    * gate proves state ⊕ delta ⊕ coarsen ≡ full recompute. */
+  def q76_incremental_rollup(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(to_date(col("ts")).as("day"),
+      col("event_type"), col("value"))
+    val cutoff = lit(java.sql.Date.valueOf("2024-01-21"))
+    val state = IncrementalAgg.partialState(
+      ev.filter(col("day") < cutoff), Seq("day", "event_type"), "value")
+    val delta = IncrementalAgg.partialState(
+      ev.filter(col("day") >= cutoff), Seq("day", "event_type"), "value")
+    val daily = IncrementalAgg.mergeStates(Seq("day", "event_type"), state, delta)
+    IncrementalAgg.finish(
+      IncrementalAgg.mergeStates(Seq("event_type"), daily))
+      .orderBy(col("event_type"))
+  }
+
+  /** Mergeable distinct-sketch gate ([[graft.operators.SketchRollup]]):
+    * per-day HLL sketches of user_id, unioned to a corpus estimate. The
+    * gate pins (a) the algebraic invariant est(union(daily sketches)) ≡
+    * est(one-shot sketch) EXACTLY — register merge is pointwise max, so
+    * the two paths are equal, not merely close — and (b) the estimate
+    * within 5% of the exact count (HLL lgK=12 ⇒ ~1.6% rsd). Estimates
+    * themselves are engine-specific and stay OUT of the hashed output;
+    * the three single-row frames combine via bounded crossJoins
+    * (single-row each — the q07/Pipeline precedent). */
+  def q77_sketch_distinct(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(to_date(col("ts")).as("day"), col("user_id"))
+    val merged = SketchRollup.unionEstimate(
+      SketchRollup.distinctSketches(ev, Seq("day"), "user_id"))
+    val oneshot = ev.agg(
+      expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("est_one"))
+    val exact = ev.agg(countDistinct(col("user_id")).as("exact_distinct"))
+    merged.crossJoin(oneshot).crossJoin(exact)
+      .select(col("exact_distinct"), col("n_rows"),
+        (col("est_distinct") === col("est_one")).as("merge_consistent"),
+        (abs(col("est_distinct").cast("double") - col("exact_distinct").cast("double")) /
+          col("exact_distinct").cast("double") <= 0.05).as("within_tolerance"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1615,6 +1659,8 @@ object SparkEntry {
     "q73_domain_stats"      -> (q73_domain_stats _),
     "q74_corpus_shuffle"    -> (q74_corpus_shuffle _),
     "q75_dup_ngram_spans"   -> (q75_dup_ngram_spans _),
+    "q76_incremental_rollup"-> (q76_incremental_rollup _),
+    "q77_sketch_distinct"   -> (q77_sketch_distinct _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2821,6 +2867,22 @@ object SparkEntry {
                 CAST(n_dup AS BIGINT) AS n_dup,
                 round(CAST(n_dup AS DOUBLE) / n_grams, 4) AS dup_fraction
          FROM per WHERE n_dup * 5 >= n_grams ORDER BY doc_id""",
+
+    // q76: direct full recompute — the merged-partials path must equal it.
+    "q76_incremental_rollup" ->
+      """SELECT event_type, count(value) AS n, round(sum(value), 2) AS total,
+                round(sum(value) / count(value), 4) AS avg,
+                min(value) AS lo, max(value) AS hi
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // q77: estimates are engine-specific, so the gate hashes the exact
+    // count + the invariants (merged ≡ one-shot; within 5% of exact).
+    "q77_sketch_distinct" ->
+      """SELECT count(DISTINCT user_id) AS exact_distinct,
+                count(*) AS n_rows,
+                TRUE AS merge_consistent,
+                TRUE AS within_tolerance
+         FROM events""",
   )
 
   /** The LangId trigram profile rendered as SQL VALUES rows — the oracle

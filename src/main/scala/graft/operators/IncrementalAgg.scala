@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental aggregate (materialized-view) maintenance for
+  * distributive/algebraic aggregates: keep a small per-group STATE table
+  * of mergeable components (count, sum, min, max), fold delta batches
+  * into it, and derive the final measures (including avg = sum/count) at
+  * read time — history is never rescanned. This is how a 100 TB
+  * warehouse keeps its rollups current: the reference recomputes its
+  * daily aggregation remotely per sync (ref shopify-etl/shopify_etl.py:
+  * 669-683, a full GROUP BY per run); at scale the same rollup must be
+  * maintained from the just-ingested batch alone.
+  *
+  * Only MERGEABLE components are stored: count/sum combine by sum,
+  * min/max by min/max — so state ⊕ delta ≡ recompute-from-scratch
+  * exactly (gated as q76 against a DuckDB full recompute). Non-mergeable
+  * measures (exact median, exact distinct) are out of scope by
+  * construction — approximate distinct has its own mergeable sketch path
+  * ([[SketchRollup]]).
+  *
+  * Scale shape: each call is ONE hash aggregate over its input (map-side
+  * partials, no sort); a merge is a union of state frames + the same
+  * aggregate — state tables are group-cardinality-sized, tiny next to
+  * the fact stream. Re-aggregating a state to a COARSER grouping (day →
+  * month, (day,type) → type) is [[mergeStates]] with fewer group
+  * columns: partials stay valid under any grouping coarsening.
+  */
+object IncrementalAgg {
+
+  /** Mergeable aggregate state of `valueCol` per `groups`:
+    * (_cnt, _sum, _min, _max). Nulls in `valueCol` are ignored by all
+    * four components consistently, so merge order cannot change the
+    * result. */
+  def partialState(df: DataFrame, groups: Seq[String],
+                   valueCol: String): DataFrame =
+    df.groupBy(groups.map(col): _*)
+      .agg(count(col(valueCol)).as("_cnt"),
+        sum(col(valueCol)).as("_sum"),
+        min(col(valueCol)).as("_min"),
+        max(col(valueCol)).as("_max"))
+
+  /** Fold any number of state frames (and/or delta partials) into one
+    * state at `groups` granularity — which may be COARSER than the
+    * states' own (fewer group columns): count/sum re-sum, min/max
+    * re-min/max. */
+  def mergeStates(groups: Seq[String], states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "mergeStates needs at least one state frame")
+    states.reduce(_.unionByName(_))
+      .groupBy(groups.map(col): _*)
+      .agg(sum(col("_cnt")).as("_cnt"),
+        sum(col("_sum")).as("_sum"),
+        min(col("_min")).as("_min"),
+        max(col("_max")).as("_max"))
+  }
+
+  /** Derive the read-time measures from a state frame. `scale` rounds
+    * the floating measures (sum/avg) for engine-parity output; min/max
+    * pass through exactly. */
+  def finish(state: DataFrame, scale: Int = 2): DataFrame =
+    state.select(
+      state.columns.filterNot(_.startsWith("_")).map(col) ++ Seq(
+        col("_cnt").as("n"),
+        round(col("_sum"), scale).as("total"),
+        round(col("_sum") / col("_cnt"), scale + 2).as("avg"),
+        col("_min").as("lo"),
+        col("_max").as("hi")): _*)
+}

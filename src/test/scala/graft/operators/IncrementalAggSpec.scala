@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IncrementalAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows = Seq(
+    ("d1", "a", Some(1.0)), ("d1", "a", Some(3.0)), ("d1", "b", Some(10.0)),
+    ("d2", "a", Some(5.0)), ("d2", "b", None), ("d2", "b", Some(-2.0)),
+    ("d3", "a", Some(7.0))
+  ).toDF("day", "typ", "v")
+
+  test("state + delta merge equals full recompute, at same and coarser granularity") {
+    val full = IncrementalAgg.partialState(rows, Seq("day", "typ"), "v")
+    val state = IncrementalAgg.partialState(rows.filter($"day" < "d3"), Seq("day", "typ"), "v")
+    val delta = IncrementalAgg.partialState(rows.filter($"day" >= "d3"), Seq("day", "typ"), "v")
+    val merged = IncrementalAgg.mergeStates(Seq("day", "typ"), state, delta)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("day", "typ").collect().toSeq
+    assert(canon(merged) == canon(full))
+    // coarsen from partials vs recompute from rows
+    val byTyp = IncrementalAgg.mergeStates(Seq("typ"), merged)
+    val direct = IncrementalAgg.partialState(rows, Seq("typ"), "v")
+    assert(byTyp.orderBy("typ").collect().toSeq == direct.orderBy("typ").collect().toSeq)
+  }
+
+  test("nulls are ignored consistently across all four components") {
+    val st = IncrementalAgg.partialState(rows, Seq("typ"), "v")
+      .filter($"typ" === "b")
+      .select("_cnt", "_sum", "_min", "_max")
+      .as[(Long, Option[Double], Option[Double], Option[Double])].head()
+    assert(st == ((2L, Some(8.0), Some(-2.0), Some(10.0))))
+  }
+
+  test("finish derives n/total/avg/lo/hi with the gate's rounding") {
+    val out = IncrementalAgg.finish(
+      IncrementalAgg.partialState(rows, Seq("typ"), "v"))
+      .filter($"typ" === "a")
+      .select("n", "total", "avg", "lo", "hi")
+      .as[(Long, Double, Double, Double, Double)].head()
+    assert(out == ((4L, 16.0, 4.0, 1.0, 7.0)))
+  }
+
+  test("all-null group keeps a state row with cnt 0 and null measures") {
+    val df = Seq(("x", Option.empty[Double])).toDF("typ", "v")
+    val st = IncrementalAgg.partialState(df, Seq("typ"), "v")
+      .select("_cnt", "_sum").as[(Long, Option[Double])].head()
+    assert(st == ((0L, None)))
+  }
+
+  test("plans are pure hash aggregates — no sort, no window") {
+    val plan = IncrementalAgg.mergeStates(Seq("typ"),
+      IncrementalAgg.partialState(rows, Seq("day", "typ"), "v"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.matches("(?s).*\\bSort\\b.*"), s"unexpected sort:\n$plan")
+  }
+}
