@@ -1486,7 +1486,10 @@ object SparkEntry {
         col("o_orderstatus").as("status")),
       key = "cust_key", ts = "o_orderdate", tieBreak = "o_orderkey",
       attrs = Seq("status"))
-      .orderBy(col("cust_key"), col("valid_from"), col("status"))
+      // is_current disambiguates same-day A,B,A alternations (two rows
+      // sharing (key, valid_from, status)); remaining ties are full-row
+      // duplicates, so this ORDER BY is total for hashing purposes
+      .orderBy(col("cust_key"), col("valid_from"), col("status"), col("is_current"))
 
   /** Domain-level web filtering gate ([[graft.functions.Web]]): the
     * CCNet/RefinedWeb curation stage — URL → host → registrable domain,
@@ -1548,13 +1551,17 @@ object SparkEntry {
     val ev = events(s, d).select(to_date(col("ts")).as("day"),
       col("event_type"), col("value"))
     val cutoff = lit(java.sql.Date.valueOf("2024-01-21"))
+    // null-safe split: a null ts/day row must land in exactly one side
+    // (delta), or the advertised state ⊕ delta ≡ full-recompute identity
+    // would silently exclude it while the oracle's full scan counts it
     val state = IncrementalAgg.partialState(
       ev.filter(col("day") < cutoff), Seq("day", "event_type"), "value")
     val delta = IncrementalAgg.partialState(
-      ev.filter(col("day") >= cutoff), Seq("day", "event_type"), "value")
+      ev.filter(col("day").isNull || col("day") >= cutoff),
+      Seq("day", "event_type"), "value")
     val daily = IncrementalAgg.mergeStates(Seq("day", "event_type"), state, delta)
     IncrementalAgg.finish(
-      IncrementalAgg.mergeStates(Seq("event_type"), daily))
+      IncrementalAgg.mergeStates(Seq("event_type"), daily), Seq("event_type"))
       .orderBy(col("event_type"))
   }
 
@@ -2818,7 +2825,7 @@ object SparkEntry {
                FROM c)
          SELECT k AS cust_key, v AS status, valid_from, valid_to,
                 CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
-         FROM h ORDER BY cust_key, valid_from, status""",
+         FROM h ORDER BY cust_key, valid_from, status, is_current""",
 
     // q73: domain extraction + blocklist + per-domain rollup; URLs built
     // identically on both engines from (source, doc_id).
@@ -2826,7 +2833,7 @@ object SparkEntry {
       """WITH docs AS (SELECT doc_id, lang, n_chars,
                   'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
            FROM documents),
-         ext AS (SELECT *, lower(regexp_extract(url, '^https?://([^/:?#]+)', 1)) AS host
+         ext AS (SELECT *, lower(regexp_extract(url, '^https?://(?:[^/?#]*@)?([^/:?#@]+)', 1)) AS host
                  FROM docs),
          nb AS (SELECT * FROM ext
                 WHERE host NOT IN ('src3.example.com', 'src7.example.com'))

@@ -12,12 +12,15 @@ object Web {
 
   /** Hostname of an http(s) URL, lowercased; '' when the value does not
     * parse (regexp_extract's no-match result — null-safe downstream
-    * grouping treats unparseable URLs as one bucket). The character
-    * class excludes path/port/query/fragment delimiters, so
-    * `https://Host.Example.com:8080/p?q#f` → `host.example.com:8080` is
-    * avoided — the port stops the match: → `host.example.com`. */
+    * grouping treats unparseable URLs as one bucket). The optional
+    * `[^/?#]*@` prefix consumes RFC 3986 userinfo — without it,
+    * `https://user:pw@evil.com/` would return `user` and
+    * `https://user@evil.com/` would return `user@evil.com`, letting a
+    * blocklisted domain slip through the anti-join. The capture class
+    * then excludes `/:?#@`, so ports, paths, queries and fragments all
+    * terminate the host. */
   def urlHost(u: Column): Column =
-    lower(regexp_extract(u, "^https?://([^/:?#]+)", 1))
+    lower(regexp_extract(u, "^https?://(?:[^/?#]*@)?([^/:?#@]+)", 1))
 
   /** Drop one leading `www.` label (display-domain canonicalization). */
   def stripWww(host: Column): Column =

@@ -42,6 +42,11 @@ object CorpusShuffle {
     df.withColumn("_shuffle_key", shuffleKey(col(keyCol), seed))
       .repartitionByRange(partitions, col("_shuffle_key"), col(keyCol))
       .sortWithinPartitions("_shuffle_key", keyCol)
+      // the key is re-derivable from (seed, key) — persisting 32 hex
+      // chars per document into every training shard would be dead
+      // weight; the drop is a projection, which preserves both the
+      // range partitioning and the partition-local sort order
+      .drop("_shuffle_key")
 
   /** Per-shard occupancy/boundary stats — the audit view (did the seed
     * spread the corpus evenly? what key range landed where). One hash

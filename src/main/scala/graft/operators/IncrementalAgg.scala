@@ -55,12 +55,14 @@ object IncrementalAgg {
         max(col("_max")).as("_max"))
   }
 
-  /** Derive the read-time measures from a state frame. `scale` rounds
-    * the floating measures (sum/avg) for engine-parity output; min/max
-    * pass through exactly. */
-  def finish(state: DataFrame, scale: Int = 2): DataFrame =
+  /** Derive the read-time measures from a state frame. `groups` is
+    * passed explicitly — inferring it from column naming would silently
+    * drop a real group column that happens to start with `_`. `scale`
+    * rounds the floating measures (sum/avg) for engine-parity output;
+    * min/max pass through exactly. */
+  def finish(state: DataFrame, groups: Seq[String], scale: Int = 2): DataFrame =
     state.select(
-      state.columns.filterNot(_.startsWith("_")).map(col) ++ Seq(
+      groups.map(col) ++ Seq(
         col("_cnt").as("n"),
         round(col("_sum"), scale).as("total"),
         round(col("_sum") / col("_cnt"), scale + 2).as("avg"),

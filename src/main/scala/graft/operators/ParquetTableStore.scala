@@ -258,6 +258,20 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
   private def recoverPartitionBackups(name: String, dst: Path): Unit = {
     val root = new Path(backupDir(name))
     val f = fs(root)
+    // Backups from the pre-r7 FLAT naming (`_old_<name>_<pdir>` warehouse
+    // siblings) are not recoverable automatically (the name split is
+    // ambiguous across tables — see backupDir); refuse loudly instead of
+    // silently merging past stranded rows.
+    val wh = new Path(warehouse)
+    if (f.exists(wh)) {
+      val legacy = f.listStatus(wh).map(_.getPath.getName)
+        .filter(n => n.startsWith(s"_old_${name}_"))
+      if (legacy.nonEmpty) sys.error(
+        s"upsertPartitioned('$name'): found legacy flat-named swap backup(s) " +
+          s"${legacy.mkString(", ")} from an older version's interrupted merge — " +
+          "restore them manually (rename into the table's partition dir if the " +
+          "partition is missing there, else delete) before merging.")
+    }
     if (!f.exists(root)) return
     f.listStatus(root).filter(_.isDirectory).foreach { st =>
       val pdir = st.getPath.getName // "col=value"

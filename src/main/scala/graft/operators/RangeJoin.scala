@@ -96,16 +96,29 @@ object RangeJoin {
     requireFixedOffsetForNtz(left, Seq(pointCol), assumeInstantStrings)
     requireFixedOffsetForNtz(right, Seq(startCol, endCol), assumeInstantStrings)
     val w = bucketWidthSec * 1000000L
+    // Comparisons (both the interval-validity filter and the residual
+    // membership predicate) run on TIMESTAMP-cast columns when the
+    // stored type is STRING: a raw string comparison is lexicographic,
+    // which coincides with temporal order only for uniform-offset,
+    // fixed-width values — mixed offsets (+00:00 vs -08:00 across a DST
+    // boundary under assumeInstantStrings) would order wrongly. For
+    // non-string types the cast helper is the identity.
+    import org.apache.spark.sql.types.{StringType, TimestampType}
+    def cmp(df: DataFrame, c: String): org.apache.spark.sql.Column =
+      if (df.schema(c).dataType == StringType) col(c).cast(TimestampType) else col(c)
     val lb = left.withColumn("_rj_bucket", bucketOf(col(pointCol), w))
+      .withColumn("_rj_p", cmp(left, pointCol))
     // end is exclusive: an interval ending exactly on a bucket boundary
     // does not cover that bucket, hence the -1 µs on the upper bound
-    val rb = right.filter(col(endCol) > col(startCol))
+    val rb = right.withColumn("_rj_s", cmp(right, startCol))
+      .withColumn("_rj_e", cmp(right, endCol))
+      .filter(col("_rj_e") > col("_rj_s"))
       .withColumn("_rj_bucket", explode(sequence(
         bucketOf(col(startCol), w),
         bucketOf(timestamp_micros(
-          unix_micros(col(endCol).cast(org.apache.spark.sql.types.TimestampType)) - 1), w))))
+          unix_micros(col(endCol).cast(TimestampType)) - 1), w))))
     lb.join(rb, Seq("_rj_bucket"))
-      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
-      .drop("_rj_bucket")
+      .filter(col("_rj_p") >= col("_rj_s") && col("_rj_p") < col("_rj_e"))
+      .drop("_rj_bucket", "_rj_p", "_rj_s", "_rj_e")
   }
 }

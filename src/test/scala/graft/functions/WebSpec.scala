@@ -18,6 +18,13 @@ class WebSpec extends SparkSpec {
     assert(hostOf("not a url") == "")
   }
 
+  test("urlHost is not fooled by userinfo (blocklist-bypass vector)") {
+    assert(hostOf("https://user:pw@evil.com/x") == "evil.com")
+    assert(hostOf("https://user@evil.com/x") == "evil.com")
+    assert(hostOf("https://evil.com/x@path") == "evil.com") // @ in path is not userinfo
+    assert(hostOf("https://a@b@c.com/") == "c.com")         // greedy userinfo
+  }
+
   test("stripWww drops exactly one leading www label") {
     val got = Seq("www.ex.com", "ex.com", "wwwx.com", "www.www.ex.com")
       .toDF("h").select(Web.stripWww($"h")).as[String].collect().toSeq

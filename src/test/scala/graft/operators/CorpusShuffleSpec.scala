@@ -24,6 +24,10 @@ class CorpusShuffleSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("output schema equals the input schema (no internal column leaks into shards)") {
+    assert(CorpusShuffle.shuffled(docs, "id", "s1", 8).schema == docs.schema)
+  }
+
   test("plan is a range partition + local sort, never a global window or single partition") {
     val plan = CorpusShuffle.shuffled(docs, "id", "s1", 8)
       .queryExecution.executedPlan.toString

@@ -36,7 +36,7 @@ class IncrementalAggSpec extends SparkSpec {
 
   test("finish derives n/total/avg/lo/hi with the gate's rounding") {
     val out = IncrementalAgg.finish(
-      IncrementalAgg.partialState(rows, Seq("typ"), "v"))
+      IncrementalAgg.partialState(rows, Seq("typ"), "v"), Seq("typ"))
       .filter($"typ" === "a")
       .select("n", "total", "avg", "lo", "hi")
       .as[(Long, Double, Double, Double, Double)].head()

@@ -87,9 +87,13 @@ class RangeJoinSpec extends SparkSpec {
   test("offset-bearing instant strings run under a region zone via assumeInstantStrings") {
     // A string WITH an explicit offset casts session-zone-independently;
     // the type system can't see that, so the caller asserts it. The
-    // result must equal the TIMESTAMP-column run bit for bit.
+    // result must equal the TIMESTAMP-column run bit for bit. XXX emits
+    // the TRUE session-zone offset at each instant (-08:00/-07:00 across
+    // a DST boundary) — hard-coding '+00:00' onto a local rendering
+    // would mislabel the instants and only pass while the fixture stays
+    // inside one DST regime.
     def iso(c: org.apache.spark.sql.Column) =
-      concat(date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), lit("+00:00"))
+      date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
     val pStr = points.select($"pt_id", iso($"pt").as("pt"))
     val iStr = intervals.select($"iv_id", iso($"s").as("s"), iso($"e").as("e"))
     val tzKey = "spark.sql.session.timeZone"
