@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Bucketing, CorpusShuffle, Decontaminate, Dedup, Flatten, IncrementalAgg, Monitoring, Multimodal, RangeJoin, Scd2, SketchRollup, Similarity, Skew, SnapshotDiff, Upsert}
+import graft.operators.{Bucketing, CorpusShuffle, Decontaminate, Dedup, Flatten, IncrementalAgg, Monitoring, Multimodal, RangeJoin, Scd2, SketchRollup, Similarity, Skew, SnapshotDiff, TrainingShards, Upsert}
 import graft.functions.{MoneyMode, Pii, Text, Vectors, Web}
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables._
@@ -1588,6 +1588,27 @@ object SparkEntry {
           col("exact_distinct").cast("double") <= 0.05).as("within_tolerance"))
   }
 
+  /** Training-shard build COMPOSITE gate ([[graft.operators.TrainingShards]]):
+    * weighted mix (q47's reproducible hash predicate) → md5 shuffle
+    * placement (q74's permutation) → within-shard sequence packing in
+    * shuffle order (q46's running-sum binning) → shard/pack manifest.
+    * The oracle replays all four stages in one SQL program, so the
+    * COMPOSITION is verified end-to-end — the q65 pattern applied to
+    * the shard-build side of the pipeline. 16 shards / 256-token budget
+    * are gate parameters sized to the fixture (multiple packs per shard
+    * at sf0.01); production defaults are 256 shards and a real context
+    * budget. */
+  def q78_training_shards(s: SparkSession, d: String): DataFrame = {
+    val rates = when(col("source") === "web", 75)
+      .when(col("source") === "books", 50)
+      .when(col("source") === "wiki", 90)
+      .otherwise(25)
+    TrainingShards.manifest(
+      TrainingShards.plan(documents(s, d), "doc_id", "text",
+        rates, seed = "77", budgetTokens = 256, shardChars = 1))
+      .orderBy(col("shard"), col("pack"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1668,6 +1689,7 @@ object SparkEntry {
     "q75_dup_ngram_spans"   -> (q75_dup_ngram_spans _),
     "q76_incremental_rollup"-> (q76_incremental_rollup _),
     "q77_sketch_distinct"   -> (q77_sketch_distinct _),
+    "q78_training_shards"   -> (q78_training_shards _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2890,6 +2912,29 @@ object SparkEntry {
                 TRUE AS merge_consistent,
                 TRUE AS within_tolerance
          FROM events""",
+
+    // q78: the full mix→shuffle→pack→manifest composition replayed in one
+    // SQL program (q47 predicate + q74 md5 placement + q46 running-sum
+    // packing, ordered by the shuffle key).
+    "q78_training_shards" ->
+      """WITH mixed AS (
+           SELECT doc_id, len(string_split(text, ' ')) AS toks,
+                  md5('77/' || CAST(doc_id AS VARCHAR)) AS hk
+           FROM documents
+           WHERE ((doc_id % 100000007) * 2654435761) % 100 <
+                 CASE WHEN source = 'web' THEN 75 WHEN source = 'books' THEN 50
+                      WHEN source = 'wiki' THEN 90 ELSE 25 END),
+         sh AS (SELECT *, substr(hk, 1, 1) AS shard FROM mixed),
+         r AS (SELECT shard, hk, doc_id, toks,
+                 sum(toks) OVER (PARTITION BY shard ORDER BY hk, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+               FROM sh),
+         p AS (SELECT shard, CAST(floor((running - toks) / 256.0) AS BIGINT) AS pack,
+                      toks, hk FROM r)
+         SELECT shard, pack, count(*) AS n_docs,
+                CAST(sum(toks) AS BIGINT) AS pack_tokens,
+                min(hk) AS pack_start
+         FROM p GROUP BY shard, pack ORDER BY shard, pack""",
   )
 
   /** The LangId trigram profile rendered as SQL VALUES rows — the oracle
