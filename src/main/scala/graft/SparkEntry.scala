@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Bucketing, CorpusShuffle, Decontaminate, Dedup, Flatten, IncrementalAgg, Monitoring, Multimodal, RangeJoin, Scd2, SketchRollup, Similarity, Skew, SnapshotDiff, TrainingShards, Upsert}
+import graft.operators.{Bucketing, CorpusShuffle, Decontaminate, Dedup, Flatten, IncrementalAgg, Monitoring, Multimodal, QuotaSample, RangeJoin, Scd2, SketchRollup, Similarity, Skew, SnapshotDiff, TrainingShards, Upsert}
 import graft.functions.{MoneyMode, Pii, Text, Vectors, Web}
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables._
@@ -1609,6 +1609,37 @@ object SparkEntry {
       .orderBy(col("shard"), col("pack"))
   }
 
+  /** Deterministic fixed-quota sampling gate ([[graft.operators.QuotaSample]]):
+    * exactly 10 docs per language by smallest md5(seed,id), via the
+    * bounded [[graft.functions.BottomKAggregator]] (O(n) map-side state
+    * per stratum). The oracle replays the row_number formulation this
+    * aggregator replaces — proving the bounded path selects the
+    * identical sample. */
+  def q79_quota_sample(s: SparkSession, d: String): DataFrame =
+    QuotaSample.perGroup(documents(s, d), "lang", "doc_id", 10, "s9")
+      .orderBy(col("lang"), col("doc_id_str"))
+
+  /** Z-order layout gate ([[graft.functions.ZOrder]]): Morton-interleave
+    * of (custkey, order-day) buckets, rolled up per 2^20-wide z-range —
+    * each range's min/max in BOTH dimensions lands under the hash, which
+    * IS the file-pruning property z-ordering exists for (a z-range spans
+    * a bounded rectangle; a lexicographic sort bounds only its leading
+    * column). The oracle replays the bit-spread arithmetic — plain
+    * integer ops, identical in any engine. */
+  def q80_zorder_stats(s: SparkSession, d: String): DataFrame = {
+    val z = orders(s, d).select(
+      (col("o_custkey") % 65536).as("xa"),
+      (datediff(col("o_orderdate"), lit("1990-01-01")).cast("long") % 65536).as("xb"))
+      .withColumn("zv", graft.functions.ZOrder.interleave16(col("xa"), col("xb")))
+    z.groupBy(expr("zv div 1048576").cast("long").as("z_bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("xa")).cast("long").as("min_cust"),
+        max(col("xa")).cast("long").as("max_cust"),
+        min(col("xb")).cast("long").as("min_day"),
+        max(col("xb")).cast("long").as("max_day"))
+      .orderBy(col("z_bucket"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1690,6 +1721,8 @@ object SparkEntry {
     "q76_incremental_rollup"-> (q76_incremental_rollup _),
     "q77_sketch_distinct"   -> (q77_sketch_distinct _),
     "q78_training_shards"   -> (q78_training_shards _),
+    "q79_quota_sample"      -> (q79_quota_sample _),
+    "q80_zorder_stats"      -> (q80_zorder_stats _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2935,6 +2968,34 @@ object SparkEntry {
                 CAST(sum(toks) AS BIGINT) AS pack_tokens,
                 min(hk) AS pack_start
          FROM p GROUP BY shard, pack ORDER BY shard, pack""",
+
+    // q79: the row_number formulation the bounded aggregator replaces —
+    // identical sort key string, so the sample must match exactly.
+    "q79_quota_sample" ->
+      """SELECT lang, CAST(doc_id AS VARCHAR) AS doc_id_str FROM (
+           SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+             ORDER BY md5('s9/' || CAST(doc_id AS VARCHAR)) || '/' || CAST(doc_id AS VARCHAR)) AS rn
+           FROM documents) t
+         WHERE rn <= 10 ORDER BY lang, doc_id_str""",
+
+    // q80: Morton bit-spread replayed as plain integer arithmetic.
+    "q80_zorder_stats" ->
+      """WITH base AS (SELECT o_custkey % 65536 AS xa,
+             datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) % 65536 AS xb
+           FROM orders),
+         s1 AS (SELECT xa, xb, (xa | (xa << 8)) & 16711935 AS a1,
+                       (xb | (xb << 8)) & 16711935 AS b1 FROM base),
+         s2 AS (SELECT xa, xb, (a1 | (a1 << 4)) & 252645135 AS a2,
+                       (b1 | (b1 << 4)) & 252645135 AS b2 FROM s1),
+         s3 AS (SELECT xa, xb, (a2 | (a2 << 2)) & 858993459 AS a3,
+                       (b2 | (b2 << 2)) & 858993459 AS b3 FROM s2),
+         s4 AS (SELECT xa, xb, (a3 | (a3 << 1)) & 1431655765 AS az,
+                       (b3 | (b3 << 1)) & 1431655765 AS bz FROM s3),
+         z AS (SELECT xa, xb, az | (bz << 1) AS zv FROM s4)
+         SELECT CAST(zv // 1048576 AS BIGINT) AS z_bucket, count(*) AS n,
+                CAST(min(xa) AS BIGINT) AS min_cust, CAST(max(xa) AS BIGINT) AS max_cust,
+                CAST(min(xb) AS BIGINT) AS min_day, CAST(max(xb) AS BIGINT) AS max_day
+         FROM z GROUP BY 1 ORDER BY z_bucket""",
   )
 
   /** The LangId trigram profile rendered as SQL VALUES rows — the oracle

@@ -43,6 +43,33 @@ class TopKAggregator(k: Int)
   override def outputEncoder: Encoder[Seq[(Long, Double)]] = ExpressionEncoder()
 }
 
+/** Bounded bottom-k STRINGS: keeps the k lexicographically smallest input
+  * strings (duplicates kept). Same O(k) map-side-state rationale as
+  * [[TopKAggregator]] — the bounded replacement for `row_number() OVER
+  * (PARTITION BY g ORDER BY s) <= k` when a group's candidate list is
+  * large: the window sorts and ships the whole group, this buffer ships k
+  * rows. Basis of [[graft.operators.QuotaSample]]'s deterministic
+  * fixed-quota sampling. */
+class BottomKAggregator(k: Int)
+  extends Aggregator[String, Seq[String], Seq[String]] {
+
+  private def insert(buf: Seq[String], x: String): Seq[String] =
+    if (x == null) buf
+    else if (buf.size == k && x >= buf.last) buf
+    else {
+      val (pre, post) = buf.span(_ <= x)
+      (pre :+ x) ++ post.take(k - pre.size - 1)
+    }
+
+  override def zero: Seq[String] = Seq.empty
+  override def reduce(buf: Seq[String], in: String): Seq[String] = insert(buf, in)
+  override def merge(a: Seq[String], b: Seq[String]): Seq[String] =
+    b.foldLeft(a)(insert)
+  override def finish(buf: Seq[String]): Seq[String] = buf
+  override def bufferEncoder: Encoder[Seq[String]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[String]] = ExpressionEncoder()
+}
+
 /** [[TopKAggregator]] for string-keyed counts: at most k (term, cnt) pairs
   * ordered by (cnt desc, term asc) — the bounded replacement for
   * `row_number() OVER (PARTITION BY g ORDER BY cnt DESC, term)` when the
@@ -87,5 +114,12 @@ object TopK {
     val fn = udaf(new TopKTermsAggregator(k),
       Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
     (term, cnt) => fn(term, cnt)
+  }
+
+  /** `bottomK(10)(col("s"))` → array of the k lexicographically smallest
+    * strings, ascending. */
+  def bottomK(k: Int): Column => Column = {
+    val fn = udaf(new BottomKAggregator(k), Encoders.STRING)
+    s => fn(s)
   }
 }
