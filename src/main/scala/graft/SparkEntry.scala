@@ -153,7 +153,7 @@ object SparkEntry {
       .when(col("source") === "wiki", 90)
       .otherwise(25)
     documents(s, d)
-      .filter(pmod(pmod(col("doc_id"), lit(100000007L)) * 2654435761L, lit(100L)) < pct)
+      .filter(graft.functions.Mix.keepPredicate(col("doc_id"), pct))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("mixed_docs"),
         sum(Text.tokenCount(col("text"))).cast("long").as("mixed_tokens"))

@@ -27,11 +27,14 @@ object CorpusShuffle {
   def shuffleKey(key: Column, seed: String): Column =
     md5(concat(lit(seed + "/"), key.cast("string")))
 
-  /** 256-way shard id: the first hex byte of the permutation key. Shards
-    * are the write-side unit (one output dir per shard); within a shard
-    * the permutation key orders documents. */
-  def shardOf(key: Column, seed: String): Column =
-    substring(shuffleKey(key, seed), 1, 2)
+  /** Shard id: the first `chars` hex chars of the permutation key
+    * (16^chars shards; default 256-way). Shards are the write-side unit
+    * (one output dir per shard); within a shard the permutation key
+    * orders documents. The single definition of "shard of a key" —
+    * [[TrainingShards]] packing uses the same slice, so packing
+    * parallelism and shuffle placement coincide by construction. */
+  def shardOf(key: Column, seed: String, chars: Int = 2): Column =
+    substring(shuffleKey(key, seed), 1, chars)
 
   /** The corpus in deterministic shuffled order: range-partitioned and
     * sorted by (hash, key) — key as tie-break makes the order total even

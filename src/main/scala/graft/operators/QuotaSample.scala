@@ -24,18 +24,27 @@ import org.apache.spark.sql.functions._
 object QuotaSample {
 
   /** (group, id-as-string) pairs of the sampled rows — join back on the
-    * id to recover full rows. `n` per group, deterministic in `seed`. */
+    * id to recover full rows. `n` per group, deterministic in `seed`.
+    * NULL ids are excluded up front (a null cannot be hashed into the
+    * draw; excluding them explicitly keeps the result well-defined and
+    * matches the oracle, where no null ids exist — a row_number
+    * formulation would instead rank nulls engine-dependently, first in
+    * Spark and last in DuckDB). */
   def perGroup(df: DataFrame, groupCol: String, idCol: String, n: Int,
                seed: String): DataFrame = {
     require(n > 0, "quota must be positive")
     val sortKey = concat(
       md5(concat(lit(seed + "/"), col(idCol).cast("string"))),
       lit("/"), col(idCol).cast("string"))
-    df.select(col(groupCol), sortKey.as("_qk"))
+    df.filter(col(idCol).isNotNull)
+      .select(col(groupCol), sortKey.as("_qk"))
       .groupBy(col(groupCol))
       .agg(graft.functions.TopK.bottomK(n)(col("_qk")).as("_ks"))
       .select(col(groupCol), explode(col("_ks")).as("_qk"))
-      .select(col(groupCol),
-        element_at(split(col("_qk"), "/"), 2).as(s"${idCol}_str"))
+      // the md5 prefix is exactly 32 hex chars + "/": a fixed-offset
+      // substring recovers the id even when the id itself contains "/"
+      // (a split would truncate such ids)
+      .select(col(groupCol), substring(col("_qk"), 34, Int.MaxValue)
+        .as(s"${idCol}_str"))
   }
 }

@@ -34,12 +34,12 @@ object TrainingShards {
     require(shardChars >= 1 && shardChars <= 8, "shardChars in [1,8]")
     require(budgetTokens > 0, "token budget must be positive")
     val mixed = docs
-      .filter(pmod(pmod(col(idCol), lit(100000007L)) * 2654435761L, lit(100L))
-        < ratesPct)
+      .filter(graft.functions.Mix.keepPredicate(col(idCol), ratesPct))
       .select(col(idCol),
         CorpusShuffle.shuffleKey(col(idCol), seed).as("_hk"),
         graft.functions.Text.tokenCount(col(textCol)).as("toks"))
-      .withColumn("shard", substring(col("_hk"), 1, shardChars))
+      .withColumn("shard",
+        CorpusShuffle.shardOf(col(idCol), seed, shardChars))
     val w = Window.partitionBy(col("shard")).orderBy(col("_hk"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, 0)
     mixed
