@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Bucketing, CorpusShuffle, Decontaminate, Dedup, Flatten, IncrementalAgg, Monitoring, Multimodal, QuotaSample, RangeJoin, Scd2, SketchRollup, Similarity, Skew, SnapshotDiff, TrainingShards, Upsert}
+import graft.operators.{BinnedQuantiles, Bucketing, CorpusShuffle, Decontaminate, Dedup, Flatten, IncrementalAgg, Monitoring, Multimodal, Outliers, QuotaSample, RangeJoin, Scd2, SketchRollup, Similarity, Skew, SnapshotDiff, TrainingShards, Upsert}
 import graft.functions.{MoneyMode, Pii, Text, Vectors, Web}
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables._
@@ -1640,6 +1640,37 @@ object SparkEntry {
       .orderBy(col("z_bucket"))
   }
 
+  /** Mergeable binned-quantile gate ([[graft.operators.BinnedQuantiles]]):
+    * the histogram state is built as TWO delta halves (even/odd keys)
+    * and merged — so the gate proves both the interpolation closed form
+    * AND state mergeability against an oracle that bins the whole table
+    * directly. The companion to q76 for the non-distributive measure
+    * (percentiles) its cnt/sum/min/max state cannot carry; q37 keeps
+    * the exact-from-rows formulation. */
+  def q81_binned_quantiles(s: SparkSession, d: String): DataFrame = {
+    val ords = orders(s, d).select(col("o_orderstatus").as("status"),
+      col("o_orderkey"), col("o_totalprice"))
+    def half(pred: org.apache.spark.sql.Column) = BinnedQuantiles.binState(
+      ords.filter(pred), Seq("status"), "o_totalprice", 0.0, 6000.0, 100)
+    val state = BinnedQuantiles.merge(Seq("status"),
+      half(col("o_orderkey") % 2 === 0), half(col("o_orderkey") % 2 =!= 0))
+    BinnedQuantiles.quantiles(state, Seq("status"),
+      Seq("p50_est" -> 0.5, "p95_est" -> 0.95), 0.0, 6000.0)
+      .orderBy(col("status"))
+  }
+
+  /** Per-group z-score outlier gate ([[graft.operators.Outliers]]):
+    * documents whose length is > 1.5 sample-stddevs from their SOURCE's
+    * mean. Threshold margin verified against the fixture (closest |z|
+    * is 0.006 away — five orders of magnitude above cross-engine double
+    * drift), and the reported z is rounded; the filter runs on the
+    * unrounded value in both engines identically. */
+  def q82_zscore_outliers(s: SparkSession, d: String): DataFrame =
+    Outliers.beyond(documents(s, d), "source", "n_chars", 1.5)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        round(col("_z"), 4).as("z"))
+      .orderBy(col("source"), col("doc_id"))
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1723,6 +1754,8 @@ object SparkEntry {
     "q78_training_shards"   -> (q78_training_shards _),
     "q79_quota_sample"      -> (q79_quota_sample _),
     "q80_zorder_stats"      -> (q80_zorder_stats _),
+    "q81_binned_quantiles"  -> (q81_binned_quantiles _),
+    "q82_zscore_outliers"   -> (q82_zscore_outliers _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2996,6 +3029,40 @@ object SparkEntry {
                 CAST(min(xa) AS BIGINT) AS min_cust, CAST(max(xa) AS BIGINT) AS max_cust,
                 CAST(min(xb) AS BIGINT) AS min_day, CAST(max(xb) AS BIGINT) AS max_day
          FROM z GROUP BY 1 ORDER BY z_bucket""",
+
+    // q81: direct binning + the same interpolation closed form — the
+    // merged-halves state must reproduce it exactly.
+    "q81_binned_quantiles" ->
+      """WITH binned AS (
+           SELECT o_orderstatus AS status,
+                  least(greatest(CAST(floor(o_totalprice / 6000.0) AS BIGINT), 0), 99) AS bin,
+                  count(*) AS cnt
+           FROM orders GROUP BY 1, 2),
+         tot AS (SELECT status, sum(cnt) AS total FROM binned GROUP BY status),
+         cum AS (SELECT status, bin, cnt,
+                   sum(cnt) OVER (PARTITION BY status ORDER BY bin
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum_before
+                 FROM binned),
+         j AS (SELECT c.status, c.bin, c.cnt, coalesce(c.cum_before, 0) AS cb, t.total
+               FROM cum c JOIN tot t ON c.status = t.status)
+         SELECT status,
+           round(min(CASE WHEN cb + cnt >= 0.5 * total AND cb < 0.5 * total
+                THEN (bin + (0.5 * total - cb) / cnt) * 6000.0 END), 4) AS p50_est,
+           round(min(CASE WHEN cb + cnt >= 0.95 * total AND cb < 0.95 * total
+                THEN (bin + (0.95 * total - cb) / cnt) * 6000.0 END), 4) AS p95_est,
+           CAST(min(total) AS BIGINT) AS n
+         FROM j GROUP BY status ORDER BY status""",
+
+    // q82: per-source moments + z filter on the unrounded value; both
+    // engines use SAMPLE stddev.
+    "q82_zscore_outliers" ->
+      """WITH s AS (SELECT source, avg(n_chars) AS m, stddev(n_chars) AS sd
+                    FROM documents GROUP BY source)
+         SELECT d.source, d.doc_id, d.n_chars,
+                round((d.n_chars - s.m) / s.sd, 4) AS z
+         FROM documents d JOIN s ON d.source = s.source
+         WHERE s.sd > 0 AND abs((d.n_chars - s.m) / s.sd) > 1.5
+         ORDER BY d.source, d.doc_id""",
   )
 
   /** The LangId trigram profile rendered as SQL VALUES rows — the oracle
