@@ -1650,10 +1650,14 @@ object SparkEntry {
   def q81_binned_quantiles(s: SparkSession, d: String): DataFrame = {
     val ords = orders(s, d).select(col("o_orderstatus").as("status"),
       col("o_orderkey"), col("o_totalprice"))
+    // the halves must PARTITION the table: a bare `% 2 === 0` / `=!= 0`
+    // pair drops null-key rows from BOTH sides (each predicate is null),
+    // so the null side is pinned into the first half explicitly
     def half(pred: org.apache.spark.sql.Column) = BinnedQuantiles.binState(
       ords.filter(pred), Seq("status"), "o_totalprice", 0.0, 6000.0, 100)
+    val evenOrNull = coalesce(col("o_orderkey") % 2 === 0, lit(true))
     val state = BinnedQuantiles.merge(Seq("status"),
-      half(col("o_orderkey") % 2 === 0), half(col("o_orderkey") % 2 =!= 0))
+      half(evenOrNull), half(!evenOrNull))
     BinnedQuantiles.quantiles(state, Seq("status"),
       Seq("p50_est" -> 0.5, "p95_est" -> 0.95), 0.0, 6000.0)
       .orderBy(col("status"))
@@ -3037,7 +3041,9 @@ object SparkEntry {
            SELECT o_orderstatus AS status,
                   least(greatest(CAST(floor(o_totalprice / 6000.0) AS BIGINT), 0), 99) AS bin,
                   count(*) AS cnt
-           FROM orders GROUP BY 1, 2),
+           FROM orders
+           WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
+           GROUP BY 1, 2),
          tot AS (SELECT status, sum(cnt) AS total FROM binned GROUP BY status),
          cum AS (SELECT status, bin, cnt,
                    sum(cnt) OVER (PARTITION BY status ORDER BY bin

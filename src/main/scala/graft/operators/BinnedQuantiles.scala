@@ -26,12 +26,15 @@ import org.apache.spark.sql.functions._
 object BinnedQuantiles {
 
   /** Histogram state: one row per (groups, bin) with its count. Values
-    * outside [lo, lo + nBins·width) clamp into the edge bins. Null
-    * values are dropped (no bin). */
+    * outside [lo, lo + nBins·width) clamp into the edge bins. Null AND
+    * NaN values are dropped (no bin) — NaN is unordered, so clamping is
+    * meaningless, and without the explicit filter Spark's double→long
+    * cast would silently bin NaN as the smallest value while DuckDB's
+    * equivalent cast ERRORS (cross-engine divergence either way). */
   def binState(df: DataFrame, groups: Seq[String], valueCol: String,
                lo: Double, width: Double, nBins: Int): DataFrame = {
     require(width > 0 && nBins > 0, "width and nBins must be positive")
-    df.filter(col(valueCol).isNotNull)
+    df.filter(col(valueCol).isNotNull && !isnan(col(valueCol)))
       .groupBy(groups.map(col) :+
         least(greatest(floor((col(valueCol) - lo) / width).cast("long"),
           lit(0L)), lit(nBins - 1L)).as("bin"): _*)
@@ -56,11 +59,13 @@ object BinnedQuantiles {
     require(qs.nonEmpty, "need at least one quantile")
     val w = Window.partitionBy(groups.map(col): _*).orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val cum = state
+    // total via a whole-partition window on the SAME ≤nBins-row state
+    // frame — a separate aggregate + self-join would plan (and execute)
+    // the state subtree twice and add a join shuffle for nothing
+    val wTot = Window.partitionBy(groups.map(col): _*)
+    val joined = state
       .withColumn("cb", coalesce(sum(col("cnt")).over(w), lit(0L)))
-    val tot = state.groupBy(groups.map(col): _*)
-      .agg(sum(col("cnt")).as("total"))
-    val joined = cum.join(tot, groups)
+      .withColumn("total", sum(col("cnt")).over(wTot))
     val ests = qs.map { case (name, q) =>
       round(min(when(
         col("cb") + col("cnt") >= lit(q) * col("total") &&

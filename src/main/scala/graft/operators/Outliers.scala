@@ -19,11 +19,15 @@ object Outliers {
 
   /** Facts + `_z` column: (value − group mean) / group sample-stddev.
     * Groups with stddev 0 or a single row yield null `_z` (no
-    * dispersion — nothing is an outlier). */
+    * dispersion — nothing is an outlier). The attach is a LEFT join:
+    * every fact row survives — an inner equi-join would silently DROP
+    * rows whose group key is null (null never equi-matches the null
+    * group's stats row), breaking the facts-plus-column contract; such
+    * rows keep a null `_z` instead. */
   def zScores(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val stats = df.groupBy(col(groupCol))
       .agg(avg(col(valueCol)).as("_m"), stddev(col(valueCol)).as("_sd"))
-    df.join(stats, groupCol)
+    df.join(stats, Seq(groupCol), "left")
       .withColumn("_z",
         when(col("_sd") > 0, (col(valueCol) - col("_m")) / col("_sd")))
       .drop("_m", "_sd")

@@ -27,6 +27,22 @@ class OutliersSpec extends SparkSpec {
     assert(z.forall(_.isEmpty))
   }
 
+  test("null-group facts survive the attach with null z (left join contract)") {
+    val df = Seq((1L, Option("g"), 1.0), (2L, Option("g"), 2.0),
+      (3L, Option.empty[String], 9.0)).toDF("id", "g", "v")
+    val z = Outliers.zScores(df, "g", "v")
+    assert(z.count() == 3L, "no fact row may be dropped by the stats attach")
+    assert(z.filter($"id" === 3L).select("_z").as[Option[Double]].head().isEmpty)
+  }
+
+  test("NaN and null values neither bin nor crash binned-state building") {
+    val df = Seq(("g", Some(5.0)), ("g", Some(Double.NaN)), ("g", None))
+      .toDF("g", "v")
+    val st = BinnedQuantiles.binState(df, Seq("g"), "v", 0.0, 10.0, 10)
+      .select("bin", "cnt").as[(Long, Long)].collect().toSeq
+    assert(st == Seq((0L, 1L)), s"NaN/null must be dropped, got $st")
+  }
+
   test("stats side joins without shuffling the facts on a new key (broadcast attach)") {
     val df = (1L to 1000L).map(i => (i, s"g${i % 3}", i.toDouble)).toDF("id", "g", "v")
     val plan = Outliers.zScores(df, "g", "v").queryExecution.executedPlan.toString
