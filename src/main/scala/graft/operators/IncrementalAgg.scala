@@ -55,6 +55,27 @@ object IncrementalAgg {
         max(col("_max")).as("_max"))
   }
 
+  /** Fold one micro-batch into a persisted state table — the streaming
+    * maintenance loop: reduce the batch to partials, merge with the
+    * stored state, publish through [[ParquetTableStore.upsert]] (whose
+    * staging fully materializes the merge BEFORE touching the files the
+    * lazy `read` plan references, and whose keyed MERGE keeps the write
+    * idempotent per state row). Call from `foreachBatch`; the rollup is
+    * then continuously current while each batch costs one aggregate
+    * over its own rows plus a state-sized merge. NOTE inside
+    * `foreachBatch` the batch frame's session is a clone with isolated
+    * conf — `store` must have been built on a session whose conf the
+    * writes may use (ParquetTableStore already pins parquet codec conf
+    * per-frame, so any session works; see its scaladoc). */
+  def foldIntoStore(store: ParquetTableStore, name: String, batch: DataFrame,
+                    groups: Seq[String], valueCol: String): Unit = {
+    val delta = partialState(batch, groups, valueCol)
+    val merged = store.read(name)
+      .map(prev => mergeStates(groups, prev, delta)).getOrElse(delta)
+    store.upsert(name, merged, groups, countAfter = false)
+    ()
+  }
+
   /** Derive the read-time measures from a state frame. `groups` is
     * passed explicitly — inferring it from column naming would silently
     * drop a real group column that happens to start with `_`. `scale`

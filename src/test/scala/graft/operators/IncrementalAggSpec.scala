@@ -50,6 +50,37 @@ class IncrementalAggSpec extends SparkSpec {
     assert(st == ((0L, None)))
   }
 
+  test("foreachBatch maintenance: streamed state equals batch recompute (IVM under streaming)") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivm_in").toString
+    val wh = java.nio.file.Files.createTempDirectory("graft_ivm_wh").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_ivm_cp").toString
+    def drop(name: String, lines: String*): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, name), lines.mkString("\n"))
+    drop("b0.json", """{"typ":"a","v":1.0}""", """{"typ":"a","v":3.0}""",
+      """{"typ":"b","v":10.0}""")
+    drop("b1.json", """{"typ":"a","v":5.0}""", """{"typ":"b","v":-2.0}""")
+    val schema = StructType(Seq(StructField("typ", StringType),
+      StructField("v", DoubleType)))
+    val store = new ParquetTableStore(spark, wh)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir) // one file per micro-batch
+      .writeStream.option("checkpointLocation", cp)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        IncrementalAgg.foldIntoStore(store, "state", batch, Seq("typ"), "v")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = store.read("state").get.orderBy("typ").collect().toSeq
+    val direct = IncrementalAgg.partialState(
+      Seq(("a", 1.0), ("a", 3.0), ("b", 10.0), ("a", 5.0), ("b", -2.0))
+        .toDF("typ", "v"), Seq("typ"), "v").orderBy("typ").collect().toSeq
+    assert(streamed == direct,
+      s"streamed state $streamed != batch recompute $direct")
+  }
+
   test("plans are pure hash aggregates — no sort, no window") {
     val plan = IncrementalAgg.mergeStates(Seq("typ"),
       IncrementalAgg.partialState(rows, Seq("day", "typ"), "v"))
