@@ -59,19 +59,39 @@ object IncrementalAgg {
     * maintenance loop: reduce the batch to partials, merge with the
     * stored state, publish through [[ParquetTableStore.upsert]] (whose
     * staging fully materializes the merge BEFORE touching the files the
-    * lazy `read` plan references, and whose keyed MERGE keeps the write
-    * idempotent per state row). Call from `foreachBatch`; the rollup is
-    * then continuously current while each batch costs one aggregate
-    * over its own rows plus a state-sized merge. NOTE inside
-    * `foreachBatch` the batch frame's session is a clone with isolated
-    * conf — `store` must have been built on a session whose conf the
-    * writes may use (ParquetTableStore already pins parquet codec conf
-    * per-frame, so any session works; see its scaladoc). */
+    * lazy `read` plan references). Call from `foreachBatch` with its
+    * `batchId`; the rollup is then continuously current while each
+    * batch costs one aggregate over its own rows plus a state-sized
+    * merge.
+    *
+    * EXACTLY-ONCE: `foreachBatch` is at-least-once, and state folding —
+    * unlike a keyed MERGE of facts — is ADDITIVE, so a replayed batch
+    * would double-count. Every published state row therefore carries
+    * `_last_batch` = the id that produced it, committed ATOMICALLY with
+    * the counts (same table write, atomic swap); a replay of an
+    * already-applied id is detected from the stored marker and skipped.
+    * The marker read is a single-row driver aggregate over the
+    * state-sized table (bounded — the q07/Pipeline precedent).
+    *
+    * NOTE inside `foreachBatch` the batch frame's session is a clone
+    * with isolated conf — safe here because ParquetTableStore pins
+    * parquet codec conf per-frame (see its scaladoc). */
   def foldIntoStore(store: ParquetTableStore, name: String, batch: DataFrame,
-                    groups: Seq[String], valueCol: String): Unit = {
+                    groups: Seq[String], valueCol: String,
+                    batchId: Long): Unit = {
+    val prev = store.read(name)
+    val alreadyApplied = prev.exists { p =>
+      p.columns.contains("_last_batch") && {
+        val r = p.agg(max(col("_last_batch"))).head() // empty table → null marker
+        !r.isNullAt(0) && r.getLong(0) >= batchId
+      }
+    }
+    if (alreadyApplied) return
     val delta = partialState(batch, groups, valueCol)
-    val merged = store.read(name)
-      .map(prev => mergeStates(groups, prev, delta)).getOrElse(delta)
+    val merged = prev
+      .map(p => mergeStates(groups, p.drop("_last_batch"), delta))
+      .getOrElse(delta)
+      .withColumn("_last_batch", lit(batchId))
     store.upsert(name, merged, groups, countAfter = false)
     ()
   }

@@ -67,18 +67,29 @@ class IncrementalAggSpec extends SparkSpec {
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).json(dir) // one file per micro-batch
       .writeStream.option("checkpointLocation", cp)
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        IncrementalAgg.foldIntoStore(store, "state", batch, Seq("typ"), "v")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        IncrementalAgg.foldIntoStore(store, "state", batch, Seq("typ"), "v", id)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination(120000)
-    val streamed = store.read("state").get.orderBy("typ").collect().toSeq
+    def state = store.read("state").get.drop("_last_batch")
+      .orderBy("typ").collect().toSeq
     val direct = IncrementalAgg.partialState(
       Seq(("a", 1.0), ("a", 3.0), ("b", 10.0), ("a", 5.0), ("b", -2.0))
         .toDF("typ", "v"), Seq("typ"), "v").orderBy("typ").collect().toSeq
-    assert(streamed == direct,
-      s"streamed state $streamed != batch recompute $direct")
+    assert(state == direct,
+      s"streamed state $state != batch recompute $direct")
+
+    // at-least-once replay of the LAST batch (the foreachBatch failure
+    // mode): the batch marker must make the re-application a no-op
+    val lastBatch = Seq(("a", 5.0), ("b", -2.0)).toDF("typ", "v")
+    IncrementalAgg.foldIntoStore(store, "state", lastBatch, Seq("typ"), "v", 1L)
+    assert(state == direct, "replayed batch must not double-count")
+    // a genuinely new batch still applies
+    IncrementalAgg.foldIntoStore(store, "state",
+      Seq(("a", 100.0)).toDF("typ", "v"), Seq("typ"), "v", 2L)
+    assert(state != direct)
   }
 
   test("plans are pure hash aggregates — no sort, no window") {
