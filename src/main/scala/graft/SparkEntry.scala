@@ -3044,13 +3044,11 @@ object SparkEntry {
            FROM orders
            WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
            GROUP BY 1, 2),
-         tot AS (SELECT status, sum(cnt) AS total FROM binned GROUP BY status),
-         cum AS (SELECT status, bin, cnt,
-                   sum(cnt) OVER (PARTITION BY status ORDER BY bin
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum_before
-                 FROM binned),
-         j AS (SELECT c.status, c.bin, c.cnt, coalesce(c.cum_before, 0) AS cb, t.total
-               FROM cum c JOIN tot t ON c.status = t.status)
+         j AS (SELECT status, bin, cnt,
+                 coalesce(sum(cnt) OVER (PARTITION BY status ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+                 sum(cnt) OVER (PARTITION BY status) AS total
+               FROM binned)
          SELECT status,
            round(min(CASE WHEN cb + cnt >= 0.5 * total AND cb < 0.5 * total
                 THEN (bin + (0.5 * total - cb) / cnt) * 6000.0 END), 4) AS p50_est,

@@ -57,43 +57,62 @@ object IncrementalAgg {
 
   /** Fold one micro-batch into a persisted state table — the streaming
     * maintenance loop: reduce the batch to partials, merge with the
-    * stored state, publish through [[ParquetTableStore.upsert]] (whose
-    * staging fully materializes the merge BEFORE touching the files the
-    * lazy `read` plan references). Call from `foreachBatch` with its
-    * `batchId`; the rollup is then continuously current while each
-    * batch costs one aggregate over its own rows plus a state-sized
-    * merge.
+    * stored state, and publish via [[ParquetTableStore.replace]]. Call
+    * from `foreachBatch` with its `batchId` and a stable `epoch`
+    * identifying the CHECKPOINT LINEAGE (e.g. the checkpoint path); the
+    * rollup is then continuously current at one batch-sized aggregate
+    * plus a state-sized merge per trigger.
     *
     * EXACTLY-ONCE: `foreachBatch` is at-least-once, and state folding —
     * unlike a keyed MERGE of facts — is ADDITIVE, so a replayed batch
     * would double-count. Every published state row therefore carries
-    * `_last_batch` = the id that produced it, committed ATOMICALLY with
-    * the counts (same table write, atomic swap); a replay of an
-    * already-applied id is detected from the stored marker and skipped.
-    * The marker read is a single-row driver aggregate over the
-    * state-sized table (bounded — the q07/Pipeline precedent).
+    * (`_epoch`, `_last_batch`), committed atomically with the counts:
+    * `replace` is the all-or-nothing publish (staged write + swap with
+    * a recoverable mid-swap backup) — NOT `upsert`, whose row-level
+    * MERGE commit is crash-safe only under re-run convergence, exactly
+    * what a marker-skip suppresses. A replay of an already-applied
+    * (epoch, id) is detected from the stored marker and skipped; after
+    * a crash at ANY point, the table holds either the old state (old
+    * marker → the replay applies once) or the new state (new marker →
+    * the replay is skipped) — never a double count, never silent loss.
     *
-    * NOTE inside `foreachBatch` the batch frame's session is a clone
-    * with isolated conf — safe here because ParquetTableStore pins
-    * parquet codec conf per-frame (see its scaladoc). */
+    * Epoch semantics: Structured Streaming batch ids RESTART AT ZERO
+    * under a fresh checkpoint, so the marker is only meaningful within
+    * one lineage — a fold whose `epoch` differs from the stored one
+    * FAILS LOUDLY (a fresh checkpoint reprocesses the source from
+    * scratch; pair it with a fresh state table or delete the old one)
+    * rather than silently skipping or double-counting.
+    *
+    * Cost per batch: one bounded single-row marker aggregate over the
+    * state-sized table plus the merge write. NOTE inside `foreachBatch`
+    * the batch frame's session is a clone with isolated conf — safe
+    * here because ParquetTableStore pins parquet codec conf per-frame
+    * (see its scaladoc). */
   def foldIntoStore(store: ParquetTableStore, name: String, batch: DataFrame,
                     groups: Seq[String], valueCol: String,
-                    batchId: Long): Unit = {
+                    batchId: Long, epoch: String): Unit = {
     val prev = store.read(name)
-    val alreadyApplied = prev.exists { p =>
-      p.columns.contains("_last_batch") && {
-        val r = p.agg(max(col("_last_batch"))).head() // empty table → null marker
+    val isReplay = prev.filter(p =>
+      p.columns.contains("_last_batch") && p.columns.contains("_epoch"))
+      .exists { p =>
+        val r = p.agg(max(col("_last_batch")), max(col("_epoch"))).head()
+        if (!r.isNullAt(1) && r.getString(1) != epoch) sys.error(
+          s"foldIntoStore('$name'): state table was built under stream epoch " +
+            s"'${r.getString(1)}' but this stream runs epoch '$epoch' — batch " +
+            "ids restart at zero under a fresh checkpoint, so the replay " +
+            "marker cannot distinguish replays from new data across lineages. " +
+            "Reset the state table together with the checkpoint, or reuse it.")
         !r.isNullAt(0) && r.getLong(0) >= batchId
       }
-    }
-    if (alreadyApplied) return
+    if (isReplay) return
     val delta = partialState(batch, groups, valueCol)
     val merged = prev
-      .map(p => mergeStates(groups, p.drop("_last_batch"), delta))
+      .map(p => mergeStates(groups,
+        p.drop("_last_batch").drop("_epoch"), delta))
       .getOrElse(delta)
       .withColumn("_last_batch", lit(batchId))
-    store.upsert(name, merged, groups, countAfter = false)
-    ()
+      .withColumn("_epoch", lit(epoch))
+    store.replace(name, merged)
   }
 
   /** Derive the read-time measures from a state frame. `groups` is

@@ -36,8 +36,27 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   def read(name: String): Option[DataFrame] = {
+    recoverTableBackup(name)
     val p = new Path(path(name))
     if (fs(p).exists(p)) Some(spark.read.parquet(path(name))) else None
+  }
+
+  /** Crash recovery for [[publish]]'s whole-table swap — the table-level
+    * analog of [[recoverPartitionBackups]]: a crash between
+    * rename(dst→backup) and rename(tmp→dst) leaves the table present
+    * ONLY at `_swap_<name>`; without this sweep the next `read` returns
+    * None and a caller (e.g. a state fold) would silently rebuild from
+    * nothing — losing the table's whole history. Backup present with the
+    * table present means only the post-swap cleanup delete was lost: the
+    * backup is stale and dropped. */
+  private def recoverTableBackup(name: String): Unit = {
+    val dst = new Path(path(name))
+    val bak = new Path(s"$warehouse/_swap_$name")
+    val f = fs(dst)
+    if (!f.exists(bak)) return
+    if (f.exists(dst)) f.delete(bak, true)
+    else if (!f.rename(bak, dst)) sys.error(
+      s"failed to restore interrupted-swap backup $bak to $dst")
   }
 
   /** Stage `df` as the new content of `name`, then atomically swap it in
@@ -46,6 +65,7 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
     * pinned to INT64 micros so every file the store ever writes stays
     * readable by the v2 merge codec (Spark's default may be INT96). */
   private def publish(name: String, df: DataFrame): Unit = {
+    recoverTableBackup(name)
     val tmp = new Path(s"$warehouse/_tmp_$name")
     // Pin the conf on the FRAME's session, not the store's: inside a
     // streaming foreachBatch the batch frame belongs to a cloned session
@@ -58,13 +78,27 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
     val dst = new Path(path(name))
     val f = fs(dst)
     if (f.exists(dst)) {
-      val old = new Path(s"$warehouse/_old_$name")
+      // the backup lives at _swap_<name> until the new table is in place,
+      // so the mid-swap crash window is recoverable (recoverTableBackup)
+      // instead of leaving the table missing
+      val old = new Path(s"$warehouse/_swap_$name")
       if (f.exists(old)) f.delete(old, true)
       if (!f.rename(dst, old)) sys.error(s"swap failed for $name")
       if (!f.rename(tmp, dst)) { f.rename(old, dst); sys.error(s"swap failed for $name") }
       f.delete(old, true)
     } else if (!f.rename(tmp, dst)) sys.error(s"publish failed for $name")
   }
+
+  /** Atomically REPLACE the whole table with `df` (staged write + swap,
+    * recoverable backup during the swap window). Unlike [[upsert]] this
+    * never merges and never takes the row-level path — the one primitive
+    * whose commit is all-or-nothing, which callers that pair data with a
+    * commit MARKER in the same frame (e.g.
+    * [[IncrementalAgg.foldIntoStore]]) require: the row-level MERGE's
+    * group-pruned commit is only crash-safe under re-run convergence,
+    * which a marker-skip would suppress. Intended for small
+    * state/dimension tables; a fact table should use [[upsert]]. */
+  def replace(name: String, df: DataFrame): Unit = publish(name, df)
 
   /** Upsert `updates` into table `name` keyed by `keys`; returns post-merge
     * row count.

@@ -28,11 +28,13 @@ class BinnedQuantilesSpec extends SparkSpec {
       whole.orderBy("bin").collect().toSeq)
   }
 
-  test("out-of-range values clamp into edge bins; nulls are dropped") {
-    val df = Seq(("g", Some(-50.0)), ("g", Some(1e9)), ("g", None))
-      .toDF("g", "v")
+  test("out-of-range values clamp into edge bins; nulls and NaN are dropped") {
+    val df = Seq(("g", Some(-50.0)), ("g", Some(1e9)), ("g", None),
+      ("g", Some(Double.NaN))).toDF("g", "v")
     val st = BinnedQuantiles.binState(df, Seq("g"), "v", 0.0, 10.0, 10)
       .orderBy("bin").select("bin", "cnt").as[(Long, Long)].collect().toSeq
+    // NaN must be dropped, not binned: Spark's double→long cast would
+    // silently send it to bin 0 while DuckDB's equivalent cast errors
     assert(st == Seq((0L, 1L), (9L, 1L)))
   }
 

@@ -68,12 +68,13 @@ class IncrementalAggSpec extends SparkSpec {
       .option("maxFilesPerTrigger", 1).json(dir) // one file per micro-batch
       .writeStream.option("checkpointLocation", cp)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-        IncrementalAgg.foldIntoStore(store, "state", batch, Seq("typ"), "v", id)
+        IncrementalAgg.foldIntoStore(store, "state", batch, Seq("typ"), "v",
+          id, epoch = cp)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
-    def state = store.read("state").get.drop("_last_batch")
+    assert(q.awaitTermination(120000), "stream did not finish in time")
+    def state = store.read("state").get.drop("_last_batch", "_epoch")
       .orderBy("typ").collect().toSeq
     val direct = IncrementalAgg.partialState(
       Seq(("a", 1.0), ("a", 3.0), ("b", 10.0), ("a", 5.0), ("b", -2.0))
@@ -84,12 +85,33 @@ class IncrementalAggSpec extends SparkSpec {
     // at-least-once replay of the LAST batch (the foreachBatch failure
     // mode): the batch marker must make the re-application a no-op
     val lastBatch = Seq(("a", 5.0), ("b", -2.0)).toDF("typ", "v")
-    IncrementalAgg.foldIntoStore(store, "state", lastBatch, Seq("typ"), "v", 1L)
+    IncrementalAgg.foldIntoStore(store, "state", lastBatch, Seq("typ"), "v",
+      1L, epoch = cp)
     assert(state == direct, "replayed batch must not double-count")
     // a genuinely new batch still applies
     IncrementalAgg.foldIntoStore(store, "state",
-      Seq(("a", 100.0)).toDF("typ", "v"), Seq("typ"), "v", 2L)
+      Seq(("a", 100.0)).toDF("typ", "v"), Seq("typ"), "v", 2L, epoch = cp)
     assert(state != direct)
+    // a DIFFERENT epoch (fresh checkpoint, batch ids restart at 0) must
+    // fail loudly instead of silently skipping or double-counting
+    val e = intercept[RuntimeException] {
+      IncrementalAgg.foldIntoStore(store, "state",
+        Seq(("a", 1.0)).toDF("typ", "v"), Seq("typ"), "v", 0L, epoch = "other")
+    }
+    assert(e.getMessage.contains("epoch"))
+  }
+
+  test("foldIntoStore bootstraps over a marker-less pre-existing state table") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_ivm_boot").toString
+    val store = new ParquetTableStore(spark, wh)
+    // bootstrap via the batch path: no _epoch/_last_batch columns
+    store.replace("state",
+      IncrementalAgg.partialState(Seq(("a", 1.0)).toDF("typ", "v"), Seq("typ"), "v"))
+    IncrementalAgg.foldIntoStore(store, "state",
+      Seq(("a", 2.0)).toDF("typ", "v"), Seq("typ"), "v", 0L, epoch = "e1")
+    val st = store.read("state").get.select("typ", "_cnt", "_sum")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(st == Seq(("a", 2L, 3.0)), s"bootstrap fold wrong: $st")
   }
 
   test("plans are pure hash aggregates — no sort, no window") {

@@ -35,14 +35,6 @@ class OutliersSpec extends SparkSpec {
     assert(z.filter($"id" === 3L).select("_z").as[Option[Double]].head().isEmpty)
   }
 
-  test("NaN and null values neither bin nor crash binned-state building") {
-    val df = Seq(("g", Some(5.0)), ("g", Some(Double.NaN)), ("g", None))
-      .toDF("g", "v")
-    val st = BinnedQuantiles.binState(df, Seq("g"), "v", 0.0, 10.0, 10)
-      .select("bin", "cnt").as[(Long, Long)].collect().toSeq
-    assert(st == Seq((0L, 1L)), s"NaN/null must be dropped, got $st")
-  }
-
   test("stats side joins without shuffling the facts on a new key (broadcast attach)") {
     val df = (1L to 1000L).map(i => (i, s"g${i % 3}", i.toDouble)).toDF("id", "g", "v")
     val plan = Outliers.zScores(df, "g", "v").queryExecution.executedPlan.toString

@@ -187,6 +187,27 @@ class UpsertSpec extends SparkSpec {
     assert(!new java.io.File(s"$wh/_old_t").exists(), "stale backup must be dropped")
   }
 
+  test("a table stranded mid whole-table swap is recovered on the next read") {
+    // simulate publish crashing between rename(dst->backup) and
+    // rename(tmp->dst): the table exists ONLY at _swap_<name>; read()
+    // must restore it instead of reporting the table missing (which
+    // would make a state fold silently rebuild from nothing)
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_swap").toString
+    val store = new ParquetTableStore(spark, wh)
+    store.upsert("t", Seq((1L, "x")).toDF("k", "s"), Seq("k"))
+    assert(new java.io.File(s"$wh/t").renameTo(new java.io.File(s"$wh/_swap_t")))
+    val restored = store.read("t")
+    assert(restored.isDefined, "stranded table must be restored")
+    assert(restored.get.count() == 1L)
+    assert(!new java.io.File(s"$wh/_swap_t").exists())
+    // stale backup WITH the table present (crash after swap, before the
+    // cleanup delete): dropped, table untouched
+    store.upsert("t", Seq((2L, "y")).toDF("k", "s"), Seq("k"))
+    new java.io.File(s"$wh/_swap_t").mkdirs()
+    assert(store.read("t").get.count() == 2L)
+    assert(!new java.io.File(s"$wh/_swap_t").exists())
+  }
+
   test("upsertPartitioned rejects NULL partition values (would silently drop stored rows)") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh_part3").toString
     val store = new ParquetTableStore(spark, wh)
