@@ -1487,9 +1487,15 @@ object SparkEntry {
       key = "cust_key", ts = "o_orderdate", tieBreak = "o_orderkey",
       attrs = Seq("status"))
       // is_current disambiguates same-day A,B,A alternations (two rows
-      // sharing (key, valid_from, status)); remaining ties are full-row
-      // duplicates, so this ORDER BY is total for hashing purposes
-      .orderBy(col("cust_key"), col("valid_from"), col("status"), col("is_current"))
+      // sharing (key, valid_from, status)); valid_to breaks the remaining
+      // tie where a later change re-closes one of those alternating
+      // segments (both is_current=0, different valid_to). After valid_to
+      // any still-tied rows are full-row duplicates, so this ORDER BY is
+      // total for hashing purposes. Null valid_to implies is_current=1,
+      // already ordered before valid_to compares, so engine null-ordering
+      // differences never apply.
+      .orderBy(col("cust_key"), col("valid_from"), col("status"),
+        col("is_current"), col("valid_to"))
 
   /** Domain-level web filtering gate ([[graft.functions.Web]]): the
     * CCNet/RefinedWeb curation stage — URL → host → registrable domain,
@@ -2917,7 +2923,7 @@ object SparkEntry {
                FROM c)
          SELECT k AS cust_key, v AS status, valid_from, valid_to,
                 CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
-         FROM h ORDER BY cust_key, valid_from, status, is_current""",
+         FROM h ORDER BY cust_key, valid_from, status, is_current, valid_to""",
 
     // q73: domain extraction + blocklist + per-domain rollup; URLs built
     // identically on both engines from (source, doc_id).

@@ -30,6 +30,11 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
                         autoCompactFiles: Int = 0) {
   import ParquetTableStore._
 
+  /** Tables whose legacy flat-backup check already ran clean this
+    * instance (see [[recoverPartitionBackups]]). */
+  private val legacyFlatChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def path(name: String): String = s"$warehouse/$name"
 
   private def fs(p: Path): FileSystem =
@@ -53,6 +58,24 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
     val dst = new Path(path(name))
     val bak = new Path(s"$warehouse/_swap_$name")
     val f = fs(dst)
+    if (!f.exists(dst)) {
+      // Pre-r7 versions kept publish()'s whole-table backup at
+      // `_old_<name>` — the name the partition-backup ROOT now uses. A
+      // table dir missing while that dir exists is either a pre-r7 publish
+      // crash (contents = parquet files: the lost table itself) or an
+      // interrupted partitioned merge whose table dir was then removed;
+      // both are exactly the silent-rebuild-from-nothing loss mode this
+      // sweep exists to stop, and neither is safe to auto-restore (the two
+      // layouts are indistinguishable without reading contents). Fail
+      // loudly, mirroring recoverPartitionBackups' legacy guard.
+      val legacyOld = new Path(backupDir(name))
+      if (f.exists(legacyOld)) sys.error(
+        s"table '$name' is missing but a backup dir $legacyOld exists " +
+          "(a pre-r7 interrupted publish, or an interrupted partitioned " +
+          "merge of a since-removed table) — restore it manually (rename " +
+          s"to $dst if its contents are the table's parquet files) before " +
+          "reading or rebuilding this table.")
+    }
     if (!f.exists(bak)) return
     if (f.exists(dst)) f.delete(bak, true)
     else if (!f.rename(bak, dst)) sys.error(
@@ -296,15 +319,28 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
     // siblings) are not recoverable automatically (the name split is
     // ambiguous across tables — see backupDir); refuse loudly instead of
     // silently merging past stranded rows.
-    val wh = new Path(warehouse)
-    if (f.exists(wh)) {
-      val legacy = f.listStatus(wh).map(_.getPath.getName)
-        .filter(n => n.startsWith(s"_old_${name}_"))
+    // The check is scoped (glob on the table's own legacy prefix, not a
+    // full warehouse listing) and cached per store instance: legacy
+    // backups can only pre-exist this process — nothing creates them at
+    // runtime — so once a table checks clean it stays clean.
+    if (!legacyFlatChecked.contains(name)) {
+      val prefix = s"_old_${name}_"
+      // globStatus returns null (not empty) when the warehouse itself is
+      // missing — first write into a fresh warehouse
+      val legacy = Option(f.globStatus(new Path(warehouse, s"$prefix*")))
+        .getOrElse(Array.empty).map(_.getPath.getName)
+        // A flat legacy backup name is `_old_<name>_<pdir>` with pdir of
+        // the form "col=value"; requiring '=' in the suffix keeps a
+        // SIBLING table's dedicated backup root (e.g. `_old_t_x` for
+        // table `t_x`, which matches the prefix for table `t`) from
+        // false-positively aborting this table's merges.
+        .filter(_.substring(prefix.length).contains('='))
       if (legacy.nonEmpty) sys.error(
         s"upsertPartitioned('$name'): found legacy flat-named swap backup(s) " +
           s"${legacy.mkString(", ")} from an older version's interrupted merge — " +
           "restore them manually (rename into the table's partition dir if the " +
           "partition is missing there, else delete) before merging.")
+      legacyFlatChecked.add(name)
     }
     if (!f.exists(root)) return
     f.listStatus(root).filter(_.isDirectory).foreach { st =>

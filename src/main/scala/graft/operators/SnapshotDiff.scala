@@ -26,14 +26,32 @@ import org.apache.spark.sql.functions._
   * change; null → null is not). Presence is tracked with literal marker
   * columns, not key nullness, so an all-null key row still classifies
   * correctly.
+  *
+  * Contract: each snapshot must hold AT MOST ONE ROW PER KEY — the
+  * invariant every [[ParquetTableStore]] table already maintains
+  * inductively. A duplicated key would fan out in the full-outer join
+  * (m×n rows per key, spurious "update" pairs); callers diffing frames
+  * that do not come from a keyed store should `Upsert.keyDedup` both
+  * sides first. The marker/output names `_present_old`, `_present_new`
+  * and `change_type` are reserved and rejected as input column names —
+  * silent resolution breakage is not an acceptable failure mode.
   */
 object SnapshotDiff {
 
+  private val Reserved = Seq("_present_old", "_present_new", "change_type")
+
   /** Diff `newSnap` against `oldSnap` on `keys`. Output: the key columns
     * (coalesced across sides), `old_<c>`/`new_<c>` for every shared
-    * non-key column, and `change_type` ∈ insert|update|delete. */
+    * non-key column, and `change_type` ∈ insert|update|delete.
+    * Precondition: unique keys per snapshot (see class doc). */
   def diff(oldSnap: DataFrame, newSnap: DataFrame, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "diff needs at least one key column")
+    val clash = Reserved.filter(r =>
+      oldSnap.columns.exists(_.equalsIgnoreCase(r)) ||
+        newSnap.columns.exists(_.equalsIgnoreCase(r)))
+    require(clash.isEmpty,
+      s"snapshot columns collide with reserved diff columns: ${clash.mkString(", ")} — " +
+        "rename them before diffing")
     val compareCols = oldSnap.columns.filterNot(keys.contains)
       .intersect(newSnap.columns.filterNot(keys.contains)).toSeq
     require(compareCols.nonEmpty,

@@ -67,4 +67,15 @@ class SnapshotDiffSpec extends SparkSpec {
       .as[(Long, Option[String], Option[Long])].collect().toSeq
     assert(reconciled == expected)
   }
+
+  test("reserved marker/output column names are rejected (ADVICE r7 #4)") {
+    val bad = olds.withColumn("change_type", lit("x"))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotDiff.diff(bad, news, Seq("k"))
+    }
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+    // case-insensitive, matching the default resolver
+    val bad2 = news.withColumn("_Present_New", lit(true))
+    intercept[IllegalArgumentException] { SnapshotDiff.diff(olds, bad2, Seq("k")) }
+  }
 }

@@ -208,6 +208,46 @@ class UpsertSpec extends SparkSpec {
     assert(!new java.io.File(s"$wh/_swap_t").exists())
   }
 
+  test("read fails loudly when the table is missing but a legacy _old_ backup exists") {
+    // Pre-r7 publish kept its whole-table backup at _old_<name>; a crash
+    // there left the table ONLY in that dir. After upgrade, read() must
+    // not return None (a state fold would silently rebuild from nothing)
+    // — it must demand a manual restore (ADVICE r7 #2).
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_legacy").toString
+    val store = new ParquetTableStore(spark, wh)
+    store.upsert("t", Seq((1L, "x")).toDF("k", "s"), Seq("k"))
+    assert(new java.io.File(s"$wh/t").renameTo(new java.io.File(s"$wh/_old_t")))
+    val e = intercept[RuntimeException] { store.read("t") }
+    assert(e.getMessage.contains("restore it manually"), e.getMessage)
+    // manual restore then works
+    assert(new java.io.File(s"$wh/_old_t").renameTo(new java.io.File(s"$wh/t")))
+    assert(store.read("t").get.count() == 1L)
+  }
+
+  test("sibling table's backup root does not false-positive the legacy flat guard") {
+    // For table t, the dir _old_t_x is table t_x's DEDICATED backup root
+    // (new naming), not a legacy flat backup of t — the guard must not
+    // abort t's merges over it (ADVICE r7 #3). A genuine legacy flat name
+    // (_old_t_<col>=<val>) must still abort.
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_sibling").toString
+    val store = new ParquetTableStore(spark, wh)
+    val base = Seq((1L, "d1", "old")).toDF("k", "day", "status")
+    store.upsertPartitioned("t", base, Seq("k"), "day")
+    new java.io.File(s"$wh/_old_t_x").mkdirs() // sibling t_x's backup root
+    store.upsertPartitioned("t", Seq((2L, "d1", "new")).toDF("k", "day", "status"),
+      Seq("k"), "day")
+    assert(spark.read.parquet(s"$wh/t").count() == 2L)
+    // a true legacy flat backup aborts (fresh store: the clean check is
+    // cached per instance)
+    new java.io.File(s"$wh/_old_t_day=d9").mkdirs()
+    val store2 = new ParquetTableStore(spark, wh)
+    val e = intercept[RuntimeException] {
+      store2.upsertPartitioned("t", Seq((3L, "d1", "z")).toDF("k", "day", "status"),
+        Seq("k"), "day")
+    }
+    assert(e.getMessage.contains("legacy flat-named"), e.getMessage)
+  }
+
   test("upsertPartitioned rejects NULL partition values (would silently drop stored rows)") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh_part3").toString
     val store = new ParquetTableStore(spark, wh)
