@@ -5,6 +5,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // The full results JSON also lands in this file: the harness that
+    // captures our stdout keeps only a tail window, which for 80+ queries
+    // truncated the old single-line record into an unparseable fragment
+    // (VERDICT r7 item 1). A file is immune to the window; stdout carries
+    // small per-query lines plus one compact total line that fits any tail.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench_full.json")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup pass: JIT + codegen caches + parquet footers. The
@@ -29,13 +35,31 @@ object Bench {
       else if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val results = SparkEntry.queries.keys.map { name =>
-      name -> median(sweeps.map(_(name)))
-    }.toMap
-    val qs = SparkEntry.queries.keys
-      .map(k => s"\"" + k + "\":" + results(k)).mkString("{", ",", "}")
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map(name => name -> median(sweeps.map(_(name)))).toMap
     val total = results.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes}""")
+    val qs = names.map(k => s"\"" + k + "\":" + results(k)).mkString("{", ",", "}")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"passes":$passes}"""
+    try {
+      val w = new java.io.PrintWriter(outFile, "UTF-8")
+      try w.println(full) finally w.close()
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outFile: $e")
+    }
+    // Output order is deliberate (VERDICT r7 item 1): the harness keeps
+    // only a ~2 KB TAIL of stdout, and the full contract line alone is
+    // bigger than that window — printed last it becomes an unparseable
+    // fragment (the r6/r7 artifacts). So: full contract line FIRST (any
+    // full-stdout parser or first-match grep still gets the documented
+    // single-line record), then one small line per query sorted by name,
+    // then a compact total line LAST — whatever window survives, the tail
+    // is parseable per-query lines plus an intact summary.
+    println(full)
+    names.foreach { k =>
+      println(s"""{"q":"$k","sec":${math.rint(results(k) * 1e6) / 1e6}}""")
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":$cpus,"passes":$passes,"n_queries":${names.size},"detail":"$outFile"}""")
     spark.stop()
   }
 }
