@@ -1709,6 +1709,19 @@ object SparkEntry {
         round(col("_z"), 4).as("z"))
       .orderBy(col("source"), col("doc_id"))
 
+  /** Exact-substring span REMOVAL gate ([[Similarity.removeDupSpans]] —
+    * the second half of Lee et al. 2022, completing q75's detect half):
+    * every token position whose 8-gram occurs more than once in the
+    * corpus is cut, and the gate hashes the CLEANED text, so the merged
+    * intervals, the cut arithmetic and the rebuild all must agree with
+    * the oracle's 1-based SQL replay bit for bit. Hashed grams vs the
+    * oracle's string grams agree w.h.p. (q20/q22/q75 precedent). */
+  def q83_dup_span_removal(s: SparkSession, d: String): DataFrame =
+    Similarity.removeDupSpans(documents(s, d), "doc_id", "text", 8)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1794,6 +1807,7 @@ object SparkEntry {
     "q80_zorder_stats"      -> (q80_zorder_stats _),
     "q81_binned_quantiles"  -> (q81_binned_quantiles _),
     "q82_zscore_outliers"   -> (q82_zscore_outliers _),
+    "q83_dup_span_removal"  -> (q83_dup_span_removal _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3101,6 +3115,44 @@ object SparkEntry {
          FROM documents d JOIN s ON d.source = s.source
          WHERE s.sd > 0 AND abs((d.n_chars - s.m) / s.sd) > 1.5
          ORDER BY d.source, d.doc_id""",
+
+    // q83: exact-substring span removal replayed 1-based with string
+    // grams: positional grams → occurrence>1 → covered positions
+    // (pos..pos+7, clamped) → anti-join rebuild. Docs with no duplicated
+    // position keep their ORIGINAL text on both engines (no
+    // tokenize/rejoin roundtrip on the untouched majority).
+    "q83_dup_span_removal" ->
+      """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+         pg AS (SELECT doc_id, p.pos,
+                  CASE WHEN len(w) >= 8
+                       THEN w[p.pos] || ' ' || w[p.pos+1] || ' ' || w[p.pos+2] || ' ' ||
+                            w[p.pos+3] || ' ' || w[p.pos+4] || ' ' || w[p.pos+5] || ' ' ||
+                            w[p.pos+6] || ' ' || w[p.pos+7]
+                       ELSE array_to_string(w, ' ') END AS gram,
+                  len(w) AS lw
+                FROM toks,
+                  LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 7, 1))) AS pos) p),
+         occ AS (SELECT gram FROM pg GROUP BY gram HAVING count(*) > 1),
+         dup AS (SELECT pg.doc_id, pg.pos, pg.lw FROM pg JOIN occ USING (gram)),
+         cov AS (SELECT DISTINCT doc_id, c.cp
+                 FROM dup, LATERAL (SELECT unnest(generate_series(pos, least(pos + 7, lw))) AS cp) c),
+         nd AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id),
+         kept AS (SELECT t.doc_id, p.pos, t.w[p.pos] AS tok
+                  FROM toks t
+                  JOIN nd ON t.doc_id = nd.doc_id,
+                  LATERAL (SELECT unnest(generate_series(1, len(t.w))) AS pos) p
+                  WHERE NOT EXISTS (SELECT 1 FROM cov
+                                    WHERE cov.doc_id = t.doc_id AND cov.cp = p.pos)),
+         cl AS (SELECT doc_id, coalesce(string_agg(tok, ' ' ORDER BY pos), '') AS clean_text
+                FROM kept GROUP BY doc_id)
+         SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+                CAST(coalesce(nd.n_removed, 0) AS BIGINT) AS n_removed,
+                md5(CASE WHEN nd.doc_id IS NULL THEN t.text
+                         ELSE coalesce(cl.clean_text, '') END) AS clean_md5
+         FROM toks t
+         LEFT JOIN nd ON t.doc_id = nd.doc_id
+         LEFT JOIN cl ON t.doc_id = cl.doc_id
+         ORDER BY t.doc_id""",
   )
 
   /** The LangId trigram profile rendered as SQL VALUES rows — the oracle

@@ -684,6 +684,74 @@ object Similarity {
         sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup"))
   }
 
+  /** POSITIONAL word n-gram hashes — [[shingleHashesOf]] without the
+    * distinct: element j covers tokens [j, j+k-1] (0-based), so a gram's
+    * array index IS its span start, which the span-removal path needs.
+    * Short docs (< k tokens) fall back to one whole-text gram covering
+    * the full doc, mirroring shingleHashesOf's fallback. */
+  private[operators] def positionalShingleHashes(w: Column, k: Int): Column =
+    when(size(w) >= k,
+      transform(sequence(lit(0), size(w) - k),
+        i => xxhash64((1 to k).map(j => element_at(w, i + lit(j))): _*)))
+      .otherwise(array(xxhash64(concat_ws(" ", w))))
+
+  /** Duplicated-SPAN removal — the second half of exact-substring dedup
+    * (Lee et al. 2022, arXiv:2107.06499, the "ExactSubstr" variant):
+    * where [[dupGramStats]] only COUNTS corpus-duplicated grams per doc,
+    * this cuts them out. Every position whose word n-gram occurs more
+    * than once in the corpus (other docs AND self-repeats — Lee et al.
+    * dedups any repeated substring, hence positional occurrences here vs
+    * dupGramStats' per-doc-distinct document frequency) is marked; the
+    * token intervals [p, p+n-1] those positions cover are merged and cut;
+    * the remainder is re-joined into `clean_text`.
+    *
+    * Output: idCol, n_tokens (original), n_removed (covered token
+    * count), clean_text. Docs with nothing duplicated pass through with
+    * their ORIGINAL text (no tokenize/rejoin roundtrip is applied to the
+    * untouched majority).
+    *
+    * Scale shape: positional-gram explode (≤ len rows/doc) → one
+    * gram-keyed occurrence agg → gram-keyed attach join (NOT broadcast —
+    * gram vocabulary grows with the corpus, Heaps'-law policy; the
+    * occ>1 filter runs BEFORE the join so only duplicated grams move) →
+    * one doc-keyed agg of ONLY the duplicated positions → doc-keyed left
+    * join back to the docs. The rebuild itself is local per-row HOF
+    * arithmetic, linear in doc length: covered positions flatten to a
+    * hash-set `array_except` against the position range (no per-token
+    * interval scan), and kept tokens are O(1) `element_at` lookups. A
+    * fully-boilerplate doc degrades to clean_text = "" rather than being
+    * dropped — dropping is the caller's policy decision. */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int): DataFrame = {
+    val toks = docs.select(col(idCol), col(textCol),
+      graft.functions.Text.tokens(col(textCol)).as("_w"))
+    val posGrams = toks.select(col(idCol),
+      posexplode(positionalShingleHashes(col("_w"), n)).as(Seq("pos", "gram")))
+    val occ = posGrams.groupBy("gram").agg(count(lit(1)).as("occ"))
+    val dupPos = posGrams
+      .join(occ.filter(col("occ") > 1).select("gram"), Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("pos"))).as("_dps"))
+    val len = size(col("_w"))
+    toks.join(dupPos, Seq(idCol), "left")
+      // staged as real attributes so each is computed once per row
+      // (referenced twice below; CollapseProject keeps multiply-referenced
+      // non-trivial expressions staged)
+      .withColumn("_covered",
+        when(col("_dps").isNull, array().cast("array<int>"))
+          .otherwise(array_distinct(flatten(transform(col("_dps"),
+            p => sequence(p, least(p + lit(n - 1), len - 1)))))))
+      .select(col(idCol),
+        len.cast("long").as("n_tokens"),
+        size(col("_covered")).cast("long").as("n_removed"),
+        when(col("_dps").isNull, col(textCol))
+          .otherwise(concat_ws(" ",
+            transform(
+              array_except(sequence(lit(0), len - 1), col("_covered")),
+              i => element_at(col("_w"), i + 1))))
+          .as("clean_text"))
+  }
+
   /** Multi-table LSH ANN: `nTables` independent hyperplane hash tables of
     * `nBits` each; a candidate is any vector sharing a bucket with the query
     * in ANY table (standard recall amplification: P = 1-(1-p^b)^L). Exact
