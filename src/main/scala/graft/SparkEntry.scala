@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{BinnedQuantiles, Bucketing, CorpusShuffle, Decontaminate, Dedup, Flatten, IncrementalAgg, Monitoring, Multimodal, Outliers, QuotaSample, RangeJoin, Scd2, SketchRollup, Similarity, Skew, SnapshotDiff, TrainingShards, Upsert}
+import graft.operators.{BinnedQuantiles, Bpe, Bucketing, CorpusShuffle, Decontaminate, Dedup, Flatten, IncrementalAgg, Monitoring, Multimodal, Outliers, QuotaSample, RangeJoin, Scd2, SketchRollup, Similarity, Skew, SnapshotDiff, TrainingShards, Upsert}
 import graft.functions.{MoneyMode, Pii, Text, Vectors, Web}
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables._
@@ -1722,6 +1722,63 @@ object SparkEntry {
         md5(col("clean_text")).as("clean_md5"))
       .orderBy(col("doc_id"))
 
+  /** BPE merges memoized per (session, sf dir) — q84 gates the merge
+    * table and q85 gates the tokenizer apply; training (8 driver-
+    * coordinated rounds of vocabulary aggregates) runs once per process
+    * for both, the [[verifiedDupPairs]] pattern. */
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[String, Seq[Bpe.Merge]]()
+  private def bpeMerges(s: SparkSession, d: String): Seq[Bpe.Merge] = {
+    val key = String.valueOf(System.identityHashCode(s.sharedState)) + "|" + d
+    val cached = bpeCache.get(key)
+    if (cached != null) cached
+    else bpeCache.synchronized {
+      val again = bpeCache.get(key)
+      if (again != null) again
+      else {
+        val merges = Bpe.train(Bpe.wordVocab(documents(s, d), "text"), rounds = BpeRounds)
+        bpeCache.put(key, merges)
+        merges
+      }
+    }
+  }
+
+  /** BPE vocabulary-induction gate ([[graft.operators.Bpe.train]]): the
+    * 8-round merge table itself — each round's argmax pair, its merged
+    * symbol and its weighted occurrence count. The oracle unrolls the
+    * SAME 8 rounds as generated SQL (scalar-subquery best pair + the
+    * identical double-separator `replace` rewrite), so pair counting,
+    * tie-breaking AND the greedy merge application all gate bit for bit.
+    * The merge list is driver-side by construction (8 rows — the q62
+    * convergence-loop precedent for bounded driver coordination). */
+  def q84_bpe_merges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    bpeMerges(s, d).toDF()
+      .select(col("rank").as("merge_rank"), col("lft"), col("rgt"),
+        col("merged"), col("cnt").as("pair_cnt"))
+      .orderBy(col("merge_rank"))
+  }
+
+  /** BPE tokenizer-apply gate ([[graft.operators.Bpe.applyMerges]]): the
+    * learned merges applied to the corpus as a pure expression chain (8
+    * codegen'd `replace`s in the scan projection — no join against the
+    * training state), rolled up per source. The oracle tokenizes by
+    * joining its own trained final sequences per distinct word — a
+    * DIFFERENT formulation that must agree exactly, which is what makes
+    * the gate meaningful: expression-chain apply ≡ trained-state lookup
+    * for every in-vocabulary word. */
+  def q85_bpe_tokenize(s: SparkSession, d: String): DataFrame = {
+    val merges = bpeMerges(s, d)
+    documents(s, d)
+      .select(col("source"), explode(Text.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1 && !col("w").contains("|"))
+      .select(col("source"), Bpe.tokenCountOf(Bpe.applyMerges(col("w"), merges)).as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("nt")).as("n_bpe_tokens"),
+        round(sum(col("nt")).cast("double") / count(lit(1)), 4).as("avg_tokens_per_word"))
+      .orderBy(col("source"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1808,6 +1865,8 @@ object SparkEntry {
     "q81_binned_quantiles"  -> (q81_binned_quantiles _),
     "q82_zscore_outliers"   -> (q82_zscore_outliers _),
     "q83_dup_span_removal"  -> (q83_dup_span_removal _),
+    "q84_bpe_merges"        -> (q84_bpe_merges _),
+    "q85_bpe_tokenize"      -> (q85_bpe_tokenize _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3153,7 +3212,68 @@ object SparkEntry {
          LEFT JOIN nd ON t.doc_id = nd.doc_id
          LEFT JOIN cl ON t.doc_id = cl.doc_id
          ORDER BY t.doc_id""",
+
+    // q84/q85: BPE training replayed by UNROLLING the 8 rounds as
+    // generated SQL (see bpeOracleRounds) — scalar-subquery argmax per
+    // round plus the identical double-separator replace rewrite.
+    "q84_bpe_merges" -> bpeOracleMerges,
+    "q85_bpe_tokenize" -> bpeOracleTokenize,
   )
+
+  /** The q84/q85 oracle's training replay: DuckDB cannot iterate a
+    * data-dependent merge loop in one recursive CTE (no aggregation in
+    * the recursive term), so the K rounds are UNROLLED — each round is
+    * four CTEs (symbol arrays, weighted pair counts, argmax with the
+    * count-desc-then-lexicographic tie-break, replace rewrite), chained
+    * s0 → s1 → … → sK. Generated programmatically so the round count
+    * stays a single constant shared with [[bpeMerges]]. */
+  private val BpeRounds = 8
+  private def bpeOracleRounds: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""         y$r AS MATERIALIZED (SELECT cnt, list_filter(string_split(seq, '||'), x -> x <> '') AS sy
+                  FROM s${r - 1}),
+         p$r AS MATERIALIZED (SELECT sy[i.g] AS la, sy[i.g + 1] AS rb, sum(cnt) AS total
+                 FROM y$r, LATERAL (SELECT unnest(generate_series(1, len(sy) - 1)) AS g) i
+                 GROUP BY 1, 2),
+         b$r AS MATERIALIZED (SELECT la, rb, total FROM p$r ORDER BY total DESC, la, rb LIMIT 1),
+         s$r AS MATERIALIZED (SELECT word, cnt,
+                   replace(seq,
+                     '|' || (SELECT la FROM b$r) || '||' || (SELECT rb FROM b$r) || '|',
+                     '|' || (SELECT la FROM b$r) || (SELECT rb FROM b$r) || '|') AS seq
+                 FROM s${r - 1})"""
+    }.mkString(",\n")
+    s"""WITH v AS MATERIALIZED (SELECT tok AS word, count(*) AS cnt
+                FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) u
+                WHERE length(tok) >= 1 AND tok NOT LIKE '%|%'
+                GROUP BY tok),
+         s0 AS MATERIALIZED (SELECT word, cnt,
+                  '||' || array_to_string(list_transform(generate_series(1, length(word)),
+                            i -> substr(word, i, 1)), '||') || '||' AS seq
+                FROM v),
+$rounds"""
+  }
+
+  private def bpeOracleMerges: String = {
+    val unions = (1 to BpeRounds).map { r =>
+      s"""SELECT $r AS merge_rank, la AS lft, rb AS rgt, la || rb AS merged,
+                CAST(total AS BIGINT) AS pair_cnt FROM b$r"""
+    }.mkString("\n         UNION ALL\n         ")
+    s"""$bpeOracleRounds
+         SELECT * FROM (
+         $unions
+         ) ORDER BY merge_rank"""
+  }
+
+  private def bpeOracleTokenize: String =
+    s"""$bpeOracleRounds
+         SELECT d.source, count(*) AS n_words,
+                CAST(sum(len(f.sy)) AS BIGINT) AS n_bpe_tokens,
+                round(CAST(sum(len(f.sy)) AS DOUBLE) / count(*), 4) AS avg_tokens_per_word
+         FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents) d
+         JOIN (SELECT word, list_filter(string_split(seq, '||'), x -> x <> '') AS sy
+               FROM s$BpeRounds) f
+           ON d.tok = f.word
+         GROUP BY d.source ORDER BY d.source"""
 
   /** The LangId trigram profile rendered as SQL VALUES rows — the oracle
     * runs the exact same profile the Spark operator broadcasts. */
