@@ -1779,6 +1779,30 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** PSL registrable-domain gate ([[Web.withRegistrableDomain]] — the
+    * public-suffix-list lookup q73's naive last-two-labels variant
+    * documents as its own gap): URLs are synthesized over SIX suffixes
+    * including multi-label public suffixes (.co.uk, .com.au, .ac.uk,
+    * .k12.ma.us) that the naive rule groups wrong, plus an unlisted TLD
+    * (.xyz) exercising the PSL default rule. The oracle replays the
+    * longest-match lookup against the SAME snapshot rendered as VALUES
+    * rows ([[Web.pslValues]] — the LangId profile precedent). */
+  def q86_psl_domains(s: SparkSession, d: String): DataFrame = {
+    val sufs = array(Seq("example.com", "example.co.uk", "sample.com.au",
+      "demo.ac.uk", "campus.k12.ma.us", "site.xyz").map(lit): _*)
+    val docs = documents(s, d).withColumn("url",
+      concat(lit("https://"), col("source"), lit("."),
+        element_at(sufs, (col("doc_id") % 6 + 1).cast("int")),
+        lit("/p/"), col("doc_id").cast("string")))
+    val hosts = docs.withColumn("host", Web.urlHost(col("url")))
+    Web.withRegistrableDomain(hosts, "host", "registrable")
+      .groupBy(col("registrable"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("host")).as("n_hosts"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("registrable"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1867,6 +1891,7 @@ object SparkEntry {
     "q83_dup_span_removal"  -> (q83_dup_span_removal _),
     "q84_bpe_merges"        -> (q84_bpe_merges _),
     "q85_bpe_tokenize"      -> (q85_bpe_tokenize _),
+    "q86_psl_domains"       -> (q86_psl_domains _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3218,6 +3243,33 @@ object SparkEntry {
     // round plus the identical double-separator replace rewrite.
     "q84_bpe_merges" -> bpeOracleMerges,
     "q85_bpe_tokenize" -> bpeOracleTokenize,
+
+    // q86: PSL longest-match registrable domain against the same
+    // snapshot (VALUES rows); candidates per rule length, scalar-max
+    // lookup, default rule = last label.
+    "q86_psl_domains" ->
+      s"""WITH psl(sfx, nl) AS (SELECT * FROM (VALUES ${Web.pslValues})),
+         docs AS (SELECT doc_id, source, n_chars,
+                   'https://' || source || '.' ||
+                   (['example.com','example.co.uk','sample.com.au','demo.ac.uk','campus.k12.ma.us','site.xyz'])[CAST(doc_id % 6 AS INT) + 1]
+                   || '/p/' || CAST(doc_id AS VARCHAR) AS url
+                  FROM documents),
+         h AS (SELECT *, lower(regexp_extract(url, '^https?://(?:[^/?#]*@)?([^/:?#@]+)', 1)) AS host
+               FROM docs),
+         l AS (SELECT *, string_split(host, '.') AS w FROM h),
+         m AS (SELECT *, coalesce((SELECT max(p.nl) FROM psl p
+                 WHERE p.sfx IN (
+                   CASE WHEN len(w) >= 1 THEN array_to_string(w[len(w):len(w)], '.') END,
+                   CASE WHEN len(w) >= 2 THEN array_to_string(w[len(w)-1:len(w)], '.') END,
+                   CASE WHEN len(w) >= 3 THEN array_to_string(w[len(w)-2:len(w)], '.') END)), 1) AS mm
+               FROM l),
+         r AS (SELECT *, CASE WHEN length(host) = 0 THEN NULL
+                              WHEN len(w) > mm THEN array_to_string(w[len(w)-mm:len(w)], '.')
+                              ELSE NULL END AS registrable FROM m)
+         SELECT registrable, count(*) AS n_docs,
+                count(DISTINCT host) AS n_hosts,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM r GROUP BY registrable ORDER BY registrable""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a

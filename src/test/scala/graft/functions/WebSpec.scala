@@ -36,4 +36,48 @@ class WebSpec extends SparkSpec {
       .toDF("h").select(Web.registrableDomain($"h")).as[String].collect().toSeq
     assert(got == Seq("example.com", "example.com", "")) // single label: no match
   }
+
+  private def psl(hosts: String*): Seq[(String, Option[String])] = {
+    val df = hosts.zipWithIndex.map { case (h, i) => (i, h) }.toDF("i", "host")
+    Web.withRegistrableDomain(df, "host", "reg")
+      .orderBy("i").select("host", "reg")
+      .as[(String, Option[String])].collect().toSeq
+  }
+
+  test("withRegistrableDomain: multi-label public suffixes group correctly") {
+    assert(psl("shop.example.co.uk", "example.co.uk", "a.b.sample.com.au",
+      "x.demo.ac.uk", "deep.campus.k12.ma.us") == Seq(
+      ("shop.example.co.uk", Some("example.co.uk")),
+      ("example.co.uk", Some("example.co.uk")),
+      ("a.b.sample.com.au", Some("sample.com.au")),
+      ("x.demo.ac.uk", Some("demo.ac.uk")),
+      ("deep.campus.k12.ma.us", Some("campus.k12.ma.us"))))
+  }
+
+  test("withRegistrableDomain: longest match wins over the shorter rule") {
+    // both 'uk' and 'co.uk' are rules: co.uk must win
+    assert(psl("example.co.uk").head._2 == Some("example.co.uk"))
+    // 'example.uk' under the bare 'uk' rule
+    assert(psl("shop.example.uk").head._2 == Some("example.uk"))
+  }
+
+  test("withRegistrableDomain: PSL default rule for unlisted TLDs = last two labels") {
+    assert(psl("a.site.unlistedtld") == Seq(("a.site.unlistedtld", Some("site.unlistedtld"))))
+    assert(psl("plain.example.com").head._2 == Some("example.com"))
+  }
+
+  test("withRegistrableDomain: a bare public suffix and empty host have NO registrable domain") {
+    assert(psl("co.uk", "com", "", "singlelabel") == Seq(
+      ("co.uk", None), ("com", None), ("", None),
+      ("singlelabel", None))) // default rule: the host IS its public suffix
+  }
+
+  test("withRegistrableDomain plans broadcast joins only — the fact side never shuffles") {
+    val df = Seq((1, "a.example.co.uk")).toDF("i", "host")
+    val plan = Web.withRegistrableDomain(df, "host", "reg")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
