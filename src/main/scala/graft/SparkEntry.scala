@@ -1803,6 +1803,35 @@ object SparkEntry {
       .orderBy(col("registrable"))
   }
 
+  /** Stream-maintained quantile gate ([[BinnedQuantiles.foldIntoStore]]
+    * — the generalized [[IncrementalAgg]] fold protocol carrying a
+    * histogram state): three day-batches fold through a REAL
+    * [[graft.operators.ParquetTableStore]] (batch 1 deliberately folded
+    * TWICE — the at-least-once replay the marker protocol must no-op,
+    * or the doubled bin counts shift every estimate), then quantiles
+    * derive from the stored state alone. The oracle recomputes the same
+    * binned estimates from the full events scan — streamed-state ≡
+    * batch-recompute, end to end through the store. */
+  def q87_quantiles_maintained(s: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_q87_wh").toString
+    val store = new graft.operators.ParquetTableStore(s, wh)
+    val ev = events(s, d).select(to_date(col("ts")).as("day"),
+      col("event_type"), col("value"))
+    val c1 = lit(java.sql.Date.valueOf("2024-01-11"))
+    val c2 = lit(java.sql.Date.valueOf("2024-01-21"))
+    def fold(batch: DataFrame, id: Long): Unit =
+      BinnedQuantiles.foldIntoStore(store, "vq", batch, Seq("event_type"),
+        "value", 0.0, 5.0, 100, id, epoch = "q87")
+    fold(ev.filter(col("day") < c1), 0L)
+    fold(ev.filter(col("day") >= c1 && col("day") < c2), 1L)
+    fold(ev.filter(col("day") >= c1 && col("day") < c2), 1L) // replay: must no-op
+    fold(ev.filter(col("day").isNull || col("day") >= c2), 2L)
+    BinnedQuantiles.quantiles(
+      store.read("vq").get.drop("_last_batch", "_epoch"),
+      Seq("event_type"), Seq("p50_est" -> 0.5, "p95_est" -> 0.95), 0.0, 5.0)
+      .orderBy(col("event_type"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1892,6 +1921,7 @@ object SparkEntry {
     "q84_bpe_merges"        -> (q84_bpe_merges _),
     "q85_bpe_tokenize"      -> (q85_bpe_tokenize _),
     "q86_psl_domains"       -> (q86_psl_domains _),
+    "q87_quantiles_maintained" -> (q87_quantiles_maintained _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3270,6 +3300,30 @@ object SparkEntry {
                 count(DISTINCT host) AS n_hosts,
                 CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM r GROUP BY registrable ORDER BY registrable""",
+
+    // q87: the store-folded histogram state must equal a full
+    // recompute — the oracle bins the whole events table directly
+    // (q81's estimator shape at lo=0, width=5, 100 bins).
+    "q87_quantiles_maintained" ->
+      """WITH binned AS (
+           SELECT event_type,
+                  least(greatest(CAST(floor(value / 5.0) AS BIGINT), 0), 99) AS bin,
+                  count(*) AS cnt
+           FROM events
+           WHERE value IS NOT NULL AND NOT isnan(value)
+           GROUP BY 1, 2),
+         j AS (SELECT event_type, bin, cnt,
+                 coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+                 sum(cnt) OVER (PARTITION BY event_type) AS total
+               FROM binned)
+         SELECT event_type,
+           round(min(CASE WHEN cb + cnt >= 0.5 * total AND cb < 0.5 * total
+                THEN (bin + (0.5 * total - cb) / cnt) * 5.0 END), 4) AS p50_est,
+           round(min(CASE WHEN cb + cnt >= 0.95 * total AND cb < 0.95 * total
+                THEN (bin + (0.95 * total - cb) / cnt) * 5.0 END), 4) AS p95_est,
+           CAST(min(total) AS BIGINT) AS n
+         FROM j GROUP BY event_type ORDER BY event_type""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a

@@ -49,6 +49,22 @@ object BinnedQuantiles {
       .agg(sum(col("cnt")).as("cnt"))
   }
 
+  /** Stream-maintain a histogram state table: fold one micro-batch's
+    * per-bin counts into `name` under the epoch-scoped replay-idempotent
+    * protocol of [[IncrementalAgg.foldIntoStore]] (same marker columns,
+    * same loud epoch mismatch, same atomic `replace` publish) — per-bin
+    * counts merge by sum, so the histogram is exactly as maintainable as
+    * the cnt/sum/min/max state. Quantiles then come from
+    * [[quantiles]] over the stored state, current at every trigger
+    * without rescanning history. */
+  def foldIntoStore(store: ParquetTableStore, name: String, batch: DataFrame,
+                    groups: Seq[String], valueCol: String,
+                    lo: Double, width: Double, nBins: Int,
+                    batchId: Long, epoch: String): Unit =
+    IncrementalAgg.foldStateIntoStore(store, name,
+      binState(batch, groups, valueCol, lo, width, nBins),
+      (p, d) => merge(groups, p, d), batchId, epoch)
+
   /** Quantile estimates from state alone: for each (name, q) emit a
     * `<name>` column with the interpolated value, plus `n` (total
     * count). The covering bin is the first whose cumulative count

@@ -90,7 +90,23 @@ object IncrementalAgg {
     * (see its scaladoc). */
   def foldIntoStore(store: ParquetTableStore, name: String, batch: DataFrame,
                     groups: Seq[String], valueCol: String,
-                    batchId: Long, epoch: String): Unit = {
+                    batchId: Long, epoch: String): Unit =
+    foldStateIntoStore(store, name,
+      partialState(batch, groups, valueCol),
+      (p, d) => mergeStates(groups, p, d), batchId, epoch)
+
+  /** The shape-AGNOSTIC core of [[foldIntoStore]]: fold `delta` (one
+    * batch already reduced to its partial state) into the stored state
+    * via `merge` (stored-without-marker-columns ⊕ delta), under the
+    * epoch/replay-marker protocol documented above. Any mergeable state
+    * streams through this unchanged — [[IncrementalAgg]]'s
+    * cnt/sum/min/max, [[BinnedQuantiles]]' per-bin histograms,
+    * [[SketchRollup]]'s HLL registers — because the protocol only ever
+    * touches the marker columns it appends, never the state's own. */
+  private[operators] def foldStateIntoStore(store: ParquetTableStore,
+      name: String, delta: => DataFrame,
+      merge: (DataFrame, DataFrame) => DataFrame,
+      batchId: Long, epoch: String): Unit = {
     val prev = store.read(name)
     val isReplay = prev.filter(p =>
       p.columns.contains("_last_batch") && p.columns.contains("_epoch"))
@@ -105,10 +121,8 @@ object IncrementalAgg {
         !r.isNullAt(0) && r.getLong(0) >= batchId
       }
     if (isReplay) return
-    val delta = partialState(batch, groups, valueCol)
     val merged = prev
-      .map(p => mergeStates(groups,
-        p.drop("_last_batch").drop("_epoch"), delta))
+      .map(p => merge(p.drop("_last_batch").drop("_epoch"), delta))
       .getOrElse(delta)
       .withColumn("_last_batch", lit(batchId))
       .withColumn("_epoch", lit(epoch))

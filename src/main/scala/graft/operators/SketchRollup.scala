@@ -40,4 +40,31 @@ object SketchRollup {
     sketches.agg(
       expr("hll_sketch_estimate(hll_union_agg(_sketch))").as("est_distinct"),
       sum(col("_rows")).as("n_rows"))
+
+  /** Fold sketch-state frames into one at `groups` granularity (which
+    * may be coarser): registers union by pointwise max — associative,
+    * commutative, IDEMPOTENT — and row counts re-sum. */
+  def mergeStates(groups: Seq[String], states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "mergeStates needs at least one state frame")
+    states.reduce(_.unionByName(_))
+      .groupBy(groups.map(col): _*)
+      .agg(expr("hll_union_agg(_sketch)").as("_sketch"),
+        sum(col("_rows")).as("_rows"))
+  }
+
+  /** Stream-maintain a sketch state table: fold one micro-batch's
+    * per-group sketches into `name` under the epoch-scoped
+    * replay-idempotent protocol of [[IncrementalAgg.foldIntoStore]]
+    * (same marker columns, same loud epoch mismatch, same atomic
+    * `replace` publish). Distinct-count rollups then come from
+    * [[unionEstimate]] over the stored state — current at every
+    * trigger, never rescanning rows. (Register max would even tolerate
+    * a double-fold for the sketch itself, but `_rows` would not —
+    * the marker protocol guards both.) */
+  def foldIntoStore(store: ParquetTableStore, name: String, batch: DataFrame,
+                    groups: Seq[String], keyCol: String, lgK: Int,
+                    batchId: Long, epoch: String): Unit =
+    IncrementalAgg.foldStateIntoStore(store, name,
+      distinctSketches(batch, groups, keyCol, lgK),
+      (p, d) => mergeStates(groups, p, d), batchId, epoch)
 }

@@ -53,4 +53,49 @@ class BinnedQuantilesSpec extends SparkSpec {
     val state = BinnedQuantiles.binState(rows, Seq("g"), "v", 0.0, 10.0, 10)
     assert(state.count() <= 10)
   }
+
+  test("foldIntoStore: streamed histogram state equals batch recompute; replay no-ops; epoch mismatch is loud") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_bq_fold").toString
+    val store = new ParquetTableStore(spark, wh)
+    def fold(vs: Seq[Double], id: Long, epoch: String = "e1"): Unit =
+      BinnedQuantiles.foldIntoStore(store, "h",
+        vs.map(("g", _)).toDF("g", "v"), Seq("g"), "v", 0.0, 10.0, 10,
+        id, epoch)
+    fold(Seq(1.0, 15.0, 22.0), 0L)
+    fold(Seq(35.0, 8.0), 1L)
+    def state = store.read("h").get.drop("_last_batch", "_epoch")
+      .orderBy("g", "bin").as[(String, Long, Long)].collect().toSeq
+    val direct = BinnedQuantiles.binState(
+      Seq(1.0, 15.0, 22.0, 35.0, 8.0).map(("g", _)).toDF("g", "v"),
+      Seq("g"), "v", 0.0, 10.0, 10)
+      .orderBy("g", "bin").as[(String, Long, Long)].collect().toSeq
+    assert(state == direct, s"streamed $state != recompute $direct")
+    // at-least-once replay of the last batch: must not double-count
+    fold(Seq(35.0, 8.0), 1L)
+    assert(state == direct, "replayed batch double-counted")
+    // a genuinely new batch still applies
+    fold(Seq(99.0), 2L)
+    assert(state != direct)
+    // fresh-checkpoint epoch must fail loudly
+    val e = intercept[RuntimeException] { fold(Seq(1.0), 0L, epoch = "other") }
+    assert(e.getMessage.contains("epoch"))
+  }
+
+  test("foldIntoStore recovers a state table stranded mid whole-table swap") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_bq_swap").toString
+    val store = new ParquetTableStore(spark, wh)
+    def fold(vs: Seq[Double], id: Long): Unit =
+      BinnedQuantiles.foldIntoStore(store, "h",
+        vs.map(("g", _)).toDF("g", "v"), Seq("g"), "v", 0.0, 10.0, 10,
+        id, "e1")
+    fold(Seq(5.0, 15.0), 0L)
+    // simulate replace() dying between rename(dst->backup) and
+    // rename(tmp->dst): the state exists ONLY at _swap_h
+    assert(new java.io.File(s"$wh/h").renameTo(new java.io.File(s"$wh/_swap_h")))
+    fold(Seq(25.0), 1L) // must fold into the RECOVERED state, not restart
+    val got = store.read("h").get.drop("_last_batch", "_epoch")
+      .orderBy("bin").as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("g", 0L, 1L), ("g", 1L, 1L), ("g", 2L, 1L)),
+      s"recovered fold wrong: $got")
+  }
 }
