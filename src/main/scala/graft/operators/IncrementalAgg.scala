@@ -30,16 +30,27 @@ import org.apache.spark.sql.functions._
 object IncrementalAgg {
 
   /** Mergeable aggregate state of `valueCol` per `groups`:
-    * (_cnt, _sum, _min, _max). Nulls in `valueCol` are ignored by all
-    * four components consistently, so merge order cannot change the
-    * result. */
+    * (_cnt, _sum, _min, _max, _sumsq). Nulls in `valueCol` are ignored
+    * by all five components consistently, so merge order cannot change
+    * the result. `_sumsq` (sum of squares, merges by plain sum) extends
+    * the maintainable measures to variance/stddev — see
+    * [[momentsFromState]] and [[Outliers]]. The textbook one-pass
+    * instability of Σx² − (Σx)²/n is bounded here by double headroom:
+    * it loses ~log10(mean²·n / variance) of 15-16 significant digits,
+    * fine for pipeline metrics (chars, prices, scores) and documented
+    * so a caller with 9-digit means knows to rescale first.
+    *
+    * Schema note: pre-r8 state tables (no `_sumsq`) fail a fold loudly
+    * (unionByName) rather than silently carrying null variance —
+    * rebuild or backfill `_sumsq` once to migrate. */
   def partialState(df: DataFrame, groups: Seq[String],
                    valueCol: String): DataFrame =
     df.groupBy(groups.map(col): _*)
       .agg(count(col(valueCol)).as("_cnt"),
         sum(col(valueCol)).as("_sum"),
         min(col(valueCol)).as("_min"),
-        max(col(valueCol)).as("_max"))
+        max(col(valueCol)).as("_max"),
+        sum(col(valueCol) * col(valueCol)).as("_sumsq"))
 
   /** Fold any number of state frames (and/or delta partials) into one
     * state at `groups` granularity — which may be COARSER than the
@@ -52,8 +63,23 @@ object IncrementalAgg {
       .agg(sum(col("_cnt")).as("_cnt"),
         sum(col("_sum")).as("_sum"),
         min(col("_min")).as("_min"),
-        max(col("_max")).as("_max"))
+        max(col("_max")).as("_max"),
+        sum(col("_sumsq")).as("_sumsq"))
   }
+
+  /** Mean and SAMPLE stddev derived from state alone: `_m` = Σx/n,
+    * `_sd` = √((Σx² − (Σx)²/n)/(n−1)) — null for n ≤ 1 (no dispersion)
+    * and clamped at 0 against floating-point cancellation going
+    * fractionally negative. This is what makes [[Outliers]] maintainable:
+    * the moments of a 100 TB fact table come from its state rows, not a
+    * second fact scan. */
+  def momentsFromState(state: DataFrame, groups: Seq[String]): DataFrame =
+    state.select(groups.map(col) ++ Seq(
+      (col("_sum") / col("_cnt")).as("_m"),
+      when(col("_cnt") > 1,
+        sqrt(greatest(lit(0.0),
+          (col("_sumsq") - col("_sum") * col("_sum") / col("_cnt")) /
+            (col("_cnt") - 1)))).as("_sd")): _*)
 
   /** Fold one micro-batch into a persisted state table — the streaming
     * maintenance loop: reduce the batch to partials, merge with the

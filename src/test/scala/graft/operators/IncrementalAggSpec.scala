@@ -26,12 +26,12 @@ class IncrementalAggSpec extends SparkSpec {
     assert(byTyp.orderBy("typ").collect().toSeq == direct.orderBy("typ").collect().toSeq)
   }
 
-  test("nulls are ignored consistently across all four components") {
+  test("nulls are ignored consistently across all five components") {
     val st = IncrementalAgg.partialState(rows, Seq("typ"), "v")
       .filter($"typ" === "b")
-      .select("_cnt", "_sum", "_min", "_max")
-      .as[(Long, Option[Double], Option[Double], Option[Double])].head()
-    assert(st == ((2L, Some(8.0), Some(-2.0), Some(10.0))))
+      .select("_cnt", "_sum", "_min", "_max", "_sumsq")
+      .as[(Long, Option[Double], Option[Double], Option[Double], Option[Double])].head()
+    assert(st == ((2L, Some(8.0), Some(-2.0), Some(10.0), Some(104.0))))
   }
 
   test("finish derives n/total/avg/lo/hi with the gate's rounding") {

@@ -40,4 +40,35 @@ class OutliersSpec extends SparkSpec {
     val plan = Outliers.zScores(df, "g", "v").queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"stats attach should broadcast:\n$plan")
   }
+
+  test("z from maintained STATE equals z from rows (and from Welford stddev)") {
+    val df = (1L to 500L).map(i => (i, s"g${i % 4}", (i * 37 % 211).toDouble))
+      .toDF("id", "g", "v")
+    // maintained-state path: fold two disjoint halves, as a stream would
+    val state = IncrementalAgg.mergeStates(Seq("g"),
+      IncrementalAgg.partialState(df.filter($"id" % 2 === 0), Seq("g"), "v"),
+      IncrementalAgg.partialState(df.filter($"id" % 2 =!= 0), Seq("g"), "v"))
+    val fromState = Outliers.zScoresFromState(df, state, "g", "v")
+      .orderBy("id").select("_z").as[Double].collect().toSeq
+    val fromRows = Outliers.zScores(df, "g", "v")
+      .orderBy("id").select("_z").as[Double].collect().toSeq
+    assert(fromState == fromRows, "state path must equal ad-hoc path exactly")
+    // and both agree with Spark's own Welford-based stddev to double noise
+    val welford = df.join(
+        df.groupBy("g").agg(avg($"v").as("m"), stddev($"v").as("sd")), Seq("g"))
+      .orderBy("id").select(($"v" - $"m") / $"sd").as[Double].collect().toSeq
+    fromState.zip(welford).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"sumsq-derived z $a vs welford $b")
+    }
+  }
+
+  test("momentsFromState: singleton and cancellation edge cases") {
+    val state = IncrementalAgg.partialState(
+      Seq(("one", 7.0), ("flat", 3.0), ("flat", 3.0)).toDF("g", "v"),
+      Seq("g"), "v")
+    val got = IncrementalAgg.momentsFromState(state, Seq("g"))
+      .orderBy("g").as[(String, Option[Double], Option[Double])].collect().toSeq
+    // flat group: variance cancels to ~0 (clamped, never NaN); singleton: null sd
+    assert(got == Seq(("flat", Some(3.0), Some(0.0)), ("one", Some(7.0), None)))
+  }
 }
