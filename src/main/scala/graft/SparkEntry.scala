@@ -1832,6 +1832,25 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Stored-index IVF gate ([[graft.operators.IvfIndex]]): build the
+    * index into a real [[graft.operators.ParquetTableStore]] (trained
+    * centroids + cell-partitioned inverted lists + fingerprint meta),
+    * then PROBE it with q32's planted-duplicate queries — rank-1
+    * self-retrieval must match the brute-force oracle exactly, same as
+    * q32, but with the corpus assignment paid at build time and the
+    * probe touching only probed cells. */
+  def q88_ann_ivf_indexed(s: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_q88_wh").toString
+    val store = new graft.operators.ParquetTableStore(s, wh)
+    val emb = embeddings(s, d)
+    graft.operators.IvfIndex.build(store, "ix", emb, "vec_id", "embedding")
+    graft.operators.IvfIndex.verifyFresh(store, "ix", emb, "vec_id")
+    val planted = emb.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    graft.operators.IvfIndex.probe(store, "ix", planted, "vec_id", "embedding", 1)
+      .orderBy(col("query_id"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1922,6 +1941,7 @@ object SparkEntry {
     "q85_bpe_tokenize"      -> (q85_bpe_tokenize _),
     "q86_psl_domains"       -> (q86_psl_domains _),
     "q87_quantiles_maintained" -> (q87_quantiles_maintained _),
+    "q88_ann_ivf_indexed"   -> (q88_ann_ivf_indexed _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3324,6 +3344,25 @@ object SparkEntry {
                 THEN (bin + (0.95 * total - cb) / cnt) * 5.0 END), 4) AS p95_est,
            CAST(min(total) AS BIGINT) AS n
          FROM j GROUP BY event_type ORDER BY event_type""",
+
+    // q88: identical semantics to q32 (planted-duplicate rank-1 ⊆ brute
+    // force) — the Spark side answers from the STORED index instead of
+    // re-assigning the corpus; the oracle is the same exact scan.
+    "q88_ann_ivf_indexed" ->
+      """WITH q AS (SELECT vec_id + 1000000 AS query_id, embedding AS qv
+                    FROM embeddings WHERE vec_id >= 8 AND vec_id < 16),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         s AS (
+           SELECT query_id, neighbor_id,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) AS score
+           FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+         r AS (
+           SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+           FROM s)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(score, 4) AS score
+         FROM r WHERE rank = 1 ORDER BY query_id""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors
+
+/** Persisted IVF index — build once, probe many: the shape a
+  * repeated-query ANN workload needs. [[Similarity.annIvf]] re-assigns
+  * the whole candidate corpus to cells on EVERY call (an O(corpus ×
+  * nCells) dot-product pass); this operator pays assignment once at
+  * build time, stores the index through [[ParquetTableStore]], and each
+  * probe then touches only the centroid frame (tiny, broadcast) and the
+  * probed cells' rows (the standard IVF inverted-list contraction:
+  * ~nProbe/nCells of the corpus per query batch).
+  *
+  * Layout (three tables under one index name — the FAISS IVF file layout
+  * re-expressed as warehouse tables):
+  *   - `<name>_centroids` (cell, centroid): the trained coarse quantizer
+  *     ([[Similarity.trainIvfCentroids]] — spherical Lloyd).
+  *   - `<name>_cells` (id, cell, v): every candidate vector in its
+  *     nearest cell — the inverted lists, PARTITIONED BY cell on disk so
+  *     a probe's cell filter prunes files before reading a single row.
+  *   - `<name>_meta` (n_vectors, id_fingerprint, n_cells): build-time
+  *     corpus identity for staleness detection.
+  *
+  * Staleness: an index probed against a corpus that has since changed
+  * returns silently wrong neighbors — the classic stale-index failure.
+  * The meta table stores a commutative corpus fingerprint (count +
+  * sum(xxhash64(id)) — order-independent, cheap: an id-column-only
+  * scan); [[verifyFresh]] recomputes it and FAILS LOUDLY on mismatch.
+  * It is a separate call, not part of [[probe]]: the whole point of
+  * probing is to avoid corpus scans, so the caller decides when to
+  * re-attest (each batch, hourly, after every upsert — policy, not
+  * mechanism).
+  */
+object IvfIndex {
+
+  /** Commutative corpus fingerprint: (count, bit_xor of id hashes).
+    * XOR is order-independent and never overflows (a plain sum of
+    * xxhash64 values trips ANSI overflow); a removed+added id pair
+    * changes the xor, and the count catches the self-cancelling
+    * duplicate-pair case xor alone would miss. */
+  private def fingerprint(corpus: DataFrame, idCol: String): (Long, Long) = {
+    val r = corpus.agg(count(lit(1)), bit_xor(xxhash64(col(idCol)))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** Train the coarse quantizer and materialize the inverted lists.
+    * Assignment is the max_by hash-aggregate argmax (no window — the
+    * r5 finding), one pass over the corpus; the cells table is written
+    * partitioned by cell so probes prune at the file level. */
+  def build(store: ParquetTableStore, name: String, candidates: DataFrame,
+            idCol: String, vecCol: String, nCells: Int = 16,
+            iterations: Int = 5): Unit = {
+    val centroids = Similarity.trainIvfCentroids(
+      candidates, idCol, vecCol, nCells, iterations)
+    val vecs = candidates.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val assigned = vecs.crossJoin(broadcast(centroids))
+      .select(col("id"), col("v"), col("cell"),
+        Vectors.dotNative(col("v"), col("centroid")).as("cd"))
+      .groupBy(col("id"))
+      .agg(max_by(struct(col("cell"), col("v")),
+        struct(col("cd"), (-col("cell")).as("nc"))).as("b"))
+      .select(col("id"), col("b.cell").as("cell"), col("b.v").as("v"))
+    store.replace(s"${name}_centroids", centroids)
+    // partitioned write: a probe reading 4 of 16 cells opens 4 of 16
+    // partition dirs (store.replace would write one flat dir)
+    val spark = candidates.sparkSession
+    val cellsPath = store.path(s"${name}_cells")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(cellsPath)
+    val (n, h) = fingerprint(candidates, idCol)
+    store.replace(s"${name}_meta",
+      spark.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row(n, h, nCells)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_vectors",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("id_fingerprint",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("n_cells",
+            org.apache.spark.sql.types.IntegerType, nullable = false)))))
+  }
+
+  /** Fail loudly if `corpus` no longer matches the fingerprint the index
+    * was built from (an id-column-only scan — cheap relative to any
+    * re-assignment, and the only way to make staleness a crash instead
+    * of silently wrong neighbors). */
+  def verifyFresh(store: ParquetTableStore, name: String,
+                  corpus: DataFrame, idCol: String): Unit = {
+    val meta = store.read(s"${name}_meta").getOrElse(
+      sys.error(s"IVF index '$name' has no meta table — not built?"))
+      .select("n_vectors", "id_fingerprint").head()
+    val (n, h) = fingerprint(corpus, idCol)
+    if (meta.getLong(0) != n || meta.getLong(1) != h) sys.error(
+      s"IVF index '$name' is STALE: built over ${meta.getLong(0)} vectors " +
+        s"(fingerprint ${meta.getLong(1)}) but the corpus now has $n " +
+        s"(fingerprint $h). Rebuild the index before probing — probing a " +
+        "stale index returns silently wrong neighbors.")
+  }
+
+  /** Top-k neighbors for `queries` from the STORED index: queries assign
+    * to their nProbe best cells against the broadcast centroid frame,
+    * the cells table is read WITH a cell filter (partition-pruned at the
+    * file level), and only probed-cell rows are scored. No pass over the
+    * full corpus anywhere. */
+  def probe(store: ParquetTableStore, name: String, queries: DataFrame,
+            idCol: String, vecCol: String, topK: Int,
+            nProbe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = store.read(s"${name}_centroids").getOrElse(
+      sys.error(s"IVF index '$name' has no centroids table — not built?"))
+    val cells = spark.read.parquet(store.path(s"${name}_cells"))
+    val qAssigned = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qv"), col("cell"),
+        Vectors.dotNative(col("qv"), col("centroid")).as("cd"))
+      .groupBy(col("query_id"))
+      .agg(first(col("qv")).as("qv"),
+        graft.functions.TopK.topK(nProbe)(col("cell").cast("long"), col("cd")).as("tk"))
+      .select(col("query_id"), col("qv"), explode(col("tk")).as("cs"))
+      .select(col("query_id"), col("qv"), col("cs._1").cast("int").as("cell"))
+    val probedCells = qAssigned.select("cell").distinct()
+      .collect().map(_.getInt(0)) // bounded: ≤ queries × nProbe, ≤ nCells
+    val scored = cells.filter(col("cell").isin(probedCells.toSeq: _*))
+      .join(broadcast(qAssigned), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        Vectors.dotNative(col("qv"), col("v")).as("score"))
+      .distinct() // a pair can meet in several probed cells
+    Similarity.takeTopK(scored, topK)
+  }
+}

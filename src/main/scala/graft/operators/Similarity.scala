@@ -496,7 +496,7 @@ object Similarity {
     * [[graft.functions.TopKAggregator]]: O(k) map-side state per group
     * instead of a full per-group sort+shuffle — same (score desc, id asc)
     * order as the window formulation, so results are identical. */
-  private def takeTopK(scored: DataFrame, topK: Int): DataFrame =
+  private[operators] def takeTopK(scored: DataFrame, topK: Int): DataFrame =
     scored.groupBy(col("query_id"))
       .agg(graft.functions.TopK.topK(topK)(col("neighbor_id"), col("score")).as("tk"))
       .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "ns")))

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic unit vectors on a ring: id i -> (cos θi, sin θi, 0, 0)
+  private def ring(n: Int, dim: Int = 8) = (0 until n).map { i =>
+    val th = 2 * math.Pi * i / n
+    (i.toLong, (Array(math.cos(th).toFloat, math.sin(th).toFloat) ++
+      Array.fill(dim - 2)(0.0f)).toSeq)
+  }.toDF("id", "v")
+
+  test("probe from the stored index matches brute-force rank-1 for planted twins") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_ivf_ix").toString
+    val store = new ParquetTableStore(spark, wh)
+    val corpus = ring(64)
+    IvfIndex.build(store, "ix", corpus, "id", "v", nCells = 8, iterations = 3)
+    // planted twins of ids 3..10 under new ids
+    val queries = corpus.filter($"id" >= 3 && $"id" < 11)
+      .select(($"id" + 1000L).as("id"), $"v")
+    val got = IvfIndex.probe(store, "ix", queries, "id", "v", topK = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    (3L until 11L).foreach { i =>
+      assert(got(i + 1000L) == i, s"twin of $i not retrieved: ${got.get(i + 1000L)}")
+    }
+  }
+
+  test("verifyFresh passes on the same corpus (any row order) and fails on a changed one") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_ivf_fresh").toString
+    val store = new ParquetTableStore(spark, wh)
+    val corpus = ring(32)
+    IvfIndex.build(store, "ix", corpus, "id", "v", nCells = 4, iterations = 2)
+    IvfIndex.verifyFresh(store, "ix", corpus, "id")
+    IvfIndex.verifyFresh(store, "ix", corpus.orderBy($"id".desc), "id") // commutative
+    // grown corpus: stale
+    val grown = corpus.unionByName(ring(33).filter($"id" === 32L))
+    val e = intercept[RuntimeException] {
+      IvfIndex.verifyFresh(store, "ix", grown, "id")
+    }
+    assert(e.getMessage.contains("STALE"), e.getMessage)
+    // same count, different ids: still stale (fingerprint, not count)
+    val swapped = corpus.filter($"id" =!= 0L)
+      .unionByName(ring(33).filter($"id" === 32L))
+    val e2 = intercept[RuntimeException] {
+      IvfIndex.verifyFresh(store, "ix", swapped, "id")
+    }
+    assert(e2.getMessage.contains("STALE"))
+  }
+
+  test("probe prunes the cells table at the partition level (no full-corpus read)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_ivf_prune").toString
+    val store = new ParquetTableStore(spark, wh)
+    IvfIndex.build(store, "ix", ring(64), "id", "v", nCells = 8, iterations = 2)
+    val q = ring(64).filter($"id" === 5L).select(($"id" + 1000L).as("id"), $"v")
+    val plan = IvfIndex.probe(store, "ix", q, "id", "v", topK = 1, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("cell"), plan)
+    // the isin literal list bounds the partitions actually read
+    assert(plan.contains("cell#") || plan.contains("isin") || plan.contains("IN"),
+      s"expected a cell membership partition filter:\n$plan")
+  }
+
+  test("probe result is identical to annIvf with the same trained centroids") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_ivf_eq").toString
+    val store = new ParquetTableStore(spark, wh)
+    val corpus = ring(48)
+    IvfIndex.build(store, "ix", corpus, "id", "v", nCells = 6, iterations = 3)
+    val queries = corpus.filter($"id" < 6).select(($"id" + 500L).as("id"), $"v")
+    val fromIndex = IvfIndex.probe(store, "ix", queries, "id", "v", topK = 3)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val direct = Similarity.annIvf(queries, corpus, "id", "v", topK = 3,
+        nCells = 6, trainedCentroids = Some(store.read("ix_centroids").get))
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(fromIndex == direct,
+      s"stored-index probe diverges from direct annIvf:\n$fromIndex\nvs\n$direct")
+  }
+}
