@@ -1851,6 +1851,71 @@ object SparkEntry {
       .orderBy(col("query_id"))
   }
 
+  /** Incremental fuzzy dedup from a STORED MinHash-LSH index: the corpus
+    * half (even doc_ids) is sketched once into warehouse tables; the
+    * ingest batch (odd doc_ids) probes those tables — only the batch is
+    * sketched at probe time. Candidates are exact-rescored per the q20
+    * protocol, and the oracle computes exact 3-shingle Jaccard over ALL
+    * corpus×batch pairs, so the gate proves the stored-bucket join
+    * missed no J >= 0.6 cross pair AND every emitted score is exact.
+    * maxBucket = 0 inside the gated variant (q20 policy). */
+  def q89_incremental_neardup(s: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_q89_wh").toString
+    val store = new graft.operators.ParquetTableStore(s, wh)
+    val docs = documents(s, d)
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    graft.operators.MinHashIndex.build(store, "ix", corpus, "doc_id", "text")
+    graft.operators.MinHashIndex.verifyFresh(store, "ix", corpus, "doc_id")
+    val cand = graft.operators.MinHashIndex
+      .probe(store, "ix", batch, "doc_id", "text", 0.5, maxBucket = 0)
+      .select(col("corpus_id").as("id_a"), col("batch_id").as("id_b"))
+    Similarity.scoreCandidatesJaccard(cand, docs, "doc_id",
+        sub => sub.select(col("doc_id"), Text.tokens(col("text")).as("_w"))
+          .select(col("doc_id"), Similarity.shingleHashesOf(col("_w"), 3).as("g")))
+      .filter(col("jaccard") >= 0.6)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Exact heavy hitters at sketch cost: a Misra–Gries candidate pass
+    * (O(capacity) state — never a vocabulary-sized shuffle) + exact count
+    * of candidates only; the MG bound makes the composition exact, so the
+    * oracle is plain GROUP BY + HAVING share > 1/(capacity+1). The term
+    * stream is the decimal magnitude of l_partkey — the fixture's columns
+    * are uniform by construction, and magnitude-of-a-uniform-key is the
+    * deterministic skew (shares ≈ 0.50/0.45/0.05) that makes the gate
+    * discriminating: vocab 4 > capacity 2, so MG decrements fire
+    * constantly, yet exactly two terms clear the 1/3 share bar. */
+  def q90_heavy_hitters(s: SparkSession, d: String): DataFrame =
+    graft.operators.HeavyHitters.exact(
+      lineitem(s, d).select(
+        length(col("l_partkey").cast("string")).cast("string").as("term")),
+      "term", capacity = 2)
+      .orderBy(col("term"))
+
+  /** SemDeDup (Abbas et al. 2023) over the embedding table ∪ planted
+    * twins: coarse k-means cells bound the pair space, then the paper's
+    * keep rule (drop a vector iff a better-ranked cluster-mate sits
+    * within tau; rank = centroid-similarity asc, id asc — semantic
+    * outliers survive). The gated variant passes DETERMINISTIC seed
+    * centroids (first 8 vectors by id), so the oracle replays the whole
+    * computation — assignment argmax, within-cell pairs, ranks,
+    * dominance — with no recall caveat anywhere. Twins (cos = 1.0) must
+    * drop in favor of their originals via the id tie-break; every other
+    * verdict is replayed too, so kept rows are verified as strongly as
+    * dropped ones. */
+  def q91_semdedup(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val cents = Similarity.ivfSeedCentroids(emb, "vec_id", "embedding", 8)
+    graft.operators.SemDeDup.verdicts(corpus, "vec_id", "embedding", cents, 0.45)
+      .select(col("id"), col("cell").cast("long").as("cell"),
+        col("centroid_sim"), col("dropped"))
+      .orderBy(col("id"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1942,6 +2007,9 @@ object SparkEntry {
     "q86_psl_domains"       -> (q86_psl_domains _),
     "q87_quantiles_maintained" -> (q87_quantiles_maintained _),
     "q88_ann_ivf_indexed"   -> (q88_ann_ivf_indexed _),
+    "q89_incremental_neardup" -> (q89_incremental_neardup _),
+    "q90_heavy_hitters"     -> (q90_heavy_hitters _),
+    "q91_semdedup"          -> (q91_semdedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3363,6 +3431,80 @@ object SparkEntry {
            FROM s)
          SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(score, 4) AS score
          FROM r WHERE rank = 1 ORDER BY query_id""",
+
+    // q89: q20's exact-Jaccard replay restricted to corpus×batch pairs —
+    // the Spark side answers candidate generation from the STORED bucket
+    // table (only the batch is sketched), so containment of the exact
+    // >= 0.6 cross-pair set proves the stored-index join loses nothing
+    // vs re-sketching the corpus.
+    "q89_incremental_neardup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(w) - 2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [array_to_string(w, ' ')] END AS g
+           FROM toks),
+         sz AS (SELECT doc_id, len(g) AS n FROM sh),
+         e AS (SELECT doc_id, unnest(g) AS gram FROM sh),
+         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+                FROM e a JOIN e b ON a.gram = b.gram
+                WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+                GROUP BY 1, 2),
+         j AS (SELECT id_a, id_b,
+                 round(CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE), 4) AS jaccard
+               FROM pr JOIN sz sa ON sa.doc_id = pr.id_a
+                       JOIN sz sb ON sb.doc_id = pr.id_b)
+         SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.6
+         ORDER BY id_a, id_b""",
+
+    // q90: the MG + candidate-exact-count composition is EXACT (every
+    // term with share > 1/(capacity+1) is provably a candidate), so the
+    // oracle is the direct GROUP BY + HAVING it replaces at scale.
+    "q90_heavy_hitters" ->
+      """WITH t AS (SELECT CAST(length(CAST(l_partkey AS VARCHAR)) AS VARCHAR) AS term
+                    FROM lineitem),
+         c AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+         n AS (SELECT count(*) AS total FROM t)
+         SELECT term, cnt FROM c, n WHERE cnt * 3 > total ORDER BY term""",
+
+    // q91: full replay of SemDeDup with deterministic seed centroids —
+    // assignment argmax (dot desc, cell asc), within-cell dominance
+    // (centroid-sim asc, id asc; cos >= tau), every verdict checked.
+    "q91_semdedup" ->
+      """WITH corpus AS (
+           SELECT vec_id AS id, embedding AS v FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000 AS id, embedding AS v
+           FROM embeddings WHERE vec_id < 20),
+         cent AS (
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
+                  embedding AS cv
+           FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+         dots AS (
+           SELECT c.id, ct.cell,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> CAST(c.v[i] AS DOUBLE) * ct.cv[i])) AS cd
+           FROM corpus c CROSS JOIN cent ct),
+         asg AS (
+           SELECT id, cell, cd FROM (
+             SELECT id, cell, cd,
+               row_number() OVER (PARTITION BY id ORDER BY cd DESC, cell ASC) AS rn
+             FROM dots) t
+           WHERE rn = 1),
+         pv AS (
+           SELECT a.id, a.cell, a.cd, c.v
+           FROM asg a JOIN corpus c ON a.id = c.id),
+         dom AS (
+           SELECT DISTINCT b.id
+           FROM pv a JOIN pv b ON a.cell = b.cell
+             AND (a.cd < b.cd OR (a.cd = b.cd AND a.id < b.id))
+             AND list_sum(list_transform(generate_series(1, 64),
+                   i -> CAST(a.v[i] AS DOUBLE) * b.v[i])) >= 0.45)
+         SELECT p.id, p.cell, round(p.cd, 4) AS centroid_sim,
+                (d.id IS NOT NULL) AS dropped
+         FROM pv p LEFT JOIN dom d ON p.id = d.id
+         ORDER BY p.id""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a

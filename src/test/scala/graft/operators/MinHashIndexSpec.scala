@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MinHashIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Small corpus with controlled overlap: docs 0/1 near-identical,
+  // doc 2 unrelated; batch doc 100 duplicates doc 0, 101 is novel.
+  private val base = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+    (2L, "entirely different subject matter concerning maritime navigation rules"),
+    (3L, "a third document about cooking pasta with garlic and fresh basil leaves"))
+  private val batch = Seq(
+    (100L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (101L, "novel content that matches nothing currently stored in the corpus"))
+
+  private def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+
+  test("probe from the stored index equals minhashNearDup restricted to cross pairs") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_mh_eq").toString
+    val store = new ParquetTableStore(spark, wh)
+    MinHashIndex.build(store, "ix", df(base), "doc_id", "text")
+    val got = MinHashIndex.probe(store, "ix", df(batch), "doc_id", "text",
+        0.5, maxBucket = 0)
+      .select("corpus_id", "batch_id", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    // batch twin of doc 0 must surface with est 1.0 (identical signature)
+    assert(got.exists { case (a, b, e) => a == 0L && b == 100L && e == 1.0 },
+      s"twin pair (0,100) missing or inexact: $got")
+    // reference: the all-in-one batch path over the union, cross pairs only
+    val all = Similarity.minhashNearDup(
+        df(base ++ batch), "doc_id", "text", 0.5, maxBucket = 0)
+      .select("id_a", "id_b", "est_jaccard")
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => a < 100L && b >= 100L }
+      .toSet
+    assert(got == all, s"stored-index probe diverges from batch path:\n$got\nvs\n$all")
+  }
+
+  test("append then probe equals rebuild-from-scratch probe (incremental ≡ batch)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_mh_app").toString
+    val store = new ParquetTableStore(spark, wh)
+    val first = df(base).filter($"doc_id" < 2)
+    val second = df(base).filter($"doc_id" >= 2)
+    MinHashIndex.build(store, "ix", first, "doc_id", "text")
+    MinHashIndex.append(store, "ix", second, "doc_id", "text")
+    MinHashIndex.verifyFresh(store, "ix", df(base), "doc_id")
+    val incremental = MinHashIndex.probe(store, "ix", df(batch), "doc_id", "text",
+        0.3, maxBucket = 0)
+      .as[(Long, Long, Double)].collect().toSet
+    val wh2 = java.nio.file.Files.createTempDirectory("graft_mh_app2").toString
+    val store2 = new ParquetTableStore(spark, wh2)
+    MinHashIndex.build(store2, "ix", df(base), "doc_id", "text")
+    val oneShot = MinHashIndex.probe(store2, "ix", df(batch), "doc_id", "text",
+        0.3, maxBucket = 0)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(incremental == oneShot,
+      s"append path diverges from rebuild:\n$incremental\nvs\n$oneShot")
+  }
+
+  test("append is replay-idempotent: re-appending a batch leaves tables and meta unchanged") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_mh_replay").toString
+    val store = new ParquetTableStore(spark, wh)
+    MinHashIndex.build(store, "ix", df(base), "doc_id", "text")
+    MinHashIndex.append(store, "ix", df(batch), "doc_id", "text")
+    def snapshot() = (
+      store.read("ix_sigs").get.select($"id", to_json($"sig").as("s"))
+        .as[(Long, String)].collect().toSet,
+      store.read("ix_buckets").get.as[(Long, Int, Long)].collect().toSet,
+      store.read("ix_meta").get.as[(Long, Long)].collect().toSet)
+    val before = snapshot()
+    MinHashIndex.append(store, "ix", df(batch), "doc_id", "text") // replay
+    assert(snapshot() == before, "replayed append changed the index")
+    MinHashIndex.verifyFresh(store, "ix", df(base ++ batch), "doc_id")
+  }
+
+  test("verifyFresh fails loudly on a changed corpus, passes on reordered rows") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_mh_fresh").toString
+    val store = new ParquetTableStore(spark, wh)
+    MinHashIndex.build(store, "ix", df(base), "doc_id", "text")
+    MinHashIndex.verifyFresh(store, "ix", df(base).orderBy($"doc_id".desc), "doc_id")
+    val e = intercept[RuntimeException] {
+      MinHashIndex.verifyFresh(store, "ix", df(base ++ batch), "doc_id")
+    }
+    assert(e.getMessage.contains("STALE"), e.getMessage)
+    // same count, different ids — fingerprint, not count, must catch it
+    val swapped = base.tail :+ (99L, base.head._2)
+    val e2 = intercept[RuntimeException] {
+      MinHashIndex.verifyFresh(store, "ix", df(swapped), "doc_id")
+    }
+    assert(e2.getMessage.contains("STALE"))
+  }
+
+  test("dedupBatch drops exactly the batch docs with an indexed near-dup") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_mh_dedup").toString
+    val store = new ParquetTableStore(spark, wh)
+    MinHashIndex.build(store, "ix", df(base), "doc_id", "text")
+    val kept = MinHashIndex.dedupBatch(store, "ix", df(batch), "doc_id", "text",
+        0.5, maxBucket = 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(101L), s"expected only the novel doc to survive: $kept")
+  }
+
+  test("the combined occupancy cap prunes a bucket hot from the corpus side alone") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_mh_cap").toString
+    val store = new ParquetTableStore(spark, wh)
+    // 30 identical corpus docs: every band bucket has occupancy 30
+    val boiler = (0L until 30L).map(i => (i, "boilerplate legal footer text repeated verbatim across pages"))
+    MinHashIndex.build(store, "ix", df(boiler), "doc_id", "text")
+    val probeBatch = df(Seq((500L, "boilerplate legal footer text repeated verbatim across pages")))
+    val capped = MinHashIndex.probe(store, "ix", probeBatch, "doc_id", "text",
+      0.5, maxBucket = 10)
+    assert(capped.count() == 0, "cap 10 should prune the 31-member buckets")
+    val uncapped = MinHashIndex.probe(store, "ix", probeBatch, "doc_id", "text",
+      0.5, maxBucket = 0)
+    assert(uncapped.count() == 30, "cap disabled: all 30 twins surface")
+  }
+}
