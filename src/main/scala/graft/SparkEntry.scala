@@ -1916,6 +1916,25 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** PQ-compressed ANN (Jégou et al. 2011) gated by planted-duplicate
+    * retrieval: each query is a corpus vector re-labeled, whose twin's
+    * codes minimize the query's own ADC lookup sums by construction —
+    * the ADC shortlist must surface it, and the exact re-rank must
+    * return it at rank 1 with the exact brute-force score the oracle
+    * computes. Runs the full compressed path: per-subspace Lloyd
+    * training, one-aggregate encoding, LUT build, codes-only scoring,
+    * bounded exact refine. */
+  def q92_ann_pq(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val codebook = graft.operators.ProductQuantizer.train(emb, "vec_id", "embedding", 64)
+    val codes = graft.operators.ProductQuantizer.encode(emb, "vec_id", "embedding", 64, codebook)
+    val planted = emb.filter(col("vec_id") >= 16 && col("vec_id") < 24)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    graft.operators.ProductQuantizer.searchAdc(
+        planted, codes, emb, "vec_id", "embedding", codebook, 64, topK = 1)
+      .orderBy(col("query_id"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2010,6 +2029,7 @@ object SparkEntry {
     "q89_incremental_neardup" -> (q89_incremental_neardup _),
     "q90_heavy_hitters"     -> (q90_heavy_hitters _),
     "q91_semdedup"          -> (q91_semdedup _),
+    "q92_ann_pq"            -> (q92_ann_pq _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3505,6 +3525,26 @@ object SparkEntry {
                 (d.id IS NOT NULL) AS dropped
          FROM pv p LEFT JOIN dom d ON p.id = d.id
          ORDER BY p.id""",
+
+    // q92: q24/q88's planted-twin protocol for the PQ-compressed path —
+    // the oracle is the exact brute-force scan; the Spark side must
+    // reach the same rank-1 exact scores through codes-only ADC
+    // shortlisting + bounded exact refine.
+    "q92_ann_pq" ->
+      """WITH q AS (SELECT vec_id + 1000000 AS query_id, embedding AS qv
+                    FROM embeddings WHERE vec_id >= 16 AND vec_id < 24),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         s AS (
+           SELECT query_id, neighbor_id,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) AS score
+           FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+         r AS (
+           SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+           FROM s)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(score, 4) AS score
+         FROM r WHERE rank = 1 ORDER BY query_id""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a
