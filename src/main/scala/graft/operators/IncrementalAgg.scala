@@ -50,7 +50,13 @@ object IncrementalAgg {
         sum(col(valueCol)).as("_sum"),
         min(col(valueCol)).as("_min"),
         max(col(valueCol)).as("_max"),
-        sum(col(valueCol) * col(valueCol)).as("_sumsq"))
+        // squared in DOUBLE regardless of input type: a Long value column
+        // wraps the per-row product above 46341² in non-ANSI mode (and a
+        // Decimal overflows product precision to null) — either silently
+        // corrupts variance. Double trades exactness above 2^53 for
+        // never wrapping, the documented headroom contract above.
+        sum(col(valueCol).cast("double") * col(valueCol).cast("double"))
+          .as("_sumsq"))
 
   /** Fold any number of state frames (and/or delta partials) into one
     * state at `groups` granularity — which may be COARSER than the
@@ -78,7 +84,11 @@ object IncrementalAgg {
       (col("_sum") / col("_cnt")).as("_m"),
       when(col("_cnt") > 1,
         sqrt(greatest(lit(0.0),
-          (col("_sumsq") - col("_sum") * col("_sum") / col("_cnt")) /
+          // _sum squared in DOUBLE: a Long-typed state _sum wraps the
+          // product above ~3e9 (10M rows averaging 1k), turning _sd into
+          // a silent 0/null — same overflow class as _sumsq above
+          (col("_sumsq") - col("_sum").cast("double") *
+            col("_sum").cast("double") / col("_cnt")) /
             (col("_cnt") - 1)))).as("_sd")): _*)
 
   /** Fold one micro-batch into a persisted state table — the streaming

@@ -26,8 +26,9 @@ import graft.functions.Vectors
   * Staleness: an index probed against a corpus that has since changed
   * returns silently wrong neighbors — the classic stale-index failure.
   * The meta table stores a commutative corpus fingerprint (count +
-  * sum(xxhash64(id)) — order-independent, cheap: an id-column-only
-  * scan); [[verifyFresh]] recomputes it and FAILS LOUDLY on mismatch.
+  * bit_xor(xxhash64(id)) — order-independent, overflow-free, cheap: an
+  * id-column-only scan); [[verifyFresh]] recomputes it and FAILS LOUDLY
+  * on mismatch.
   * It is a separate call, not part of [[probe]]: the whole point of
   * probing is to avoid corpus scans, so the caller decides when to
   * re-attest (each batch, hourly, after every upsert — policy, not
@@ -63,11 +64,14 @@ object IvfIndex {
         struct(col("cd"), (-col("cell")).as("nc"))).as("b"))
       .select(col("id"), col("b.cell").as("cell"), col("b.v").as("v"))
     store.replace(s"${name}_centroids", centroids)
-    // partitioned write: a probe reading 4 of 16 cells opens 4 of 16
-    // partition dirs (store.replace would write one flat dir)
+    // partitioned write through the store's atomic swap: a probe reading
+    // 4 of 16 cells opens 4 of 16 partition dirs, and a crash mid-build
+    // leaves the PREVIOUS cells table intact — a plain overwrite of the
+    // live path deletes first and commits per partition, and the
+    // fingerprint cannot distinguish "old corpus, half-written cells"
+    // from a completed build over the old corpus
     val spark = candidates.sparkSession
-    val cellsPath = store.path(s"${name}_cells")
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(cellsPath)
+    store.replacePartitioned(s"${name}_cells", assigned, Seq("cell"))
     val (n, h) = fingerprint(candidates, idCol)
     store.replace(s"${name}_meta",
       spark.createDataFrame(java.util.List.of(
@@ -110,7 +114,11 @@ object IvfIndex {
     val centroids = store.read(s"${name}_centroids").getOrElse(
       sys.error(s"IVF index '$name' has no centroids table — not built?"))
     val cells = spark.read.parquet(store.path(s"${name}_cells"))
-    val qAssigned = queries
+    // materialized: the assignment subplan (queries × centroids dots +
+    // TopK aggregate) feeds BOTH the probed-cells collect and the scored
+    // join — without the checkpoint each consumer re-runs it as its own
+    // job, doubling the very cost probing exists to minimize
+    val qAssigned = Checkpoints.materialize(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .crossJoin(broadcast(centroids))
       .select(col("query_id"), col("qv"), col("cell"),
@@ -119,7 +127,7 @@ object IvfIndex {
       .agg(first(col("qv")).as("qv"),
         graft.functions.TopK.topK(nProbe)(col("cell").cast("long"), col("cd")).as("tk"))
       .select(col("query_id"), col("qv"), explode(col("tk")).as("cs"))
-      .select(col("query_id"), col("qv"), col("cs._1").cast("int").as("cell"))
+      .select(col("query_id"), col("qv"), col("cs._1").cast("int").as("cell")))
     val probedCells = qAssigned.select("cell").distinct()
       .collect().map(_.getInt(0)) // bounded: ≤ queries × nProbe, ≤ nCells
     val scored = cells.filter(col("cell").isin(probedCells.toSeq: _*))

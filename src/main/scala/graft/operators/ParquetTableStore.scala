@@ -87,7 +87,8 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
     * publish reading from the table it replaces is safe). Timestamps are
     * pinned to INT64 micros so every file the store ever writes stays
     * readable by the v2 merge codec (Spark's default may be INT96). */
-  private def publish(name: String, df: DataFrame): Unit = {
+  private def publish(name: String, df: DataFrame,
+                      partitionCols: Seq[String] = Nil): Unit = {
     recoverTableBackup(name)
     val tmp = new Path(s"$warehouse/_tmp_$name")
     // Pin the conf on the FRAME's session, not the store's: inside a
@@ -96,7 +97,9 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
     // the write — the publish would emit INT96 files the merge codec
     // cannot read back (caught by IncrementalSpec's batch-twin test).
     withMicrosTimestamps(df.sparkSession) {
-      df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val w = df.write.mode(SaveMode.Overwrite)
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(tmp.toString)
     }
     val dst = new Path(path(name))
     val f = fs(dst)
@@ -122,6 +125,19 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
     * which a marker-skip would suppress. Intended for small
     * state/dimension tables; a fact table should use [[upsert]]. */
   def replace(name: String, df: DataFrame): Unit = publish(name, df)
+
+  /** [[replace]] with a partitioned on-disk layout (directory per
+    * `partitionCols` value — the file-level-pruning layout
+    * [[IvfIndex]]'s cells table probes by). Same staged-write + swap
+    * protocol: a crash mid-publish leaves the previous table (or its
+    * recoverable `_swap` backup), never a partially-written mix of old
+    * and new partition dirs — which a plain
+    * `write.mode(Overwrite).partitionBy(...)` over the live path would
+    * (it deletes the old dir first, then commits per partition, and a
+    * fingerprint-based staleness check cannot see the difference). */
+  def replacePartitioned(name: String, df: DataFrame,
+                         partitionCols: Seq[String]): Unit =
+    publish(name, df, partitionCols)
 
   /** Upsert `updates` into table `name` keyed by `keys`; returns post-merge
     * row count.

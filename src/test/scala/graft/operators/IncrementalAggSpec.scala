@@ -114,6 +114,24 @@ class IncrementalAggSpec extends SparkSpec {
     assert(st == Seq(("a", 2L, 3.0)), s"bootstrap fold wrong: $st")
   }
 
+  test("variance state survives Long-typed value columns that overflow integer products") {
+    // per-row x² of 4e9 wraps a Long (1.6e19 > 9.2e18) and (Σx)² wraps
+    // far earlier — both must compute in double, or _sd silently
+    // collapses to 0/null on realistic count-like columns. The spread
+    // (1e6) keeps the true variance inside the documented double
+    // headroom (≈ log10(mean²·n/var) = 7-8 digits lost of 15), so a
+    // correct double path recovers it while a wrapped integer path
+    // cannot.
+    val big = Seq(("g", 4000000000L), ("g", 4001000000L)).toDF("grp", "v")
+    val state = IncrementalAgg.partialState(big, Seq("grp"), "v")
+    val sd = IncrementalAgg.momentsFromState(state, Seq("grp"))
+      .select($"_sd").as[Double].head()
+    // true sample stddev of {x, x+1e6} is 1e6/sqrt(2)
+    val want = 1e6 / math.sqrt(2.0)
+    assert(math.abs(sd - want) / want < 1e-6,
+      s"expected ~$want, got $sd (integer overflow in the state path?)")
+  }
+
   test("plans are pure hash aggregates — no sort, no window") {
     val plan = IncrementalAgg.mergeStates(Seq("typ"),
       IncrementalAgg.partialState(rows, Seq("day", "typ"), "v"))

@@ -77,6 +77,26 @@ class UpsertSpec extends SparkSpec {
     }
   }
 
+  test("replacePartitioned: partitioned layout, swap replace, no staging leftovers") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_repl_part").toString
+    val store = new ParquetTableStore(spark, wh)
+    val v1 = Seq((0, 1L), (0, 2L), (1, 3L)).toDF("cell", "x")
+    store.replacePartitioned("t", v1, Seq("cell"))
+    val dir = new java.io.File(wh, "t")
+    assert(dir.listFiles().exists(_.getName.startsWith("cell=")),
+      s"expected hive-style partition dirs: ${dir.listFiles().map(_.getName).toSeq}")
+    assert(store.read("t").get.select("cell", "x").as[(Int, Long)]
+      .collect().toSet == Set((0, 1L), (0, 2L), (1, 3L)))
+    // replace with different contents AND partition set: old dirs must go
+    val v2 = Seq((2, 9L)).toDF("cell", "x")
+    store.replacePartitioned("t", v2, Seq("cell"))
+    assert(store.read("t").get.select("cell", "x").as[(Int, Long)]
+      .collect().toSet == Set((2, 9L)))
+    val leftovers = new java.io.File(wh).listFiles()
+      .map(_.getName).filter(n => n.startsWith("_tmp_") || n.startsWith("_swap_"))
+    assert(leftovers.isEmpty, s"staging dirs left behind: ${leftovers.toSeq}")
+  }
+
   test("upsert refuses a decimal<->double money-mode switch (no silent cast)") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh_money").toString
     val store = new ParquetTableStore(spark, wh)
