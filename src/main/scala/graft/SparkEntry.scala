@@ -1783,13 +1783,15 @@ object SparkEntry {
     * public-suffix-list lookup q73's naive last-two-labels variant
     * documents as its own gap): URLs are synthesized over SIX suffixes
     * including multi-label public suffixes (.co.uk, .com.au, .ac.uk,
-    * .k12.ma.us) that the naive rule groups wrong, plus an unlisted TLD
-    * (.xyz) exercising the PSL default rule. The oracle replays the
+    * .k12.ma.us) that the naive rule groups wrong, plus a truly
+    * unlisted TLD (.test — NOT in the snapshot, unlike .xyz which is)
+    * so the PSL default rule (`*` → last label) is oracle-gated, not
+    * just unit-tested. The oracle replays the
     * longest-match lookup against the SAME snapshot rendered as VALUES
     * rows ([[Web.pslValues]] — the LangId profile precedent). */
   def q86_psl_domains(s: SparkSession, d: String): DataFrame = {
     val sufs = array(Seq("example.com", "example.co.uk", "sample.com.au",
-      "demo.ac.uk", "campus.k12.ma.us", "site.xyz").map(lit): _*)
+      "demo.ac.uk", "campus.k12.ma.us", "site.test").map(lit): _*)
     val docs = documents(s, d).withColumn("url",
       concat(lit("https://"), col("source"), lit("."),
         element_at(sufs, (col("doc_id") % 6 + 1).cast("int")),
@@ -1935,6 +1937,50 @@ object SparkEntry {
       .orderBy(col("query_id"))
   }
 
+  /** Time travel through a manifest-versioned table
+    * ([[graft.operators.VersionedTable]] — immutable data dirs +
+    * atomic-rename manifests, the lakehouse-format core): v0 is an early
+    * order-book snapshot, v1 the current book with planted repricings
+    * and deletions; the gate reads v0 BY VERSION and v1 BY TIMESTAMP
+    * (asOf), diffs them with [[graft.operators.SnapshotDiff]], and
+    * rolls up the change log. The oracle rebuilds both snapshots from
+    * the raw orders table and replays the diff — so version resolution,
+    * snapshot isolation, and the CDC semantics are all under the same
+    * hash. */
+  def q93_time_travel(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q93_vt").toString
+    val vt = new graft.operators.VersionedTable(s, root, "orders_book")
+    val ord = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice"))
+    vt.commit(ord.filter(col("o_orderkey") % 7 =!= 0), ts = 1000L)
+    vt.commit(ord.filter(col("o_orderkey") % 89 =!= 3)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 97 === 0, col("o_totalprice") + 10.0)
+          .otherwise(col("o_totalprice"))), ts = 2000L)
+    val diff = graft.operators.SnapshotDiff.diff(
+      vt.read(Some(0)), vt.asOf(2500L), Seq("o_orderkey"))
+    diff.groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(coalesce(col("new_o_totalprice"), lit(0.0)) -
+          coalesce(col("old_o_totalprice"), lit(0.0))), 2).as("delta_value"))
+      .orderBy(col("change_type"))
+  }
+
+  /** BM25 lexical retrieval ([[graft.operators.Bm25]]): three fixed
+    * queries (≤ 2 terms each — two-operand double addition is
+    * commutative, so per-doc score sums are order-independent and the
+    * oracle's row_number ranking matches exactly). The oracle replays
+    * the whole probabilistic-relevance computation — tf, dl, df, N,
+    * avgdl, the Lucene idf, the saturation term — with identical
+    * literal arithmetic. */
+  def q94_bm25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val queries = Seq((1L, "spark"), (1L, "join"), (2L, "window"),
+      (2L, "sort"), (3L, "customer")).toDF("query_id", "term")
+    graft.operators.Bm25.search(documents(s, d), "doc_id", "text", queries, 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2030,6 +2076,8 @@ object SparkEntry {
     "q90_heavy_hitters"     -> (q90_heavy_hitters _),
     "q91_semdedup"          -> (q91_semdedup _),
     "q92_ann_pq"            -> (q92_ann_pq _),
+    "q93_time_travel"       -> (q93_time_travel _),
+    "q94_bm25"              -> (q94_bm25 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3389,7 +3437,7 @@ object SparkEntry {
       s"""WITH psl(sfx, nl) AS (SELECT * FROM (VALUES ${Web.pslValues})),
          docs AS (SELECT doc_id, source, n_chars,
                    'https://' || source || '.' ||
-                   (['example.com','example.co.uk','sample.com.au','demo.ac.uk','campus.k12.ma.us','site.xyz'])[CAST(doc_id % 6 AS INT) + 1]
+                   (['example.com','example.co.uk','sample.com.au','demo.ac.uk','campus.k12.ma.us','site.test'])[CAST(doc_id % 6 AS INT) + 1]
                    || '/p/' || CAST(doc_id AS VARCHAR) AS url
                   FROM documents),
          h AS (SELECT *, lower(regexp_extract(url, '^https?://(?:[^/?#]*@)?([^/:?#@]+)', 1)) AS host
@@ -3545,6 +3593,63 @@ object SparkEntry {
            FROM s)
          SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(score, 4) AS score
          FROM r WHERE rank = 1 ORDER BY query_id""",
+
+    // q93: both versions rebuilt from the raw table, diff replayed with
+    // FULL JOIN + IS DISTINCT FROM (q71's shape) — version resolution
+    // and snapshot isolation sit under the same hash as the CDC rollup.
+    "q93_time_travel" ->
+      """WITH o0 AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderkey % 7 <> 0),
+         o1 AS (
+           SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 10.0
+                  ELSE o_totalprice END AS o_totalprice
+           FROM orders WHERE o_orderkey % 89 <> 3),
+         d AS (
+           SELECT coalesce(o0.o_orderkey, o1.o_orderkey) AS k,
+             o0.o_totalprice AS oldp, o1.o_totalprice AS newp,
+             CASE WHEN o0.o_orderkey IS NULL THEN 'insert'
+                  WHEN o1.o_orderkey IS NULL THEN 'delete'
+                  ELSE 'update' END AS change_type
+           FROM o0 FULL JOIN o1 ON o0.o_orderkey = o1.o_orderkey
+           WHERE o0.o_orderkey IS NULL OR o1.o_orderkey IS NULL
+             OR o0.o_totalprice IS DISTINCT FROM o1.o_totalprice
+             OR o0.o_orderstatus IS DISTINCT FROM o1.o_orderstatus)
+         SELECT change_type, count(*) AS n,
+           round(sum(coalesce(newp, 0) - coalesce(oldp, 0)), 2) AS delta_value
+         FROM d GROUP BY change_type ORDER BY change_type""",
+
+    // q94: full replay of BM25 — tf/dl/df/N/avgdl, Lucene idf, the
+    // saturation term — with the same literal arithmetic ((1.2 + 1),
+    // (1 - 0.75 + ...)) so both engines run identical IEEE ops.
+    "q94_bm25" ->
+      """WITH tf AS (
+           SELECT doc_id, term, count(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t
+           GROUP BY 1, 2),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         nn AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         q(query_id, term) AS (VALUES
+           (1, 'spark'), (1, 'join'), (2, 'window'), (2, 'sort'), (3, 'customer')),
+         dfs AS (SELECT term, count(*) AS df FROM tf
+                 WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         c AS (
+           SELECT q.query_id, tf.doc_id,
+             ln(1 + (nn.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) *
+               (tf.tf * (1.2 + 1)) /
+               (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / nn.avgdl)) AS contrib
+           FROM tf JOIN q ON tf.term = q.term
+                   JOIN dfs ON tf.term = dfs.term
+                   JOIN dl ON tf.doc_id = dl.doc_id
+                   CROSS JOIN nn),
+         sc AS (SELECT query_id, doc_id, sum(contrib) AS score FROM c GROUP BY 1, 2),
+         r AS (SELECT query_id, doc_id, score,
+                 row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+               FROM sc)
+         SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+                doc_id, round(score, 4) AS score
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BM25 lexical retrieval (Robertson & Zaragoza 2009, "The Probabilistic
+  * Relevance Framework"; idf in the Lucene non-negative form
+  * ln(1 + (N − df + 0.5)/(df + 0.5))) — the term-statistics counterpart
+  * of the embedding ANN family: given a query's terms, rank documents by
+  * Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+  *
+  * Spark shapes, scale first: the inverted index IS the (doc, term, tf)
+  * hash aggregate — one exchange on the token stream; doc length joins
+  * back on the SAME doc key (co-partitioned, no second exchange
+  * pattern); everything query-dependent — the term→query map, the df
+  * row per query term — is a few rows and BROADCAST, so scoring a query
+  * batch against a 100 TB index is one scan of the (already small)
+  * tf rows for the query's terms plus a TopK hash aggregate per query.
+  * No window, no cross product, and the corpus-wide statistics (N,
+  * avgdl) ride along as a broadcast single-row frame.
+  *
+  * Determinism contract for the oracle: per-(query, doc) scores sum at
+  * most the query's term contributions; gates keep queries ≤ 2 terms so
+  * the double sum is order-independent (two-operand IEEE addition is
+  * commutative), and ranking tie-breaks (score desc, doc asc) match the
+  * oracle's row_number ordering exactly.
+  */
+object Bm25 {
+
+  /** The inverted-index statistics: (id, term, tf, dl) — term frequency
+    * per (doc, term) and the doc's total token count. */
+  def docTermStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("id"), explode(graft.functions.Text.tokens(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+    tf.join(dl, Seq("id"))
+  }
+
+  /** Top-k documents per query. `queries`: (query_id, term) rows — a
+    * multi-term query is several rows. Returns
+    * (query_id, rank, doc_id, score·4dp). */
+  def search(docs: DataFrame, idCol: String, textCol: String,
+             queries: DataFrame, topK: Int,
+             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val stats = Checkpoints.materialize(docTermStats(docs, idCol, textCol))
+    // corpus constants: one-row frame, broadcast
+    val n = stats.select(col("id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    // df per query term only (semi-filtered before the aggregate)
+    val qTerms = queries.select(col("term")).distinct()
+    val dfStats = stats.join(broadcast(qTerms), Seq("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val contributions = stats
+      .join(broadcast(queries.select(col("query_id"), col("term"))), Seq("term"))
+      .join(broadcast(dfStats), Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col("query_id"), col("id"), {
+        // association mirrors the oracle SQL token-for-token so both
+        // engines run the identical IEEE op sequence
+        val idf = log(lit(1.0) +
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+        val num = col("tf") * lit(k1 + 1)
+        val den = col("tf") +
+          lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))
+        (idf * num / den).as("contrib")
+      })
+    val scored = contributions
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("contrib")).as("score"))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("score"))
+    Similarity.takeTopK(scored, topK)
+      .withColumnRenamed("neighbor_id", "doc_id")
+  }
+}
