@@ -1981,6 +1981,20 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Leakage-safe group-aware split ([[graft.operators.GroupSplit]]):
+    * documents split train/val/test by SOURCE — every row of a source
+    * lands in one split (the leakage guard), assignment is a pure
+    * md5-threshold expression (no shuffle, corpus-growth-stable), and
+    * the oracle replays the exact hex-threshold arithmetic, so the
+    * per-(split, source) rollup pins both the atomicity and the
+    * assignment itself. */
+  def q95_group_split(s: SparkSession, d: String): DataFrame =
+    graft.operators.GroupSplit.assign(documents(s, d), "source", "sp8",
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("split"), col("source"))
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2078,6 +2092,7 @@ object SparkEntry {
     "q92_ann_pq"            -> (q92_ann_pq _),
     "q93_time_travel"       -> (q93_time_travel _),
     "q94_bm25"              -> (q94_bm25 _),
+    "q95_group_split"       -> (q95_group_split _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3650,6 +3665,21 @@ object SparkEntry {
          SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
                 doc_id, round(score, 4) AS score
          FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // q95: the md5 hex-threshold assignment replayed exactly —
+    // thresholds are floor(cum·2^32) as 8 lowercase hex digits
+    // (0.75 → c0000000, 0.875 → e0000000), and lowercase hex compares
+    // lexicographically as numbers.
+    "q95_group_split" ->
+      """WITH a AS (
+           SELECT *, CASE
+             WHEN substr(md5('sp8/' || coalesce(source, ' NULL')), 1, 8) < 'c0000000' THEN 'train'
+             WHEN substr(md5('sp8/' || coalesce(source, ' NULL')), 1, 8) < 'e0000000' THEN 'val'
+             ELSE 'test' END AS split
+           FROM documents)
+         SELECT split, source, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM a GROUP BY split, source ORDER BY split, source""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a
