@@ -53,8 +53,10 @@ object Bm25 {
     val dfStats = stats.join(broadcast(qTerms), Seq("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
+    // distinct: BM25 saturates per UNIQUE query term — a tokenized query
+    // like "apple apple pie" must not double-count apple's contribution
     val contributions = stats
-      .join(broadcast(queries.select(col("query_id"), col("term"))), Seq("term"))
+      .join(broadcast(queries.select(col("query_id"), col("term")).distinct()), Seq("term"))
       .join(broadcast(dfStats), Seq("term"))
       .crossJoin(broadcast(n))
       .select(col("query_id"), col("id"), {

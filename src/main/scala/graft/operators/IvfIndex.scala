@@ -113,7 +113,11 @@ object IvfIndex {
     val spark = queries.sparkSession
     val centroids = store.read(s"${name}_centroids").getOrElse(
       sys.error(s"IVF index '$name' has no centroids table — not built?"))
-    val cells = spark.read.parquet(store.path(s"${name}_cells"))
+    // through store.read, NOT a raw parquet read: read() runs the
+    // mid-swap backup recovery, so a build crashed inside the cells
+    // swap window is restored instead of failing every probe forever
+    val cells = store.read(s"${name}_cells").getOrElse(
+      sys.error(s"IVF index '$name' has no cells table — not built?"))
     // materialized: the assignment subplan (queries × centroids dots +
     // TopK aggregate) feeds BOTH the probed-cells collect and the scored
     // join — without the checkpoint each consumer re-runs it as its own

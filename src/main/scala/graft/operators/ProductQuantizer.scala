@@ -64,6 +64,12 @@ object ProductQuantizer {
     val sv = Checkpoints.materialize(subvecs(vectors, idCol, vecCol, m, subDim))
     val seedIds = vectors.select(col(idCol).as("id"))
       .orderBy(col("id")).limit(ksub)
+    // a corpus smaller than ksub would seed fewer codes than the ADC
+    // stride assumes, silently mis-indexing every LUT past subspace 0
+    val nSeeds = seedIds.count()
+    require(nSeeds == ksub,
+      s"cannot train $ksub codes per subspace from $nSeeds vectors — " +
+        "shrink ksub or grow the training sample")
     var codebook = sv.join(broadcast(seedIds), Seq("id"))
       .withColumn("code",
         (dense_rank().over(org.apache.spark.sql.expressions.Window
@@ -72,7 +78,7 @@ object ProductQuantizer {
       .localCheckpoint() // m × ksub rows
     for (_ <- 1 to iterations) {
       val assigned = assign(sv, codebook)
-      val means = assigned.join(sv, Seq("id", "sub"))
+      val means = assigned
         .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("p", "x")))
         .groupBy(col("sub"), col("code"), col("p"))
         .agg(avg(col("x")).as("mcomp"))
@@ -89,15 +95,20 @@ object ProductQuantizer {
     codebook
   }
 
-  /** (id, sub, code): each subvector's argmin-distance code — one hash
-    * aggregate, tie-break to the lowest code. */
+  /** (id, sub, code, sv): each subvector's argmin-distance code — one
+    * hash aggregate, tie-break to the lowest code. The subvector rides
+    * through the aggregate (every row of an (id, sub) group carries the
+    * identical sv, so `first` is deterministic) — re-joining it back
+    * from the source frame would cost a corpus-sized shuffle per Lloyd
+    * iteration. */
   private def assign(sv: DataFrame, codebook: DataFrame): DataFrame =
     sv.join(broadcast(codebook), Seq("sub"))
-      .select(col("id"), col("sub"), col("code"),
+      .select(col("id"), col("sub"), col("code"), col("sv"),
         l2sq(col("sv"), col("centroid")).as("d"))
       .groupBy(col("id"), col("sub"))
       .agg(max_by(col("code"), struct((-col("d")).as("nd"), (-col("code")).as("nc")))
-        .as("code"))
+        .as("code"),
+        first(col("sv")).as("sv"))
 
   /** Compress: (id, codes array<int> ordered by subspace). */
   def encode(vectors: DataFrame, idCol: String, vecCol: String, dim: Int,
@@ -122,6 +133,14 @@ object ProductQuantizer {
                 dim: Int, topK: Int, m: Int = 8, ksub: Int = 16,
                 shortlist: Int = 32): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
+    // the ADC stride must match the codebook's actual geometry or every
+    // LUT slot past subspace 0 reads the wrong subspace's distances —
+    // silently. Both checks are one action on the (m × ksub)-row frame.
+    val geom = codebook.agg(max(col("code")), countDistinct(col("sub"))).head()
+    require(geom.getInt(0) + 1 == ksub,
+      s"codebook holds ${geom.getInt(0) + 1} codes per subspace, searchAdc called with ksub=$ksub")
+    require(geom.getLong(1) == m,
+      s"codebook spans ${geom.getLong(1)} subspaces, searchAdc called with m=$m")
     val subDim = dim / m
     // per-query ADC lookup table: flat array of m*ksub squared distances,
     // index = sub*ksub + code

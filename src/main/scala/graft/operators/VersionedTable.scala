@@ -25,8 +25,9 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *     data is never renamed over — only referenced.
   *
   * Layout under `<root>/<name>/`:
-  *   `data/c<k>/part-*.parquet`  — immutable files of commit k
-  *   `manifests/v<k>.json`       — {version, dir, ts, rows} (one line)
+  *   `data/c<k>-<token>/part-*.parquet` — immutable files of commit k
+  *     (writer-unique token: concurrent committers never share a dir)
+  *   `manifests/v<k>.json`              — {version, dir, ts, rows}
   *
   * Complement, not replacement, of [[ParquetTableStore]]: the store
   * gives keyed row-level MERGE on a single live version; this gives
@@ -41,7 +42,15 @@ class VersionedTable(spark: SparkSession, root: String, name: String) {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def manifestDir = new Path(s"$base/manifests")
-  private def dataDir(k: Int) = s"$base/data/c$k"
+
+  /** Data dirs are writer-unique: `c<k>-<token>`. Two concurrent
+    * commits of version k write DIFFERENT directories and the manifest
+    * rename alone picks the winner — without the token they would both
+    * write `c<k>` and the winner's manifest could reference the loser's
+    * (or a half-deleted) directory. The loser's dir becomes an
+    * unreferenced orphan, swept by [[prune]] after its grace period. */
+  private def newDataDir(k: Int): String =
+    s"$base/data/c$k-${java.util.UUID.randomUUID().toString.take(8)}"
 
   /** Retained versions, ascending (a manifest file = a committed version). */
   def versions: Seq[Int] = {
@@ -75,24 +84,25 @@ class VersionedTable(spark: SparkSession, root: String, name: String) {
     * recorded for [[asOf]] — injectable for deterministic tests. */
   def commit(df: DataFrame, ts: Long = System.currentTimeMillis()): Int = {
     val k = latestVersion.map(_ + 1).getOrElse(0)
-    val dir = dataDir(k)
-    // Overwrite, not ErrorIfExists: a data dir with no manifest is a
-    // crashed commit's residue — unreferenced by any reader — and the
-    // RETRY of that commit must be able to claim the same version slot.
+    val dir = newDataDir(k) // writer-unique: never collides, never overwrites
     ParquetTableStore.withMicrosTimestamps(df.sparkSession) {
-      df.write.mode(SaveMode.Overwrite).parquet(dir)
+      df.write.mode(SaveMode.ErrorIfExists).parquet(dir)
     }
     val rows = spark.read.parquet(dir).count()
-    val mf = s"""{"version":$k,"dir":"data/c$k","ts":$ts,"rows":$rows}"""
+    val rel = dir.stripPrefix(s"$base/")
+    val mf = s"""{"version":$k,"dir":"$rel","ts":$ts,"rows":$rows}"""
     val mdir = manifestDir
     val f = fs(mdir)
     f.mkdirs(mdir)
-    val tmp = new Path(s"$base/manifests/_tmp_v$k.json")
+    val tmp = new Path(s"$base/manifests/_tmp_v${k}_${java.util.UUID.randomUUID().toString.take(8)}.json")
     val out = f.create(tmp, true)
     try out.write(mf.getBytes("UTF-8")) finally out.close()
     val dst = new Path(s"$base/manifests/v$k.json")
     if (!f.rename(tmp, dst)) {
+      // lost the race: this writer's manifest AND data dir are garbage —
+      // clean both so the loser leaves no orphan at all
       f.delete(tmp, true)
+      f.delete(new Path(dir), true)
       sys.error(s"concurrent commit of $name v$k lost the rename race")
     }
     k
@@ -121,8 +131,13 @@ class VersionedTable(spark: SparkSession, root: String, name: String) {
   /** Drop all but the newest `keepLast` versions: pruned manifests are
     * removed FIRST (the version disappears atomically), then their data
     * dirs — plus any orphan data dir no retained manifest references
-    * (the residue of a crash between data write and manifest rename). */
-  def prune(keepLast: Int): Seq[Int] = {
+    * (crash residue, rename-race losers). Orphans younger than
+    * `graceMillis` are SPARED: an unreferenced dir may be an IN-FLIGHT
+    * commit that has written data but not yet renamed its manifest, and
+    * sweeping it would let that commit "succeed" pointing at deleted
+    * files. The default grace comfortably exceeds any commit's
+    * write-to-rename window; tests pass 0 to sweep immediately. */
+  def prune(keepLast: Int, graceMillis: Long = 3600000L): Seq[Int] = {
     require(keepLast >= 1, "must retain at least one version")
     val vs = versions
     val dropped = vs.dropRight(keepLast)
@@ -130,10 +145,14 @@ class VersionedTable(spark: SparkSession, root: String, name: String) {
     dropped.foreach { k =>
       f.delete(new Path(s"$base/manifests/v$k.json"), false)
     }
-    val retainedDirs = versions.map(k => s"c$k").toSet // re-list post-delete
+    // re-resolve post-delete; retained dirs come from the manifests
+    // themselves (basename of their "dir"), not a naming convention
+    val retainedDirs = versions.map(k => manifest(k)("dir").split('/').last).toSet
+    val now = System.currentTimeMillis()
     val dd = new Path(s"$base/data")
     if (f.exists(dd)) f.listStatus(dd).foreach { st =>
-      if (!retainedDirs.contains(st.getPath.getName))
+      if (!retainedDirs.contains(st.getPath.getName) &&
+          now - st.getModificationTime >= graceMillis)
         f.delete(st.getPath, true)
     }
     dropped

@@ -61,6 +61,15 @@ class Bm25Spec extends SparkSpec {
     assert(both > single, "adding a matching term must not lower the score")
   }
 
+  test("a repeated query term contributes once (BM25 saturates per unique term)") {
+    val once = Bm25.search(docs, "doc_id", "text", q(1L -> "apple"), 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    val twice = Bm25.search(docs, "doc_id", "text",
+        q(1L -> "apple", 1L -> "apple"), 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    assert(once == twice, s"duplicate query term changed scores:\n$once\nvs\n$twice")
+  }
+
   test("the scoring plan has no window and broadcasts all query-sized sides") {
     val plan = Bm25.search(docs, "doc_id", "text", q(1L -> "apple"), 10)
       .queryExecution.executedPlan.toString

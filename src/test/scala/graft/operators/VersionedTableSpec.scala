@@ -46,7 +46,7 @@ class VersionedTableSpec extends SparkSpec {
   test("prune drops old versions, keeps the rest readable, and reading a pruned version fails loudly") {
     val vt = newTable("prune")
     (0 until 4).foreach(i => vt.commit(Seq(i).toDF("x"), ts = i * 10L))
-    assert(vt.prune(keepLast = 2) == Seq(0, 1))
+    assert(vt.prune(keepLast = 2, graceMillis = 0L) == Seq(0, 1))
     assert(vt.versions == Seq(2, 3))
     assert(vt.read(Some(2)).as[Int].head() == 2)
     val e = intercept[RuntimeException](vt.read(Some(0)))
@@ -58,12 +58,16 @@ class VersionedTableSpec extends SparkSpec {
     val vt = new VersionedTable(spark, root, "t")
     vt.commit(Seq(1).toDF("x"), ts = 10L)
     // simulate a crash after the data write, before the manifest rename
-    val orphan = new java.io.File(s"$root/t/data/c1")
+    val orphan = new java.io.File(s"$root/t/data/c1-deadbeef")
     Seq(2).toDF("x").write.parquet(orphan.toString)
     assert(vt.latestVersion.contains(0), "orphan data dir must not be a version")
     assert(vt.read().as[Int].head() == 1)
+    // within the grace window the orphan is SPARED (it could be an
+    // in-flight commit about to rename its manifest)
     vt.prune(keepLast = 1)
-    assert(!orphan.exists(), "prune must sweep the orphan dir")
+    assert(orphan.exists(), "grace period must protect a fresh orphan")
+    vt.prune(keepLast = 1, graceMillis = 0L)
+    assert(!orphan.exists(), "past grace, prune must sweep the orphan dir")
     assert(vt.read().as[Int].head() == 1, "retained version untouched by the sweep")
   }
 }
