@@ -1995,6 +1995,24 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
       .orderBy(col("split"), col("source"))
 
+  /** IVF-ADC composite ([[graft.operators.IvfPq]] — FAISS's IndexIVFPQ +
+    * refine from this repo's own halves): planted twins must survive the
+    * coarse probe (partition-pruned cells), the compressed ADC scan
+    * (codes + LUT only), and the bounded exact refine, surfacing at
+    * rank 1 with the exact brute-force score the oracle computes. */
+  def q96_ann_ivfpq(s: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_q96_wh").toString
+    val store = new graft.operators.ParquetTableStore(s, wh)
+    val emb = embeddings(s, d)
+    graft.operators.IvfPq.build(store, "ix", emb, "vec_id", "embedding", 64)
+    graft.operators.IvfIndex.verifyFresh(store, "ix", emb, "vec_id")
+    val planted = emb.filter(col("vec_id") >= 24 && col("vec_id") < 32)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    graft.operators.IvfPq.probe(store, "ix", planted, "vec_id", "embedding",
+        64, topK = 1)
+      .orderBy(col("query_id"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2093,6 +2111,7 @@ object SparkEntry {
     "q93_time_travel"       -> (q93_time_travel _),
     "q94_bm25"              -> (q94_bm25 _),
     "q95_group_split"       -> (q95_group_split _),
+    "q96_ann_ivfpq"         -> (q96_ann_ivfpq _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3680,6 +3699,25 @@ object SparkEntry {
          SELECT split, source, count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM a GROUP BY split, source ORDER BY split, source""",
+
+    // q96: the planted-twin protocol through the FULL compressed
+    // pipeline (coarse probe → ADC codes scan → exact refine); the
+    // oracle stays the exact brute-force scan.
+    "q96_ann_ivfpq" ->
+      """WITH q AS (SELECT vec_id + 1000000 AS query_id, embedding AS qv
+                    FROM embeddings WHERE vec_id >= 24 AND vec_id < 32),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         s AS (
+           SELECT query_id, neighbor_id,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) AS score
+           FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+         r AS (
+           SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+           FROM s)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(score, 4) AS score
+         FROM r WHERE rank = 1 ORDER BY query_id""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a

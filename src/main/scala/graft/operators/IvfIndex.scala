@@ -102,15 +102,17 @@ object IvfIndex {
         "stale index returns silently wrong neighbors.")
   }
 
-  /** Top-k neighbors for `queries` from the STORED index: queries assign
-    * to their nProbe best cells against the broadcast centroid frame,
-    * the cells table is read WITH a cell filter (partition-pruned at the
-    * file level), and only probed-cell rows are scored. No pass over the
-    * full corpus anywhere. */
-  def probe(store: ParquetTableStore, name: String, queries: DataFrame,
-            idCol: String, vecCol: String, topK: Int,
-            nProbe: Int = 4): DataFrame = {
-    val spark = queries.sparkSession
+  /** (query_id, qv, id, v): the members of each query's nProbe best
+    * cells — the partition-pruned candidate pool, shared by the float
+    * probe ([[probe]]) and the compressed probe ([[IvfPq.probe]]).
+    * Queries assign against the broadcast centroid frame, the cells
+    * table is read WITH a cell filter (partition-pruned at the file
+    * level), and no pass over the full corpus happens anywhere. The
+    * caller must keep the returned (materialized) frame live while
+    * consuming it. */
+  private[operators] def probeMembers(store: ParquetTableStore, name: String,
+                                      queries: DataFrame, idCol: String,
+                                      vecCol: String, nProbe: Int): DataFrame = {
     val centroids = store.read(s"${name}_centroids").getOrElse(
       sys.error(s"IVF index '$name' has no centroids table — not built?"))
     // through store.read, NOT a raw parquet read: read() runs the
@@ -119,7 +121,7 @@ object IvfIndex {
     val cells = store.read(s"${name}_cells").getOrElse(
       sys.error(s"IVF index '$name' has no cells table — not built?"))
     // materialized: the assignment subplan (queries × centroids dots +
-    // TopK aggregate) feeds BOTH the probed-cells collect and the scored
+    // TopK aggregate) feeds BOTH the probed-cells collect and the member
     // join — without the checkpoint each consumer re-runs it as its own
     // job, doubling the very cost probing exists to minimize
     val qAssigned = Checkpoints.materialize(queries
@@ -134,12 +136,22 @@ object IvfIndex {
       .select(col("query_id"), col("qv"), col("cs._1").cast("int").as("cell")))
     val probedCells = qAssigned.select("cell").distinct()
       .collect().map(_.getInt(0)) // bounded: ≤ queries × nProbe, ≤ nCells
-    val scored = cells.filter(col("cell").isin(probedCells.toSeq: _*))
+    cells.filter(col("cell").isin(probedCells.toSeq: _*))
       .join(broadcast(qAssigned), Seq("cell"))
       .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("id"), col("v"))
+      .distinct() // a pair can meet in several probed cells
+  }
+
+  /** Top-k neighbors for `queries` from the STORED index — see
+    * [[probeMembers]] for the candidate-pool mechanics; this scores the
+    * pool with exact dot products and takes top-k. */
+  def probe(store: ParquetTableStore, name: String, queries: DataFrame,
+            idCol: String, vecCol: String, topK: Int,
+            nProbe: Int = 4): DataFrame = {
+    val scored = probeMembers(store, name, queries, idCol, vecCol, nProbe)
       .select(col("query_id"), col("id").as("neighbor_id"),
         Vectors.dotNative(col("qv"), col("v")).as("score"))
-      .distinct() // a pair can meet in several probed cells
     Similarity.takeTopK(scored, topK)
   }
 }

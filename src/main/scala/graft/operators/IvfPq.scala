@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors
+
+/** IVF-ADC: the FAISS `IndexIVFPQ + refine` pipeline composed from this
+  * repo's two halves — [[IvfIndex]] supplies the coarse quantizer,
+  * cell-partitioned inverted lists, persistence and staleness protocol;
+  * [[ProductQuantizer]] supplies the 32×-compressed codes and the
+  * asymmetric-distance scan. A probe touches, in order: the broadcast
+  * centroid frame (KBs), ONLY the probed cells' partition directories
+  * (~nProbe/nCells of the corpus), the PQ codes of those cells'
+  * members (bytes per vector, scored by LUT lookups inside codegen),
+  * and finally the full vectors of just the ADC shortlist (the bounded
+  * exact refine). Nothing ever scans the whole corpus, and the heavy
+  * per-candidate work happens on compressed codes — the two
+  * contractions multiply.
+  *
+  * Build stores two additional tables next to the IVF trio:
+  * `<name>_pq_codebook` (sub, code, centroid) and `<name>_pq_codes`
+  * (id, codes). [[IvfIndex.verifyFresh]] covers staleness for the whole
+  * family (all five tables are built from the same corpus in the same
+  * call).
+  */
+object IvfPq {
+
+  def build(store: ParquetTableStore, name: String, corpus: DataFrame,
+            idCol: String, vecCol: String, dim: Int, nCells: Int = 16,
+            m: Int = 8, ksub: Int = 16, iterations: Int = 5): Unit = {
+    IvfIndex.build(store, name, corpus, idCol, vecCol, nCells, iterations)
+    val codebook = ProductQuantizer.train(corpus, idCol, vecCol, dim, m, ksub,
+      iterations)
+    store.replace(s"${name}_pq_codebook", codebook)
+    store.replace(s"${name}_pq_codes",
+      ProductQuantizer.encode(corpus, idCol, vecCol, dim, codebook, m))
+  }
+
+  /** Top-k via coarse probe → compressed ADC scan → bounded exact
+    * refine. Output: (query_id, rank, neighbor_id, score·4dp), scores
+    * exact (dot products of the refined shortlist). */
+  def probe(store: ParquetTableStore, name: String, queries: DataFrame,
+            idCol: String, vecCol: String, dim: Int, topK: Int,
+            m: Int = 8, ksub: Int = 16, nProbe: Int = 4,
+            shortlist: Int = 32): DataFrame = {
+    val codebook = store.read(s"${name}_pq_codebook").getOrElse(
+      sys.error(s"IVF-PQ index '$name' has no codebook — not built?"))
+    val codes = store.read(s"${name}_pq_codes").getOrElse(
+      sys.error(s"IVF-PQ index '$name' has no codes table — not built?"))
+    // members of the probed cells only: (query_id, qv, id, v) — the
+    // cells read is partition-pruned exactly as IvfIndex.probe's; the
+    // frame stays materialized while the result is consumed (it feeds
+    // the candidate list AND the refine join)
+    val members = Checkpoints.materialize(
+      IvfIndex.probeMembers(store, name, queries, idCol, vecCol, nProbe))
+    // ADC over the members' codes: candidates restricted BEFORE scoring
+    val candCodes = members.select(col("query_id"), col("id"))
+      .join(codes, Seq("id"))
+      .select(col("query_id"), col("id"), col("codes"))
+    val adcShort = ProductQuantizer.adcShortlist(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      candCodes, codebook, dim, m, ksub, shortlist)
+    // exact refine against the probed cells' stored vectors — never the
+    // raw corpus
+    val rescored = adcShort
+      .join(members.select(col("query_id"), col("id").as("neighbor_id"),
+        col("v"), col("qv")), Seq("query_id", "neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Vectors.dotNative(col("qv"), col("v")).as("score"))
+    Similarity.takeTopK(rescored, topK)
+  }
+}

@@ -128,23 +128,28 @@ object ProductQuantizer {
     * `shortlist` bounds the exact-rescore fan-in per query (FAISS's
     * refine factor). Scoring itself is m array lookups per candidate —
     * `aggregate` over a per-query LUT array, inside codegen. */
-  def searchAdc(queries: DataFrame, codes: DataFrame, vectors: DataFrame,
-                idCol: String, vecCol: String, codebook: DataFrame,
-                dim: Int, topK: Int, m: Int = 8, ksub: Int = 16,
-                shortlist: Int = 32): DataFrame = {
+  /** The compressed half of ADC search: per-query LUT build + codes-only
+    * scoring + bounded shortlist. `queries`: (query_id, qv);
+    * `candCodes`: (query_id, id, codes) — a query-restricted candidate
+    * pool ([[IvfPq.probe]]'s probed-cell members) or the full code table
+    * fanned out per query ([[searchAdc]]). Returns (query_id,
+    * neighbor_id), top-`shortlist` by ascending ADC distance. */
+  private[operators] def adcShortlist(queries: DataFrame, candCodes: DataFrame,
+                                      codebook: DataFrame, dim: Int, m: Int,
+                                      ksub: Int, shortlist: Int): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     // the ADC stride must match the codebook's actual geometry or every
     // LUT slot past subspace 0 reads the wrong subspace's distances —
     // silently. Both checks are one action on the (m × ksub)-row frame.
     val geom = codebook.agg(max(col("code")), countDistinct(col("sub"))).head()
     require(geom.getInt(0) + 1 == ksub,
-      s"codebook holds ${geom.getInt(0) + 1} codes per subspace, searchAdc called with ksub=$ksub")
+      s"codebook holds ${geom.getInt(0) + 1} codes per subspace, ADC called with ksub=$ksub")
     require(geom.getLong(1) == m,
-      s"codebook spans ${geom.getLong(1)} subspaces, searchAdc called with m=$m")
+      s"codebook spans ${geom.getLong(1)} subspaces, ADC called with m=$m")
     val subDim = dim / m
     // per-query ADC lookup table: flat array of m*ksub squared distances,
     // index = sub*ksub + code
-    val lut = subvecs(queries, idCol, vecCol, m, subDim)
+    val lut = subvecs(queries, "query_id", "qv", m, subDim)
       .withColumnRenamed("id", "query_id")
       .join(broadcast(codebook), Seq("sub"))
       .select(col("query_id"), (col("sub") * ksub + col("code")).as("slot"),
@@ -152,20 +157,30 @@ object ProductQuantizer {
       .groupBy(col("query_id"))
       .agg(transform(array_sort(collect_list(struct(col("slot"), col("d")))),
         s => s.getField("d")).as("lut"))
-    val scored = codes.crossJoin(broadcast(lut))
+    val scored = candCodes.join(broadcast(lut), Seq("query_id"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
         aggregate(
           zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
             (c, s) => element_at(col("lut"), (s * ksub + c + 1).cast("int"))),
           lit(0.0), (acc, v) => acc + v).as("adc_dist"))
-    val short = scored.groupBy(col("query_id"))
+    scored.groupBy(col("query_id"))
       .agg(graft.functions.TopK.topK(shortlist)(
         col("neighbor_id"), -col("adc_dist")).as("tk"))
       .select(col("query_id"), explode(col("tk")).as("c"))
       .select(col("query_id"), col("c._1").as("neighbor_id"))
-    // exact re-rank of the bounded shortlist
+  }
+
+  def searchAdc(queries: DataFrame, codes: DataFrame, vectors: DataFrame,
+                idCol: String, vecCol: String, codebook: DataFrame,
+                dim: Int, topK: Int, m: Int = 8, ksub: Int = 16,
+                shortlist: Int = 32): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    // full-scan variant: every code row is a candidate for every query
+    val candCodes = codes.crossJoin(broadcast(q.select(col("query_id"))))
+      .select(col("query_id"), col("id"), col("codes"))
+    val short = adcShortlist(q, candCodes, codebook, dim, m, ksub, shortlist)
+    // exact re-rank of the bounded shortlist
     val rescored = short
       .join(vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
         Seq("neighbor_id"))
