@@ -2013,6 +2013,28 @@ object SparkEntry {
       .orderBy(col("query_id"))
   }
 
+  /** Hybrid retrieval via reciprocal-rank fusion
+    * ([[graft.operators.HybridRank]]): BM25 top-20 (q94's machinery)
+    * fused with brute-force-cosine top-20 over the embedding table —
+    * both constituent rankings AND the fusion arithmetic replay exactly
+    * in the oracle, so the gate pins the end-to-end hybrid pipeline,
+    * not just the combiner. */
+  def q97_hybrid_rrf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lexQ = Seq((1L, "spark"), (1L, "join"), (2L, "window"),
+      (2L, "sort"), (3L, "customer")).toDF("query_id", "term")
+    val lex = graft.operators.Bm25.search(documents(s, d), "doc_id", "text", lexQ, 20)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val emb = embeddings(s, d)
+    val qVecs = emb.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 1000001L).as("vec_id"), col("embedding"))
+    val sem = Similarity.annBruteForce(qVecs, emb, "vec_id", "embedding", 20)
+      .select((col("query_id") - 1000000L).as("query_id"),
+        col("neighbor_id").as("doc_id"), col("rank"))
+    graft.operators.HybridRank.rrf(Seq(lex, sem), k = 60, topK = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2112,6 +2134,7 @@ object SparkEntry {
     "q94_bm25"              -> (q94_bm25 _),
     "q95_group_split"       -> (q95_group_split _),
     "q96_ann_ivfpq"         -> (q96_ann_ivfpq _),
+    "q97_hybrid_rrf"        -> (q97_hybrid_rrf _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3718,6 +3741,58 @@ object SparkEntry {
            FROM s)
          SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(score, 4) AS score
          FROM r WHERE rank = 1 ORDER BY query_id""",
+
+    // q97: BOTH rankings (BM25 top-20, cosine top-20) and the RRF
+    // arithmetic replayed — 1.0/(60+rank) per list, summed per doc,
+    // ties broken (fused desc, doc asc) in both engines.
+    "q97_hybrid_rrf" ->
+      """WITH tf AS (
+           SELECT doc_id, term, count(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t
+           GROUP BY 1, 2),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         nn AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         q(query_id, term) AS (VALUES
+           (1, 'spark'), (1, 'join'), (2, 'window'), (2, 'sort'), (3, 'customer')),
+         dfs AS (SELECT term, count(*) AS df FROM tf
+                 WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         c AS (
+           SELECT q.query_id, tf.doc_id,
+             ln(1 + (nn.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) *
+               (tf.tf * (1.2 + 1)) /
+               (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / nn.avgdl)) AS contrib
+           FROM tf JOIN q ON tf.term = q.term
+                   JOIN dfs ON tf.term = dfs.term
+                   JOIN dl ON tf.doc_id = dl.doc_id
+                   CROSS JOIN nn),
+         sc AS (SELECT query_id, doc_id, sum(contrib) AS score FROM c GROUP BY 1, 2),
+         lr AS (SELECT query_id, doc_id, rank FROM (
+                  SELECT query_id, doc_id,
+                    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+                  FROM sc) t WHERE rank <= 20),
+         eq AS (SELECT vec_id + 1000001 AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id < 3),
+         ec AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         es AS (
+           SELECT query_id, neighbor_id,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) AS score
+           FROM ec CROSS JOIN eq WHERE neighbor_id <> query_id),
+         sr AS (SELECT query_id - 1000000 AS query_id, neighbor_id AS doc_id, rank FROM (
+                  SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+                  FROM es) t WHERE rank <= 20),
+         u AS (
+           SELECT query_id, doc_id, 1.0 / (60 + rank) AS contrib FROM lr
+           UNION ALL
+           SELECT query_id, doc_id, 1.0 / (60 + rank) FROM sr),
+         f AS (SELECT query_id, doc_id, sum(contrib) AS fused FROM u GROUP BY 1, 2),
+         fr AS (SELECT query_id, doc_id, fused,
+                  row_number() OVER (PARTITION BY query_id ORDER BY fused DESC, doc_id ASC) AS rank
+                FROM f)
+         SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+                doc_id, round(fused, 4) AS fused
+         FROM fr WHERE rank <= 10 ORDER BY query_id, rank""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a
