@@ -2035,6 +2035,35 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Capstone #3 — the end-to-end pretraining data build, four gated
+    * primitives composed and hash-gated as ONE program: quality floor
+    * (scan-projection predicate) → exact dedup (min-id per md5
+    * fingerprint) → leakage-safe group split keeping the train side
+    * ([[graft.operators.GroupSplit]], q95) → deterministic shard/pack
+    * plan + manifest ([[graft.operators.TrainingShards]], q78). The
+    * oracle replays all four stages in one SQL program, so the
+    * composition — which stage feeds which, in what order — is under
+    * the hash, not just each stage alone. */
+  def q98_data_build(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val filtered = docs.filter(col("n_chars") >= 250 &&
+      Text.tokenCount(col("text")) >= 45)
+    val deduped = filtered
+      .groupBy(md5(col("text")).as("_fp"))
+      .agg(min_by(struct(col("doc_id"), col("source"), col("text")),
+        col("doc_id")).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.source").as("source"),
+        col("r.text").as("text"))
+    val train = graft.operators.GroupSplit.assign(deduped, "source", "sp8",
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+      .filter(col("split") === "train")
+    val planned = graft.operators.TrainingShards.plan(
+      train, "doc_id", "text", lit(100), seed = "b8",
+      budgetTokens = 512, shardChars = 1)
+    graft.operators.TrainingShards.manifest(planned)
+      .orderBy(col("shard"), col("pack"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2135,6 +2164,7 @@ object SparkEntry {
     "q95_group_split"       -> (q95_group_split _),
     "q96_ann_ivfpq"         -> (q96_ann_ivfpq _),
     "q97_hybrid_rrf"        -> (q97_hybrid_rrf _),
+    "q98_data_build"        -> (q98_data_build _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3793,6 +3823,35 @@ object SparkEntry {
          SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
                 doc_id, round(fused, 4) AS fused
          FROM fr WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // q98: all four stages — quality floor, min-id-per-md5 dedup, the
+    // q95 split arithmetic, the q78 shard/pack replay — in ONE SQL
+    // program, so the composition itself is under the hash.
+    "q98_data_build" ->
+      """WITH f AS (
+           SELECT doc_id, source, text FROM documents
+           WHERE n_chars >= 250 AND len(string_split(text, ' ')) >= 45),
+         g AS (SELECT md5(text) AS fp, min(doc_id) AS mid FROM f GROUP BY 1),
+         d2 AS (SELECT f.* FROM f
+                JOIN g ON md5(f.text) = g.fp AND f.doc_id = g.mid),
+         tr AS (SELECT * FROM d2
+                WHERE substr(md5('sp8/' || coalesce(source, ' NULL')), 1, 8) < 'c0000000'),
+         mixed AS (
+           SELECT doc_id, len(string_split(text, ' ')) AS toks,
+                  md5('b8/' || CAST(doc_id AS VARCHAR)) AS hk
+           FROM tr
+           WHERE ((doc_id % 100000007) * 2654435761) % 100 < 100),
+         sh AS (SELECT *, substr(hk, 1, 1) AS shard FROM mixed),
+         r AS (SELECT shard, hk, doc_id, toks,
+                 sum(toks) OVER (PARTITION BY shard ORDER BY hk, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+               FROM sh),
+         p AS (SELECT shard, CAST(floor((running - toks) / 512.0) AS BIGINT) AS pack,
+                      toks, hk FROM r)
+         SELECT shard, pack, count(*) AS n_docs,
+                CAST(sum(toks) AS BIGINT) AS pack_tokens,
+                min(hk) AS pack_start
+         FROM p GROUP BY shard, pack ORDER BY shard, pack""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a
