@@ -1928,7 +1928,10 @@ object SparkEntry {
     * bounded exact refine. */
   def q92_ann_pq(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
-    val codebook = graft.operators.ProductQuantizer.train(emb, "vec_id", "embedding", 64)
+    // iterations = 3: same rationale as q96 — the twin-containment gate
+    // holds under any trained codebook
+    val codebook = graft.operators.ProductQuantizer.train(emb, "vec_id",
+      "embedding", 64, iterations = 3)
     val codes = graft.operators.ProductQuantizer.encode(emb, "vec_id", "embedding", 64, codebook)
     val planted = emb.filter(col("vec_id") >= 16 && col("vec_id") < 24)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
@@ -2004,7 +2007,12 @@ object SparkEntry {
     val wh = java.nio.file.Files.createTempDirectory("graft_q96_wh").toString
     val store = new graft.operators.ParquetTableStore(s, wh)
     val emb = embeddings(s, d)
-    graft.operators.IvfPq.build(store, "ix", emb, "vec_id", "embedding", 64)
+    // iterations = 3: the gate's containment claim is iteration-count-
+    // independent (twins quantize with their originals under ANY trained
+    // codebook); 3 rounds converge on this corpus and halve the gate's
+    // training share of the bench
+    graft.operators.IvfPq.build(store, "ix", emb, "vec_id", "embedding", 64,
+      iterations = 3)
     graft.operators.IvfIndex.verifyFresh(store, "ix", emb, "vec_id")
     val planted = emb.filter(col("vec_id") >= 24 && col("vec_id") < 32)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
