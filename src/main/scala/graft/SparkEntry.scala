@@ -2072,6 +2072,27 @@ object SparkEntry {
       .orderBy(col("shard"), col("pack"))
   }
 
+  /** Hard-negative mining ([[graft.operators.ContrastivePairs]], the
+    * DPR recipe): planted-twin queries with their originals as labeled
+    * positives; the miner must return the positive at rank 0 and the
+    * top-3 retrieval-ranked negatives AFTER excluding the positive
+    * itself and any false negative (cos(neg, pos) ≥ 0.45). Both
+    * truncations (searchDepth before filtering, kNegatives after) are
+    * replayed by the oracle, so the mining contract — not just the
+    * retrieval — is under the hash. */
+  def q99_hard_negatives(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val positives = emb.filter(col("vec_id") < 8)
+      .select((col("vec_id") + 1000000L).as("query_id"),
+        col("vec_id").as("pos_id"))
+    graft.operators.ContrastivePairs.mine(queries, positives, emb,
+        "vec_id", "embedding", kNegatives = 3, falseNegTau = 0.45,
+        searchDepth = 20)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2173,6 +2194,7 @@ object SparkEntry {
     "q96_ann_ivfpq"         -> (q96_ann_ivfpq _),
     "q97_hybrid_rrf"        -> (q97_hybrid_rrf _),
     "q98_data_build"        -> (q98_data_build _),
+    "q99_hard_negatives"    -> (q99_hard_negatives _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3860,6 +3882,56 @@ object SparkEntry {
                 CAST(sum(toks) AS BIGINT) AS pack_tokens,
                 min(hk) AS pack_start
          FROM p GROUP BY shard, pack ORDER BY shard, pack""",
+
+    // q99: both truncations replayed — top-searchDepth by UNROUNDED
+    // retrieval score first (annBruteForce's contract), then the
+    // false-negative filter, then top-kNegatives by the ROUNDED score
+    // (the frame the miner re-ranks) with id tie-break.
+    "q99_hard_negatives" ->
+      """WITH q AS (SELECT vec_id + 1000000 AS query_id, vec_id AS pos_id,
+                           embedding AS qv
+                    FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         s AS (
+           SELECT query_id, neighbor_id,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) AS score
+           FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+         r AS (
+           SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+           FROM s),
+         topd AS (SELECT query_id, neighbor_id, round(score, 4) AS rscore
+                  FROM r WHERE rank <= 20),
+         n0 AS (
+           SELECT t.query_id, t.neighbor_id, t.rscore
+           FROM topd t
+           JOIN q ON t.query_id = q.query_id
+           JOIN c nv ON t.neighbor_id = nv.neighbor_id
+           JOIN (SELECT vec_id AS pos_id, embedding AS pvv
+                 FROM embeddings WHERE vec_id < 8) p ON q.pos_id = p.pos_id
+           WHERE t.neighbor_id <> q.pos_id
+             AND list_sum(list_transform(generate_series(1, 64),
+                   i -> CAST(nv.cv[i] AS DOUBLE) * p.pvv[i])) < 0.45),
+         n1 AS (
+           SELECT query_id, neighbor_id, rscore,
+             row_number() OVER (PARTITION BY query_id ORDER BY rscore DESC, neighbor_id ASC) AS nrank
+           FROM n0),
+         pos AS (
+           SELECT q.query_id, 'positive' AS role, CAST(0 AS BIGINT) AS rank,
+             q.pos_id AS neighbor_id,
+             round(list_sum(list_transform(generate_series(1, 64),
+               i -> CAST(q.qv[i] AS DOUBLE) * p.pvv[i])), 4) AS score
+           FROM q JOIN (SELECT vec_id AS pos_id, embedding AS pvv
+                        FROM embeddings WHERE vec_id < 8) p
+             ON q.pos_id = p.pos_id),
+         neg AS (
+           SELECT query_id, 'negative' AS role, CAST(nrank AS BIGINT) AS rank,
+                  neighbor_id, rscore AS score
+           FROM n1 WHERE nrank <= 3)
+         SELECT query_id, role, rank, neighbor_id, score
+         FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg) u
+         ORDER BY query_id, rank""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a
