@@ -2093,6 +2093,24 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Count-min point-frequency estimates ([[graft.operators.CountMin]]):
+    * the (j, cell, cnt) relational sketch built over every lineitem
+    * partkey, probed for the %97 sample, with exact counts alongside.
+    * Hex-string cells make the WHOLE sketch — build and probe — ANSI-
+    * replayable, so the oracle reproduces the estimates bit-for-bit
+    * (not just bounds), and the exact column pins the one-sided
+    * guarantee in the same frame. */
+  def q100_countmin_freq(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(col("l_partkey").cast("string").as("term"))
+    val st = graft.operators.CountMin.state(li, "term")
+    val queries = lineitem(s, d).filter(col("l_partkey") % 97 === 0)
+      .select(col("l_partkey").cast("string").as("term")).distinct()
+    val est = graft.operators.CountMin.estimate(st, queries, "term")
+    val exact = li.groupBy(col("term")).agg(count(lit(1)).as("exact"))
+    est.join(exact, Seq("term"), "left").na.fill(0L, Seq("exact"))
+      .orderBy(col("term"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2195,6 +2213,7 @@ object SparkEntry {
     "q97_hybrid_rrf"        -> (q97_hybrid_rrf _),
     "q98_data_build"        -> (q98_data_build _),
     "q99_hard_negatives"    -> (q99_hard_negatives _),
+    "q100_countmin_freq"    -> (q100_countmin_freq _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3932,6 +3951,30 @@ object SparkEntry {
          SELECT query_id, role, rank, neighbor_id, score
          FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg) u
          ORDER BY query_id, rank""",
+
+    // q100: the whole sketch replayed — d×16^3 hex-string cells built
+    // from md5('<j>/<term>'), probed with min-over-rows — plus the
+    // exact counts in the same frame (est >= exact is the guarantee).
+    "q100_countmin_freq" ->
+      """WITH t AS (SELECT CAST(l_partkey AS VARCHAR) AS term FROM lineitem),
+         js AS (SELECT unnest(generate_series(0, 3)) AS j),
+         cells AS (
+           SELECT j, substr(md5(CAST(j AS VARCHAR) || '/' || term), 1, 3) AS cell,
+                  count(*) AS cnt
+           FROM t CROSS JOIN js GROUP BY 1, 2),
+         q AS (SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS term
+               FROM lineitem WHERE l_partkey % 97 = 0),
+         probes AS (
+           SELECT term, j, substr(md5(CAST(j AS VARCHAR) || '/' || term), 1, 3) AS cell
+           FROM q CROSS JOIN js),
+         est AS (
+           SELECT p.term, min(coalesce(c.cnt, 0)) AS est
+           FROM probes p LEFT JOIN cells c ON p.j = c.j AND p.cell = c.cell
+           GROUP BY 1),
+         ex AS (SELECT term, count(*) AS exact FROM t GROUP BY 1)
+         SELECT e.term, e.est, coalesce(x.exact, 0) AS exact
+         FROM est e LEFT JOIN ex x ON e.term = x.term
+         ORDER BY e.term""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a
