@@ -35,17 +35,27 @@ object ContrastivePairs {
       s"need searchDepth ($searchDepth) > kNegatives ($kNegatives)")
     val cand = Similarity.annBruteForce(queries, corpus, idCol, vecCol, searchDepth)
     val vecs = corpus.select(col(idCol).as("_vid"), col(vecCol).as("_v"))
-    // positives is (query_id, pos_id) — query-sized, broadcast everywhere
-    val withPos = cand
-      .join(broadcast(positives.select(col("query_id"), col("pos_id"))), Seq("query_id"))
-    val negCand = withPos
-      .filter(col("neighbor_id") =!= col("pos_id"))
+    // positives is (query_id, pos_id) — query-sized, broadcast everywhere.
+    // Multi-positive queries are legal (the DPR labeling), which forces
+    // ALL-positives semantics below: a candidate is excluded if it IS any
+    // of the query's positives (anti-join, not a per-pair =!= which would
+    // let positive p1 survive via its (p1, pos=p2) row), and the false-
+    // negative test is against the MOST similar positive (max dot) —
+    // near-dup of ANY labeled positive means likely-unlabeled-positive.
+    val posPairs = positives.select(col("query_id"), col("pos_id"))
+    val notPositive = cand.join(broadcast(posPairs
+        .select(col("query_id"), col("pos_id").as("neighbor_id"))),
+      Seq("query_id", "neighbor_id"), "left_anti")
+    val negCand = notPositive
       .join(vecs.withColumnRenamed("_vid", "neighbor_id")
         .withColumnRenamed("_v", "_nv"), Seq("neighbor_id"))
-      .join(broadcast(vecs.withColumnRenamed("_vid", "pos_id")
-        .withColumnRenamed("_v", "_pv")
-        .join(positives.select(col("pos_id")).distinct(), Seq("pos_id"))), Seq("pos_id"))
-      .filter(Vectors.dotNative(col("_nv"), col("_pv")) < falseNegTau)
+      .join(broadcast(posPairs
+        .join(vecs.withColumnRenamed("_vid", "pos_id")
+          .withColumnRenamed("_v", "_pv"), Seq("pos_id"))), Seq("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(Vectors.dotNative(col("_nv"), col("_pv"))).as("_maxPosSim"),
+        first(col("score")).as("score"))
+      .filter(col("_maxPosSim") < falseNegTau)
       .select(col("query_id"), col("neighbor_id"), col("score"))
     val negatives = Similarity.takeTopK(negCand, kNegatives)
       .select(col("query_id"), lit("negative").as("role"), col("rank"),

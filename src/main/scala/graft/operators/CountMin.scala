@@ -32,25 +32,48 @@ import org.apache.spark.sql.functions._
   */
 object CountMin {
 
-  private def cellOf(term: Column, j: Int, wChars: Int): Column =
-    substring(md5(concat(lit(s"$j/"), term)), 1, wChars)
+  private def cellOf(term: Column, j: Column, wChars: Int): Column =
+    substring(md5(concat(j.cast("string"), lit("/"), term)), 1, wChars)
 
-  /** Build the (j, cell, cnt) state from a term stream. Null terms are
-    * ignored (absence of a term, consistent with [[HeavyHitters]]). */
+  /** Build the (j, cell, cnt) state from a term stream — ONE scan: the
+    * d hash rows come from an exploded sequence column, not a d-way
+    * union of selects (which would scan the source d times; Spark does
+    * not dedup identical scan subtrees). Null terms are ignored
+    * (absence of a term, consistent with [[HeavyHitters]]). */
   def state(df: DataFrame, termCol: String, d: Int = 4,
             wChars: Int = 3): DataFrame = {
     require(d >= 1 && wChars >= 1 && wChars <= 8, s"bad geometry d=$d wChars=$wChars")
-    val terms = df.select(col(termCol).as("term")).filter(col("term").isNotNull)
-    (0 until d).map { j =>
-      terms.select(lit(j).as("j"), cellOf(col("term"), j, wChars).as("cell"))
-    }.reduce(_.unionByName(_))
+    df.select(col(termCol).as("term")).filter(col("term").isNotNull)
+      .select(col("term"), explode(sequence(lit(0), lit(d - 1))).as("j"))
+      .select(col("j"), cellOf(col("term"), col("j"), wChars).as("cell"))
       .groupBy(col("j"), col("cell"))
       .agg(count(lit(1)).as("cnt"))
   }
 
-  /** Merge sketch states built with the SAME geometry: union + re-sum. */
+  /** (d, wChars) recovered from a state frame — one action on the
+    * counter-sized table. */
+  private def geometryOf(state: DataFrame): (Int, Int) = {
+    val r = state.agg(max(col("j")), max(length(col("cell")))).head()
+    (r.getInt(0) + 1, r.getInt(1))
+  }
+
+  private def requireGeometry(state: DataFrame, d: Int, wChars: Int,
+                              what: String): Unit = {
+    val (sd, sw) = geometryOf(state)
+    require(sd == d && sw == wChars,
+      s"$what: state has geometry d=$sd wChars=$sw but was called with " +
+        s"d=$d wChars=$wChars — mismatched probes hit empty cells and " +
+        "SILENTLY return underestimates, breaking the one-sided guarantee")
+  }
+
+  /** Merge sketch states built with the SAME geometry: union + re-sum.
+    * Geometry agreement is checked — summing a 3-char-cell state into a
+    * 4-char-cell state would interleave two incompatible counter
+    * spaces. */
   def merge(states: DataFrame*): DataFrame = {
     require(states.nonEmpty, "merge needs at least one state")
+    val (d0, w0) = geometryOf(states.head)
+    states.tail.foreach(requireGeometry(_, d0, w0, "CountMin.merge"))
     states.reduce(_.unionByName(_))
       .groupBy(col("j"), col("cell"))
       .agg(sum(col("cnt")).as("cnt"))
@@ -60,14 +83,20 @@ object CountMin {
     * (term, est) where est = min over the d rows of the term's cell
     * counter — the count-min answer. Terms whose cells were never
     * touched estimate 0 (true count is 0 by the one-sided guarantee).
-    * `queries` is expected to be bounded (it is broadcast). */
+    * The probe geometry is validated against the state's — a mismatch
+    * would silently underestimate. Probes are the PRESERVED left side
+    * of the outer join (a broadcast hint on the preserved side of an
+    * outer join is unsatisfiable and would be silently ignored);
+    * size-based selection broadcasts the counter-sized state when it
+    * fits, and falls back to a shuffle keyed on (j, cell) — tiny probe
+    * side — when it does not. */
   def estimate(state: DataFrame, queries: DataFrame, termCol: String,
                d: Int = 4, wChars: Int = 3): DataFrame = {
-    val q = queries.select(col(termCol).as("term")).distinct()
-    val probes = (0 until d).map { j =>
-      q.select(col("term"), lit(j).as("j"), cellOf(col("term"), j, wChars).as("cell"))
-    }.reduce(_.unionByName(_))
-    state.join(broadcast(probes), Seq("j", "cell"), "right_outer")
+    requireGeometry(state, d, wChars, "CountMin.estimate")
+    val probes = queries.select(col(termCol).as("term")).distinct()
+      .select(col("term"), explode(sequence(lit(0), lit(d - 1))).as("j"))
+      .select(col("term"), col("j"), cellOf(col("term"), col("j"), wChars).as("cell"))
+    probes.join(state, Seq("j", "cell"), "left_outer")
       .groupBy(col("term"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }

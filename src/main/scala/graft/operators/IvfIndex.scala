@@ -108,11 +108,15 @@ object IvfIndex {
     * Queries assign against the broadcast centroid frame, the cells
     * table is read WITH a cell filter (partition-pruned at the file
     * level), and no pass over the full corpus happens anywhere. The
-    * caller must keep the returned (materialized) frame live while
-    * consuming it. */
+    * RETURNED frame is materialized by default — multi-consumer callers
+    * (IvfPq reads it for the candidate list AND the refine join) do not
+    * re-run the pruned read or the member join per consumer.
+    * `materialized = false` returns the lazy plan instead (single-
+    * consumer paths and plan-shape assertions). */
   private[operators] def probeMembers(store: ParquetTableStore, name: String,
                                       queries: DataFrame, idCol: String,
-                                      vecCol: String, nProbe: Int): DataFrame = {
+                                      vecCol: String, nProbe: Int,
+                                      materialized: Boolean = true): DataFrame = {
     val centroids = store.read(s"${name}_centroids").getOrElse(
       sys.error(s"IVF index '$name' has no centroids table — not built?"))
     // through store.read, NOT a raw parquet read: read() runs the
@@ -136,11 +140,12 @@ object IvfIndex {
       .select(col("query_id"), col("qv"), col("cs._1").cast("int").as("cell")))
     val probedCells = qAssigned.select("cell").distinct()
       .collect().map(_.getInt(0)) // bounded: ≤ queries × nProbe, ≤ nCells
-    cells.filter(col("cell").isin(probedCells.toSeq: _*))
+    val pool = cells.filter(col("cell").isin(probedCells.toSeq: _*))
       .join(broadcast(qAssigned), Seq("cell"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("qv"), col("id"), col("v"))
       .distinct() // a pair can meet in several probed cells
+    if (materialized) Checkpoints.materialize(pool) else pool
   }
 
   /** Top-k neighbors for `queries` from the STORED index — see
@@ -149,7 +154,9 @@ object IvfIndex {
   def probe(store: ParquetTableStore, name: String, queries: DataFrame,
             idCol: String, vecCol: String, topK: Int,
             nProbe: Int = 4): DataFrame = {
-    val scored = probeMembers(store, name, queries, idCol, vecCol, nProbe)
+    // single consumer of the pool → lazy (no materialization job)
+    val scored = probeMembers(store, name, queries, idCol, vecCol, nProbe,
+        materialized = false)
       .select(col("query_id"), col("id").as("neighbor_id"),
         Vectors.dotNative(col("qv"), col("v")).as("score"))
     Similarity.takeTopK(scored, topK)

@@ -28,12 +28,18 @@ object IvfPq {
   def build(store: ParquetTableStore, name: String, corpus: DataFrame,
             idCol: String, vecCol: String, dim: Int, nCells: Int = 16,
             m: Int = 8, ksub: Int = 16, iterations: Int = 5): Unit = {
-    IvfIndex.build(store, name, corpus, idCol, vecCol, nCells, iterations)
+    // PQ tables FIRST, IvfIndex.build LAST: the freshness fingerprint is
+    // written at the END of IvfIndex.build, so a crash anywhere in this
+    // sequence leaves the PREVIOUS fingerprint in place and verifyFresh
+    // fails loudly against the new corpus. The reverse order would bless
+    // a fresh IVF trio sitting next to STALE pq tables — probe would
+    // silently drop ids that have no code row.
     val codebook = ProductQuantizer.train(corpus, idCol, vecCol, dim, m, ksub,
       iterations)
     store.replace(s"${name}_pq_codebook", codebook)
     store.replace(s"${name}_pq_codes",
       ProductQuantizer.encode(corpus, idCol, vecCol, dim, codebook, m))
+    IvfIndex.build(store, name, corpus, idCol, vecCol, nCells, iterations)
   }
 
   /** Top-k via coarse probe → compressed ADC scan → bounded exact
@@ -48,11 +54,10 @@ object IvfPq {
     val codes = store.read(s"${name}_pq_codes").getOrElse(
       sys.error(s"IVF-PQ index '$name' has no codes table — not built?"))
     // members of the probed cells only: (query_id, qv, id, v) — the
-    // cells read is partition-pruned exactly as IvfIndex.probe's; the
-    // frame stays materialized while the result is consumed (it feeds
-    // the candidate list AND the refine join)
-    val members = Checkpoints.materialize(
-      IvfIndex.probeMembers(store, name, queries, idCol, vecCol, nProbe))
+    // cells read is partition-pruned exactly as IvfIndex.probe's;
+    // probeMembers returns a materialized frame, consumed here by both
+    // the candidate list and the refine join
+    val members = IvfIndex.probeMembers(store, name, queries, idCol, vecCol, nProbe)
     // ADC over the members' codes: candidates restricted BEFORE scoring
     val candCodes = members.select(col("query_id"), col("id"))
       .join(codes, Seq("id"))

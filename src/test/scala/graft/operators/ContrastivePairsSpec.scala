@@ -50,6 +50,23 @@ class ContrastivePairsSpec extends SparkSpec {
     assert(loose.head == 500L, loose.toSeq.toString)
   }
 
+  test("multi-positive queries: no positive leaks into negatives, no duplicate rows") {
+    val corpus = ring(24)
+    val queries = corpus.filter($"id" === 0L).select(($"id" + 1000L).as("id"), $"v")
+    // positives 0 AND 1: candidate 1 must not survive via its pairing
+    // with positive 0, and candidates must not duplicate per positive
+    val positives = Seq((1000L, 0L), (1000L, 1L)).toDF("query_id", "pos_id")
+    val rows = ContrastivePairs.mine(queries, positives, corpus, "id", "v",
+        kNegatives = 4, falseNegTau = 1.1, searchDepth = 10)
+      .select("role", "neighbor_id").as[(String, Long)].collect()
+    val negs = rows.filter(_._1 == "negative").map(_._2)
+    assert(!negs.contains(0L) && !negs.contains(1L),
+      s"a labeled positive leaked into the negatives: ${negs.toSeq}")
+    assert(negs.distinct.length == negs.length,
+      s"duplicate negative rows: ${negs.toSeq}")
+    assert(rows.count(_._1 == "positive") == 2, "both positives reported")
+  }
+
   test("searchDepth truncates BEFORE filtering (the documented contract)") {
     // depth 4: candidates are ranks 1-4 (ids 1,23,2,22); tau excludes
     // nothing; kNeg 3 keeps the 3 best of those
