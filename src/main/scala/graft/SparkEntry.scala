@@ -2111,6 +2111,38 @@ object SparkEntry {
       .orderBy(col("term"))
   }
 
+  /** EXACT all-pairs near-dup join ([[graft.operators.SetSimJoin]], the
+    * All-Pairs prefix filter of Bayardo et al. WWW'07): same task as q20
+    * (3-gram Jaccard ≥ 0.6 over documents) but with GUARANTEED candidate
+    * completeness instead of LSH's probabilistic recall — so unlike
+    * q20/q41, this gate's exact brute-force oracle carries no
+    * data-dependent recall caveat at all (COVERAGE.md's long-standing
+    * note): correct code passes on ANY fixture. The pair set must equal
+    * q20's on this corpus, pinning the two formulations to each other. */
+  def q101_allpairs_jaccard(s: SparkSession, d: String): DataFrame =
+    graft.operators.SetSimJoin.allPairsJaccard(documents(s, d), "doc_id",
+        "text", n = 3, threshold = 0.6)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Directed containment join ([[graft.operators.SetSimJoin]]): probe
+    * docs are 40%-token prefixes of every 20th document — excerpts whose
+    * trigram sets are SUBSETS of their source's, so containment = 1.0
+    * while symmetric Jaccard ≈ 0.4 misses them entirely (the
+    * quote/excerpt/boilerplate-wrapper detection case). The oracle
+    * replays the truncation arithmetic AND the full all-pairs containment
+    * computation; the probe-side prefix filter is exact, so again no
+    * recall caveat. */
+  def q102_containment(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val probes = docs.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        array_join(slice(split(col("text"), " "), lit(1),
+          ceil(size(split(col("text"), " ")) * 0.4).cast("int")), " ").as("text"))
+    graft.operators.SetSimJoin.containmentJoin(probes, docs, "doc_id", "text",
+        n = 3, threshold = 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2214,6 +2246,8 @@ object SparkEntry {
     "q98_data_build"        -> (q98_data_build _),
     "q99_hard_negatives"    -> (q99_hard_negatives _),
     "q100_countmin_freq"    -> (q100_countmin_freq _),
+    "q101_allpairs_jaccard" -> (q101_allpairs_jaccard _),
+    "q102_containment"      -> (q102_containment _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3975,6 +4009,62 @@ object SparkEntry {
          SELECT e.term, e.est, coalesce(x.exact, 0) AS exact
          FROM est e LEFT JOIN ex x ON e.term = x.term
          ORDER BY e.term""",
+
+    // q101: brute-force all-pairs truth — the prefix filter is exact, so
+    // the engine must reproduce this with NO recall caveat. Threshold is
+    // applied to the UNROUNDED Jaccard (the completeness theorem covers
+    // true J >= t), rounding only the output.
+    "q101_allpairs_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(w) - 2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [array_to_string(w, ' ')] END AS g
+           FROM toks),
+         sz AS (SELECT doc_id, len(g) AS n FROM sh),
+         e AS (SELECT doc_id, unnest(g) AS gram FROM sh),
+         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+                FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         j AS (SELECT id_a, id_b,
+                 CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE) AS jr
+               FROM pr JOIN sz sa ON sa.doc_id = pr.id_a
+                       JOIN sz sb ON sb.doc_id = pr.id_b)
+         SELECT id_a, id_b, round(jr, 4) AS jaccard FROM j WHERE jr >= 0.6
+         ORDER BY id_a, id_b""",
+
+    // q102: the probe truncation arithmetic (40% token prefix) AND the
+    // directed containment |A∩B|/|A| are both replayed; threshold on the
+    // unrounded ratio, like q101.
+    "q102_containment" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+         probe0 AS (SELECT doc_id + 2000000 AS doc_id,
+             array_to_string((string_split(text, ' '))[1:CAST(ceil(len(string_split(text, ' ')) * 0.4) AS INT)], ' ') AS text
+           FROM d WHERE doc_id % 20 = 0),
+         tp AS (SELECT doc_id, string_split(text, ' ') AS w FROM probe0),
+         tc AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
+         shp AS (SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(w) - 2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [array_to_string(w, ' ')] END AS g
+           FROM tp),
+         shc AS (SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(w) - 2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [array_to_string(w, ' ')] END AS g
+           FROM tc),
+         szp AS (SELECT doc_id, len(g) AS n FROM shp),
+         ep AS (SELECT doc_id, unnest(g) AS gram FROM shp),
+         ec AS (SELECT doc_id, unnest(g) AS gram FROM shc),
+         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+                FROM ep a JOIN ec b ON a.gram = b.gram GROUP BY 1, 2),
+         c AS (SELECT id_a, id_b, CAST(shared AS DOUBLE) / CAST(sp.n AS DOUBLE) AS cr
+               FROM pr JOIN szp sp ON sp.doc_id = pr.id_a)
+         SELECT id_a, id_b, round(cr, 4) AS containment FROM c WHERE cr >= 0.8
+         ORDER BY id_a, id_b""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a
