@@ -2143,6 +2143,40 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Declarative data-quality battery ([[graft.operators.DataChecks]],
+    * the Deequ pattern): seven constraints over lineitem — completeness,
+    * joint-key uniqueness, two range checks, a pattern check, row-count
+    * bounds, and referential integrity into orders — with every
+    * scan-expressible metric computed in ONE aggregate over ONE scan
+    * (spec-asserted) and the FK as one left-anti join. The fixture's
+    * planted duplicates make the uniqueness row FAIL and the quantity
+    * range check catch real out-of-bound rows, so the gate pins failing
+    * metrics, not just green paths; the oracle replays every metric and
+    * verdict. */
+  def q103_quality_report(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.DataChecks._
+    graft.operators.DataChecks.report(lineitem(s, d), Seq(
+      Completeness("l_returnflag", 0.99),
+      Uniqueness(Seq("l_orderkey", "l_linenumber")),
+      InRange("l_discount", 0.0, 0.1),
+      InRange("l_quantity", 1.0, 40.0),
+      MatchesPattern("l_returnflag", "^[ARN]$", 1.0),
+      RowCountBetween(1000L, 10000000000L),
+      ForeignKey("l_orderkey", orders(s, d), "o_orderkey")))
+  }
+
+  /** Deterministic weighted sampling without replacement
+    * ([[graft.operators.WeightedSample]], Efraimidis–Spirakis A-Res):
+    * top-50 documents by ln(u)/n_chars priority where u is a seeded
+    * md5 fraction — longer docs proportionally likelier, yet the whole
+    * draw (hash, 2^52 fraction, log priority, ranking, id tie-break) is
+    * replayed by the oracle's row_number formulation. The engine plans
+    * the bounded O(k) aggregator, not the oracle's full sort. */
+  def q104_weighted_sample(s: SparkSession, d: String): DataFrame =
+    graft.operators.WeightedSample.sample(documents(s, d), "doc_id",
+        "n_chars", k = 50, seed = "ws8")
+      .orderBy(col("rank"))
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2248,6 +2282,8 @@ object SparkEntry {
     "q100_countmin_freq"    -> (q100_countmin_freq _),
     "q101_allpairs_jaccard" -> (q101_allpairs_jaccard _),
     "q102_containment"      -> (q102_containment _),
+    "q103_quality_report"   -> (q103_quality_report _),
+    "q104_weighted_sample"  -> (q104_weighted_sample _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4065,6 +4101,68 @@ object SparkEntry {
                FROM pr JOIN szp sp ON sp.doc_id = pr.id_a)
          SELECT id_a, id_b, round(cr, 4) AS containment FROM c WHERE cr >= 0.8
          ORDER BY id_a, id_b""",
+
+    // q103: every metric AND verdict replayed — ratios as double division
+    // of exact counts (identical IEEE result in both engines), counts as
+    // doubles, thresholds compared unrounded like the engine.
+    "q103_quality_report" ->
+      """SELECT chk, target, metric, passed FROM (
+           SELECT 'completeness' AS chk, 'l_returnflag' AS target,
+             round(CAST(count(l_returnflag) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS metric,
+             CAST(count(l_returnflag) AS DOUBLE) / CAST(count(*) AS DOUBLE) >= 0.99 AS passed
+           FROM lineitem
+           UNION ALL
+           SELECT 'uniqueness', 'l_orderkey,l_linenumber',
+             round(CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6),
+             CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE) / CAST(count(*) AS DOUBLE) = 1.0
+           FROM lineitem
+           UNION ALL
+           SELECT 'in_range', 'l_discount',
+             round(CAST(count(*) FILTER (l_discount < 0.0 OR l_discount > 0.1) AS DOUBLE), 6),
+             count(*) FILTER (l_discount < 0.0 OR l_discount > 0.1) = 0
+           FROM lineitem
+           UNION ALL
+           SELECT 'in_range', 'l_quantity',
+             round(CAST(count(*) FILTER (l_quantity < 1.0 OR l_quantity > 40.0) AS DOUBLE), 6),
+             count(*) FILTER (l_quantity < 1.0 OR l_quantity > 40.0) = 0
+           FROM lineitem
+           UNION ALL
+           SELECT 'pattern', 'l_returnflag',
+             round(CAST(count(*) FILTER (regexp_matches(l_returnflag, '^[ARN]$')) AS DOUBLE) /
+               CAST(count(l_returnflag) AS DOUBLE), 6),
+             CAST(count(*) FILTER (regexp_matches(l_returnflag, '^[ARN]$')) AS DOUBLE) /
+               CAST(count(l_returnflag) AS DOUBLE) >= 1.0
+           FROM lineitem
+           UNION ALL
+           SELECT 'row_count', '*', round(CAST(count(*) AS DOUBLE), 6),
+             count(*) >= 1000 AND count(*) <= 10000000000
+           FROM lineitem
+           UNION ALL
+           SELECT 'foreign_key', 'l_orderkey',
+             round(CAST((SELECT count(*) FROM lineitem l LEFT JOIN orders o
+                         ON l.l_orderkey = o.o_orderkey
+                         WHERE o.o_orderkey IS NULL AND l.l_orderkey IS NOT NULL) AS DOUBLE), 6),
+             (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+              ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_orderkey IS NULL AND l.l_orderkey IS NOT NULL) = 0
+         ) ORDER BY chk, target""",
+
+    // q104: the full A-Res draw replayed — md5 hex fraction over 2^52
+    // (every intermediate exact in a double), ln(u)/w priority, ranking
+    // with id tie-break. Selection compares unrounded priorities; the
+    // output key is rounded.
+    "q104_weighted_sample" ->
+      """WITH p AS (
+           SELECT doc_id,
+             ln((CAST(('0x' || substr(md5('ws8/' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1)
+                / 4503599627370496.0) / CAST(n_chars AS DOUBLE) AS k
+           FROM documents
+           WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0),
+         r AS (SELECT doc_id, k,
+                 CAST(row_number() OVER (ORDER BY k DESC, doc_id ASC) AS INT) AS rank
+               FROM p)
+         SELECT rank, doc_id, round(k, 6) AS key FROM r WHERE rank <= 50
+         ORDER BY rank""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a

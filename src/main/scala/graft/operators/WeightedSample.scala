@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Weighted random sampling WITHOUT replacement (Efraimidis & Spirakis,
+  * IPL 2006, "Weighted random sampling with a reservoir" — algorithm
+  * A-Res): every row draws priority u^(1/w) with u ~ U(0,1]; the k
+  * largest priorities are an exact weighted sample without replacement.
+  * The training-data use case is corpus mixing by importance — sample
+  * documents proportional to length/quality/domain weight without an
+  * epoch-level shuffle of the full corpus.
+  *
+  * Determinism: u is not an RNG draw but a seeded hash fraction —
+  * u = (hexint(md5(seed/id)[0,13)) + 1) / 2^52 ∈ (0,1] — so the sample
+  * is reproducible across runs, engines, partitionings and cluster
+  * layouts, and the ENTIRE draw (hash, fraction, priority, ranking) is
+  * replayable in ANSI SQL by the oracle. 13 hex digits = 52 bits keeps
+  * every intermediate integer exactly representable in a double; the
+  * monotone log transform ln(u)/w replaces pow(u, 1/w) (same ordering,
+  * one libm call instead of two).
+  *
+  * Scale shape: NO window, NO sort of the corpus. The k-largest
+  * selection is [[graft.functions.TopKAggregator]] — O(k) map-side
+  * state per group, so a 10^9-row stratum ships k rows through one
+  * exchange (the [[QuotaSample]] argument, which this operator
+  * generalizes from uniform to weighted draws; ties broken by id asc
+  * in both the aggregator and the oracle's row_number).
+  *
+  * Rows with null id, null weight, or weight ≤ 0 are excluded up front
+  * (a non-positive weight has no defined priority); ids must fit a
+  * LONG (the aggregator's key type). */
+object WeightedSample {
+
+  private val Denom = 4503599627370496.0 // 2^52 = 16^13, exact in double
+
+  /** ln(u)/w priority column; larger = more likely sampled. */
+  private def priority(idCol: String, weightCol: String, seed: String): Column = {
+    val u = (conv(substring(md5(concat(lit(seed + "/"),
+        col(idCol).cast("string"))), 1, 13), 16, 10).cast("long") + 1)
+      .cast("double") / lit(Denom)
+    log(u) / col(weightCol).cast("double")
+  }
+
+  private def valid(df: DataFrame, idCol: String, weightCol: String): DataFrame =
+    df.filter(col(idCol).isNotNull && col(weightCol).isNotNull &&
+      col(weightCol) > 0)
+
+  /** Global weighted k-sample: (rank, id, key·6dp), rank 1 = highest
+    * priority. Selection compares unrounded priorities; rounding is
+    * output-only. */
+  def sample(df: DataFrame, idCol: String, weightCol: String, k: Int,
+             seed: String): DataFrame = {
+    require(k > 0, "sample size must be positive")
+    valid(df, idCol, weightCol)
+      .select(col(idCol).cast("long").as("_id"),
+        priority(idCol, weightCol, seed).as("_key"))
+      .agg(graft.functions.TopK.topK(k)(col("_id"), col("_key")).as("_t"))
+      .select(posexplode(col("_t")).as(Seq("_pos", "_r")))
+      .select((col("_pos") + 1).cast("int").as("rank"),
+        col("_r._1").as(idCol), round(col("_r._2"), 6).as("key"))
+  }
+
+  /** Per-group weighted k-sample — the balanced-mixture construction
+    * (k docs per source/language, weighted by quality/length) —
+    * one hash aggregate, O(k) state per group. */
+  def perGroup(df: DataFrame, groupCol: String, idCol: String,
+               weightCol: String, k: Int, seed: String): DataFrame = {
+    require(k > 0, "sample size must be positive")
+    valid(df, idCol, weightCol)
+      .select(col(groupCol), col(idCol).cast("long").as("_id"),
+        priority(idCol, weightCol, seed).as("_key"))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.TopK.topK(k)(col("_id"), col("_key")).as("_t"))
+      .select(col(groupCol), posexplode(col("_t")).as(Seq("_pos", "_r")))
+      .select(col(groupCol), (col("_pos") + 1).cast("int").as("rank"),
+        col("_r._1").as(idCol), round(col("_r._2"), 6).as("key"))
+  }
+}
