@@ -2177,6 +2177,53 @@ object SparkEntry {
         "n_chars", k = 50, seed = "ws8")
       .orderBy(col("rank"))
 
+  /** Join-size estimation from count-min inner products
+    * ([[graft.operators.CountMin.joinSizeEstimate]]) — the planner-side
+    * question ("how big is lineitem ⋈ σ(part) on partkey? does partkey
+    * need skew handling?") answered from two counter-sized sketch tables
+    * WITHOUT rescanning either side, next to the exact sizes that pin
+    * the one-sided guarantee (est ≥ exact for both the filtered
+    * equi-join and the F2 self-join moment). The oracle rebuilds both
+    * sketches, both inner products and both exact sizes — every number
+    * bit-for-bit. */
+  def q105_join_size(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(col("l_partkey").cast("string").as("term"))
+    val pr = part(s, d).filter(col("p_size") > 25)
+      .select(col("p_partkey").cast("string").as("term"))
+    // the lineitem state feeds three estimator references: materialize
+    // so its scan+aggregate runs once
+    val stR = graft.operators.Checkpoints.materialize(
+      graft.operators.CountMin.state(li, "term"))
+    val stS = graft.operators.CountMin.state(pr, "term")
+    val est = graft.operators.CountMin.joinSizeEstimate(stR, stS)
+    val estF2 = graft.operators.CountMin.joinSizeEstimate(stR, stR)
+      .select(col("est_join_size").as("est_self_size"))
+    val exact = li.join(pr, Seq("term")).agg(count(lit(1)).as("exact_join_size"))
+    val exactF2 = li.groupBy(col("term")).agg(count(lit(1)).as("_c"))
+      .agg(sum(col("_c") * col("_c")).as("exact_self_size"))
+    est.crossJoin(exact).crossJoin(estF2).crossJoin(exactF2)
+  }
+
+  /** Bigram-LM quality scoring ([[graft.operators.BigramLm]], the CCNet
+    * perplexity signal with replayable add-one smoothing): model
+    * self-trained on the corpus, every ≥2-token doc scored by mean
+    * log₁₀ P(w₂|w₁), rolled up per source. Complements q57's unigram
+    * scorer with transition probabilities; the oracle replays training
+    * (bigram counts, derived left counts, vocab size) AND scoring
+    * arithmetic end to end. */
+  def q106_bigram_lm(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val model = graft.operators.BigramLm.train(docs, "text")
+    graft.operators.BigramLm.scoreDocs(docs, "doc_id", "text", model,
+        keep = Seq("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("doc_lp")), 4).as("avg_doc_lp"),
+        round(min(col("doc_lp")), 4).as("min_doc_lp"),
+        sum(col("n_bigrams")).as("n_bigrams"))
+      .orderBy(col("source"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2284,6 +2331,8 @@ object SparkEntry {
     "q102_containment"      -> (q102_containment _),
     "q103_quality_report"   -> (q103_quality_report _),
     "q104_weighted_sample"  -> (q104_weighted_sample _),
+    "q105_join_size"        -> (q105_join_size _),
+    "q106_bigram_lm"        -> (q106_bigram_lm _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4163,6 +4212,59 @@ object SparkEntry {
                FROM p)
          SELECT rank, doc_id, round(k, 6) AS key FROM r WHERE rank <= 50
          ORDER BY rank""",
+
+    // q105: both sketches (q100's geometry), both inner products with the
+    // absent-hash-row zero guard, and both exact sizes replayed.
+    "q105_join_size" ->
+      """WITH t AS (SELECT CAST(l_partkey AS VARCHAR) AS term FROM lineitem),
+         p AS (SELECT CAST(p_partkey AS VARCHAR) AS term FROM part WHERE p_size > 25),
+         js AS (SELECT unnest(generate_series(0, 3)) AS j),
+         cr AS (SELECT j, substr(md5(CAST(j AS VARCHAR) || '/' || term), 1, 3) AS cell,
+                  count(*) AS cnt
+                FROM t CROSS JOIN js GROUP BY 1, 2),
+         cs AS (SELECT j, substr(md5(CAST(j AS VARCHAR) || '/' || term), 1, 3) AS cell,
+                  count(*) AS cnt
+                FROM p CROSS JOIN js GROUP BY 1, 2),
+         ip AS (SELECT cr.j, sum(cr.cnt * cs.cnt) AS ip
+                FROM cr JOIN cs ON cr.j = cs.j AND cr.cell = cs.cell GROUP BY 1),
+         e1 AS (SELECT CASE WHEN count(*) < 4 THEN CAST(0 AS BIGINT)
+                            ELSE CAST(min(ip) AS BIGINT) END AS est_join_size FROM ip),
+         ips AS (SELECT a.j, sum(a.cnt * b.cnt) AS ip
+                 FROM cr a JOIN cr b ON a.j = b.j AND a.cell = b.cell GROUP BY 1),
+         e2 AS (SELECT CASE WHEN count(*) < 4 THEN CAST(0 AS BIGINT)
+                            ELSE CAST(min(ip) AS BIGINT) END AS est_self_size FROM ips),
+         x1 AS (SELECT count(*) AS exact_join_size FROM t JOIN p USING (term)),
+         x2 AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact_self_size
+                FROM (SELECT count(*) AS c FROM t GROUP BY term))
+         SELECT e1.est_join_size, x1.exact_join_size, e2.est_self_size, x2.exact_self_size
+         FROM e1, x1, e2, x2""",
+
+    // q106: training AND scoring replayed — bigram counts, left counts
+    // derived from them, exact vocab size, add-one smoothing, mean log10
+    // per doc (4dp), per-source rollup.
+    "q106_bigram_lm" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+         bgl AS (SELECT doc_id, source,
+                   list_transform(generate_series(1, len(w) - 1),
+                     i -> w[i] || ' ' || w[i+1]) AS bs
+                 FROM toks WHERE len(w) >= 2),
+         bg AS (SELECT doc_id, source, unnest(bs) AS b FROM bgl),
+         cb AS (SELECT b, count(*) AS cb FROM bg GROUP BY b),
+         cl AS (SELECT string_split(b, ' ')[1] AS l, CAST(sum(cb) AS BIGINT) AS cl
+                FROM cb GROUP BY 1),
+         v AS (SELECT count(DISTINCT tok) AS v
+               FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+         sc AS (SELECT doc_id, source, count(*) AS nb,
+                  round(avg(log10((cb.cb + 1.0) /
+                    (cl.cl + (SELECT v FROM v)))), 4) AS doc_lp
+                FROM bg JOIN cb USING (b)
+                        JOIN cl ON string_split(bg.b, ' ')[1] = cl.l
+                GROUP BY doc_id, source)
+         SELECT source, count(*) AS n_docs,
+           round(avg(doc_lp), 4) AS avg_doc_lp,
+           round(min(doc_lp), 4) AS min_doc_lp,
+           CAST(sum(nb) AS BIGINT) AS n_bigrams
+         FROM sc GROUP BY source ORDER BY source""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a

@@ -101,6 +101,39 @@ object CountMin {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** Equi-join SIZE estimate from two sketch states (Cormode &
+    * Muthukrishnan 2005 §4.2, the inner-product estimator; the
+    * AMS-lineage answer a cost-based planner wants before committing to
+    * a join strategy at 100 TB — broadcast vs shuffle vs skew-salt —
+    * without scanning either table again): for each hash row j,
+    * IP_j = Σ_cell cntR(j,cell)·cntS(j,cell); the estimate is
+    * min_j IP_j. One-sided like the point estimate: every true joining
+    * pair lands in the same cell in every row, so IP_j ≥ |R ⋈ S| always,
+    * and collisions only ADD cross-terms (expected excess ≤
+    * ‖R‖₁·‖S‖₁/16^wChars per row). Self-estimate (stateR = stateS)
+    * yields the F2 second-moment estimate — the self-join size that
+    * decides whether a key distribution needs skew handling.
+    *
+    * Cost: one (j, cell)-keyed join of two counter-sized tables
+    * (d·16^wChars rows each — broadcastable) and two tiny aggregates;
+    * the source tables are never touched. A hash row with NO overlapping
+    * cells has true inner product 0, which forces the min to 0 — the
+    * count(j) < d guard supplies those absent-row zeros (an inner join
+    * produces no row to min over). */
+  def joinSizeEstimate(stateR: DataFrame, stateS: DataFrame,
+                       d: Int = 4, wChars: Int = 3): DataFrame = {
+    requireGeometry(stateR, d, wChars, "CountMin.joinSizeEstimate (left)")
+    requireGeometry(stateS, d, wChars, "CountMin.joinSizeEstimate (right)")
+    stateR.select(col("j"), col("cell"), col("cnt").as("_cr"))
+      .join(stateS.select(col("j"), col("cell"), col("cnt").as("_cs")),
+        Seq("j", "cell"))
+      .groupBy(col("j"))
+      .agg(sum(col("_cr") * col("_cs")).as("_ip"))
+      .agg(min(col("_ip")).as("_m"), count(lit(1)).as("_nj"))
+      .select(when(col("_nj") < d, lit(0L)).otherwise(col("_m"))
+        .as("est_join_size"))
+  }
+
   /** Stream-maintain a sketch state table through the shared
     * replay-idempotent fold protocol — counters are additive, so a
     * replayed micro-batch would double every estimate without the

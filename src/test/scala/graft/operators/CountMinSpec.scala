@@ -49,6 +49,38 @@ class CountMinSpec extends SparkSpec {
     assert(merged == oneShot)
   }
 
+  test("joinSizeEstimate: one-sided for the equi-join and the F2 self-moment") {
+    val r = stream
+    val s = (Seq.fill(30)("hot") ++ Seq.fill(10)("cold")).toDF("term")
+    val stR = CountMin.state(r, "term")
+    val stS = CountMin.state(s, "term")
+    val est = CountMin.joinSizeEstimate(stR, stS)
+      .as[Long].collect().head
+    val exact = r.join(s, Seq("term")).count() // 200·30 hot pairs
+    assert(exact === 6000L)
+    assert(est >= exact, s"one-sided bound violated: est=$est exact=$exact")
+    val estF2 = CountMin.joinSizeEstimate(stR, stR).as[Long].collect().head
+    val exactF2 = truth.values.map(c => c * c).sum
+    assert(estF2 >= exactF2)
+    // collision excess bounded: ||R||1·||S||1 / 4096 per hash row
+    assert(est - exact <= 550L * 40L, s"excess ${est - exact} implausibly large")
+  }
+
+  test("joinSizeEstimate: disjoint vocabularies estimate 0 via the absent-row guard") {
+    val stR = CountMin.state(Seq("aaa", "bbb").toDF("term"), "term")
+    val stS = CountMin.state(Seq("zzz9").toDF("term"), "term")
+    val est = CountMin.joinSizeEstimate(stR, stS).as[Long].collect().head
+    assert(est === 0L)
+  }
+
+  test("joinSizeEstimate: geometry mismatch is a loud error") {
+    val stR = CountMin.state(stream, "term", d = 4, wChars = 3)
+    val stS = CountMin.state(stream, "term", d = 4, wChars = 2)
+    intercept[IllegalArgumentException] {
+      CountMin.joinSizeEstimate(stR, stS)
+    }
+  }
+
   test("foldIntoStore is replay-idempotent and matches the full recompute") {
     val wh = java.nio.file.Files.createTempDirectory("graft_cms_fold").toString
     val store = new ParquetTableStore(spark, wh)
