@@ -2224,6 +2224,30 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** Damped PageRank ([[graft.operators.PageRank]]) over a cyclic
+    * trade graph derived from the fixtures: customer → supplier edges
+    * for every distinct order line, supplier → customer back-edges for
+    * returned lines ('R') — the link-authority computation web curation
+    * ranks domains with, in the engine's iterative-join shape. Supplier
+    * ids are offset into a disjoint node space. Three iterations with
+    * dangling-mass redistribution; the oracle UNROLLS all three
+    * (the q84 BPE precedent) over the same edge construction. */
+  def q107_pagerank(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val l = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+    val j = o.join(l, col("o_orderkey") === col("l_orderkey"))
+    val e1 = j.select(col("o_custkey").as("src"),
+      (col("l_suppkey") + 1000000L).as("dst")).distinct()
+    val e2 = j.filter(col("l_returnflag") === "R")
+      .select((col("l_suppkey") + 1000000L).as("src"),
+        col("o_custkey").as("dst")).distinct()
+    val edges = e1.unionByName(e2).distinct()
+    graft.operators.PageRank.run(edges, "src", "dst", damping = 0.85, iters = 3)
+      .select(col("node"), round(col("rank"), 6).as("rank"))
+      .orderBy(col("node"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2333,6 +2357,7 @@ object SparkEntry {
     "q104_weighted_sample"  -> (q104_weighted_sample _),
     "q105_join_size"        -> (q105_join_size _),
     "q106_bigram_lm"        -> (q106_bigram_lm _),
+    "q107_pagerank"         -> (q107_pagerank _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4265,6 +4290,11 @@ object SparkEntry {
            round(min(doc_lp), 4) AS min_doc_lp,
            CAST(sum(nb) AS BIGINT) AS n_bigrams
          FROM sc GROUP BY source ORDER BY source""",
+
+    // q107: three damped iterations unrolled over the replayed edge
+    // construction — contributions, dangling redistribution, uniform
+    // start all under the hash.
+    "q107_pagerank" -> pagerankOracle,
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a
@@ -4321,6 +4351,38 @@ $rounds"""
                FROM s$BpeRounds) f
            ON d.tok = f.word
          GROUP BY d.source ORDER BY d.source"""
+
+  /** The q107 oracle: damped PageRank with the iteration count UNROLLED
+    * (the [[bpeOracleRounds]] precedent — each round is a
+    * dangling-mass CTE, a contribution CTE, and a rank CTE chained
+    * r0 → r1 → … → rK over the same edge construction as the engine). */
+  private val PageRankIters = 3
+  private def pagerankOracle: String = {
+    val rounds = (1 to PageRankIters).map { k =>
+      s"""         d$k AS (SELECT coalesce(sum(CASE WHEN od.node IS NULL THEN r.rank ELSE 0 END), 0) AS dm
+                 FROM r${k - 1} r LEFT JOIN od ON r.node = od.node),
+         c$k AS (SELECT e.dst AS node, sum(r.rank / od.outdeg) AS contrib
+                 FROM e JOIN r${k - 1} r ON e.src = r.node JOIN od ON e.src = od.node
+                 GROUP BY 1),
+         r$k AS (SELECT nodes.node,
+                   0.15 / (SELECT n FROM n) +
+                   0.85 * (coalesce(c$k.contrib, 0) + (SELECT dm FROM d$k) / (SELECT n FROM n)) AS rank
+                 FROM nodes LEFT JOIN c$k ON nodes.node = c$k.node)"""
+    }.mkString(",\n")
+    s"""WITH e AS (
+           SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           UNION
+           SELECT DISTINCT l.l_suppkey + 1000000 AS src, o.o_custkey AS dst
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           WHERE l.l_returnflag = 'R'),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         od AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY 1),
+         r0 AS (SELECT node, 1.0 / (SELECT n FROM n) AS rank FROM nodes),
+$rounds
+         SELECT node, round(rank, 6) AS rank FROM r$PageRankIters ORDER BY node"""
+  }
 
   /** The LangId trigram profile rendered as SQL VALUES rows — the oracle
     * runs the exact same profile the Spark operator broadcasts. */
