@@ -2248,6 +2248,27 @@ object SparkEntry {
       .orderBy(col("node"))
   }
 
+  /** Ordered-step conversion funnel ([[graft.operators.Funnel]]) over
+    * the event stream: view → click → purchase, 72 h attribution
+    * window anchored at funnel entry. ONE exchange for all three steps
+    * (per-user step-timestamp arrays + an `array_min(filter(...))`
+    * recurrence in the aggregate projection) where the textbook
+    * formulation — and the oracle — chains k aggregate+join rounds;
+    * the gate pins the two shapes equal. */
+  def q108_funnel(s: SparkSession, d: String): DataFrame =
+    graft.operators.Funnel.report(events(s, d), "user_id", "event_type",
+      "ts", Seq("view", "click", "purchase"), horizonHours = Some(72))
+
+  /** Weekly cohort retention ([[graft.operators.Retention]]): users
+    * grouped by first-event day, activity in week offsets from that
+    * personal start. Three hash aggregates, no windows; the
+    * (cohort, offset) grid output is tiny by construction. Oracle
+    * replays first-touch, distinct user-days, offset arithmetic and
+    * the ratio. */
+  def q109_retention(s: SparkSession, d: String): DataFrame =
+    graft.operators.Retention.cohortWeekly(events(s, d), "user_id", "ts")
+      .orderBy(col("cohort_day"), col("week_offset"))
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2358,6 +2379,8 @@ object SparkEntry {
     "q105_join_size"        -> (q105_join_size _),
     "q106_bigram_lm"        -> (q106_bigram_lm _),
     "q107_pagerank"         -> (q107_pagerank _),
+    "q108_funnel"           -> (q108_funnel _),
+    "q109_retention"        -> (q109_retention _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4295,6 +4318,62 @@ object SparkEntry {
     // construction — contributions, dangling redistribution, uniform
     // start all under the hash.
     "q107_pagerank" -> pagerankOracle,
+
+    // q108: the k-sequential-joins formulation of the same recurrence —
+    // min ts of step 1, then earliest step-2 ts ≥ t1 within the 72 h
+    // entry-anchored window, then earliest step-3 ts ≥ t2 within the
+    // same window; counts + both conversion ratios replayed
+    "q108_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' AND user_id IS NOT NULL AND ts IS NOT NULL
+              GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+              JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'click' AND e.ts >= s1.t1
+                AND e.ts <= s1.t1 + INTERVAL 72 HOUR GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+              JOIN s2 ON e.user_id = s2.user_id
+              JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+                AND e.ts <= s1.t1 + INTERVAL 72 HOUR GROUP BY 1),
+         c AS (SELECT (SELECT count(*) FROM s1) AS u1,
+                      (SELECT count(*) FROM s2) AS u2,
+                      (SELECT count(*) FROM s3) AS u3)
+         SELECT * FROM (
+           SELECT 1 AS step_idx, 'view' AS step, u1 AS users,
+                  CASE WHEN u1 > 0 THEN round(CAST(u1 AS DOUBLE) / u1, 4) END AS conv_vs_first,
+                  CASE WHEN u1 > 0 THEN round(CAST(u1 AS DOUBLE) / u1, 4) END AS conv_vs_prev
+           FROM c
+           UNION ALL
+           SELECT 2, 'click', u2,
+                  CASE WHEN u1 > 0 THEN round(CAST(u2 AS DOUBLE) / u1, 4) END,
+                  CASE WHEN u1 > 0 THEN round(CAST(u2 AS DOUBLE) / u1, 4) END
+           FROM c
+           UNION ALL
+           SELECT 3, 'purchase', u3,
+                  CASE WHEN u1 > 0 THEN round(CAST(u3 AS DOUBLE) / u1, 4) END,
+                  CASE WHEN u2 > 0 THEN round(CAST(u3 AS DOUBLE) / u2, 4) END
+           FROM c)
+         ORDER BY step_idx""",
+
+    // q109: first-touch day per user, distinct activity days, personal
+    // week offsets, cohort sizes and the retention ratio — all replayed
+    "q109_retention" ->
+      """WITH e AS (SELECT user_id, ts FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         f AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+               FROM e GROUP BY 1),
+         sz AS (SELECT cohort_day, count(*) AS cohort_size FROM f GROUP BY 1),
+         a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM e),
+         w AS (SELECT DISTINCT a.user_id, f.cohort_day,
+                 CAST(floor(date_diff('day', f.cohort_day, a.day) / 7.0) AS BIGINT) AS week_offset
+               FROM a JOIN f ON a.user_id = f.user_id)
+         SELECT w.cohort_day, w.week_offset, count(*) AS active_users,
+                sz.cohort_size,
+                round(CAST(count(*) AS DOUBLE) / sz.cohort_size, 4) AS retention
+         FROM w JOIN sz ON w.cohort_day = sz.cohort_day
+         GROUP BY w.cohort_day, w.week_offset, sz.cohort_size
+         ORDER BY w.cohort_day, w.week_offset""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a
