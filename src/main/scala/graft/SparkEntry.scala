@@ -2269,6 +2269,34 @@ object SparkEntry {
     graft.operators.Retention.cohortWeekly(events(s, d), "user_id", "ts")
       .orderBy(col("cohort_day"), col("week_offset"))
 
+  /** PSI distribution-drift report ([[graft.operators.Drift]]):
+    * current = the high-value order segment vs reference = all orders,
+    * over one genuinely shifted column (o_totalprice — the filter
+    * column itself) and one stable one (o_custkey). One scan + one
+    * hash aggregate per side for both columns (explode into (col, bin)
+    * pairs); reference-derived equi-width bins, Laplace-smoothed
+    * shares. The oracle replays stats, binning, the full bin grid,
+    * smoothing and the Σ(pc−pr)·ln(pc/pr) arithmetic. */
+  def q110_drift_psi(s: SparkSession, d: String): DataFrame = {
+    val ref = orders(s, d)
+    val cur = ref.filter(col("o_totalprice") >= 250000)
+    graft.operators.Drift.psiReport(ref, cur,
+        Seq("o_totalprice", "o_custkey"), bins = 10)
+      .orderBy(col("column_name"))
+  }
+
+  /** k-anonymity audit ([[graft.operators.Anonymity]]) on customer
+    * quasi-identifiers (nation, market segment, account-balance
+    * bucket) at k = 5 — the release gate run next to PII scrubbing.
+    * One aggregate over one scan + a 1-row rollup; the oracle replays
+    * bucketing, group sizes and every verdict column. */
+  def q111_k_anonymity(s: SparkSession, d: String): DataFrame = {
+    val qi = customer(s, d).select(col("c_nationkey"), col("c_mktsegment"),
+      floor(col("c_acctbal") / 2000.0).as("bal_bucket"))
+    graft.operators.Anonymity.report(qi,
+      Seq("c_nationkey", "c_mktsegment", "bal_bucket"), k = 5)
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2381,6 +2409,8 @@ object SparkEntry {
     "q107_pagerank"         -> (q107_pagerank _),
     "q108_funnel"           -> (q108_funnel _),
     "q109_retention"        -> (q109_retention _),
+    "q110_drift_psi"        -> (q110_drift_psi _),
+    "q111_k_anonymity"      -> (q111_k_anonymity _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4374,6 +4404,77 @@ object SparkEntry {
          FROM w JOIN sz ON w.cohort_day = sz.cohort_day
          GROUP BY w.cohort_day, w.week_offset, sz.cohort_size
          ORDER BY w.cohort_day, w.week_offset""",
+
+    // q110: reference stats, equi-width binning with end-bin clamping,
+    // the FULL bin grid (empty bins carry smoothed terms), Laplace
+    // shares and the PSI sum — all replayed
+    "q110_drift_psi" ->
+      """WITH refs AS (SELECT * FROM orders),
+         curs AS (SELECT * FROM orders WHERE o_totalprice >= 250000),
+         stats AS (
+           SELECT 'o_totalprice' AS col, CAST(min(o_totalprice) AS DOUBLE) AS mn,
+                  CAST(max(o_totalprice) AS DOUBLE) AS mx FROM refs
+           UNION ALL
+           SELECT 'o_custkey', CAST(min(o_custkey) AS DOUBLE),
+                  CAST(max(o_custkey) AS DOUBLE) FROM refs),
+         vr AS (SELECT 'o_totalprice' AS col, CAST(o_totalprice AS DOUBLE) AS x
+                FROM refs WHERE o_totalprice IS NOT NULL
+                UNION ALL
+                SELECT 'o_custkey', CAST(o_custkey AS DOUBLE)
+                FROM refs WHERE o_custkey IS NOT NULL),
+         vc AS (SELECT 'o_totalprice' AS col, CAST(o_totalprice AS DOUBLE) AS x
+                FROM curs WHERE o_totalprice IS NOT NULL
+                UNION ALL
+                SELECT 'o_custkey', CAST(o_custkey AS DOUBLE)
+                FROM curs WHERE o_custkey IS NOT NULL),
+         br AS (SELECT v.col,
+                  CASE WHEN s.mx = s.mn THEN 0
+                       ELSE CAST(greatest(least(floor((v.x - s.mn) /
+                              ((s.mx - s.mn) / 10.0)), 9), 0) AS BIGINT)
+                  END AS bin, count(*) AS cnt
+                FROM vr v JOIN stats s ON v.col = s.col GROUP BY 1, 2),
+         bc AS (SELECT v.col,
+                  CASE WHEN s.mx = s.mn THEN 0
+                       ELSE CAST(greatest(least(floor((v.x - s.mn) /
+                              ((s.mx - s.mn) / 10.0)), 9), 0) AS BIGINT)
+                  END AS bin, count(*) AS cnt
+                FROM vc v JOIN stats s ON v.col = s.col GROUP BY 1, 2),
+         grid AS (SELECT s.col, t.b FROM (SELECT DISTINCT col FROM stats) s
+                  CROSS JOIN range(10) t(b)),
+         j AS (SELECT g.col, g.b, coalesce(br.cnt, 0) AS cr,
+                 coalesce(bc.cnt, 0) AS cc
+               FROM grid g
+               LEFT JOIN br ON br.col = g.col AND br.bin = g.b
+               LEFT JOIN bc ON bc.col = g.col AND bc.bin = g.b),
+         tot AS (SELECT col, CAST(sum(cr) AS BIGINT) AS nr,
+                   CAST(sum(cc) AS BIGINT) AS nc FROM j GROUP BY 1),
+         terms AS (SELECT j.col,
+                     (CAST(cr AS DOUBLE) + 0.5) / (nr + 5.0) AS pr,
+                     (CAST(cc AS DOUBLE) + 0.5) / (nc + 5.0) AS pc,
+                     nr, nc
+                   FROM j JOIN tot ON j.col = tot.col)
+         SELECT col AS column_name,
+                round(sum((pc - pr) * ln(pc / pr)), 4) AS psi,
+                nr AS n_ref, nc AS n_cur
+         FROM terms GROUP BY col, nr, nc ORDER BY column_name""",
+
+    // q111: quasi-identifier bucketing, equivalence-class sizes and
+    // every verdict column replayed
+    "q111_k_anonymity" ->
+      """WITH q AS (SELECT c_nationkey, c_mktsegment,
+                CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_bucket
+              FROM customer),
+         g AS (SELECT c_nationkey, c_mktsegment, bal_bucket, count(*) AS n
+               FROM q GROUP BY 1, 2, 3)
+         SELECT count(*) AS n_groups,
+                CAST(sum(n) AS BIGINT) AS n_rows,
+                min(n) AS min_group_size,
+                CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS groups_below_k,
+                CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_below_k,
+                round(CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE) /
+                  CAST(sum(n) AS DOUBLE), 4) AS at_risk_pct,
+                min(n) >= 5 AS k_anonymous
+         FROM g""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(xs: Seq[Double]) = xs.toDF("v")
+
+  test("identical distributions score ~0") {
+    val ref = df((1 to 100).map(_.toDouble))
+    val r = Drift.psiReport(ref, ref, Seq("v")).collect().head
+    assert(r.getAs[Double]("psi") == 0.0)
+    assert(r.getAs[Long]("n_ref") == 100L && r.getAs[Long]("n_cur") == 100L)
+  }
+
+  test("hand-computed two-bin PSI") {
+    // ref: 8 low + 2 high; cur: 2 low + 8 high over the same range
+    val ref = df(Seq.fill(8)(0.0) ++ Seq.fill(2)(10.0))
+    val cur = df(Seq.fill(2)(0.0) ++ Seq.fill(8)(10.0))
+    val r = Drift.psiReport(ref, cur, Seq("v"), bins = 2).collect().head
+    // smoothed shares with bins=2: (cnt+0.5)/(10+1)
+    val (prLo, prHi) = (8.5 / 11, 2.5 / 11)
+    val (pcLo, pcHi) = (2.5 / 11, 8.5 / 11)
+    val expect = (pcLo - prLo) * math.log(pcLo / prLo) +
+      (pcHi - prHi) * math.log(pcHi / prHi)
+    assert(r.getAs[Double]("psi") == math.rint(expect * 1e4) / 1e4 ||
+      math.abs(r.getAs[Double]("psi") - expect) < 1e-4)
+  }
+
+  test("out-of-range current mass clamps into end bins and alarms") {
+    val ref = df((1 to 100).map(_.toDouble))
+    val cur = df(Seq.fill(100)(1000.0)) // far beyond the reference max
+    val r = Drift.psiReport(ref, cur, Seq("v")).collect().head
+    assert(r.getAs[Double]("psi") > 1.0,
+      s"off-range shift must alarm hard: $r")
+  }
+
+  test("constant reference column never alarms spuriously") {
+    val ref = df(Seq.fill(50)(7.0))
+    val r = Drift.psiReport(ref, ref, Seq("v")).collect().head
+    assert(r.getAs[Double]("psi") == 0.0)
+  }
+
+  test("multi-column: shifted and stable columns report independently") {
+    val ref = (1 to 200).map(i => (i.toDouble, (i % 10).toDouble))
+      .toDF("a", "b")
+    val cur = (1 to 200).filter(_ > 150)
+      .map(i => (i.toDouble, (i % 10).toDouble)).toDF("a", "b")
+    val m = Drift.psiReport(ref, cur, Seq("a", "b")).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("psi")).toMap
+    assert(m("a") > 0.25, s"filter column must show major drift: $m")
+    assert(m("b") < 0.1, s"i%10 survives the tail filter near-uniform: $m")
+  }
+
+  test("nulls are excluded from both sides' totals") {
+    val ref = Seq[Option[Double]](Some(1.0), Some(2.0), None)
+      .toDF("v")
+    val r = Drift.psiReport(ref, ref, Seq("v")).collect().head
+    assert(r.getAs[Long]("n_ref") == 2L)
+  }
+
+  test("invalid bins fail loudly") {
+    intercept[IllegalArgumentException] {
+      Drift.psiReport(df(Seq(1.0)), df(Seq(1.0)), Seq("v"), bins = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Drift.refStats(df(Seq(1.0)), Seq.empty)
+    }
+  }
+}
