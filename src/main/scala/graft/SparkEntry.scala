@@ -2297,6 +2297,24 @@ object SparkEntry {
       Seq("c_nationkey", "c_mktsegment", "bal_bucket"), k = 5)
   }
 
+  /** Bloom-pruned semi join ([[graft.operators.BloomPrune]]): lineitem
+    * probed against the 2%-selective p_size = 50 part slice. The bloom
+    * builds as one DISTRIBUTED aggregate over the build keys (no
+    * driver collect), broadcasts as a 1-row frame, and drops probe
+    * rows in the scan projection BEFORE the join exchange — the
+    * runtime-filter pattern under caller control, exact because the
+    * real semi join still runs behind the prune. Oracle is the plain
+    * EXISTS semi join the operator must be bit-identical to. */
+  def q112_bloom_semijoin(s: SparkSession, d: String): DataFrame = {
+    val build = part(s, d).filter(col("p_size") === 50)
+    graft.operators.BloomPrune.semiJoin(lineitem(s, d), "l_partkey",
+        build, "p_partkey", estimatedItems = 100000)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2411,6 +2429,7 @@ object SparkEntry {
     "q109_retention"        -> (q109_retention _),
     "q110_drift_psi"        -> (q110_drift_psi _),
     "q111_k_anonymity"      -> (q111_k_anonymity _),
+    "q112_bloom_semijoin"   -> (q112_bloom_semijoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4475,6 +4494,16 @@ object SparkEntry {
                   CAST(sum(n) AS DOUBLE), 4) AS at_risk_pct,
                 min(n) >= 5 AS k_anonymous
          FROM g""",
+
+    // q112: the unpruned semi join the bloom-pruned plan must be
+    // bit-identical to
+    "q112_bloom_semijoin" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+                round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem l
+         WHERE EXISTS (SELECT 1 FROM part p
+                       WHERE p.p_partkey = l.l_partkey AND p.p_size = 50)
+         GROUP BY 1 ORDER BY 1""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a

@@ -85,5 +85,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           children(0), children(1))))
+
+    // The build half of the same runtime-filter pair: Spark's internal
+    // BloomFilterAggregate, SQL-registered so a bloom can be built as a
+    // DISTRIBUTED aggregate (partial blooms per partition, OR-merge)
+    // instead of a driver-side collect — the shape
+    // [[graft.operators.BloomPrune]] needs for semi-join pruning where
+    // the build side has too many keys to collect but few enough to
+    // filter with. Output bytes deserialize with graft_might_contain.
+    // Arity 1/2/3 mirrors the builtin: (xxhash64-long child
+    // [, estimatedNumItems [, numBits]]), the estimates foldable longs,
+    // internally capped by the runtime-filter size confs.
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        children match {
+          case Seq(c)       => new BloomFilterAggregate(c)
+          case Seq(c, n)    => new BloomFilterAggregate(c, n)
+          case Seq(c, n, b) => new BloomFilterAggregate(c, n, b)
+          case other => throw new IllegalArgumentException(
+            s"graft_bloom_agg takes 1-3 arguments, got ${other.size}")
+        }
+      }))
   }
 }
