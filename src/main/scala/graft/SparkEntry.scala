@@ -2315,6 +2315,20 @@ object SparkEntry {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Entity resolution ([[graft.operators.EntityResolution]]):
+    * nation-blocked candidate pairs, exact Levenshtein ≤ 1 match
+    * scoring, star-contraction transitive closure, min-id
+    * survivorship — the blocking → score → closure composite, each
+    * stage machinery the engine proves elsewhere (capBuckets, q39's
+    * candidate-only edit distance, q70's log-round components). The
+    * oracle replays blocking, every Levenshtein verdict and the full
+    * closure (recursive CTE), and the roll-up. */
+  def q113_entity_resolution(s: SparkSession, d: String): DataFrame =
+    graft.operators.EntityResolution.clusters(customer(s, d),
+        "c_custkey", "c_name", Seq("c_nationkey"),
+        maxEditDist = 1, maxBlock = 1000)
+      .orderBy(col("entity_rep"))
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2430,6 +2444,7 @@ object SparkEntry {
     "q110_drift_psi"        -> (q110_drift_psi _),
     "q111_k_anonymity"      -> (q111_k_anonymity _),
     "q112_bloom_semijoin"   -> (q112_bloom_semijoin _),
+    "q113_entity_resolution"-> (q113_entity_resolution _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4504,6 +4519,30 @@ object SparkEntry {
          WHERE EXISTS (SELECT 1 FROM part p
                        WHERE p.p_partkey = l.l_partkey AND p.p_size = 50)
          GROUP BY 1 ORDER BY 1""",
+
+    // q113: blocking, every Levenshtein verdict, the transitive closure
+    // (q62's recursive-reach pattern) and the survivor roll-up replayed
+    "q113_entity_resolution" ->
+      """WITH RECURSIVE
+         c AS (SELECT c_custkey AS id, c_name AS name, c_nationkey AS blk
+               FROM customer
+               WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL
+                 AND c_nationkey IS NOT NULL),
+         p AS (SELECT a.id AS id_a, b.id AS id_b
+               FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+               WHERE levenshtein(a.name, b.name) <= 1),
+         edges AS (SELECT id_a AS id, id_b AS nb FROM p
+                   UNION ALL SELECT id_b, id_a FROM p),
+         reach(id, r) AS (
+           SELECT id, nb FROM edges
+           UNION
+           SELECT reach.id, e2.nb FROM reach JOIN edges e2 ON e2.id = reach.r),
+         labels AS (SELECT id, least(id, min(r)) AS label FROM reach GROUP BY id)
+         SELECT label AS entity_rep, count(*) AS n_records,
+                min(name) AS first_name, max(name) AS last_name
+         FROM labels JOIN c ON labels.id = c.id
+         GROUP BY label HAVING count(*) >= 2
+         ORDER BY entity_rep""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Entity resolution / record linkage — the blocking → pairwise-score →
+  * transitive-closure composite (Fellegi & Sunter 1969 lineage; the
+  * MapReduce formulation every dedup-at-scale system uses): find records
+  * that denote the same real-world entity despite textual variation,
+  * group them, and elect a canonical survivor per group.
+  *
+  * The three stages map onto machinery the engine already proves
+  * elsewhere, composed rather than re-implemented:
+  *
+  *   1. BLOCKING bounds the pair space: candidates are generated only
+  *      within equal blocking-key groups (a self-equi-join, never a
+  *      cross join). [[Similarity.capBuckets]] guards the quadratic
+  *      worst case exactly as the LSH-band joins do — a block over
+  *      `maxBlock` is dropped WHOLESALE (its members go unmatched;
+  *      an over-cap block means the blocking key is too coarse and
+  *      carries no discriminating signal — pick a finer key rather
+  *      than raising the cap). Blocking recall loss is the standard
+  *      ER trade: pairs split across blocks are not compared.
+  *   2. SCORING is exact Levenshtein on the name column, kept only
+  *      under `maxEditDist` — computed on block-bounded candidates,
+  *      never all pairs (the q39 discipline).
+  *   3. CLUSTERING is transitive closure over match edges —
+  *      [[Similarity.dedupClustersLogRounds]], the O(log n)
+  *      star-contraction component finder, so chain-shaped match
+  *      graphs (a~b~c~… with no direct a~c edge — exactly what
+  *      near-threshold edit distances produce) close in
+  *      logarithmically many rounds.
+  *
+  * Every record appears in the output with its cluster label (the
+  * component-minimum id — simultaneously the elected survivor, the
+  * deterministic "keep the oldest id" survivorship rule). */
+object EntityResolution {
+
+  /** Match edges: (id_a, id_b, edit_dist), id_a < id_b, same blocking
+    * key, Levenshtein ≤ maxEditDist. */
+  def matchPairs(records: DataFrame, idCol: String, nameCol: String,
+                 blockCols: Seq[String], maxEditDist: Int,
+                 maxBlock: Int = 1000): DataFrame = {
+    require(blockCols.nonEmpty,
+      "blockCols must be non-empty: blocking is what bounds the pair space")
+    require(maxEditDist >= 0, s"maxEditDist must be >= 0: $maxEditDist")
+    val proj = records.select(
+      (col(idCol) +: col(nameCol) +: blockCols.map(col)): _*)
+      .filter(col(idCol).isNotNull && col(nameCol).isNotNull &&
+        blockCols.map(col(_).isNotNull).reduce(_ && _))
+    val capped = Similarity.capBuckets(proj, blockCols, maxBlock)
+    val a = capped.select(col(idCol).as("id_a") +: col(nameCol).as("_na") +:
+      blockCols.map(c => col(c).as(s"_b_$c")): _*)
+    val b = capped.select(col(idCol).as("id_b") +: col(nameCol).as("_nb") +:
+      blockCols.map(c => col(c).as(s"_b_$c")): _*)
+    a.join(b, blockCols.map(c => s"_b_$c"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("_na"), col("_nb")).as("edit_dist"))
+      .filter(col("edit_dist") <= maxEditDist)
+  }
+
+  /** (id, label) over ALL records: label = component-minimum id of the
+    * match graph, = the record's own id for non-matched records. */
+  def resolve(records: DataFrame, idCol: String, nameCol: String,
+              blockCols: Seq[String], maxEditDist: Int,
+              maxBlock: Int = 1000): DataFrame = {
+    val pairs = matchPairs(records, idCol, nameCol, blockCols,
+      maxEditDist, maxBlock).select(col("id_a"), col("id_b"))
+    Similarity.dedupClustersLogRounds(pairs,
+      records.select(col(idCol)), idCol)
+  }
+
+  /** Cluster roll-up for resolved entities (size ≥ 2): survivor id,
+    * member count, and the name span for review. */
+  def clusters(records: DataFrame, idCol: String, nameCol: String,
+               blockCols: Seq[String], maxEditDist: Int,
+               maxBlock: Int = 1000): DataFrame = {
+    val labels = resolve(records, idCol, nameCol, blockCols,
+      maxEditDist, maxBlock)
+    labels.join(records.select(col(idCol).as("id"), col(nameCol)), Seq("id"))
+      .groupBy(col("label").as("entity_rep"))
+      .agg(count(lit(1)).as("n_records"),
+        min(col(nameCol)).as("first_name"), max(col(nameCol)).as("last_name"))
+      .filter(col("n_records") >= 2)
+  }
+}
