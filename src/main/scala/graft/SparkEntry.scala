@@ -2329,6 +2329,34 @@ object SparkEntry {
         maxEditDist = 1, maxBlock = 1000)
       .orderBy(col("entity_rep"))
 
+  /** Triangle count + global clustering coefficient
+    * ([[graft.operators.Triangles]]) over the co-purchase graph (parts
+    * co-occurring in an order). Degree-oriented wedge generation
+    * (Suri & Vassilvitskii WWW'11) removes wedge skew STRUCTURALLY —
+    * out-degree bounded O(√E) regardless of hub degree — where the
+    * naive formulation explodes at a celebrity node. The oracle counts
+    * the same triangles via the orientation-free id-ordered three-way
+    * join, so the gate also proves the two formulations equivalent. */
+  def q114_triangles(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = li.select(col("o"), col("p").as("src"))
+      .join(li.select(col("o"), col("p").as("dst")), Seq("o"))
+      .filter(col("src") < col("dst"))
+      .select(col("src"), col("dst"))
+    graft.operators.Triangles.globalCount(edges, "src", "dst")
+  }
+
+  /** Pairwise association rules ([[graft.operators.MarketBasket]])
+    * over order baskets: support / confidence / lift for every part
+    * pair co-purchased ≥ 3 times, both rule directions. The oracle
+    * replays distinct baskets, item and pair counts, and all three
+    * measures. */
+  def q115_basket_rules(s: SparkSession, d: String): DataFrame =
+    graft.operators.MarketBasket.rules(lineitem(s, d),
+        "l_orderkey", "l_partkey", minCount = 3, minConfidence = 0.0)
+      .orderBy(col("item_a"), col("item_b"))
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2445,6 +2473,8 @@ object SparkEntry {
     "q111_k_anonymity"      -> (q111_k_anonymity _),
     "q112_bloom_semijoin"   -> (q112_bloom_semijoin _),
     "q113_entity_resolution"-> (q113_entity_resolution _),
+    "q114_triangles"        -> (q114_triangles _),
+    "q115_basket_rules"     -> (q115_basket_rules _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4543,6 +4573,61 @@ object SparkEntry {
          FROM labels JOIN c ON labels.id = c.id
          GROUP BY label HAVING count(*) >= 2
          ORDER BY entity_rep""",
+
+    // q114: the orientation-free formulation — id-ordered (a<b<c)
+    // three-way join — of the count the degree-oriented plan produces
+    "q114_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                     FROM lineitem),
+         pe AS (SELECT DISTINCT a.p AS a, b.p AS b
+                FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+         deg AS (SELECT node, count(*) AS deg FROM (
+                   SELECT a AS node FROM pe UNION ALL SELECT b FROM pe)
+                 GROUP BY 1),
+         tri AS (SELECT count(*) AS n_triangles
+                 FROM pe e1
+                 JOIN pe e2 ON e2.a = e1.a AND e2.b > e1.b
+                 JOIN pe e3 ON e3.a = e1.b AND e3.b = e2.b)
+         SELECT (SELECT count(*) FROM deg) AS n_nodes,
+                (SELECT count(*) FROM pe) AS n_edges,
+                (SELECT CAST(sum(deg * (deg - 1) / 2) AS BIGINT) FROM deg)
+                  AS n_wedges,
+                n_triangles,
+                CASE WHEN (SELECT sum(deg * (deg - 1) / 2) FROM deg) > 0
+                     THEN round(3.0 * n_triangles /
+                       (SELECT CAST(sum(deg * (deg - 1) / 2) AS BIGINT)
+                        FROM deg), 6)
+                     ELSE 0.0 END AS global_clustering
+         FROM tri""",
+
+    // q115: distinct baskets, item counts, pair counts and all three
+    // rule measures replayed; both directions from each pair
+    "q115_basket_rules" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                     FROM lineitem
+                     WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+         n AS (SELECT CAST(count(DISTINCT basket) AS DOUBLE) AS n FROM bi),
+         ic AS (SELECT item, count(*) AS c FROM bi GROUP BY 1),
+         pc AS (SELECT a.item AS ia, b.item AS ib, count(*) AS cab
+                FROM bi a JOIN bi b
+                  ON a.basket = b.basket AND a.item < b.item
+                GROUP BY 1, 2 HAVING count(*) >= 3),
+         att AS (SELECT pc.ia, pc.ib, pc.cab, ca.c AS ca, cb.c AS cb, n.n
+                 FROM pc JOIN ic ca ON ca.item = pc.ia
+                         JOIN ic cb ON cb.item = pc.ib
+                         CROSS JOIN n),
+         rules AS (
+           SELECT ia AS item_a, ib AS item_b, cab, ca AS c_a, cb AS c_b, n
+           FROM att
+           UNION ALL
+           SELECT ib, ia, cab, cb, ca, n FROM att)
+         SELECT item_a, item_b, cab AS pair_count,
+                round(cab / n, 6) AS support,
+                round(CAST(cab AS DOUBLE) / c_a, 6) AS confidence,
+                round(n * cab / (c_a * c_b), 6) AS lift
+         FROM rules
+         WHERE round(CAST(cab AS DOUBLE) / c_a, 6) >= 0.0
+         ORDER BY item_a, item_b""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a
