@@ -2357,6 +2357,24 @@ object SparkEntry {
         "l_orderkey", "l_partkey", minCount = 3, minConfidence = 0.0)
       .orderBy(col("item_a"), col("item_b"))
 
+  /** Perceptual-hash dedup groups ([[graft.operators.Multimodal
+    * .aHashBits]]): 64-bit average hash over each payload's leading
+    * block — exact integer bit arithmetic (byte·64 > Σ), built
+    * entirely from codegen'd builtins — grouped on hash equality, the
+    * image-dedup baseline of the multimodal family (the Hamming-banded
+    * fuzzy variant is spec-gated with planted twins). The oracle
+    * recomputes every bit of every hash through DuckDB's string/list
+    * lane. */
+  def q116_phash_groups(s: SparkSession, d: String): DataFrame =
+    graft.operators.Multimodal.withBlob(documents(s, d), "doc_id", "text")
+      .select(col("id"),
+        graft.operators.Multimodal.aHashBits(col("payload")).as("phash"))
+      .groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("id")).as("min_doc"),
+        max(col("id")).as("max_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("phash"))
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2475,6 +2493,7 @@ object SparkEntry {
     "q113_entity_resolution"-> (q113_entity_resolution _),
     "q114_triangles"        -> (q114_triangles _),
     "q115_basket_rules"     -> (q115_basket_rules _),
+    "q116_phash_groups"     -> (q116_phash_groups _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4628,6 +4647,28 @@ object SparkEntry {
          FROM rules
          WHERE round(CAST(cab AS DOUBLE) / c_a, 6) >= 0.0
          ORDER BY item_a, item_b""",
+
+    // q116: every bit of every hash recomputed — hex lane, zero-pad,
+    // integer mean comparison (byte·64 > Σ), grouping
+    "q116_phash_groups" ->
+      """WITH p AS (SELECT doc_id,
+                rpad(hex(CAST(text AS BLOB)), 128, '0') AS hx
+              FROM documents),
+         b AS (SELECT doc_id,
+                 list_transform(range(0, 64), i ->
+                   16 * (strpos('0123456789ABCDEF',
+                          substr(hx, CAST(2 * i + 1 AS INT), 1)) - 1)
+                      + (strpos('0123456789ABCDEF',
+                          substr(hx, CAST(2 * i + 2 AS INT), 1)) - 1)) AS bytes
+               FROM p),
+         h AS (SELECT doc_id,
+                 array_to_string(list_transform(bytes, x ->
+                   CASE WHEN x * 64 > list_sum(bytes)
+                        THEN '1' ELSE '0' END), '') AS phash
+               FROM b)
+         SELECT phash, count(*) AS n_docs, min(doc_id) AS min_doc,
+                max(doc_id) AS max_doc
+         FROM h GROUP BY 1 HAVING count(*) >= 2 ORDER BY phash""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a

@@ -50,6 +50,72 @@ object Multimodal {
       .as[MediaMeta]
   }
 
+  /** 64-bit average hash (aHash — the classic perceptual-hash family's
+    * baseline member) over a payload's leading 64 bytes, as a 64-char
+    * '0'/'1' string: bit i = (byte_i · 64 > Σ bytes), i.e. byte above
+    * the block mean, compared in EXACT integer arithmetic (no division,
+    * no float threshold — every bit replays in any engine). On real
+    * images the 64 bytes would be the 8×8 downsampled luma block; here
+    * the deterministic stand-in payload feeds the same bit pipeline,
+    * so the hash, grouping and Hamming machinery are real while the
+    * pixel decode stays the documented stub. Payloads shorter than 64
+    * bytes zero-pad (rpad on the hex lane). Built entirely from
+    * codegen'd builtins (hex / substr / conv / aggregate / transform)
+    * — no UDF, no new expression. The bit-string form trades 8×
+    * storage for exact cross-engine replay; flip to a packed long via
+    * conv() where storage dominates. */
+  def aHashBits(payload: Column): Column = {
+    val hx = rpad(hex(payload), 128, "0")
+    val bytes = transform(sequence(lit(0), lit(63)),
+      i => conv(hx.substr(i * 2 + 1, lit(2)), 16, 10).cast("int"))
+    val total = aggregate(bytes, lit(0), (a, x) => a + x)
+    array_join(transform(bytes, b =>
+      when(b * 64 > total, lit("1")).otherwise(lit("0"))), "")
+  }
+
+  /** Near-duplicate payload pairs by aHash Hamming distance ≤
+    * `maxHamming` — image-style fuzzy dedup with the LSH-banding
+    * shape: the 64-bit hash splits into `nBands` equal substrings,
+    * candidates pair only inside equal (band, substring) buckets, and
+    * exact Hamming verifies candidates only. `nBands > maxHamming`
+    * makes recall EXACT by pigeonhole: ≤ maxHamming differing bits
+    * cannot touch all bands, so some band matches verbatim — same
+    * argument as the MinHash band join, but deterministic. Returns
+    * (id_a, id_b, hamming), id_a < id_b. `maxBucket` caps degenerate
+    * buckets ([[Similarity.capBuckets]] — whole-bucket drop; a bucket
+    * that large means payloads with near-constant leading blocks,
+    * which pair through nothing discriminating anyway). */
+  def phashNearDup(df: DataFrame, idCol: String, payloadCol: String,
+                   maxHamming: Int = 3, nBands: Int = 4,
+                   maxBucket: Int = 1000): DataFrame = {
+    require(nBands > maxHamming,
+      s"nBands ($nBands) must exceed maxHamming ($maxHamming) for exact recall")
+    require(64 % nBands == 0, s"nBands must divide 64: $nBands")
+    require(maxHamming >= 0, s"maxHamming must be >= 0: $maxHamming")
+    val w = 64 / nBands
+    val sig = Checkpoints.materialize(
+      df.select(col(idCol).as("id"), aHashBits(col(payloadCol)).as("bits")))
+    val banded = sig.select(col("id"),
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band"),
+            substring(col("bits"), b * w + 1, w).as("sub"))): _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.sub").as("sub"))
+    val capped = Similarity.capBuckets(banded, Seq("band", "sub"), maxBucket)
+    val cand = capped.select(col("band"), col("sub"), col("id").as("id_a"))
+      .join(capped.select(col("band"), col("sub"), col("id").as("id_b")),
+        Seq("band", "sub"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val ham = (a: Column, b: Column) =>
+      aggregate(zip_with(split(a, ""), split(b, ""),
+        (x, y) => when(x === y, 0).otherwise(1)), lit(0), (s, v) => s + v)
+    cand
+      .join(sig.select(col("id").as("id_a"), col("bits").as("_ba")), Seq("id_a"))
+      .join(sig.select(col("id").as("id_b"), col("bits").as("_bb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), ham(col("_ba"), col("_bb")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Frame sampling plan: one output row per sampled frame index, evenly
     * spaced, at most `maxFrames` per media row. The per-frame decode is the
     * same stub; the *shape* (generate indices lazily, explode, never
