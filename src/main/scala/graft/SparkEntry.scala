@@ -2375,6 +2375,25 @@ object SparkEntry {
       .filter(col("n_docs") >= 2)
       .orderBy(col("phash"))
 
+  /** Exact phrase search ([[graft.operators.PhraseSearch]]) over a
+    * positional index: one corpus join + one aggregate for the whole
+    * query batch via the p−q alignment trick (a k-term phrase needs
+    * NO k−1 posting self-joins), postings pre-filtered to the query
+    * vocabulary by broadcast semi-join so the index tail never
+    * shuffles. Includes a repeated-term phrase — the case naive
+    * position intersection miscounts. Oracle replays postings, query
+    * offsets, the alignment grouping and the length gate. */
+  def q117_phrase_search(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val queries = Seq(
+      ("q1", "window window"), ("q2", "slow hash batch"),
+      ("q3", "data merge group"), ("q4", "the fast key"))
+      .toDF("query_id", "phrase")
+    graft.operators.PhraseSearch.search(documents(s, d), "doc_id", "text",
+        queries, "query_id", "phrase")
+      .orderBy(col("query_id"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2494,6 +2513,7 @@ object SparkEntry {
     "q114_triangles"        -> (q114_triangles _),
     "q115_basket_rules"     -> (q115_basket_rules _),
     "q116_phash_groups"     -> (q116_phash_groups _),
+    "q117_phrase_search"    -> (q117_phrase_search _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4669,6 +4689,40 @@ object SparkEntry {
          SELECT phash, count(*) AS n_docs, min(doc_id) AS min_doc,
                 max(doc_id) AS max_doc
          FROM h GROUP BY 1 HAVING count(*) >= 2 ORDER BY phash""",
+
+    // q117: postings with 0-based positions, query offsets, the p−q
+    // alignment grouping and the hits = length gate, all replayed
+    "q117_phrase_search" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM documents),
+         post AS (SELECT doc_id,
+                    unnest(list_transform(generate_series(1, len(w)),
+                      i -> {'pos': i - 1, 'term': w[i]})) AS pt
+                  FROM docs),
+         p2 AS (SELECT doc_id, CAST(pt.pos AS BIGINT) AS pos, pt.term AS term
+                FROM post WHERE pt.term <> ''),
+         qs AS (SELECT * FROM (VALUES
+                  ('q1', 'window window'), ('q2', 'slow hash batch'),
+                  ('q3', 'data merge group'), ('q4', 'the fast key'))
+                v(query_id, phrase)),
+         qt AS (SELECT query_id,
+                  unnest(list_transform(
+                    generate_series(1, len(string_split(phrase, ' '))),
+                    i -> {'q': i - 1,
+                          'term': string_split(phrase, ' ')[i]})) AS s
+                FROM qs),
+         q2 AS (SELECT query_id, CAST(s.q AS BIGINT) AS q, s.term
+                FROM qt WHERE s.term <> ''),
+         qlen AS (SELECT query_id, count(*) AS len FROM q2 GROUP BY 1),
+         occ AS (SELECT q.query_id, p.doc_id, p.pos - q.q AS start,
+                   count(*) AS hits
+                 FROM p2 p JOIN q2 q ON p.term = q.term GROUP BY 1, 2, 3),
+         res AS (SELECT occ.* FROM occ
+                 JOIN qlen ON occ.query_id = qlen.query_id
+                 WHERE start >= 0 AND hits = len)
+         SELECT query_id, count(DISTINCT doc_id) AS n_docs,
+                count(*) AS n_occurrences, min(doc_id) AS first_doc
+         FROM res GROUP BY 1 ORDER BY query_id""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a
