@@ -2322,11 +2322,14 @@ object SparkEntry {
     * stage machinery the engine proves elsewhere (capBuckets, q39's
     * candidate-only edit distance, q70's log-round components). The
     * oracle replays blocking, every Levenshtein verdict and the full
-    * closure (recursive CTE), and the roll-up. */
+    * closure (recursive CTE), and the roll-up. maxBlock is set far
+    * above any gate-SF nation block (sf0.1: ~600) because the oracle
+    * replays blocking UNCAPPED — a binding cap would diverge the two
+    * sides; the cap path itself is spec-gated. */
   def q113_entity_resolution(s: SparkSession, d: String): DataFrame =
     graft.operators.EntityResolution.clusters(customer(s, d),
         "c_custkey", "c_name", Seq("c_nationkey"),
-        maxEditDist = 1, maxBlock = 1000)
+        maxEditDist = 1, maxBlock = 100000)
       .orderBy(col("entity_rep"))
 
   /** Triangle count + global clustering coefficient
@@ -4531,13 +4534,13 @@ object SparkEntry {
                 SELECT 'o_custkey', CAST(o_custkey AS DOUBLE)
                 FROM curs WHERE o_custkey IS NOT NULL),
          br AS (SELECT v.col,
-                  CASE WHEN s.mx = s.mn THEN 0
+                  CASE WHEN s.mn IS NULL OR s.mx = s.mn THEN 0
                        ELSE CAST(greatest(least(floor((v.x - s.mn) /
                               ((s.mx - s.mn) / 10.0)), 9), 0) AS BIGINT)
                   END AS bin, count(*) AS cnt
                 FROM vr v JOIN stats s ON v.col = s.col GROUP BY 1, 2),
          bc AS (SELECT v.col,
-                  CASE WHEN s.mx = s.mn THEN 0
+                  CASE WHEN s.mn IS NULL OR s.mx = s.mn THEN 0
                        ELSE CAST(greatest(least(floor((v.x - s.mn) /
                               ((s.mx - s.mn) / 10.0)), 9), 0) AS BIGINT)
                   END AS bin, count(*) AS cnt
@@ -4665,7 +4668,7 @@ object SparkEntry {
                 round(CAST(cab AS DOUBLE) / c_a, 6) AS confidence,
                 round(n * cab / (c_a * c_b), 6) AS lift
          FROM rules
-         WHERE round(CAST(cab AS DOUBLE) / c_a, 6) >= 0.0
+         WHERE CAST(cab AS DOUBLE) / c_a >= 0.0
          ORDER BY item_a, item_b""",
 
     // q116: every bit of every hash recomputed — hex lane, zero-pad,
@@ -4793,7 +4796,7 @@ $rounds"""
                  FROM e JOIN r${k - 1} r ON e.src = r.node JOIN od ON e.src = od.node
                  GROUP BY 1),
          r$k AS (SELECT nodes.node,
-                   0.15 / (SELECT n FROM n) +
+                   (1 - 0.85) / (SELECT n FROM n) +
                    0.85 * (coalesce(c$k.contrib, 0) + (SELECT dm FROM d$k) / (SELECT n FROM n)) AS rank
                  FROM nodes LEFT JOIN c$k ON nodes.node = c$k.node)"""
     }.mkString(",\n")

@@ -58,8 +58,11 @@ object BloomPrune {
                     buildKey: String, estimatedItems: Long,
                     joinType: String): DataFrame = {
     val bloom = bloomOf(build, buildKey, estimatedItems)
-    pruned(probe, probeKey, bloom)
-      .join(build, col(probeKey) === build(buildKey), joinType)
+    val p = pruned(probe, probeKey, bloom)
+    // side-qualified references: probeKey and buildKey may share a name
+    // (the natural call for a shared key column), where bare col()
+    // would be ambiguous
+    p.join(build, p(probeKey) === build(buildKey), joinType)
   }
 
   /** Exact left-semi join with the probe exchange bloom-pruned:

@@ -51,29 +51,35 @@ object CountMin {
   }
 
   /** (d, wChars) recovered from a state frame — one action on the
-    * counter-sized table. */
-  private def geometryOf(state: DataFrame): (Int, Int) = {
+    * counter-sized table. None for an EMPTY state: a sketch of zero
+    * observations has all-zero counters under ANY geometry, so it is
+    * vacuously compatible everywhere (an all-null batch folds to an
+    * empty state — it must merge and probe, not NPE). */
+  private def geometryOf(state: DataFrame): Option[(Int, Int)] = {
     val r = state.agg(max(col("j")), max(length(col("cell")))).head()
-    (r.getInt(0) + 1, r.getInt(1))
+    if (r.isNullAt(0) || r.isNullAt(1)) None
+    else Some((r.getInt(0) + 1, r.getInt(1)))
   }
 
   private def requireGeometry(state: DataFrame, d: Int, wChars: Int,
-                              what: String): Unit = {
-    val (sd, sw) = geometryOf(state)
-    require(sd == d && sw == wChars,
-      s"$what: state has geometry d=$sd wChars=$sw but was called with " +
-        s"d=$d wChars=$wChars — mismatched probes hit empty cells and " +
-        "SILENTLY return underestimates, breaking the one-sided guarantee")
-  }
+                              what: String): Unit =
+    geometryOf(state).foreach { case (sd, sw) =>
+      require(sd == d && sw == wChars,
+        s"$what: state has geometry d=$sd wChars=$sw but was called with " +
+          s"d=$d wChars=$wChars — mismatched probes hit empty cells and " +
+          "SILENTLY return underestimates, breaking the one-sided guarantee")
+    }
 
   /** Merge sketch states built with the SAME geometry: union + re-sum.
     * Geometry agreement is checked — summing a 3-char-cell state into a
     * 4-char-cell state would interleave two incompatible counter
-    * spaces. */
+    * spaces. Empty states merge as identity. */
   def merge(states: DataFrame*): DataFrame = {
     require(states.nonEmpty, "merge needs at least one state")
-    val (d0, w0) = geometryOf(states.head)
-    states.tail.foreach(requireGeometry(_, d0, w0, "CountMin.merge"))
+    val defined = states.flatMap(geometryOf).distinct
+    require(defined.size <= 1,
+      s"CountMin.merge: mismatched geometries ${defined.mkString(", ")} — " +
+        "summing incompatible counter spaces interleaves them silently")
     states.reduce(_.unionByName(_))
       .groupBy(col("j"), col("cell"))
       .agg(sum(col("cnt")).as("cnt"))

@@ -61,17 +61,23 @@ object DataChecks {
     val scanReport: Option[DataFrame] = if (scanChecks.isEmpty) None else {
       val total = count(lit(1))
       // one aggregate expression per check, all inside a single agg()
+      // ratio denominators are guarded: an empty table (or an all-null
+      // pattern column) yields metric NULL — never 0.0/0.0 = NaN, which
+      // Spark orders ABOVE every number and would make `metric >= r`
+      // silently pass a column with zero conforming values
       val metricExprs: Seq[Column] = scanChecks.zipWithIndex.map {
         case (Completeness(c, _), i) =>
-          (count(col(c)).cast("double") / total.cast("double")).as(s"_m$i")
+          when(total > 0, count(col(c)).cast("double") / total.cast("double"))
+            .as(s"_m$i")
         case (Uniqueness(cols), i) =>
-          (count_distinct(struct(cols.map(col): _*)).cast("double") /
-            total.cast("double")).as(s"_m$i")
+          when(total > 0, count_distinct(struct(cols.map(col): _*))
+            .cast("double") / total.cast("double")).as(s"_m$i")
         case (InRange(c, lo, hi), i) =>
           count(when(col(c) < lo || col(c) > hi, 1)).cast("double").as(s"_m$i")
         case (MatchesPattern(c, re, _), i) =>
-          (count(when(regexp_like(col(c), lit(re)), 1)).cast("double") /
-            count(col(c)).cast("double")).as(s"_m$i")
+          when(count(col(c)) > 0,
+            count(when(regexp_like(col(c), lit(re)), 1)).cast("double") /
+              count(col(c)).cast("double")).as(s"_m$i")
         case (RowCountBetween(_, _), i) =>
           total.cast("double").as(s"_m$i")
         case (f, _) => throw new IllegalArgumentException(s"unexpected $f")
@@ -88,8 +94,10 @@ object DataChecks {
             m >= lit(lo.toDouble) && m <= lit(hi.toDouble))
           case f => throw new IllegalArgumentException(s"unexpected $f")
         }
+        // a NULL metric (guarded denominator above) FAILS the check —
+        // "couldn't measure" must never read as "passed"
         struct(lit(name).as("chk"), lit(target).as("target"),
-          round(m, 6).as("metric"), passed.as("passed"))
+          round(m, 6).as("metric"), coalesce(passed, lit(false)).as("passed"))
       }
       Some(aggd.select(explode(array(rows: _*)).as("_r")).select(col("_r.*")))
     }
@@ -120,12 +128,13 @@ object DataChecks {
     val (uniq, rest) = checks.partition(_.isInstanceOf[Uniqueness])
     val base = if (rest.nonEmpty) Some(report(df, rest)) else None
     val uniqReports = uniq.collect { case Uniqueness(cols) =>
-      df.agg((approx_count_distinct(struct(cols.map(col): _*), rsd).cast("double") /
-          count(lit(1)).cast("double")).as("_m"))
+      df.agg(when(count(lit(1)) > 0,
+          approx_count_distinct(struct(cols.map(col): _*), rsd).cast("double") /
+            count(lit(1)).cast("double")).as("_m"))
         .select(lit("uniqueness").as("chk"),
           lit(cols.mkString(",")).as("target"),
           round(col("_m"), 6).as("metric"),
-          (col("_m") >= lit(1.0 - rsd)).as("passed"))
+          coalesce(col("_m") >= lit(1.0 - rsd), lit(false)).as("passed"))
     }
     (base.toSeq ++ uniqReports)
       .reduce(_.unionByName(_))

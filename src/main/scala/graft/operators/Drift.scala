@@ -58,10 +58,16 @@ object Drift {
         lit(c).as("col"), col(c).cast("double").as("x"))): _*)).as("p"))
       .select(col("p.*")).filter(col("x").isNotNull)
     val w: Column = (col("mx") - col("mn")) / lit(bins.toDouble)
+    // mn IS NULL = the reference column had no values at all (the
+    // broken-extractor case this operator exists to catch): bin ALL
+    // current mass into bin 0 so it alarms against the empty reference
+    // instead of producing null bins that vanish in the grid join
+    // (silent psi = 0, n_cur = 0)
     pairs.join(broadcast(stats), Seq("col"))
-      .select(col("col"), when(col("mx") === col("mn"), lit(0L))
-        .otherwise(greatest(least(floor((col("x") - col("mn")) / w),
-          lit((bins - 1).toLong)), lit(0L))).as("bin"))
+      .select(col("col"),
+        when(col("mn").isNull || col("mx") === col("mn"), lit(0L))
+          .otherwise(greatest(least(floor((col("x") - col("mn")) / w),
+            lit((bins - 1).toLong)), lit(0L))).as("bin"))
       .groupBy(col("col"), col("bin")).agg(count(lit(1)).as("cnt"))
   }
 

@@ -70,11 +70,13 @@ object Funnel {
              tsCol: String, steps: Seq[String],
              horizonHours: Option[Int] = None): DataFrame = {
     val per = userSteps(events, userCol, typeCol, tsCol, steps, horizonHours)
+    // count(when(...)), not sum(when(...)): over an EMPTY per-user frame
+    // sum() is null while the oracle's sequential-join counts are 0 —
+    // count() gives the 0 both sides agree on
     val counts = per.agg(
-      sum(when(col("ts_1").isNotNull, 1L).otherwise(0L)).as("u_1"),
+      count(when(col("ts_1").isNotNull, 1)).as("u_1"),
       steps.indices.drop(1).map(i =>
-        sum(when(col(s"ts_${i + 1}").isNotNull, 1L).otherwise(0L))
-          .as(s"u_${i + 1}")): _*)
+        count(when(col(s"ts_${i + 1}").isNotNull, 1)).as(s"u_${i + 1}")): _*)
     // 1-row frame → explode into one row per step; divisions guarded so
     // an empty cohort yields nulls, not an engine-dependent 0/0
     val rows = steps.zipWithIndex.map { case (st, i) =>

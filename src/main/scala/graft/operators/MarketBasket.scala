@@ -65,10 +65,13 @@ object MarketBasket {
       struct(col("ib").as("item_a"), col("ia").as("item_b"),
         col("cab"), col("cb").as("c_a"), col("ca").as("c_b"), col("n"))))
       .as("r")).select(col("r.*"))
-    rows.select(col("item_a"), col("item_b"), col("cab").as("pair_count"),
+    // threshold on the UNROUNDED confidence (the codebase convention —
+    // q101/q104 filter raw values and round only the output; filtering
+    // the rounded value would admit rules up to 5e-7 below threshold)
+    rows.filter(col("cab") / col("c_a") >= minConfidence)
+      .select(col("item_a"), col("item_b"), col("cab").as("pair_count"),
         round(col("cab") / col("n"), 6).as("support"),
         round(col("cab") / col("c_a"), 6).as("confidence"),
         round(col("n") * col("cab") / (col("c_a") * col("c_b")), 6).as("lift"))
-      .filter(col("confidence") >= minConfidence)
   }
 }

@@ -62,6 +62,14 @@ class BloomPruneSpec extends SparkSpec {
       s"bloom must build as a distributed aggregate:\n$plan")
   }
 
+  test("probe and build keys sharing a NAME resolve unambiguously") {
+    val p = Seq(1L, 2L, 3L).toDF("k")
+    val b = Seq(2L, 3L).toDF("k")
+    val got = BloomPrune.semiJoin(p, "k", b, "k", estimatedItems = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 3L))
+  }
+
   test("invalid estimatedItems fails loudly") {
     intercept[IllegalArgumentException] {
       BloomPrune.bloomOf(build, "p_partkey", 0)

@@ -94,4 +94,20 @@ class CountMinSpec extends SparkSpec {
     val full = CountMin.state(stream, "term").as[(Int, String, Long)].collect().toSet
     assert(folded == full, "folded state diverged from full recompute (replay double-count?)")
   }
+
+  test("empty states merge as identity and estimate 0 (no NPE)") {
+    val empty = CountMin.state(
+      Seq(Option.empty[String]).toDF("term"), "term")
+    assert(empty.isEmpty)
+    // merge(empty, real) ≡ real; merge(empty, empty) is empty
+    val real = CountMin.state(stream, "term")
+    val merged = CountMin.merge(empty, real).as[(Int, String, Long)]
+      .collect().toSet
+    assert(merged == real.as[(Int, String, Long)].collect().toSet)
+    assert(CountMin.merge(empty, empty).isEmpty)
+    // estimating against an empty state returns the documented zeros
+    val est = CountMin.estimate(empty, Seq("hot").toDF("term"), "term")
+      .collect().head
+    assert(est.getLong(1) == 0L)
+  }
 }

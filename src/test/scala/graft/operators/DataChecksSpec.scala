@@ -80,4 +80,24 @@ class DataChecksSpec extends SparkSpec {
       DataChecks.report(df0, Seq.empty)
     }
   }
+
+  test("unmeasurable ratios FAIL instead of NaN-passing") {
+    // all-null pattern column: 0 conforming / 0 non-null was NaN, and
+    // NaN >= threshold is TRUE under Spark's NaN-is-largest ordering —
+    // the gate must fail, with a null metric, not silently pass
+    val allNull = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("id", "email")
+    val r = DataChecks.report(allNull,
+      Seq(MatchesPattern("email", "^[a-z]+@.*$", 0.9))).collect().head
+    assert(r.isNullAt(r.fieldIndex("metric")))
+    assert(!r.getAs[Boolean]("passed"))
+    // empty table: completeness/uniqueness denominators are 0
+    val empty = df0.filter(lit(false))
+    val rows = DataChecks.report(empty, Seq(
+      Completeness("email", 0.5), Uniqueness(Seq("id")))).collect()
+    assert(rows.forall(x => !x.getAs[Boolean]("passed")), rows.toSeq.toString)
+    val ra = DataChecks.reportApprox(empty, Seq(Uniqueness(Seq("id"))))
+      .collect().head
+    assert(!ra.getAs[Boolean]("passed"))
+  }
 }

@@ -61,6 +61,17 @@ class DriftSpec extends SparkSpec {
     assert(r.getAs[Long]("n_ref") == 2L)
   }
 
+  test("an all-null reference column ALARMS on current data (broken extractor)") {
+    val ref = Seq[Option[Double]](None, None).toDF("v")
+    val cur = df((1 to 50).map(_.toDouble))
+    val r = Drift.psiReport(ref, cur, Seq("v")).collect().head
+    assert(r.getAs[Long]("n_ref") == 0L)
+    assert(r.getAs[Long]("n_cur") == 50L,
+      s"current rows must not vanish into null bins: $r")
+    assert(r.getAs[Double]("psi") > 1.0,
+      s"all current mass vs an empty reference must alarm hard: $r")
+  }
+
   test("invalid bins fail loudly") {
     intercept[IllegalArgumentException] {
       Drift.psiReport(df(Seq(1.0)), df(Seq(1.0)), Seq("v"), bins = 1)

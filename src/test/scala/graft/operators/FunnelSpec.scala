@@ -81,6 +81,15 @@ class FunnelSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
   }
 
+  test("an empty cohort reports 0 users, not null (oracle parity)") {
+    val none = evts.filter(col("event_type") === "never")
+    val rows = Funnel.report(none, "user_id", "event_type", "ts",
+      Seq("A", "B"), horizonHours = Some(1)).collect()
+    assert(rows.map(_.getLong(2)).toSeq == Seq(0L, 0L))
+    assert(rows.forall(r => r.isNullAt(3) && r.isNullAt(4)),
+      "conversion ratios over a 0 denominator are null both sides")
+  }
+
   test("invalid inputs fail loudly") {
     intercept[IllegalArgumentException] {
       Funnel.userSteps(evts, "user_id", "event_type", "ts", Seq.empty)
