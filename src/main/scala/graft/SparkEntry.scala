@@ -2397,6 +2397,29 @@ object SparkEntry {
       .orderBy(col("query_id"))
   }
 
+  /** Exponential time-decay scoring ([[graft.operators.Decay]]):
+    * per-event-type trending scores with a 7-day half-life as of a
+    * fixed instant — recency weighting as a pure function of
+    * (data, asOf), integer event-time arithmetic, one aggregate. The
+    * oracle replays the microsecond ages, the pow weights and both
+    * decayed sums. */
+  def q118_decay_scores(s: SparkSession, d: String): DataFrame =
+    graft.operators.Decay.scores(events(s, d), "event_type", "ts", "value",
+        asOfMicros = 1706745600000000L, // 2024-02-01 00:00:00 UTC
+        halfLifeHours = 168.0)
+      .orderBy(col("key"))
+
+  /** First-order event-transition matrix
+    * ([[graft.operators.Transitions]]): Markov journey structure over
+    * (ts, event_id)-total-ordered per-user sequences — lag window
+    * partitioned by user (the sessionization shape, no global sort),
+    * vocabulary-sized everything after. Oracle replays the lag, the
+    * counts and row-normalized probabilities. */
+  def q119_transitions(s: SparkSession, d: String): DataFrame =
+    graft.operators.Transitions.matrix(events(s, d), "user_id",
+        "event_type", "ts", "event_id")
+      .orderBy(col("from_type"), col("to_type"))
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2517,6 +2540,8 @@ object SparkEntry {
     "q115_basket_rules"     -> (q115_basket_rules _),
     "q116_phash_groups"     -> (q116_phash_groups _),
     "q117_phrase_search"    -> (q117_phrase_search _),
+    "q118_decay_scores"     -> (q118_decay_scores _),
+    "q119_transitions"      -> (q119_transitions _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4726,6 +4751,39 @@ object SparkEntry {
          SELECT query_id, count(DISTINCT doc_id) AS n_docs,
                 count(*) AS n_occurrences, min(doc_id) AS first_doc
          FROM res GROUP BY 1 ORDER BY query_id""",
+
+    // q118: microsecond ages, pow(0.5, age/halfLife) weights and both
+    // decayed sums replayed with identical literal arithmetic
+    "q118_decay_scores" ->
+      """WITH e AS (SELECT event_type AS key, ts, value FROM events
+              WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                AND epoch_us(ts) <= 1706745600000000),
+         w AS (SELECT key, value,
+                 pow(0.5, (CAST(1706745600000000 - epoch_us(ts) AS DOUBLE)
+                   / 3600000000.0) / 168.0) AS w
+               FROM e)
+         SELECT key, round(sum(w), 4) AS decayed_count,
+                round(sum(w * value), 4) AS decayed_sum,
+                count(*) AS n_events
+         FROM w GROUP BY key ORDER BY key""",
+
+    // q119: the (ts, event_id)-ordered lag, transition counts and
+    // row-normalized probabilities replayed
+    "q119_transitions" ->
+      """WITH e AS (SELECT user_id, event_type, ts, event_id FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                AND ts IS NOT NULL),
+         p AS (SELECT event_type AS to_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS from_type
+               FROM e),
+         c AS (SELECT from_type, to_type, count(*) AS n FROM p
+               WHERE from_type IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
+         SELECT c.from_type, c.to_type, c.n,
+                round(CAST(c.n AS DOUBLE) / t.tot, 6) AS prob
+         FROM c JOIN t ON c.from_type = t.from_type
+         ORDER BY c.from_type, c.to_type""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a

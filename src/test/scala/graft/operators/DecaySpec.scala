@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DecaySpec extends SparkSpec {
+  import spark.implicits._
+
+  // asOf = 2024-01-02 00:00:00 UTC
+  private val asOf = 1704153600000000L
+  private val hour = 3600L * 1000000L
+
+  private def df(rows: (String, Long, Double)*) =
+    rows.toSeq.toDF("k", "us", "v")
+      .select(col("k"), timestamp_micros(col("us")).as("ts"), col("v"))
+
+  test("hand-computed half-life weights") {
+    // ages: 0h (w=1), 24h with halfLife 24 (w=0.5), 48h (w=0.25)
+    val d = df(("a", asOf, 10.0), ("a", asOf - 24 * hour, 10.0),
+      ("a", asOf - 48 * hour, 10.0))
+    val r = Decay.scores(d, "k", "ts", "v", asOf, halfLifeHours = 24.0)
+      .collect().head
+    assert(r.getDouble(1) == 1.75, "1 + 0.5 + 0.25")
+    assert(r.getDouble(2) == 17.5)
+    assert(r.getLong(3) == 3L)
+  }
+
+  test("future events (ts > asOf) are excluded, not overweighted") {
+    val d = df(("a", asOf + hour, 100.0), ("a", asOf, 1.0))
+    val r = Decay.scores(d, "k", "ts", "v", asOf, 24.0).collect().head
+    assert(r.getDouble(1) == 1.0 && r.getLong(3) == 1L)
+  }
+
+  test("recency dominance: a recent burst outranks a larger stale one") {
+    val d = df(
+      (("hot"), asOf - hour, 0.0), (("hot"), asOf - 2 * hour, 0.0),
+      (("stale"), asOf - 2000 * hour, 0.0), (("stale"), asOf - 2001 * hour, 0.0),
+      (("stale"), asOf - 2002 * hour, 0.0))
+    val m = Decay.scores(d, "k", "ts", "v", asOf, 24.0).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("hot") > m("stale"),
+      s"2 fresh events must outscore 3 ancient ones: $m")
+  }
+
+  test("decayed sums are mergeable: decay distributes over partial sums") {
+    // score(asOf2) == score(asOf1) · 2^(−gap/halfLife) for a fixed set
+    val d = df(("a", asOf - hour, 1.0), ("a", asOf - 5 * hour, 2.0))
+    val s1 = Decay.scores(d, "k", "ts", "v", asOf, 24.0)
+      .collect().head.getDouble(1)
+    val gap = 12L
+    val s2 = Decay.scores(d, "k", "ts", "v", asOf + gap * hour, 24.0)
+      .collect().head.getDouble(1)
+    val expected = s1 * math.pow(0.5, gap / 24.0)
+    assert(math.abs(s2 - expected) < 1e-3,
+      s"decay must distribute: $s2 vs $expected")
+  }
+
+  test("invalid half-life fails loudly") {
+    intercept[IllegalArgumentException] {
+      Decay.scores(df(("a", asOf, 1.0)), "k", "ts", "v", asOf, 0.0)
+    }
+  }
+}
