@@ -2420,6 +2420,20 @@ object SparkEntry {
         "event_type", "ts", "event_id")
       .orderBy(col("from_type"), col("to_type"))
 
+  /** Leakage-safe k-fold assignment ([[GroupSplit.foldColumn]]): every
+    * user's events land wholly in one of 5 folds via the md5-mod
+    * expression — growth-stable, shuffle-free in the scan projection,
+    * q95's contract extended to cross-validation. The oracle replays
+    * the md5 hex→integer→mod arithmetic digit by digit. */
+  def q120_kfold(s: SparkSession, d: String): DataFrame =
+    graft.operators.GroupSplit.assignFolds(
+        events(s, d).filter(col("user_id").isNotNull),
+        "user_id", seed = "cv-r8", k = 5)
+      .groupBy(col("fold"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("fold"))
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2542,6 +2556,7 @@ object SparkEntry {
     "q117_phrase_search"    -> (q117_phrase_search _),
     "q118_decay_scores"     -> (q118_decay_scores _),
     "q119_transitions"      -> (q119_transitions _),
+    "q120_kfold"            -> (q120_kfold _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4784,6 +4799,21 @@ object SparkEntry {
                 round(CAST(c.n AS DOUBLE) / t.tot, 6) AS prob
          FROM c JOIN t ON c.from_type = t.from_type
          ORDER BY c.from_type, c.to_type""",
+
+    // q120: the md5 → 8-hex-digit integer → mod-k fold arithmetic
+    // replayed digit by digit (16^i place values are double-exact)
+    "q120_kfold" ->
+      """WITH u AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+         f AS (SELECT user_id,
+                 CAST(CAST(list_sum(list_transform(range(0, 8), i ->
+                     (strpos('0123456789abcdef',
+                        substr(substr(md5('cv-r8/' || CAST(user_id AS VARCHAR)), 1, 8),
+                          CAST(i + 1 AS INT), 1)) - 1)
+                     * (16 ** CAST(7 - i AS INT)))) AS BIGINT) % 5 AS INT)
+                   AS fold
+               FROM u)
+         SELECT fold, count(DISTINCT user_id) AS n_users, count(*) AS n_rows
+         FROM f GROUP BY 1 ORDER BY fold""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a

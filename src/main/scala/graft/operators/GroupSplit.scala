@@ -56,4 +56,24 @@ object GroupSplit {
   def assign(df: DataFrame, groupCol: String, seed: String,
              fractions: Seq[(String, Double)]): DataFrame =
     df.withColumn("split", splitColumn(col(groupCol), seed, fractions))
+
+  /** Leakage-safe k-FOLD assignment (cross-validation's split shape):
+    * fold = (first 8 md5 hex digits of "<seed>/<group>") mod k — the
+    * same pure-expression, growth-stable, no-shuffle contract as
+    * [[splitColumn]] (a group's fold never changes as the corpus
+    * grows; whole groups move together; nulls hash under the
+    * sentinel). Uniform to within the 2³² mod-k remainder bias
+    * (< 2⁻²⁸ for any practical k). */
+  def foldColumn(groupKey: Column, seed: String, k: Int): Column = {
+    require(k >= 2, s"k must be >= 2: $k")
+    val h = substring(
+      md5(concat(lit(seed + "/"),
+        coalesce(groupKey.cast("string"), lit(NullSentinel)))), 1, 8)
+    pmod(conv(h, 16, 10).cast("long"), lit(k.toLong)).cast("int")
+  }
+
+  /** `df` plus a `fold` column in [0, k). */
+  def assignFolds(df: DataFrame, groupCol: String, seed: String,
+                  k: Int): DataFrame =
+    df.withColumn("fold", foldColumn(col(groupCol), seed, k))
 }

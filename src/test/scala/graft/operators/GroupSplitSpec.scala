@@ -77,4 +77,40 @@ class GroupSplitSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"split assignment must not shuffle:\n$plan")
   }
+
+  test("k-fold: whole groups share a fold, folds span [0,k), roughly balanced") {
+    val folded = GroupSplit.assignFolds(corpus, "grp", "cv", k = 5)
+    val perGroup = folded.groupBy(col("grp"))
+      .agg(countDistinct(col("fold")).as("nf")).collect()
+    assert(perGroup.forall(_.getLong(1) == 1L), "a group must sit in ONE fold")
+    val folds = folded.select(col("fold")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(folds.subsetOf((0 until 5).toSet) && folds.size >= 3,
+      s"5 folds over many groups should mostly populate: $folds")
+  }
+
+  test("k-fold is deterministic, seed-sensitive and growth-stable") {
+    val a = GroupSplit.assignFolds(corpus, "grp", "cv", 5)
+      .select(col("grp"), col("fold")).distinct().collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val b = GroupSplit.assignFolds(corpus, "grp", "cv", 5)
+      .select(col("grp"), col("fold")).distinct().collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(a == b)
+    val seeded = GroupSplit.assignFolds(corpus, "grp", "cv2", 5)
+      .select(col("grp"), col("fold")).distinct().collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(seeded != a, "a different seed must reshuffle folds")
+    // growth stability: folds computed on a subset agree with the full corpus
+    val sub = GroupSplit.assignFolds(corpus.limit(20), "grp", "cv", 5)
+      .select(col("grp"), col("fold")).distinct().collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(sub.forall { case (g, f) => a(g) == f })
+  }
+
+  test("k-fold: invalid k fails loudly") {
+    intercept[IllegalArgumentException] {
+      GroupSplit.assignFolds(corpus, "grp", "cv", 1)
+    }
+  }
 }
