@@ -4786,14 +4786,15 @@ object SparkEntry {
     // row-normalized probabilities replayed
     "q119_transitions" ->
       """WITH e AS (SELECT user_id, event_type, ts, event_id FROM events
-              WHERE user_id IS NOT NULL AND event_type IS NOT NULL
-                AND ts IS NOT NULL),
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND event_id IS NOT NULL),
          p AS (SELECT event_type AS to_type,
                  lag(event_type) OVER (PARTITION BY user_id
                    ORDER BY ts, event_id) AS from_type
                FROM e),
          c AS (SELECT from_type, to_type, count(*) AS n FROM p
-               WHERE from_type IS NOT NULL GROUP BY 1, 2),
+               WHERE from_type IS NOT NULL AND to_type IS NOT NULL
+               GROUP BY 1, 2),
          t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
          SELECT c.from_type, c.to_type, c.n,
                 round(CAST(c.n AS DOUBLE) / t.tot, 6) AS prob

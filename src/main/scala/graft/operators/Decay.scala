@@ -18,15 +18,15 @@ import org.apache.spark.sql.functions._
   * pow/sum. One scan, one hash aggregate, key-partitioned. */
 object Decay {
 
-  /** Weight column: 2^(−(asOfMicros − ts)/halfLife). Rows AFTER `asOf`
-    * weigh > 1 by this formula, so they are excluded (a backfill run
-    * scoring "as of" a past instant must not see the future). */
   /** NTZ-tolerant event-time micros: unix_micros takes TIMESTAMP only;
     * an NTZ column casts through the session zone (UTC in
     * [[graft.GraftSession]]), matching DuckDB's naive-as-UTC epoch_us. */
   private def micros(tsCol: Column): Column =
     unix_micros(tsCol.cast("timestamp"))
 
+  /** Weight column: 2^(−(asOfMicros − ts)/halfLife). Rows AFTER `asOf`
+    * weigh > 1 by this formula, so [[scores]] excludes them (a backfill
+    * run scoring "as of" a past instant must not see the future). */
   private def weight(tsCol: Column, asOfMicros: Long,
                      halfLifeHours: Double): Column = {
     val ageHours = (lit(asOfMicros) - micros(tsCol)).cast("double") /

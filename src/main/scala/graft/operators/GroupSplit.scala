@@ -29,6 +29,14 @@ object GroupSplit {
 
   private val NullSentinel = " NULL"
 
+  /** THE replay contract both split and fold share: first 8 hex digits
+    * of md5("<seed>/<group-or-sentinel>"). One definition — a one-sided
+    * change to sentinel, separator or digest width would silently break
+    * the documented cross-operator/oracle replay. */
+  private def hash8(groupKey: Column, seed: String): Column =
+    substring(md5(concat(lit(seed + "/"),
+      coalesce(groupKey.cast("string"), lit(NullSentinel)))), 1, 8)
+
   /** The split column expression: `fractions` are (name, weight) in
     * declaration order, summing to 1 (±1e-9). */
   def splitColumn(groupKey: Column, seed: String,
@@ -37,9 +45,7 @@ object GroupSplit {
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
       s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
     require(fractions.forall(_._2 > 0), "every fraction must be positive")
-    val h = substring(
-      md5(concat(lit(seed + "/"), coalesce(groupKey.cast("string"), lit(NullSentinel)))),
-      1, 8)
+    val h = hash8(groupKey, seed)
     val cum = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
     // 8 lowercase hex digits compare lexicographically as numbers, so a
     // string threshold at floor(cum * 2^32) is an exact numeric cut
@@ -66,10 +72,8 @@ object GroupSplit {
     * (< 2⁻²⁸ for any practical k). */
   def foldColumn(groupKey: Column, seed: String, k: Int): Column = {
     require(k >= 2, s"k must be >= 2: $k")
-    val h = substring(
-      md5(concat(lit(seed + "/"),
-        coalesce(groupKey.cast("string"), lit(NullSentinel)))), 1, 8)
-    pmod(conv(h, 16, 10).cast("long"), lit(k.toLong)).cast("int")
+    pmod(conv(hash8(groupKey, seed), 16, 10).cast("long"), lit(k.toLong))
+      .cast("int")
   }
 
   /** `df` plus a `fold` column in [0, k). */

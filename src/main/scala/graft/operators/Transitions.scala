@@ -24,17 +24,26 @@ object Transitions {
   /** (from_type, to_type, n, prob): counts of consecutive-event pairs
     * per user and row-normalized probabilities (Σ prob over to_type =
     * 1 per from_type), prob rounded to 6. Each user's last event emits
-    * no transition. */
+    * no transition.
+    *
+    * Contract: (tsCol, tieBreakCol) must be UNIQUE per user — the
+    * tie-break exists to make the order total, and a duplicate pair
+    * would silently reintroduce run-dependent counts (rows with a null
+    * tie-break are dropped for the same reason: engines disagree on
+    * null sort position). A null TYPE, however, stays in the sequence
+    * as a break: its neighbors were never consecutive, so A,∅,B must
+    * not count as A→B — null-typed rows emit no transition themselves
+    * but stop adjacency from splicing across them. */
   def matrix(events: DataFrame, userCol: String, typeCol: String,
              tsCol: String, tieBreakCol: String): DataFrame = {
     val w = Window.partitionBy(col(userCol))
       .orderBy(col(tsCol), col(tieBreakCol))
     val pairs = events
-      .filter(col(userCol).isNotNull && col(typeCol).isNotNull &&
-        col(tsCol).isNotNull)
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
+        col(tieBreakCol).isNotNull)
       .select(col(typeCol).as("to_type"),
         lag(col(typeCol), 1).over(w).as("from_type"))
-      .filter(col("from_type").isNotNull)
+      .filter(col("from_type").isNotNull && col("to_type").isNotNull)
     val counts = pairs.groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
     val totals = counts.groupBy(col("from_type"))

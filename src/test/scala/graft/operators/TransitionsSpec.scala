@@ -38,6 +38,29 @@ class TransitionsSpec extends SparkSpec {
       s"tie order must follow event_id: $got")
   }
 
+  test("a null-typed event BREAKS the sequence instead of splicing") {
+    // A, ∅, B: A and B were never consecutive — no A→B transition
+    val d = Seq((1L, Option("A"), 1L, 1L), (1L, Option.empty[String], 2L, 2L),
+      (1L, Option("B"), 3L, 3L))
+      .toDF("user_id", "et", "us", "eid")
+      .select(col("user_id"), col("et"),
+        timestamp_micros(col("us") * 1000000L).as("ts"), col("eid"))
+    assert(Transitions.matrix(d, "user_id", "et", "ts", "eid").isEmpty,
+      "null-typed middle event must stop adjacency from splicing")
+  }
+
+  test("null tie-break rows are dropped (engines disagree on null sort order)") {
+    val d = Seq((1L, "A", 1L, Option(1L)), (1L, "B", 2L, Option.empty[Long]),
+      (1L, "C", 3L, Option(3L)))
+      .toDF("user_id", "et", "us", "eid")
+      .select(col("user_id"), col("et"),
+        timestamp_micros(col("us") * 1000000L).as("ts"), col("eid"))
+    val got = Transitions.matrix(d, "user_id", "et", "ts", "eid").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("A", "C")),
+      s"the null-eid row must vanish from the sequence entirely: $got")
+  }
+
   test("probabilities sum to 1 per from_type on the real fixture") {
     val m = Transitions.matrix(graft.Tables.events(spark, sfDir),
       "user_id", "event_type", "ts", "event_id")
