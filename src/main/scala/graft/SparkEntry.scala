@@ -2434,6 +2434,20 @@ object SparkEntry {
         count(lit(1)).as("n_rows"))
       .orderBy(col("fold"))
 
+  /** Jaro-Winkler record matching
+    * ([[graft.operators.EntityResolution.matchPairsJw]], the
+    * [[graft.plans.JaroWinkler]] native expression): nation-blocked
+    * customer pairs at raw similarity ≥ 0.98 — q113's pipeline with
+    * linkage's standard transposition-tolerant scorer. The oracle is
+    * DuckDB's own jaro_winkler_similarity over the same blocking,
+    * pinning the expression value-identical to an independent
+    * implementation. */
+  def q121_jw_match(s: SparkSession, d: String): DataFrame =
+    graft.operators.EntityResolution.matchPairsJw(customer(s, d),
+        "c_custkey", "c_name", Seq("c_nationkey"),
+        minSim = 0.98, maxBlock = 100000)
+      .orderBy(col("id_a"), col("id_b"))
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2557,6 +2571,7 @@ object SparkEntry {
     "q118_decay_scores"     -> (q118_decay_scores _),
     "q119_transitions"      -> (q119_transitions _),
     "q120_kfold"            -> (q120_kfold _),
+    "q121_jw_match"         -> (q121_jw_match _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4815,6 +4830,18 @@ object SparkEntry {
                FROM u)
          SELECT fold, count(DISTINCT user_id) AS n_users, count(*) AS n_rows
          FROM f GROUP BY 1 ORDER BY fold""",
+
+    // q121: DuckDB's own Jaro-Winkler over the same blocking — an
+    // INDEPENDENT implementation pinning the native expression
+    "q121_jw_match" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                round(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS jw_sim
+         FROM customer a JOIN customer b
+           ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+         WHERE a.c_custkey IS NOT NULL AND a.c_name IS NOT NULL
+           AND a.c_nationkey IS NOT NULL AND b.c_name IS NOT NULL
+           AND jaro_winkler_similarity(a.c_name, b.c_name) >= 0.98
+         ORDER BY id_a, id_b""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a

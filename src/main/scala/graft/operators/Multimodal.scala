@@ -65,12 +65,21 @@ object Multimodal {
     * storage for exact cross-engine replay; flip to a packed long via
     * conv() where storage dominates. */
   def aHashBits(payload: Column): Column = {
-    val hx = rpad(hex(payload), 128, "0")
+    // slice the 64-byte block BEFORE hex: a megabyte payload must cost
+    // a 64-byte hex, not a 2 MB hex string that rpad then throws away
+    val hx = rpad(hex(substring(payload, 1, 64)), 128, "0")
     val bytes = transform(sequence(lit(0), lit(63)),
       i => conv(hx.substr(i * 2 + 1, lit(2)), 16, 10).cast("int"))
-    val total = aggregate(bytes, lit(0), (a, x) => a + x)
-    array_join(transform(bytes, b =>
-      when(b * 64 > total, lit("1")).otherwise(lit("0"))), "")
+    // λ-bind bytes (and its sum) via single-element transform so the
+    // 64-conv array evaluates ONCE per row — referencing `bytes` from
+    // both the sum and the bit map would evaluate the tree twice
+    // (lambda subexpressions are outside Spark's subexpr elimination)
+    transform(array(bytes), bs =>
+      transform(array(aggregate(bs, lit(0), (a, x) => a + x)), tot =>
+        array_join(transform(bs, b =>
+          when(b * 64 > tot, lit("1")).otherwise(lit("0"))), ""))
+        .getItem(0))
+      .getItem(0)
   }
 
   /** Near-duplicate payload pairs by aHash Hamming distance ≤

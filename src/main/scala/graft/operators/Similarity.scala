@@ -464,15 +464,21 @@ object Similarity {
 
     var round = 0
     var converged = false
+    // both frames are deduped, so |next| = |edges| plus next∖edges = ∅
+    // implies set equality — ONE anti-join action per round instead of
+    // two (the second anti-join was ~a third of each round's wall time;
+    // the count on a just-materialized frame is a local scan). The
+    // count also carries across rounds: each round pays one count, not
+    // two.
+    var edgeCount = edges.count()
     while (!converged && round < maxRounds) {
       val next = Checkpoints.materialize(star(star(edges, large = true), large = false))
-      // fixpoint when the (canonical, deduped) edge sets are identical;
-      // two anti-joins over checkpointed frames, no data collected
-      converged =
-        next.join(edges, Seq("u", "v"), "left_anti").isEmpty &&
-        edges.join(next, Seq("u", "v"), "left_anti").isEmpty
+      val nextCount = next.count()
+      converged = nextCount == edgeCount &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
       Checkpoints.release(edges)
       edges = next
+      edgeCount = nextCount
       round += 1
     }
     if (!converged) throw new IllegalStateException(

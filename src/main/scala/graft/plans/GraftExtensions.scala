@@ -86,6 +86,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           children(0), children(1))))
 
+    ext.injectFunction((
+      new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (children: Seq[Expression]) => JaroWinkler(children(0), children(1))))
+
     // The build half of the same runtime-filter pair: Spark's internal
     // BloomFilterAggregate, SQL-registered so a bloom can be built as a
     // DISTRIBUTED aggregate (partial blooms per partition, OR-merge)
