@@ -2441,7 +2441,10 @@ object SparkEntry {
     * linkage's standard transposition-tolerant scorer. The oracle is
     * DuckDB's own jaro_winkler_similarity over the same blocking,
     * pinning the expression value-identical to an independent
-    * implementation. */
+    * implementation. maxBlock sits far above any gate-SF nation block
+    * (q113's rationale: the oracle replays blocking UNCAPPED, so a
+    * binding cap would diverge the two sides; the cap path is
+    * spec-gated). */
   def q121_jw_match(s: SparkSession, d: String): DataFrame =
     graft.operators.EntityResolution.matchPairsJw(customer(s, d),
         "c_custkey", "c_name", Seq("c_nationkey"),

@@ -36,14 +36,15 @@ import org.apache.spark.sql.functions._
   * deterministic "keep the oldest id" survivorship rule). */
 object EntityResolution {
 
-  /** Match edges: (id_a, id_b, edit_dist), id_a < id_b, same blocking
-    * key, Levenshtein ≤ maxEditDist. */
-  def matchPairs(records: DataFrame, idCol: String, nameCol: String,
-                 blockCols: Seq[String], maxEditDist: Int,
-                 maxBlock: Int = 1000): DataFrame = {
+  /** The shared blocking scaffold: null-filtered projection, capped
+    * blocks, within-block self-join — (id_a, id_b, _na, _nb) with
+    * id_a < id_b. ONE definition for every scorer (a one-sided edit to
+    * null handling or capping would silently fork the variants). */
+  private def blockedPairs(records: DataFrame, idCol: String,
+                           nameCol: String, blockCols: Seq[String],
+                           maxBlock: Int): DataFrame = {
     require(blockCols.nonEmpty,
       "blockCols must be non-empty: blocking is what bounds the pair space")
-    require(maxEditDist >= 0, s"maxEditDist must be >= 0: $maxEditDist")
     val proj = records.select(
       (col(idCol) +: col(nameCol) +: blockCols.map(col)): _*)
       .filter(col(idCol).isNotNull && col(nameCol).isNotNull &&
@@ -53,12 +54,21 @@ object EntityResolution {
       blockCols.map(c => col(c).as(s"_b_$c")): _*)
     val b = capped.select(col(idCol).as("id_b") +: col(nameCol).as("_nb") +:
       blockCols.map(c => col(c).as(s"_b_$c")): _*)
+    a.join(b, blockCols.map(c => s"_b_$c"))
+      .filter(col("id_a") < col("id_b"))
+  }
+
+  /** Match edges: (id_a, id_b, edit_dist), id_a < id_b, same blocking
+    * key, Levenshtein ≤ maxEditDist. */
+  def matchPairs(records: DataFrame, idCol: String, nameCol: String,
+                 blockCols: Seq[String], maxEditDist: Int,
+                 maxBlock: Int = 1000): DataFrame = {
+    require(maxEditDist >= 0, s"maxEditDist must be >= 0: $maxEditDist")
     // THRESHOLD Levenshtein (banded DP, early-exit; Spark 3.5+): -1 when
     // the distance exceeds maxEditDist, the exact distance otherwise —
     // measured 5× cheaper than the unbounded form on this join (the DP
     // band is O(n·k) instead of O(n²) and most pairs exit early)
-    a.join(b, blockCols.map(c => s"_b_$c"))
-      .filter(col("id_a") < col("id_b"))
+    blockedPairs(records, idCol, nameCol, blockCols, maxBlock)
       .select(col("id_a"), col("id_b"),
         levenshtein(col("_na"), col("_nb"), maxEditDist).as("edit_dist"))
       .filter(col("edit_dist") >= 0)
@@ -73,20 +83,8 @@ object EntityResolution {
   def matchPairsJw(records: DataFrame, idCol: String, nameCol: String,
                    blockCols: Seq[String], minSim: Double,
                    maxBlock: Int = 1000): DataFrame = {
-    require(blockCols.nonEmpty,
-      "blockCols must be non-empty: blocking is what bounds the pair space")
     require(minSim > 0 && minSim <= 1, s"minSim must be in (0,1]: $minSim")
-    val proj = records.select(
-      (col(idCol) +: col(nameCol) +: blockCols.map(col)): _*)
-      .filter(col(idCol).isNotNull && col(nameCol).isNotNull &&
-        blockCols.map(col(_).isNotNull).reduce(_ && _))
-    val capped = Similarity.capBuckets(proj, blockCols, maxBlock)
-    val a = capped.select(col(idCol).as("id_a") +: col(nameCol).as("_na") +:
-      blockCols.map(c => col(c).as(s"_b_$c")): _*)
-    val b = capped.select(col(idCol).as("id_b") +: col(nameCol).as("_nb") +:
-      blockCols.map(c => col(c).as(s"_b_$c")): _*)
-    a.join(b, blockCols.map(c => s"_b_$c"))
-      .filter(col("id_a") < col("id_b"))
+    blockedPairs(records, idCol, nameCol, blockCols, maxBlock)
       .select(col("id_a"), col("id_b"),
         call_function("jaro_winkler", col("_na"), col("_nb")).as("_jw"))
       .filter(col("_jw") >= minSim)

@@ -24,9 +24,14 @@ class JaroWinklerSpec extends SparkSpec {
   }
 
   test("boost applies only above the 0.7 threshold and caps at 4 prefix chars") {
-    // low-sim pair with a shared prefix: must NOT get boosted
+    // low-sim pair with a 4-char shared prefix: m=4, t=0 →
+    // jaro = (4/9 + 4/16 + 1)/3 ≈ 0.5648, below the boost threshold —
+    // the result must be the UNBOOSTED jaro (an unconditional-boost
+    // regression would yield 0.7389)
     val low = jw("abcdxxxxx", "abcdyyyyyyyyzzzz")
-    assert(low <= 0.7 || low == jw("abcdxxxxx", "abcdyyyyyyyyzzzz"))
+    val unboosted = (4.0 / 9 + 4.0 / 16 + 1.0) / 3
+    assert(math.abs(low - unboosted) < 1e-12,
+      s"below-threshold pair must not be prefix-boosted: $low")
     // long shared prefix: boost uses l = 4, not more
     val j9 = jw("prefixAAAA", "prefixAAAB")
     val jaroOnly = (9.0 / 10 + 9.0 / 10 + 1.0) / 3
