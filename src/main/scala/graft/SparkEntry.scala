@@ -2451,6 +2451,21 @@ object SparkEntry {
         minSim = 0.98, maxBlock = 100000)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Deletion-neighborhood exact distance-1 matching
+    * ([[graft.operators.EntityResolution.matchPairsDeletion1]]): the
+    * SymSpell-family candidate generator — every distance-≤1 pair
+    * provably shares a single-deletion variant, so the variant
+    * hash-join replaces BOTH the blocking key (no recall trade at
+    * all) and the quadratic block self-join (O(n·L) variants instead
+    * of O(Σ block²) pairs). The oracle is the UNBLOCKED brute-force
+    * all-pairs scan — completeness itself is under the hash. */
+  def q122_deletion_neighborhood(s: SparkSession, d: String): DataFrame =
+    graft.operators.EntityResolution.matchPairsDeletion1(customer(s, d),
+        "c_custkey", "c_name")
+      .select(col("id_a"), col("id_b"),
+        col("edit_dist").cast("bigint").as("edit_dist"))
+      .orderBy(col("id_a"), col("id_b"))
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2575,6 +2590,7 @@ object SparkEntry {
     "q119_transitions"      -> (q119_transitions _),
     "q120_kfold"            -> (q120_kfold _),
     "q121_jw_match"         -> (q121_jw_match _),
+    "q122_deletion_neighborhood" -> (q122_deletion_neighborhood _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4844,6 +4860,16 @@ object SparkEntry {
          WHERE a.c_custkey IS NOT NULL AND a.c_name IS NOT NULL
            AND a.c_nationkey IS NOT NULL AND b.c_name IS NOT NULL
            AND jaro_winkler_similarity(a.c_name, b.c_name) >= 0.98
+         ORDER BY id_a, id_b""",
+
+    // q122: the UNBLOCKED brute-force all-pairs truth — the deletion-
+    // neighborhood candidate set must lose nothing against it
+    "q122_deletion_neighborhood" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                levenshtein(a.c_name, b.c_name) AS edit_dist
+         FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+         WHERE a.c_name IS NOT NULL AND b.c_name IS NOT NULL
+           AND levenshtein(a.c_name, b.c_name) <= 1
          ORDER BY id_a, id_b""",
   )
 

@@ -91,6 +91,55 @@ object EntityResolution {
       .select(col("id_a"), col("id_b"), round(col("_jw"), 6).as("jw_sim"))
   }
 
+  /** Exact edit-distance-≤1 match pairs over the WHOLE corpus with NO
+    * blocking key and NO quadratic join — the deletion-neighborhood
+    * method (the SymSpell/FastSS family): every string emits itself
+    * plus its |s| single-deletion variants, and any two strings within
+    * Levenshtein distance 1 provably share a variant —
+    *   substitution at i  → both deletion-at-i variants equal;
+    *   insertion/deletion → the longer string's deletion-at-i equals
+    *                        the shorter string ITSELF.
+    * So the variant hash-join's candidate set is COMPLETE: unlike
+    * key-blocking ([[matchPairs]]), there is no recall trade at all,
+    * and unlike the blocked self-join the cost is O(n·L) emitted
+    * variants + bucket-bounded pairs instead of O(Σ block²). The
+    * threshold-Levenshtein verify then removes the false candidates
+    * (distinct strings CAN share a variant at distance 2, e.g.
+    * "ab"→"b"←"cb" is dist 1, but "axc"/"ayc" share "ac" at dist 1 —
+    * and "ab"/"ba" share "b" and "a" at distance 2 — so verification
+    * is still load-bearing).
+    *
+    * `maxBucket` caps degenerate variant buckets
+    * ([[Similarity.capBuckets]] whole-bucket drop — a bucket that
+    * large means thousands of strings one edit from the same variant,
+    * i.e. a near-constant column). Returns (id_a, id_b, edit_dist),
+    * id_a < id_b, edit_dist ∈ {0, 1} (0 = exact duplicate names on
+    * distinct ids). */
+  def matchPairsDeletion1(records: DataFrame, idCol: String,
+                          nameCol: String,
+                          maxBucket: Int = 10000): DataFrame = {
+    val base = records
+      .select(col(idCol).as("_id"), col(nameCol).as("_nm"))
+      .filter(col("_id").isNotNull && col("_nm").isNotNull)
+    val variants = base.select(col("_id"), col("_nm"),
+      explode(array_distinct(concat(
+        array(col("_nm")),
+        transform(sequence(lit(0), length(col("_nm")) - 1), i =>
+          concat(col("_nm").substr(lit(1), i),
+            col("_nm").substr(i + lit(2), length(col("_nm")))))))).as("_v"))
+    val capped = Similarity.capBuckets(variants, Seq("_v"), maxBucket)
+    val cand = capped.select(col("_v"), col("_id").as("id_a"))
+      .join(capped.select(col("_v"), col("_id").as("id_b")), Seq("_v"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(base.select(col("_id").as("id_a"), col("_nm").as("_na")), Seq("id_a"))
+      .join(base.select(col("_id").as("id_b"), col("_nm").as("_nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("_na"), col("_nb"), 1).as("edit_dist"))
+      .filter(col("edit_dist") >= 0)
+  }
+
   /** (id, label) over ALL records: label = component-minimum id of the
     * match graph, = the record's own id for non-matched records. */
   def resolve(records: DataFrame, idCol: String, nameCol: String,

@@ -64,6 +64,52 @@ class EntityResolutionSpec extends SparkSpec {
     assert(pairs.isEmpty, "a block over the cap must produce no candidates")
   }
 
+  test("deletion neighborhood ≡ unblocked brute force at distance 1") {
+    // random short strings over a 3-letter alphabet: dense dist-1 space
+    val rnd = new scala.util.Random(13)
+    val names = Seq.fill(120)(Seq.fill(2 + rnd.nextInt(4))(
+      ('a' + rnd.nextInt(3)).toChar).mkString)
+    val recsR = names.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("id", "name")
+    val got = EntityResolution.matchPairsDeletion1(recsR, "id", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val brute = (for {
+      i <- names.indices; j <- names.indices if i < j
+      d = levenshteinRef(names(i), names(j)) if d <= 1
+    } yield (i.toLong, j.toLong) -> d).toMap
+    assert(got == brute,
+      s"missing ${brute.keySet -- got.keySet}, extra ${got.keySet -- brute.keySet}")
+    assert(brute.nonEmpty, "fixture must contain dist-<=1 pairs")
+  }
+
+  test("deletion neighborhood covers all three edit kinds and no more") {
+    val recsR = Seq((1L, "smith"), (2L, "smyth"), // substitution
+      (3L, "smiths"),                             // insertion vs 1
+      (4L, "smit"),                               // deletion vs 1
+      (5L, "smith"),                              // exact dup name
+      (6L, "psmith"),                             // prepend-insertion vs 1
+      (7L, "smythe")                              // dist 2 from smith
+    ).toDF("id", "name")
+    val got = EntityResolution.matchPairsDeletion1(recsR, "id", "name")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(got.get((1L, 2L)) == Some(1))
+    assert(got.get((1L, 3L)) == Some(1))
+    assert(got.get((1L, 4L)) == Some(1))
+    assert(got.get((1L, 5L)) == Some(0), "equal names on distinct ids are dist 0")
+    assert(got.get((1L, 6L)) == Some(1))
+    assert(!got.contains((1L, 7L)), "dist-2 pair must be verified away")
+  }
+
+  private def levenshteinRef(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
   test("invalid arguments fail loudly") {
     intercept[IllegalArgumentException] {
       EntityResolution.matchPairs(recs, "id", "name", Seq.empty, 1)
