@@ -2466,6 +2466,42 @@ object SparkEntry {
         col("edit_dist").cast("bigint").as("edit_dist"))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** A/B experiment readout ([[graft.operators.Experiment]]): synthetic
+    * parity-of-user-id variants, conversion = any purchase event,
+    * two-proportion pooled z-test — two hash aggregates + a 1-row
+    * min_by/max_by combine, nothing driver-side. Oracle replays
+    * assignment, conversion flags, both rates and the z arithmetic. */
+  def q123_ab_readout(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).filter(col("user_id").isNotNull)
+    val assignments = ev.select(col("user_id"),
+      when(pmod(col("user_id"), lit(2)) === 0, lit("A")).otherwise(lit("B"))
+        .as("variant"))
+    val conversions = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"))
+    graft.operators.Experiment.abReadout(assignments, "user_id", "variant",
+      conversions, "user_id")
+  }
+
+  /** Last-touch attribution ([[graft.operators.Attribution]] over the
+    * custom as-of-join exec): each purchase credited to the user's
+    * latest click within 72 h. The oracle replays the latest-touch
+    * selection (correlated max), the window verdict and the lag
+    * arithmetic; rolled up by verdict. */
+  def q124_attribution(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+    graft.operators.Attribution.lastTouch(purchases, clicks,
+        "user_id", "ts", "ts", windowHours = 72)
+      .groupBy(col("attributed"))
+      .agg(count(lit(1)).as("n_conversions"),
+        round(avg(col("lag_minutes")), 4).as("avg_lag_min"),
+        round(max(col("lag_minutes")), 4).as("max_lag_min"))
+      .orderBy(col("attributed"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2591,6 +2627,8 @@ object SparkEntry {
     "q120_kfold"            -> (q120_kfold _),
     "q121_jw_match"         -> (q121_jw_match _),
     "q122_deletion_neighborhood" -> (q122_deletion_neighborhood _),
+    "q123_ab_readout"       -> (q123_ab_readout _),
+    "q124_attribution"      -> (q124_attribution _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4871,6 +4909,71 @@ object SparkEntry {
          WHERE a.c_name IS NOT NULL AND b.c_name IS NOT NULL
            AND levenshtein(a.c_name, b.c_name) <= 1
          ORDER BY id_a, id_b""",
+
+    // q123: assignment, conversion flags, per-variant rates and the
+    // pooled two-proportion z replayed
+    "q123_ab_readout" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+                CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+              FROM events WHERE user_id IS NOT NULL),
+         c AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+         j AS (SELECT a.variant, a.user_id,
+                 (c.user_id IS NOT NULL) AS conv
+               FROM a LEFT JOIN c ON a.user_id = c.user_id),
+         s AS (SELECT variant, count(*) AS n,
+                 sum(CASE WHEN conv THEN 1 ELSE 0 END) AS k
+               FROM j GROUP BY 1),
+         one AS (SELECT min(variant) AS variant_a, max(variant) AS variant_b,
+                   CAST(arg_min(n, variant) AS BIGINT) AS n_a,
+                   CAST(arg_max(n, variant) AS BIGINT) AS n_b,
+                   CAST(arg_min(k, variant) AS BIGINT) AS conv_a,
+                   CAST(arg_max(k, variant) AS BIGINT) AS conv_b
+                 FROM s)
+         SELECT variant_a, variant_b, n_a, n_b, conv_a, conv_b,
+                round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+                round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+                CASE WHEN pp > 0 AND pp < 1
+                     THEN round((CAST(conv_a AS DOUBLE) / n_a
+                               - CAST(conv_b AS DOUBLE) / n_b)
+                       / sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b)), 4)
+                END AS z,
+                coalesce(CASE WHEN pp > 0 AND pp < 1
+                     THEN abs((CAST(conv_a AS DOUBLE) / n_a
+                             - CAST(conv_b AS DOUBLE) / n_b)
+                       / sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b))) > 1.96
+                END, false) AS significant
+         FROM (SELECT *,
+                 CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS pp
+               FROM one)""",
+
+    // q124: the correlated latest-touch selection, window verdict and
+    // microsecond lag arithmetic replayed, rolled up by verdict
+    "q124_attribution" ->
+      """WITH conv AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'
+                AND user_id IS NOT NULL AND ts IS NOT NULL),
+         t AS (SELECT DISTINCT user_id, ts FROM events
+               WHERE event_type = 'click'
+                 AND user_id IS NOT NULL AND ts IS NOT NULL),
+         m AS (SELECT c.event_id, c.ts,
+                 (SELECT max(t.ts) FROM t
+                  WHERE t.user_id = c.user_id AND t.ts <= c.ts) AS touch_ts
+               FROM conv c),
+         v AS (SELECT event_id,
+                 (touch_ts IS NOT NULL AND
+                  epoch_us(ts) - epoch_us(touch_ts) <= 72 * 3600 * 1000000::BIGINT)
+                   AS attributed,
+                 CASE WHEN touch_ts IS NOT NULL AND
+                        epoch_us(ts) - epoch_us(touch_ts)
+                          <= 72 * 3600 * 1000000::BIGINT
+                      THEN round((epoch_us(ts) - epoch_us(touch_ts)) / 6e7, 4)
+                 END AS lag_minutes
+               FROM m)
+         SELECT attributed, count(*) AS n_conversions,
+                round(avg(lag_minutes), 4) AS avg_lag_min,
+                round(max(lag_minutes), 4) AS max_lag_min
+         FROM v GROUP BY 1 ORDER BY attributed""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a
