@@ -2502,6 +2502,49 @@ object SparkEntry {
       .orderBy(col("attributed"))
   }
 
+  /** Trailing 7-day moving average + week-over-week growth of daily
+    * purchase revenue — the time-series smoothing/monitoring pair.
+    * The window runs over the PRE-AGGREGATED day-grain frame (one row
+    * per day), so the global sort the moving window needs touches a
+    * calendar-sized frame, never the event stream — the only
+    * event-sized work is the day rollup's hash aggregate. */
+  def q125_moving_average(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value")), 2).as("revenue"))
+    val w7 = Window.orderBy(col("day")).rowsBetween(-6, 0)
+    val lag7 = Window.orderBy(col("day"))
+    daily.select(col("day"), col("revenue"),
+        round(avg(col("revenue")).over(w7), 4).as("ma7"),
+        lag(col("revenue"), 7).over(lag7).as("_prev"))
+      .select(col("day"), col("revenue"), col("ma7"),
+        when(col("_prev") > 0,
+          round(col("revenue") / col("_prev") - 1.0, 4)).as("wow_growth"))
+      .orderBy(col("day"))
+  }
+
+  /** Calendar gap detection — the data-completeness probe that catches
+    * a silently missing ingest day: distinct observed days anti-joined
+    * against the generated min→max calendar. The fixture plants gaps
+    * by excluding a deterministic weekday slice; at scale the only
+    * event-sized work is one distinct-day aggregate (calendar frames
+    * are date-ranged, not data-sized). */
+  def q126_day_gaps(s: SparkSession, d: String): DataFrame = {
+    val obs = events(s, d)
+      .filter(dayofmonth(col("ts")) % 7 =!= 3)
+      .select(to_date(col("ts")).as("day"))
+    val days = obs.distinct()
+    val bounds = days.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    bounds
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 DAY"))).as("day"))
+      .join(days, Seq("day"), "left_anti")
+      .orderBy(col("day"))
+      .select(col("day").as("missing_day"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2629,6 +2672,8 @@ object SparkEntry {
     "q122_deletion_neighborhood" -> (q122_deletion_neighborhood _),
     "q123_ab_readout"       -> (q123_ab_readout _),
     "q124_attribution"      -> (q124_attribution _),
+    "q125_moving_average"   -> (q125_moving_average _),
+    "q126_day_gaps"         -> (q126_day_gaps _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4974,6 +5019,32 @@ object SparkEntry {
                 round(avg(lag_minutes), 4) AS avg_lag_min,
                 round(max(lag_minutes), 4) AS max_lag_min
          FROM v GROUP BY 1 ORDER BY attributed""",
+
+    // q125: day rollup, 7-row trailing window and the lag-7 growth
+    // ratio replayed
+    "q125_moving_average" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                round(sum(value), 2) AS revenue
+              FROM events WHERE event_type = 'purchase' GROUP BY 1)
+         SELECT day, revenue,
+                round(avg(revenue) OVER (ORDER BY day
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7,
+                CASE WHEN lag(revenue, 7) OVER (ORDER BY day) > 0
+                     THEN round(revenue / lag(revenue, 7) OVER (ORDER BY day)
+                       - 1.0, 4)
+                END AS wow_growth
+         FROM daily ORDER BY day""",
+
+    // q126: the planted weekday gaps against the generated calendar
+    "q126_day_gaps" ->
+      """WITH obs AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+                      WHERE day(ts) % 7 <> 3),
+         b AS (SELECT min(day) AS lo, max(day) AS hi FROM obs),
+         cal AS (SELECT CAST(unnest(generate_series(lo, hi,
+                   INTERVAL 1 DAY)) AS DATE) AS day FROM b)
+         SELECT cal.day AS missing_day FROM cal
+         LEFT JOIN obs ON cal.day = obs.day
+         WHERE obs.day IS NULL ORDER BY missing_day""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a
