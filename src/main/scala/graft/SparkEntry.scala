@@ -2502,23 +2502,28 @@ object SparkEntry {
       .orderBy(col("attributed"))
   }
 
-  /** Trailing 7-day moving average + week-over-week growth of daily
-    * purchase revenue — the time-series smoothing/monitoring pair.
-    * The window runs over the PRE-AGGREGATED day-grain frame (one row
-    * per day), so the global sort the moving window needs touches a
-    * calendar-sized frame, never the event stream — the only
-    * event-sized work is the day rollup's hash aggregate. */
+  /** Trailing 7-CALENDAR-day moving average + week-over-week growth of
+    * daily purchase revenue — the time-series smoothing/monitoring
+    * pair. The frame is a RANGE over day-number (not ROWS) and the
+    * week-ago baseline is an exact dn−7 self-join (not lag(7)), so an
+    * ingest gap — exactly what the sibling q126 detects — cannot
+    * silently stretch "7 days" across more calendar time or compare
+    * days that are not a week apart. The window runs over the
+    * PRE-AGGREGATED day-grain frame (one row per day): the global sort
+    * touches a calendar-sized frame, never the event stream. */
   def q125_moving_average(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val daily = events(s, d)
       .filter(col("event_type") === "purchase")
       .groupBy(to_date(col("ts")).as("day"))
       .agg(round(sum(col("value")), 2).as("revenue"))
-    val w7 = Window.orderBy(col("day")).rowsBetween(-6, 0)
-    val lag7 = Window.orderBy(col("day"))
-    daily.select(col("day"), col("revenue"),
-        round(avg(col("revenue")).over(w7), 4).as("ma7"),
-        lag(col("revenue"), 7).over(lag7).as("_prev"))
+      .withColumn("_dn", unix_date(col("day")))
+    val w7 = Window.orderBy(col("_dn")).rangeBetween(-6, 0)
+    val weekAgo = daily.select((col("_dn") + 7).as("_dn"),
+      col("revenue").as("_prev"))
+    daily
+      .withColumn("ma7", round(avg(col("revenue")).over(w7), 4))
+      .join(weekAgo, Seq("_dn"), "left")
       .select(col("day"), col("revenue"), col("ma7"),
         when(col("_prev") > 0,
           round(col("revenue") / col("_prev") - 1.0, 4)).as("wow_growth"))
@@ -5020,20 +5025,25 @@ object SparkEntry {
                 round(max(lag_minutes), 4) AS max_lag_min
          FROM v GROUP BY 1 ORDER BY attributed""",
 
-    // q125: day rollup, 7-row trailing window and the lag-7 growth
-    // ratio replayed
+    // q125: day rollup, the calendar-true RANGE-over-day-number frame
+    // and the exact dn-7 week-ago self-join replayed
     "q125_moving_average" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
                 round(sum(value), 2) AS revenue
-              FROM events WHERE event_type = 'purchase' GROUP BY 1)
-         SELECT day, revenue,
-                round(avg(revenue) OVER (ORDER BY day
-                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7,
-                CASE WHEN lag(revenue, 7) OVER (ORDER BY day) > 0
-                     THEN round(revenue / lag(revenue, 7) OVER (ORDER BY day)
-                       - 1.0, 4)
+              FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         dn AS (SELECT day, revenue,
+                  CAST(day - DATE '1970-01-01' AS BIGINT) AS dnum
+                FROM daily),
+         ma AS (SELECT day, dnum, revenue,
+                  round(avg(revenue) OVER (ORDER BY dnum
+                    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+                FROM dn)
+         SELECT ma.day, ma.revenue, ma.ma7,
+                CASE WHEN p.revenue > 0
+                     THEN round(ma.revenue / p.revenue - 1.0, 4)
                 END AS wow_growth
-         FROM daily ORDER BY day""",
+         FROM ma LEFT JOIN dn p ON p.dnum = ma.dnum - 7
+         ORDER BY ma.day""",
 
     // q126: the planted weekday gaps against the generated calendar
     "q126_day_gaps" ->

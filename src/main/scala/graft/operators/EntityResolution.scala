@@ -109,15 +109,17 @@ object EntityResolution {
     * and "ab"/"ba" share "b" and "a" at distance 2 — so verification
     * is still load-bearing).
     *
-    * `maxBucket` caps degenerate variant buckets
-    * ([[Similarity.capBuckets]] whole-bucket drop — a bucket that
-    * large means thousands of strings one edit from the same variant,
-    * i.e. a near-constant column). Returns (id_a, id_b, edit_dist),
+    * The default is UNCAPPED — completeness is the whole point, and a
+    * silent cap would contradict it. Pass `maxBucket > 0` to trade
+    * recall for safety on degenerate corpora (thousands of strings one
+    * edit from the same variant = a near-constant column;
+    * [[Similarity.capBuckets]] whole-bucket drop, an EXPLICIT opt-in
+    * here, never a default). Returns (id_a, id_b, edit_dist),
     * id_a < id_b, edit_dist ∈ {0, 1} (0 = exact duplicate names on
     * distinct ids). */
   def matchPairsDeletion1(records: DataFrame, idCol: String,
                           nameCol: String,
-                          maxBucket: Int = 10000): DataFrame = {
+                          maxBucket: Int = 0): DataFrame = {
     val base = records
       .select(col(idCol).as("_id"), col(nameCol).as("_nm"))
       .filter(col("_id").isNotNull && col("_nm").isNotNull)

@@ -12,12 +12,12 @@ import org.apache.spark.sql.functions._
   * Everything is two hash aggregates (distinct assignment per user →
   * per-variant n/k; conversion flag via one left join on user) plus a
   * 1-row combine via min_by/max_by — no collect, no pivot, nothing
-  * driver-side except the two-variant contract check (one count on a
-  * variant-sized frame). Determinism: assignments are deduplicated per
-  * (user, variant); a user assigned BOTH variants is a corrupt input
-  * and surfaces through the contract check (>2 rows after distinct on
-  * user would double-count — callers own assignment uniqueness, the
-  * standard experiment-platform invariant).
+  * driver-side except the contract checks (counts on
+  * assignment-sized aggregate frames). Two contracts are ENFORCED,
+  * not just documented: exactly two distinct variants, and one
+  * variant per user — a user assigned both arms is a corrupt
+  * assignment log that would silently inflate BOTH arms' n and k,
+  * so it is a loud error, never a quietly wrong z.
   *
   * The statistical decision is |z| > 1.96 (two-sided 5%). p-values are
   * deliberately left out: no closed-form normal CDF exists in either
@@ -31,10 +31,15 @@ object Experiment {
     * EXACTLY two distinct variants (loud error otherwise). */
   def abReadout(assignments: DataFrame, userCol: String, variantCol: String,
                 conversions: DataFrame, convUserCol: String): DataFrame = {
-    val asg = assignments
+    val asg = Checkpoints.materialize(assignments
       .select(col(userCol).as("user"), col(variantCol).as("variant"))
       .filter(col("user").isNotNull && col("variant").isNotNull)
-      .distinct()
+      .distinct())
+    val dualAssigned = asg.groupBy(col("user"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).count()
+    require(dualAssigned == 0,
+      s"abReadout: $dualAssigned user(s) assigned to more than one " +
+        "variant — a corrupt assignment log would double-count both arms")
     val conv = conversions.select(col(convUserCol).as("user"))
       .filter(col("user").isNotNull).distinct()
       .withColumn("_c", lit(1))

@@ -41,6 +41,14 @@ class ExperimentSpec extends SparkSpec {
     assert(r.getAs[Long]("n_a") == 1L && r.getAs[Long]("conv_a") == 1L)
   }
 
+  test("a user assigned BOTH variants is a loud error, not a double count") {
+    val corrupt = asg((1L, "A"), (1L, "B"), (2L, "A"), (3L, "B"))
+    val e = intercept[IllegalArgumentException] {
+      Experiment.abReadout(corrupt, "u", "v", conv(), "u")
+    }
+    assert(e.getMessage.contains("more than one variant"))
+  }
+
   test("not-exactly-two variants fails loudly") {
     intercept[IllegalArgumentException] {
       Experiment.abReadout(asg((1L, "A")), "u", "v", conv(), "u")
