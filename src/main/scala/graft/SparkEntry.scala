@@ -2550,6 +2550,101 @@ object SparkEntry {
       .select(col("day").as("missing_day"))
   }
 
+  /** Least-squares trend of the daily revenue series: slope, intercept
+    * and R² from the five sufficient sums (n, Σx, Σy, Σxy, Σx², Σy²)
+    * over the day-grain pre-aggregate — one event-sized hash aggregate
+    * then calendar-sized arithmetic. x is CENTERED to day offsets
+    * (dn − min dn) before the sums: raw epoch-day x ≈ 2·10⁴ squares
+    * into ~10¹⁰ sums whose nΣx² − (Σx)² difference is catastrophic
+    * cancellation territory; offsets keep every intermediate exact in
+    * double. The oracle replays the centering and all five sums. */
+  def q127_trend(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value")), 2).as("y"))
+      .withColumn("_dn", unix_date(col("day")))
+    val lo = daily.agg(min(col("_dn")).as("_lo"))
+    val sums = daily.crossJoin(broadcast(lo))
+      .select((col("_dn") - col("_lo")).cast("double").as("x"), col("y"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val denY = col("n") * col("syy") - col("sy") * col("sy")
+    sums.select(col("n").as("n_days"),
+      when(den > 0, round(num / den, 6)).as("slope"),
+      when(den > 0, round((col("sy") - num / den * col("sx")) / col("n"), 4))
+        .as("intercept"),
+      when(den > 0 && denY > 0, round(num * num / (den * denY), 6)).as("r2"))
+  }
+
+  /** TF-IDF keyword extraction: top-3 scoring terms per sampled
+    * document (tf × smooth idf, sklearn's ln((1+N)/(1+df))+1). The
+    * corpus-sized work is two hash aggregates (per-doc tf restricted
+    * to the sampled docs, df over ALL docs); ranking is a window over
+    * the SAMPLED-doc term frame only — grain-bounded, never
+    * corpus-sized (the window-on-pre-aggregate discipline). Ties break
+    * by term; the oracle replays tf, df, N, the idf arithmetic and the
+    * rank. */
+  def q128_tfidf_keywords(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val nDocs = documents(s, d).agg(countDistinct(col("doc_id")).as("nd"))
+    val df_ = toks.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val tf = toks.filter(col("doc_id") % 50 === 0)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val scored = tf.join(df_, Seq("term")).crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"), col("tf"),
+        (col("tf") * (log((lit(1.0) + col("nd")) / (lit(1.0) + col("df")))
+          + lit(1.0))).as("_score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("_score").desc, col("term"))
+    scored.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= 3)
+      .select(col("doc_id"), col("_rk").as("rank"), col("term"),
+        round(col("_score"), 6).as("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  /** Column-dependency profiling via mutual information: MI, both
+    * entropies and the normalized MI/√(H·H) between order status and
+    * priority — the data-exploration probe for "are these columns
+    * redundant?". Joint and marginal distributions are one hash
+    * aggregate each over the same grouped frame; everything after is
+    * category-sized. The oracle replays every probability and log
+    * term. */
+  def q129_mutual_information(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+      .filter(col("o_orderstatus").isNotNull && col("o_orderpriority").isNotNull)
+      .select(col("o_orderstatus").as("x"), col("o_orderpriority").as("y"))
+    val joint = graft.operators.Checkpoints.materialize(
+      o.groupBy(col("x"), col("y")).agg(count(lit(1)).as("nxy")))
+    val n = joint.agg(sum(col("nxy")).cast("double").as("n"))
+    val mx = joint.groupBy(col("x")).agg(sum(col("nxy")).as("nx"))
+    val my = joint.groupBy(col("y")).agg(sum(col("nxy")).as("ny"))
+    val terms = joint.join(mx, Seq("x")).join(my, Seq("y"))
+      .crossJoin(broadcast(n))
+      .select(
+        (col("nxy") / col("n") *
+          log(col("nxy") * col("n") / (col("nx") * col("ny")))).as("mi_t"),
+        col("nxy"), col("nx"), col("ny"), col("n"))
+    val hx = mx.crossJoin(broadcast(n))
+      .agg(sum(-col("nx") / col("n") * log(col("nx") / col("n"))).as("hx"))
+    val hy = my.crossJoin(broadcast(n))
+      .agg(sum(-col("ny") / col("n") * log(col("ny") / col("n"))).as("hy"))
+    terms.agg(sum(col("mi_t")).as("_mi"))
+      .crossJoin(hx).crossJoin(hy)
+      .select(round(col("_mi"), 6).as("mi"),
+        round(col("hx"), 6).as("h_x"), round(col("hy"), 6).as("h_y"),
+        when(col("hx") > 0 && col("hy") > 0,
+          round(col("_mi") / sqrt(col("hx") * col("hy")), 6)).as("nmi"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2679,6 +2774,9 @@ object SparkEntry {
     "q124_attribution"      -> (q124_attribution _),
     "q125_moving_average"   -> (q125_moving_average _),
     "q126_day_gaps"         -> (q126_day_gaps _),
+    "q127_trend"            -> (q127_trend _),
+    "q128_tfidf_keywords"   -> (q128_tfidf_keywords _),
+    "q129_mutual_information" -> (q129_mutual_information _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5055,6 +5153,78 @@ object SparkEntry {
          SELECT cal.day AS missing_day FROM cal
          LEFT JOIN obs ON cal.day = obs.day
          WHERE obs.day IS NULL ORDER BY missing_day""",
+
+    // q127: centering and all five sufficient sums replayed
+    "q127_trend" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                round(sum(value), 2) AS y
+              FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         dn AS (SELECT CAST(day - DATE '1970-01-01' AS BIGINT) AS d, y
+                FROM daily),
+         lo AS (SELECT min(d) AS lo FROM dn),
+         s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+               FROM (SELECT CAST(d - lo AS DOUBLE) AS x, y
+                     FROM dn CROSS JOIN lo))
+         SELECT CAST(n AS BIGINT) AS n_days,
+                CASE WHEN n * sxx - sx * sx > 0
+                     THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                END AS slope,
+                CASE WHEN n * sxx - sx * sx > 0
+                     THEN round((sy - (n * sxy - sx * sy) /
+                       (n * sxx - sx * sx) * sx) / n, 4)
+                END AS intercept,
+                CASE WHEN n * sxx - sx * sx > 0
+                      AND n * syy - sy * sy > 0
+                     THEN round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+                       ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                END AS r2
+         FROM s""",
+
+    // q128: tf, df, N, the smooth-idf arithmetic and the
+    // (score desc, term) rank replayed
+    "q128_tfidf_keywords" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                       FROM documents),
+         tk AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+         nd AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+         dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tk GROUP BY 1),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tk
+                WHERE doc_id % 50 = 0 GROUP BY 1, 2),
+         sc AS (SELECT tf.doc_id, tf.term,
+                  tf.tf * (ln((1.0 + nd.nd) / (1.0 + dft.df)) + 1.0) AS score
+                FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN nd),
+         r AS (SELECT doc_id, term, score,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, term) AS rk
+               FROM sc)
+         SELECT doc_id, CAST(rk AS INT) AS rank, term,
+                round(score, 6) AS score
+         FROM r WHERE rk <= 3 ORDER BY doc_id, rank""",
+
+    // q129: every probability and log term of MI, both entropies and
+    // the normalization replayed
+    "q129_mutual_information" ->
+      """WITH o AS (SELECT o_orderstatus AS x, o_orderpriority AS y
+              FROM orders
+              WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL),
+         j AS (SELECT x, y, count(*) AS nxy FROM o GROUP BY 1, 2),
+         n AS (SELECT CAST(sum(nxy) AS DOUBLE) AS n FROM j),
+         mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM j GROUP BY 1),
+         my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM j GROUP BY 1),
+         mi AS (SELECT sum(nxy / n.n * ln(nxy * n.n / (nx * ny))) AS mi
+                FROM j JOIN mx ON j.x = mx.x JOIN my ON j.y = my.y
+                CROSS JOIN n),
+         hx AS (SELECT sum(-(nx / n.n) * ln(nx / n.n)) AS hx
+                FROM mx CROSS JOIN n),
+         hy AS (SELECT sum(-(ny / n.n) * ln(ny / n.n)) AS hy
+                FROM my CROSS JOIN n)
+         SELECT round(mi.mi, 6) AS mi, round(hx.hx, 6) AS h_x,
+                round(hy.hy, 6) AS h_y,
+                CASE WHEN hx.hx > 0 AND hy.hy > 0
+                     THEN round(mi.mi / sqrt(hx.hx * hy.hy), 6)
+                END AS nmi
+         FROM mi, hx, hy""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a
