@@ -2559,11 +2559,13 @@ object SparkEntry {
     * cancellation territory; offsets keep every intermediate exact in
     * double. The oracle replays the centering and all five sums. */
   def q127_trend(s: SparkSession, d: String): DataFrame = {
-    val daily = events(s, d)
+    // materialized: `lo` and the sums both read it — without this the
+    // event-sized rollup would run twice (the q129 joint-frame pattern)
+    val daily = graft.operators.Checkpoints.materialize(events(s, d)
       .filter(col("event_type") === "purchase")
       .groupBy(to_date(col("ts")).as("day"))
       .agg(round(sum(col("value")), 2).as("y"))
-      .withColumn("_dn", unix_date(col("day")))
+      .withColumn("_dn", unix_date(col("day"))))
     val lo = daily.agg(min(col("_dn")).as("_lo"))
     val sums = daily.crossJoin(broadcast(lo))
       .select((col("_dn") - col("_lo")).cast("double").as("x"), col("y"))
@@ -2591,10 +2593,17 @@ object SparkEntry {
     * rank. */
   def q128_tfidf_keywords(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .filter(col("term") =!= "")
-    val nDocs = documents(s, d).agg(countDistinct(col("doc_id")).as("nd"))
+    // canonical tokenizer (Text.tokens — what Bm25/the corpus stack
+    // use; an inline split would silently diverge from them), and the
+    // token frame materialized: df and tf both aggregate it, and each
+    // reference would otherwise re-pay the scan + floored repartition
+    // + explode. nDocs reads the raw load (one count, no repartition).
+    val toks = graft.operators.Checkpoints.materialize(documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.Text.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= ""))
+    val nDocs = load(s, d, "documents")
+      .agg(countDistinct(col("doc_id")).as("nd"))
     val df_ = toks.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("df"))
     val tf = toks.filter(col("doc_id") % 50 === 0)
@@ -2631,8 +2640,7 @@ object SparkEntry {
       .crossJoin(broadcast(n))
       .select(
         (col("nxy") / col("n") *
-          log(col("nxy") * col("n") / (col("nx") * col("ny")))).as("mi_t"),
-        col("nxy"), col("nx"), col("ny"), col("n"))
+          log(col("nxy") * col("n") / (col("nx") * col("ny")))).as("mi_t"))
     val hx = mx.crossJoin(broadcast(n))
       .agg(sum(-col("nx") / col("n") * log(col("nx") / col("n"))).as("hx"))
     val hy = my.crossJoin(broadcast(n))
