@@ -2653,6 +2653,25 @@ object SparkEntry {
           round(col("_mi") / sqrt(col("hx") * col("hy")), 6)).as("nmi"))
   }
 
+  /** Stream-maintained decay scores ([[graft.operators.Decay]] state
+    * path): the event stream split into two month-halves, each folded
+    * to mergeable floating-reference state, MERGED (re-anchor to the
+    * later reference — multiplication distributes over the sums), and
+    * read as of q118's instant. The oracle is q118's full-recompute
+    * SQL verbatim: maintained ≡ batch sits under the hash (the q87
+    * pattern). */
+  def q130_decay_maintained(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val st = graft.operators.Decay.merge(
+      graft.operators.Decay.state(ev.filter(dayofmonth(col("ts")) <= 15),
+        "event_type", "ts", "value", 168.0),
+      graft.operators.Decay.state(ev.filter(dayofmonth(col("ts")) > 15),
+        "event_type", "ts", "value", 168.0),
+      168.0)
+    graft.operators.Decay.scoresFromState(st, 1706745600000000L, 168.0)
+      .orderBy(col("key"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2785,6 +2804,7 @@ object SparkEntry {
     "q127_trend"            -> (q127_trend _),
     "q128_tfidf_keywords"   -> (q128_tfidf_keywords _),
     "q129_mutual_information" -> (q129_mutual_information _),
+    "q130_decay_maintained" -> (q130_decay_maintained _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5233,6 +5253,21 @@ object SparkEntry {
                      THEN round(mi.mi / sqrt(hx.hx * hy.hy), 6)
                 END AS nmi
          FROM mi, hx, hy""",
+
+    // q130: q118's full-recompute oracle VERBATIM — maintained-state
+    // reads must be indistinguishable from the batch path under the hash
+    "q130_decay_maintained" ->
+      """WITH e AS (SELECT event_type AS key, ts, value FROM events
+              WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                AND epoch_us(ts) <= 1706745600000000),
+         w AS (SELECT key, value,
+                 pow(0.5, (CAST(1706745600000000 - epoch_us(ts) AS DOUBLE)
+                   / 3600000000.0) / 168.0) AS w
+               FROM e)
+         SELECT key, round(sum(w), 4) AS decayed_count,
+                round(sum(w * value), 4) AS decayed_sum,
+                count(*) AS n_events
+         FROM w GROUP BY key ORDER BY key""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a

@@ -55,6 +55,64 @@ class DecaySpec extends SparkSpec {
       s"decay must distribute: $s2 vs $expected")
   }
 
+  test("state + scoresFromState ≡ the batch scores, without rescanning") {
+    val d = df(("a", asOf - hour, 2.0), ("a", asOf - 30 * hour, 4.0),
+      ("b", asOf - 5 * hour, 1.0), ("b", asOf - 100 * hour, 8.0))
+    val batch = Decay.scores(d, "k", "ts", "v", asOf, 24.0).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    val st = Decay.state(d, "k", "ts", "v", 24.0)
+    val fromState = Decay.scoresFromState(st, asOf, 24.0).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(fromState == batch, s"$fromState vs $batch")
+  }
+
+  test("merge across arbitrary splits ≡ the one-shot state") {
+    val rows = (1 to 40).map(i =>
+      (s"k${i % 3}", asOf - i.toLong * hour, i.toDouble))
+    val all = df(rows: _*)
+    val (s1, s2) = (df(rows.take(15): _*), df(rows.drop(15): _*))
+    val merged = Decay.merge(Decay.state(s1, "k", "ts", "v", 24.0),
+      Decay.state(s2, "k", "ts", "v", 24.0), 24.0)
+    val one = Decay.scoresFromState(
+      Decay.state(all, "k", "ts", "v", 24.0), asOf, 24.0).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    val two = Decay.scoresFromState(merged, asOf, 24.0).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(one == two, s"$one vs $two")
+  }
+
+  test("scoresFromState refuses a backfill asOf the state has outrun") {
+    val st = Decay.state(df(("a", asOf, 1.0), ("b", asOf - 50 * hour, 1.0)),
+      "k", "ts", "v", 24.0)
+    val back = Decay.scoresFromState(st, asOf - 10 * hour, 24.0).collect()
+      .map(_.getString(0)).toSet
+    assert(back == Set("b"),
+      "key 'a' folded future events relative to the backfill instant")
+  }
+
+  test("foldIntoStore is replay-idempotent and matches the full recompute") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_decay_fold").toString
+    val store = new ParquetTableStore(spark, wh)
+    val rows = (1 to 30).map(i =>
+      (s"k${i % 2}", asOf - i.toLong * hour, i.toDouble))
+    val all = df(rows: _*)
+    val (b1, b2) = (df(rows.take(10): _*), df(rows.drop(10): _*))
+    Decay.foldIntoStore(store, "dec", b1, "k", "ts", "v", 24.0, 0L, "e1")
+    Decay.foldIntoStore(store, "dec", b2, "k", "ts", "v", 24.0, 1L, "e1")
+    Decay.foldIntoStore(store, "dec", b2, "k", "ts", "v", 24.0, 1L, "e1") // replay
+    val folded = Decay.scoresFromState(
+      store.read("dec").get.drop("_last_batch", "_epoch"), asOf, 24.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val full = Decay.scores(all, "k", "ts", "v", asOf, 24.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(folded == full,
+      s"folded diverged from full recompute (replay double-count?): $folded vs $full")
+  }
+
   test("invalid half-life fails loudly") {
     intercept[IllegalArgumentException] {
       Decay.scores(df(("a", asOf, 1.0)), "k", "ts", "v", asOf, 0.0)
