@@ -90,6 +90,43 @@ class FunnelSpec extends SparkSpec {
       "conversion ratios over a 0 denominator are null both sides")
   }
 
+  test("randomized: array recurrence ≡ the sequential-join formulation") {
+    // the oracle proves shape equivalence on ONE fixture; this pins it
+    // on 3 random event streams (ties, bursts, partial funnels)
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val rows = Seq.tabulate(400) { i =>
+        (rnd.nextInt(25).toLong, Seq("A", "B", "C", "X")(rnd.nextInt(4)),
+          // coarse timestamps force plenty of exact ties
+          1700000000000000L + rnd.nextInt(50).toLong * 3600L * 1000000L)
+      }
+      val evs = rows.toDF("user_id", "event_type", "us")
+        .select(col("user_id"), col("event_type"),
+          timestamp_micros(col("us")).as("ts"))
+      val fast = Funnel.userSteps(evs, "user_id", "event_type", "ts",
+        Seq("A", "B", "C"), horizonHours = Some(24)).collect()
+        .map(r => r.getLong(0) -> ((Option(r.getTimestamp(1)),
+          Option(r.getTimestamp(2)), Option(r.getTimestamp(3))))).toMap
+      // sequential-join reference: min A; min B in [t1, t1+24h] after t1;
+      // min C in [t2, t1+24h]
+      val horizonUs = 24L * 3600L * 1000000L
+      val byUser = rows.groupBy(_._1)
+      val slow = byUser.flatMap { case (u, es) =>
+        val of = (t: String) => es.filter(_._2 == t).map(_._3).sorted
+        of("A").headOption.map { t1 =>
+          val dl = t1 + horizonUs
+          val t2 = of("B").find(x => x >= t1 && x <= dl)
+          val t3 = t2.flatMap(b => of("C").find(x => x >= b && x <= dl))
+          u -> ((Some(t1), t2, t3))
+        }
+      }.toMap.map { case (u, (a, b, c)) =>
+        def ts(o: Option[Long]) = o.map(x => new java.sql.Timestamp(x / 1000))
+        u -> ((ts(a), ts(b), ts(c)))
+      }
+      assert(fast == slow, s"seed $seed: ${fast.toSet -- slow.toSet}")
+    }
+  }
+
   test("invalid inputs fail loudly") {
     intercept[IllegalArgumentException] {
       Funnel.userSteps(evts, "user_id", "event_type", "ts", Seq.empty)

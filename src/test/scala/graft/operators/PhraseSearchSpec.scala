@@ -53,6 +53,32 @@ class PhraseSearchSpec extends SparkSpec {
     assert(!m.contains("c"), "no-hit queries are absent by contract")
   }
 
+  test("randomized: occurrences ≡ brute-force substring scan") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Seq("a", "b", "c")
+      val corpus = Seq.tabulate(60) { i =>
+        (i.toLong, Seq.fill(3 + rnd.nextInt(10))(
+          vocab(rnd.nextInt(3))).mkString(" "))
+      }
+      val phrase = Seq.fill(1 + rnd.nextInt(3))(vocab(rnd.nextInt(3)))
+        .mkString(" ")
+      val got = PhraseSearch.occurrences(corpus.toDF("doc_id", "text"),
+        "doc_id", "text",
+        Seq(("q", phrase)).toDF("qid", "phrase"), "qid", "phrase")
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      val p = phrase.split(" ").toSeq
+      val brute = (for {
+        (id, text) <- corpus
+        toks = text.split(" ").toSeq
+        s <- 0 to toks.length - p.length
+        if toks.slice(s, s + p.length) == p
+      } yield (id, s.toLong)).toSet
+      assert(got == brute,
+        s"seed $seed phrase '$phrase': missing ${brute -- got}, extra ${got -- brute}")
+    }
+  }
+
   test("postings shuffle only the query vocabulary") {
     val df = PhraseSearch.occurrences(docs, "doc_id", "text",
       Seq(("q", "quick brown")).toDF("qid", "phrase"), "qid", "phrase")
