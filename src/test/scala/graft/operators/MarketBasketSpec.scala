@@ -52,6 +52,37 @@ class MarketBasketSpec extends SparkSpec {
     assert(l(("x", "y")) == 2.0, "P(xy)=1/2 vs P(x)P(y)=1/4 → lift 2")
   }
 
+  test("randomized: rules ≡ brute-force counting") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val rows = Seq.tabulate(200)(_ =>
+        (rnd.nextInt(30).toLong, s"i${rnd.nextInt(8)}"))
+      val got = MarketBasket.rules(rows.toDF("basket", "item"),
+        "basket", "item", minCount = 2, minConfidence = 0.0).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val bi = rows.distinct
+      val items = bi.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val byBasket = bi.groupBy(_._1).view.mapValues(_.map(_._2).sorted)
+      val pairCnt = byBasket.values.toSeq.flatMap(is =>
+        for (a <- is; b <- is if a < b) yield (a, b))
+        .groupBy(identity).view.mapValues(_.size.toLong)
+        .filter(_._2 >= 2).toMap
+      val brute = pairCnt.flatMap { case ((a, b), c) =>
+        Seq((a, b) -> c, (b, a) -> c) }
+      assert(got == brute, s"seed $seed: $got vs $brute")
+      // spot-check one rule's measures against hand arithmetic
+      got.headOption.foreach { case ((a, b), c) =>
+        val row = MarketBasket.rules(rows.toDF("basket", "item"),
+          "basket", "item", 2, 0.0)
+          .filter(col("item_a") === a && col("item_b") === b).collect().head
+        val n = byBasket.size.toDouble
+        assert(row.getDouble(4) ==
+          math.rint(c.toDouble / items(a) * 1e6) / 1e6)
+        assert(row.getDouble(3) == math.rint(c / n * 1e6) / 1e6)
+      }
+    }
+  }
+
   test("oversized baskets drop wholesale") {
     val big = (1 to 30).map(i => (99L, s"i$i")) ++ Seq((1L, "a"), (1L, "b"))
     val rows = MarketBasket.rules(big.toDF("basket", "item"),

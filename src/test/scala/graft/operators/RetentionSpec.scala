@@ -43,6 +43,36 @@ class RetentionSpec extends SparkSpec {
     }
   }
 
+  test("randomized: grid ≡ brute-force per-user cohort arithmetic") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val rows = Seq.tabulate(300)(_ =>
+        (rnd.nextInt(20).toLong,
+          java.time.LocalDate.of(2024, 1, 1 + rnd.nextInt(28))
+            .atTime(rnd.nextInt(24), 0).toString.replace('T', ' ') + ":00"))
+      val evs = rows.toDF("user_id", "s")
+        .select(col("user_id"), to_timestamp(col("s")).as("ts"))
+      val got = Retention.cohortWeekly(evs, "user_id", "ts").collect()
+        .map(r => (r.getDate(0).toString, r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+      // brute force in plain Scala
+      val byUser = rows.groupBy(_._1).view.mapValues(_.map(_._2.take(10)))
+      val first = byUser.mapValues(_.min).toMap
+      val sizes = first.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val brute = byUser.toSeq.flatMap { case (u, days) =>
+        val c = first(u)
+        days.distinct.map { d =>
+          val off = java.time.temporal.ChronoUnit.DAYS.between(
+            java.time.LocalDate.parse(c), java.time.LocalDate.parse(d)) / 7
+          (c, off) -> u
+        }
+      }.distinct.groupBy(_._1).view
+        .mapValues(v => (v.size.toLong, 0L)).toMap
+        .map { case ((c, o), (n, _)) => (c, o) -> ((n, sizes(c))) }
+      assert(got == brute, s"seed $seed: ${got.toSet.diff(brute.toSet)} / ${brute.toSet.diff(got.toSet)}")
+    }
+  }
+
   test("same-week multi-day activity counts once") {
     // u1 has one activity day per week only, but add a user with two
     // distinct days inside week 0
