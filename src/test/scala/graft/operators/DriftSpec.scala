@@ -61,6 +61,30 @@ class DriftSpec extends SparkSpec {
     assert(r.getAs[Long]("n_ref") == 2L)
   }
 
+  test("randomized: PSI ≡ a plain-Scala replay of the formula") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val refV = Seq.fill(200)(rnd.nextDouble() * 100)
+      val curV = Seq.fill(150)(rnd.nextDouble() * 130 - 10) // off-range mass
+      val r = Drift.psiReport(df(refV), df(curV), Seq("v"), bins = 10)
+        .collect().head
+      val (mn, mx) = (refV.min, refV.max)
+      val w = (mx - mn) / 10.0
+      def bin(x: Double) =
+        math.max(math.min(math.floor((x - mn) / w), 9), 0).toInt
+      val cr = refV.groupBy(bin).view.mapValues(_.size).toMap
+      val cc = curV.groupBy(bin).view.mapValues(_.size).toMap
+      val psi = (0 until 10).map { b =>
+        val pr = (cr.getOrElse(b, 0) + 0.5) / (refV.size + 5.0)
+        val pc = (cc.getOrElse(b, 0) + 0.5) / (curV.size + 5.0)
+        (pc - pr) * math.log(pc / pr)
+      }.sum
+      assert(math.abs(r.getAs[Double]("psi") - psi) < 1e-3,
+        s"seed $seed: ${r.getAs[Double]("psi")} vs $psi")
+      assert(r.getAs[Long]("n_ref") == 200L && r.getAs[Long]("n_cur") == 150L)
+    }
+  }
+
   test("an all-null reference column ALARMS on current data (broken extractor)") {
     val ref = Seq[Option[Double]](None, None).toDF("v")
     val cur = df((1 to 50).map(_.toDouble))

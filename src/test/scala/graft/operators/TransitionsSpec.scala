@@ -61,6 +61,26 @@ class TransitionsSpec extends SparkSpec {
       s"the null-eid row must vanish from the sequence entirely: $got")
   }
 
+  test("randomized: matrix ≡ brute-force sequence walk") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val rows = Seq.tabulate(300)(i =>
+        (rnd.nextInt(15).toLong, Seq("A", "B", "C")(rnd.nextInt(3)),
+          rnd.nextInt(40).toLong, i.toLong)) // coarse ts → real ties
+      val evs = rows.toDF("user_id", "et", "us", "eid")
+        .select(col("user_id"), col("et"),
+          timestamp_micros(col("us") * 1000000L).as("ts"), col("eid"))
+      val got = Transitions.matrix(evs, "user_id", "et", "ts", "eid")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      val brute = rows.groupBy(_._1).values.flatMap { es =>
+        val ordered = es.sortBy(e => (e._3, e._4)).map(_._2)
+        ordered.zip(ordered.tail)
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(got == brute, s"seed $seed: $got vs $brute")
+    }
+  }
+
   test("probabilities sum to 1 per from_type on the real fixture") {
     val m = Transitions.matrix(graft.Tables.events(spark, sfDir),
       "user_id", "event_type", "ts", "event_id")
