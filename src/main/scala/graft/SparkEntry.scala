@@ -2672,6 +2672,36 @@ object SparkEntry {
       .orderBy(col("key"))
   }
 
+  /** Stream-maintained heavy hitters ([[graft.operators.HeavyHitters]]
+    * state path — the last mergeable state to gain the generalized
+    * fold): q90's term stream split into three l_orderkey-residue
+    * batches folded through a REAL store (batch 1 deliberately replayed
+    * — the marker protocol must no-op it, or candidate counts double
+    * and the cut rule evicts a true heavy hitter), then the EXACT set
+    * derived from the stored summary alone plus one candidate-
+    * restricted count scan. The PODS'12 merge rule preserves the
+    * n/(capacity+1) undercount bound across the fold tree, so the
+    * oracle stays q90's direct GROUP BY + HAVING — maintained ≡
+    * one-shot under the hash. */
+  def q131_heavy_hitters_maintained(s: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_q131_wh").toString
+    val store = new graft.operators.ParquetTableStore(s, wh)
+    val terms = lineitem(s, d).select(
+      length(col("l_partkey").cast("string")).cast("string").as("term"),
+      col("l_orderkey"))
+    def fold(batch: DataFrame, id: Long): Unit =
+      graft.operators.HeavyHitters.foldIntoStore(store, "hh",
+        batch, "term", capacity = 2, id, epoch = "q131")
+    fold(terms.filter(col("l_orderkey") % 3 === 0), 0L)
+    fold(terms.filter(col("l_orderkey") % 3 === 1), 1L)
+    fold(terms.filter(col("l_orderkey") % 3 === 1), 1L) // replay: must no-op
+    fold(terms.filter(col("l_orderkey") % 3 === 2), 2L)
+    graft.operators.HeavyHitters.exactFromState(
+      store.read("hh").get.drop("_last_batch", "_epoch"),
+      terms.select(col("term")), "term", capacity = 2)
+      .orderBy(col("term"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2805,6 +2835,7 @@ object SparkEntry {
     "q128_tfidf_keywords"   -> (q128_tfidf_keywords _),
     "q129_mutual_information" -> (q129_mutual_information _),
     "q130_decay_maintained" -> (q130_decay_maintained _),
+    "q131_heavy_hitters_maintained" -> (q131_heavy_hitters_maintained _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5268,6 +5299,17 @@ object SparkEntry {
                 round(sum(w * value), 4) AS decayed_sum,
                 count(*) AS n_events
          FROM w GROUP BY key ORDER BY key""",
+
+    // q131: q90's oracle VERBATIM — the fold-maintained MG summary plus
+    // one candidate-restricted exact count must be indistinguishable
+    // from the direct GROUP BY + HAVING (the PODS'12 merge rule keeps
+    // every >1/(capacity+1)-share term a candidate across the fold tree)
+    "q131_heavy_hitters_maintained" ->
+      """WITH t AS (SELECT CAST(length(CAST(l_partkey AS VARCHAR)) AS VARCHAR) AS term
+                    FROM lineitem),
+         c AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+         n AS (SELECT count(*) AS total FROM t)
+         SELECT term, cnt FROM c, n WHERE cnt * 3 > total ORDER BY term""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.MisraGries
 
@@ -50,6 +51,84 @@ object HeavyHitters {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * (capacity + 1) > n)
   }
+
+  // ------------------------------------------------- mergeable state
+
+  /** [[sketch]] in the engine's storable mergeable-state shape: one row
+    * (_n, _cands: array<struct term, est>). The MG summary is itself a
+    * mergeable summary (Agarwal et al., PODS'12), so it joins the
+    * cnt/sum/histogram/HLL/decay family behind the SAME replay-idempotent
+    * fold protocol ([[IncrementalAgg.foldStateIntoStore]]) — the one
+    * state the r8 verdict flagged as fold-less. */
+  def state(df: DataFrame, termCol: String, capacity: Int): DataFrame =
+    sketch(df, termCol, capacity)
+      .select(col("n_total").as("_n"), col("candidates").as("_cands"))
+
+  /** Exact PODS'12 merge of [[state]] frames, fully in-plan: sum the
+    * counters term-wise, and when more than `capacity` terms survive,
+    * subtract the (capacity+1)-th largest combined count from every
+    * counter and drop the non-positive — the rule that preserves the
+    * n/(capacity+1) undercount bound under ANY merge tree, so
+    * fold-maintained candidates still provably contain every true heavy
+    * hitter. The keyless window/aggregates below run on ≤ states×capacity
+    * rows (the whole point of the sketch), never on data. */
+  def mergeStates(capacity: Int, states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "mergeStates needs at least one state frame")
+    val u = states.reduce(_.unionByName(_))
+    val n = u.agg(coalesce(sum(col("_n")), lit(0L)).as("_n"))
+    val combined = u.select(explode(col("_cands")).as("c"))
+      .groupBy(col("c.term").as("term")).agg(sum(col("c.est")).as("est"))
+    val ranked = combined.withColumn("_rk",
+      row_number().over(Window.orderBy(col("est").desc, col("term"))))
+    val cut = ranked.agg(coalesce(
+      max(when(col("_rk") === capacity + 1, col("est"))), lit(0L)).as("_cut"))
+    val kept = ranked.crossJoin(broadcast(cut))
+      .filter(col("est") > col("_cut"))
+      .select(col("term"), (col("est") - col("_cut")).as("est"))
+    // deterministic candidate order (est desc, term asc) — the same
+    // order finish() pins, so state round-trips are byte-stable
+    val cands = kept
+      .agg(collect_list(struct(col("term"), col("est"))).as("raw"))
+      .select(array_sort(col("raw"), (l, r) =>
+        when(l("est") > r("est"), -1).when(l("est") < r("est"), 1)
+          .when(l("term") < r("term"), -1).when(l("term") > r("term"), 1)
+          .otherwise(0)).as("_cands"))
+    n.crossJoin(cands)
+  }
+
+  /** The exact heavy-hitter set derived from a MAINTAINED state instead
+    * of a fresh sketch pass: candidates and the stream length come from
+    * the state (bounded, capacity-sized collect); only the
+    * candidate-restricted exact count scans `df` — which must be the
+    * same full history the state folded. Exactness carries over because
+    * the merged summary keeps the n/(capacity+1) bound (see
+    * [[mergeStates]]). */
+  def exactFromState(state: DataFrame, df: DataFrame, termCol: String,
+                     capacity: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val row = state.select(col("_n"), col("_cands")).head()
+    val n = row.getLong(0)
+    val cands = row.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0))
+    val candDf = cands.toDF("term")
+    df.select(col(termCol).as("term"))
+      .join(broadcast(candDf), Seq("term"), "left_semi")
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * (capacity + 1) > n)
+  }
+
+  /** Replay-idempotent streaming maintenance of the MG summary — the
+    * generalized fold ([[IncrementalAgg.foldStateIntoStore]]): heavy-
+    * hitter candidates stay current per micro-batch without rescanning
+    * history; [[exactFromState]] turns the stored state into the exact
+    * set on demand. */
+  def foldIntoStore(store: ParquetTableStore, name: String, batch: DataFrame,
+                    termCol: String, capacity: Int,
+                    batchId: Long, epoch: String): Unit =
+    IncrementalAgg.foldStateIntoStore(store, name,
+      state(batch, termCol, capacity),
+      (p, d) => mergeStates(capacity, p, d), batchId, epoch)
 
   /** Per-group summaries: (group, n_total, candidates). The per-key
     * variant for "top domains per language"-shaped questions; state is

@@ -76,6 +76,70 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got("g2") == (40L, "y"), got.toString)
   }
 
+  test("mergeStates obeys the PODS'12 bound and keeps every true heavy hitter") {
+    val cap = 5
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = stream.size.toLong
+    // arbitrary 3-way split merged pairwise — a deeper tree than any
+    // single-aggregate run exercises
+    val parts = stream.grouped((stream.size + 2) / 3).toSeq
+    val states = parts.map(p => HeavyHitters.state(p.toDF("term"), "term", cap))
+    val merged = HeavyHitters.mergeStates(cap,
+      HeavyHitters.mergeStates(cap, states(0), states(1)), states(2))
+    val row = merged.select(col("_n"), col("_cands")).head()
+    assert(row.getLong(0) == n, s"merged n ${row.getLong(0)} != $n")
+    val cands = row.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(cands.size <= cap, s"capacity violated: $cands")
+    cands.foreach { case (t, est) =>
+      assert(est <= truth(t), s"overcounted '$t': $est > ${truth(t)}")
+      assert(truth(t) - est <= n / (cap + 1),
+        s"undercount of '$t' exceeds n/(cap+1): ${truth(t)} - $est")
+    }
+    Seq("hot", "warm").foreach(t => assert(cands.exists(_._1 == t),
+      s"true heavy hitter '$t' lost in merge: $cands"))
+  }
+
+  test("foldIntoStore: maintained state yields the exact set; replay no-ops; epoch mismatch is loud") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_hh_fold").toString
+    val store = new ParquetTableStore(spark, wh)
+    val cap = 5
+    val parts = stream.grouped((stream.size + 2) / 3).toSeq
+    def fold(p: Seq[String], id: Long, epoch: String = "e1"): Unit =
+      HeavyHitters.foldIntoStore(store, "hh", p.toDF("term"), "term", cap,
+        id, epoch)
+    fold(parts(0), 0L)
+    fold(parts(1), 1L)
+    fold(parts(1), 1L) // at-least-once replay: must not double-count
+    fold(parts(2), 2L)
+    def exactNow = HeavyHitters.exactFromState(
+      store.read("hh").get.drop("_last_batch", "_epoch"),
+      stream.toDF("term"), "term", cap)
+      .as[(String, Long)].collect().toMap
+    assert(exactNow == Map("hot" -> 500L, "warm" -> 300L), exactNow.toString)
+    // the replay must not have inflated _n either (it feeds the share bar)
+    val nStored = store.read("hh").get.select(col("_n")).head().getLong(0)
+    assert(nStored == stream.size.toLong, s"replay inflated n: $nStored")
+    val e = intercept[RuntimeException] { fold(Seq("x"), 0L, epoch = "other") }
+    assert(e.getMessage.contains("epoch"))
+  }
+
+  test("foldIntoStore recovers a state table stranded mid whole-table swap") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_hh_swap").toString
+    val store = new ParquetTableStore(spark, wh)
+    def fold(p: Seq[String], id: Long): Unit =
+      HeavyHitters.foldIntoStore(store, "hh", p.toDF("term"), "term", 3, id, "e1")
+    fold(Seq("a", "a", "b"), 0L)
+    assert(new java.io.File(s"$wh/hh").renameTo(new java.io.File(s"$wh/_swap_hh")))
+    fold(Seq("a", "c"), 1L) // must fold into the RECOVERED state, not restart
+    val row = store.read("hh").get.select(col("_n"), col("_cands")).head()
+    assert(row.getLong(0) == 5L, s"recovered n wrong: ${row.getLong(0)}")
+    val cands = row.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cands == Map("a" -> 3L, "b" -> 1L, "c" -> 1L),
+      s"recovered counters wrong: $cands")
+  }
+
   private implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map { case (a, b, c) => a -> (b, c) }.toMap
   }
