@@ -124,6 +124,45 @@ object Similarity {
     }: _*)
   }
 
+  /** Analytic LSH parameter planner (the MMDS ch.3 S-curve analysis,
+    * Leskovec/Rajaraman/Ullman): for an `nPerms`-component signature,
+    * banding into (b bands × r rows) captures a pair of true Jaccard s
+    * with probability p(s) = 1 − (1 − s^r)^b. Among the divisor pairs
+    * b·r = nPerms this picks the one minimizing
+    *
+    *   ∫₀ᵗ p(s) ds  +  fnWeight · ∫ₜ¹ (1 − p(s)) ds
+    *
+    * — expected false-positive candidate mass plus (weighted) expected
+    * false-negative mass under a uniform similarity prior. fnWeight > 1
+    * biases toward recall (dedup pipelines usually prefer paying extra
+    * exact-verification over silently missing near-dups); the integrals
+    * are Simpson-evaluated, driver-side, microseconds. Returns
+    * (bands, rows). The engine's fixed 16×4 default IS this planner's
+    * answer for nPerms = 64 at threshold 0.5 (spec-pinned); callers
+    * tuning other thresholds feed this into their own banding. */
+  def lshPlan(nPerms: Int, threshold: Double,
+              fnWeight: Double = 1.0): (Int, Int) = {
+    require(nPerms >= 2, s"nPerms must be >= 2: $nPerms")
+    require(threshold > 0 && threshold < 1,
+      s"threshold must be in (0,1): $threshold")
+    require(fnWeight > 0, s"fnWeight must be > 0: $fnWeight")
+    def p(s: Double, b: Int, r: Int) = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+    def simpson(f: Double => Double, lo: Double, hi: Double): Double = {
+      if (hi <= lo) return 0.0
+      val n = 512 // even; f is smooth on [0,1]
+      val h = (hi - lo) / n
+      val s = (1 until n).map(i =>
+        f(lo + i * h) * (if (i % 2 == 1) 4.0 else 2.0)).sum
+      (f(lo) + f(hi) + s) * h / 3.0
+    }
+    def cost(br: (Int, Int)): Double = {
+      val (b, r) = br
+      simpson(s => p(s, b, r), 0.0, threshold) +
+        fnWeight * simpson(s => 1.0 - p(s, b, r), threshold, 1.0)
+    }
+    (1 to nPerms).filter(nPerms % _ == 0).map(b => (b, nPerms / b)).minBy(cost)
+  }
+
   def minhashNearDup(docs: DataFrame, idCol: String, textCol: String,
                      threshold: Double, k: Int = 3,
                      maxBucket: Int = 1000): DataFrame = {
@@ -564,37 +603,91 @@ object Similarity {
       org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)
     var centroids = ivfSeedCentroids(candidates, idCol, vecCol, nCells)
     val vecs = candidates.select(col(idCol).as("_tid"), col(vecCol).as("v"))
-    for (_ <- 1 to iterations) {
-      // argmax centroid per vector as a HASH aggregate (max_by over a
-      // lexicographic (cd, -cell) struct = cd desc, cell asc tie-break),
-      // not a row_number window: the window partitions by vector id, so it
-      // sort-shuffles the full n×nCells expansion every iteration, while
-      // max_by combines map-side and ships one row per vector (the same
-      // argmax-as-aggregate move as Dedup.firstWinsAgg).
-      val assigned = vecs.crossJoin(broadcast(centroids))
-        .select(col("_tid"), col("v"), col("cell"),
-          Vectors.dotNative(col("v"), col("centroid")).as("cd"))
-        .groupBy(col("_tid"))
-        .agg(max_by(struct(col("cell"), col("v")),
-          struct(col("cd"), (-col("cell")).as("nc"))).as("b"))
-        .select(col("_tid"), col("b.v").as("v"), col("b.cell").as("cell"))
-      // element-wise mean per cell: (cell, dim) partial aggregation
-      val means = assigned
-        .select(col("cell"), posexplode(col("v")).as(Seq("p", "x")))
-        .groupBy(col("cell"), col("p")).agg(avg(col("x")).as("m"))
-        .groupBy(col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("p"), col("m")))),
-          s => s.getField("m")).as("raw"))
-      val norm = sqrt(aggregate(col("raw"), lit(0.0), (acc, x) => acc + x * x))
-      val unit = transform(col("raw"), x =>
-        if (floatVecs) (x / norm).cast("float") else x / norm)
-      val refreshed = means.select(col("cell"), unit.as("trained"))
-      // keep the previous centroid for cells that lost every member
-      centroids = centroids.as("c")
-        .join(refreshed.as("r"), Seq("cell"), "left")
-        .select(col("cell"), coalesce(col("trained"), col("centroid")).as("centroid"))
-        .localCheckpoint() // tiny (nCells rows); cut the per-iteration lineage
+    for (_ <- 1 to iterations)
+      centroids = lloydStep(vecs, centroids, floatVecs)
+    centroids
+  }
+
+  /** One spherical Lloyd iteration: assign (broadcast argmax), recompute
+    * (normalized per-cell mean), keep the previous centroid for emptied
+    * cells. Returns a locally-checkpointed nCells-row frame. */
+  private def lloydStep(vecs: DataFrame, centroids: DataFrame,
+                        floatVecs: Boolean): DataFrame = {
+    // argmax centroid per vector as a HASH aggregate (max_by over a
+    // lexicographic (cd, -cell) struct = cd desc, cell asc tie-break),
+    // not a row_number window: the window partitions by vector id, so it
+    // sort-shuffles the full n×nCells expansion every iteration, while
+    // max_by combines map-side and ships one row per vector (the same
+    // argmax-as-aggregate move as Dedup.firstWinsAgg).
+    val assigned = vecs.crossJoin(broadcast(centroids))
+      .select(col("_tid"), col("v"), col("cell"),
+        Vectors.dotNative(col("v"), col("centroid")).as("cd"))
+      .groupBy(col("_tid"))
+      .agg(max_by(struct(col("cell"), col("v")),
+        struct(col("cd"), (-col("cell")).as("nc"))).as("b"))
+      .select(col("_tid"), col("b.v").as("v"), col("b.cell").as("cell"))
+    // element-wise mean per cell: (cell, dim) partial aggregation
+    val means = assigned
+      .select(col("cell"), posexplode(col("v")).as(Seq("p", "x")))
+      .groupBy(col("cell"), col("p")).agg(avg(col("x")).as("m"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("p"), col("m")))),
+        s => s.getField("m")).as("raw"))
+    val norm = sqrt(aggregate(col("raw"), lit(0.0), (acc, x) => acc + x * x))
+    val unit = transform(col("raw"), x =>
+      if (floatVecs) (x / norm).cast("float") else x / norm)
+    val refreshed = means.select(col("cell"), unit.as("trained"))
+    // keep the previous centroid for cells that lost every member
+    centroids.as("c")
+      .join(refreshed.as("r"), Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("trained"), col("centroid")).as("centroid"))
+      .localCheckpoint() // tiny (nCells rows); cut the per-iteration lineage
+  }
+
+  /** [[trainIvfCentroids]]' production loop: iterate Lloyd until the
+    * largest spherical centroid movement, max over cells of
+    * (1 − ⟨old, new⟩), falls below `eps` — k-means' standard
+    * stop-when-centroids-stop rule, read as ONE driver scalar per round
+    * from the nCells-row centroid frames (the data is never collected).
+    * Lloyd monotonically improves the quantization objective over a
+    * finite partition space, so it reaches a fixed point; `maxIters`
+    * bounds the k-means cycling pathology and near-tie float jitter
+    * with the engine's loud-error convention (a silently half-trained
+    * quantizer would skew every downstream cell assignment). At a fixed
+    * point the assignment is stable, so one extra [[trainIvfCentroids]]
+    * round leaves the result unchanged — the spec's equivalence check
+    * against the fixed-K contract.
+    *
+    * eps floor: with float32 vectors the normalization itself leaves
+    * ‖c‖² ≈ 1 ± 1e-7, so 1 − ⟨c, c⟩ of a BIT-IDENTICAL centroid already
+    * reads ~1e-7 — eps below ~1e-6 is unreachable on float columns
+    * (double columns can go tighter). The 1e-6 default stays above that
+    * quantization floor. */
+  def trainIvfCentroidsToConvergence(candidates: DataFrame, idCol: String,
+                                     vecCol: String, nCells: Int = 16,
+                                     eps: Double = 1e-6,
+                                     maxIters: Int = 30): DataFrame = {
+    require(eps > 0, s"eps must be > 0: $eps")
+    require(maxIters >= 1, "maxIters must be >= 1")
+    val floatVecs = candidates.schema(vecCol).dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)
+    var centroids = ivfSeedCentroids(candidates, idCol, vecCol, nCells)
+    val vecs = candidates.select(col(idCol).as("_tid"), col(vecCol).as("v"))
+    var round = 0
+    var shift = Double.MaxValue
+    while (shift >= eps && round < maxIters) {
+      val next = lloydStep(vecs, centroids, floatVecs)
+      shift = next.as("b").join(centroids.as("a"), Seq("cell"))
+        .agg(max(lit(1.0) -
+          Vectors.dotNative(col("a.centroid"), col("b.centroid"))).as("s"))
+        .head().getDouble(0)
+      centroids = next
+      round += 1
     }
+    if (shift >= eps) throw new IllegalStateException(
+      s"Lloyd did not converge in $maxIters rounds (last max centroid " +
+        s"shift $shift >= eps $eps): a half-trained quantizer would " +
+        "silently skew every cell assignment. Raise maxIters or loosen eps.")
     centroids
   }
 

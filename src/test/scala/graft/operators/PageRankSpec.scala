@@ -50,4 +50,34 @@ class PageRankSpec extends SparkSpec {
     intercept[IllegalArgumentException] { PageRank.run(e, "src", "dst", iters = 0) }
     intercept[IllegalArgumentException] { PageRank.run(e, "src", "dst", damping = 1.0) }
   }
+
+  test("ε-loop fixed point matches a long fixed-K run (unique contraction fixed point)") {
+    // the oscillating 1↔6 authority graph + a random component: both
+    // loop contracts must land on the same (unique) fixed point
+    val rnd = new scala.util.Random(11)
+    val edges = ((1L to 5L).map(i => (i, 6L)) :+ (6L, 1L)) ++
+      (1 to 120).map(_ => (10 + rnd.nextInt(25).toLong, 10 + rnd.nextInt(25).toLong))
+        .filter(e => e._1 != e._2).distinct
+    // damping 0.5 so the contraction (delta ~ 2·d^k) reaches tight eps in
+    // ~30 rounds: at d=0.85 an eps of 1e-10 needs ~150 rounds of driver
+    // loop — correct but a pointlessly slow spec
+    val eps = PageRank.runToConvergence(edges.toDF("src", "dst"), "src", "dst",
+      0.5, eps = 1e-10).as[(Long, Double)].collect().toMap
+    val fixedK = PageRank.run(edges.toDF("src", "dst"), "src", "dst", 0.5, 60)
+      .as[(Long, Double)].collect().toMap // 2·0.5^60 ~ 1e-18 — fully converged
+    assert(eps.keySet == fixedK.keySet)
+    eps.foreach { case (n, r) =>
+      assert(math.abs(r - fixedK(n)) < 1e-9, s"node $n: eps=$r fixedK=${fixedK(n)}")
+    }
+    // mass conservation holds for the ε variant too
+    assert(math.abs(eps.values.sum - 1.0) < 1e-9)
+  }
+
+  test("ε-loop throws loudly when maxIters can't reach eps") {
+    val edges = ((1L to 5L).map(i => (i, 6L)) :+ (6L, 1L)).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      PageRank.runToConvergence(edges, "src", "dst", 0.85, eps = 1e-12, maxIters = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
 }

@@ -148,6 +148,53 @@ class SimilaritySpec extends SparkSpec {
     assert(trainedRecall >= 0.8, s"trained recall $trainedRecall too low")
   }
 
+  test("lshPlan: the engine's 16x4 default is the planner's answer at t=0.5, and the curve shifts the right way") {
+    // (1/16)^(1/4) = 0.5 exactly — the S-curve midpoint sits on the
+    // threshold, so 16 bands x 4 rows must win for 64 perms at 0.5
+    assert(Similarity.lshPlan(64, 0.5) == (16, 4))
+    val (bLo, rLo) = Similarity.lshPlan(64, 0.2)
+    val (bHi, rHi) = Similarity.lshPlan(64, 0.9)
+    assert(bLo > 16 && rLo < 4, s"low threshold needs more bands: ($bLo,$rLo)")
+    assert(bHi < 16 && rHi > 4, s"high threshold needs more rows: ($bHi,$rHi)")
+    // recall bias: weighting false negatives up never DECREASES bands
+    val (bRec, _) = Similarity.lshPlan(64, 0.9, fnWeight = 10.0)
+    assert(bRec >= bHi, s"fnWeight must bias toward capture: $bRec < $bHi")
+    // all plans factor the signature exactly
+    Seq((64, 0.3), (128, 0.7), (96, 0.55)).foreach { case (n, t) =>
+      val (b, r) = Similarity.lshPlan(n, t)
+      assert(b * r == n)
+    }
+    intercept[IllegalArgumentException] { Similarity.lshPlan(64, 0.0) }
+  }
+
+  test("Lloyd ε-loop fixed point matches the fixed-K result on a converged run") {
+    val emb = graft.Tables.embeddings(spark, sfDir).filter($"vec_id" < 200)
+    // eps floor is the float32 unit-norm noise (~1e-7) — see scaladoc
+    val conv = Similarity.trainIvfCentroidsToConvergence(
+      emb, "vec_id", "embedding", nCells = 4, eps = 1e-6, maxIters = 40)
+      .withColumnRenamed("centroid", "c_eps")
+    // same seed, same deterministic iteration body: a fixed-K run long
+    // enough to have converged must sit at the same fixed point
+    val fixedK = Similarity.trainIvfCentroids(
+      emb, "vec_id", "embedding", nCells = 4, iterations = 40)
+      .withColumnRenamed("centroid", "c_k")
+    val agreement = conv.join(fixedK, "cell")
+      .select(graft.functions.Vectors.dotNative($"c_eps", $"c_k").as("d"))
+      .as[Double].collect()
+    assert(agreement.length == 4)
+    agreement.foreach(d => assert(d > 1.0 - 1e-6,
+      s"ε fixed point diverged from fixed-K: dot=$d"))
+  }
+
+  test("Lloyd ε-loop throws loudly when maxIters can't reach eps") {
+    val emb = graft.Tables.embeddings(spark, sfDir).filter($"vec_id" < 200)
+    val e = intercept[IllegalStateException] {
+      Similarity.trainIvfCentroidsToConvergence(
+        emb, "vec_id", "embedding", nCells = 4, eps = 1e-15, maxIters = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("annBruteForce top-1 of a query against itself-excluded set is its nearest cluster member") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val out = Similarity.annBruteForce(emb.filter($"vec_id" === 0L), emb, "vec_id", "embedding", 1)
