@@ -37,18 +37,31 @@ object Anonymity {
 
   /** 1-row audit verdict: total rows/groups, the smallest equivalence
     * class, how many groups and rows sit below k, the at-risk row
-    * share, and the boolean verdict min_group_size ≥ k. */
+    * share, and the boolean verdict min_group_size ≥ k.
+    *
+    * Empty input: aggregates over zero groups yield null, and a NULL
+    * verdict would read as "not false" to a release gate testing
+    * `!= false` — "couldn't measure" must never pass a privacy check
+    * (the [[DataChecks]] convention). So the counts coalesce to 0,
+    * min_group_size stays null (there IS no smallest class), at_risk_pct
+    * coalesces to 0.0, and `k_anonymous` coalesces to a definite FALSE:
+    * an unmeasurable dataset is not releasable evidence. */
   def report(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame = {
     require(k >= 2, s"k must be >= 2: $k")
     groupSizes(df, qiCols).agg(
       count(lit(1)).as("n_groups"),
-      sum(col("n")).as("n_rows"),
+      coalesce(sum(col("n")), lit(0L)).as("n_rows"),
       min(col("n")).as("min_group_size"),
-      sum(when(col("n") < k, 1L).otherwise(0L)).as("groups_below_k"),
-      sum(when(col("n") < k, col("n")).otherwise(0L)).as("rows_below_k"))
+      coalesce(sum(when(col("n") < k, 1L).otherwise(0L)), lit(0L))
+        .as("groups_below_k"),
+      coalesce(sum(when(col("n") < k, col("n")).otherwise(0L)), lit(0L))
+        .as("rows_below_k"))
       .select(col("*"),
-        round(col("rows_below_k").cast("double") / col("n_rows"), 4)
-          .as("at_risk_pct"),
-        (col("min_group_size") >= k).as("k_anonymous"))
+        // guarded, not try_divide: n_rows = 0 must read as 0% at risk,
+        // and ANSI mode makes the bare division a hard error
+        when(col("n_rows") > 0,
+          round(col("rows_below_k").cast("double") / col("n_rows"), 4))
+          .otherwise(lit(0.0)).as("at_risk_pct"),
+        coalesce(col("min_group_size") >= k, lit(false)).as("k_anonymous"))
   }
 }

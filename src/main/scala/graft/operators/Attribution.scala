@@ -24,7 +24,15 @@ object Attribution {
 
   /** `conversions` + (touch_ts, lag_minutes, attributed): touch_ts =
     * the crediting touch instant (null when none in window),
-    * lag_minutes rounded to 4, attributed = the boolean verdict. */
+    * lag_minutes rounded to 4, attributed = the boolean verdict.
+    *
+    * EVERY conversion row comes back, exactly once: a conversion with a
+    * null user or timestamp cannot be attributed (it has no as-of key),
+    * so it returns with attributed = false and null touch columns
+    * rather than vanishing — totals computed from the result equal
+    * totals of the input, never a silent undercount. Only the non-null
+    * rows enter the as-of join; the null-keyed remainder unions back
+    * around it. */
   def lastTouch(conversions: DataFrame, touches: DataFrame,
                 userCol: String, convTsCol: String, touchTsCol: String,
                 windowHours: Int): DataFrame = {
@@ -43,11 +51,18 @@ object Attribution {
       unix_micros(col("_tts").cast("timestamp"))
     val inWindow = col("_tts").isNotNull &&
       lagUs <= windowHours.toLong * 3600L * 1000000L
-    joined
+    val matched = joined
       .withColumn("attributed", coalesce(inWindow, lit(false)))
       .withColumn("touch_ts", when(col("attributed"), col("_tts")))
       .withColumn("lag_minutes",
         when(col("attributed"), round(lagUs / lit(6e7), 4)))
       .drop("_tts", "_tu")
+    val unattributable = conversions
+      .filter(col(userCol).isNull || col(convTsCol).isNull)
+      .withColumn("attributed", lit(false))
+      .withColumn("touch_ts",
+        lit(null).cast(touches.schema(touchTsCol).dataType))
+      .withColumn("lag_minutes", lit(null).cast("double"))
+    matched.unionByName(unattributable)
   }
 }

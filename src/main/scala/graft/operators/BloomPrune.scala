@@ -28,7 +28,10 @@ import org.apache.spark.sql.functions._
   * Keys of any type participate via `xxhash64` (the insert and probe
   * sides hash identically); hash collisions are just bloom false
   * positives, removed by the exact join like any other. Null probe
-  * keys never match an equi-join and are dropped by the prune (the
+  * keys never match an equi-join; [[pruned]] drops them explicitly
+  * with an `isNotNull` conjunct — xxhash64(null) evaluates to the
+  * seed constant, so without the conjunct a null row could pass
+  * `might_contain` and ride the shuffle to the exact join (the
   * null-safe variant is out of contract). `estimatedItems` sizes the
   * bloom — pass the build side's approximate key cardinality;
   * internally capped by the runtime-filter size confs. */
@@ -51,8 +54,9 @@ object BloomPrune {
     * probe task as a literal, so the filter sits in the scan
     * projection with no join node at all. */
   def pruned(probe: DataFrame, probeKey: String, bloom: DataFrame): DataFrame =
-    probe.filter(call_function("graft_might_contain", bloom.scalar(),
-      xxhash64(col(probeKey))))
+    probe.filter(col(probeKey).isNotNull &&
+      call_function("graft_might_contain", bloom.scalar(),
+        xxhash64(col(probeKey))))
 
   private def exact(probe: DataFrame, probeKey: String, build: DataFrame,
                     buildKey: String, estimatedItems: Long,

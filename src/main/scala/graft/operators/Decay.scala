@@ -104,9 +104,13 @@ object Decay {
   /** Read-time scores from a state frame: ≡ [[scores]] over the full
     * history (up to floating-point re-association; the spec pins
     * rounded equality), without rescanning it. Keys whose reference
-    * lies beyond `asOfMicros` are excluded — the state has folded in
-    * events the backfill instant must not see, and a mergeable state
-    * cannot un-add them (use the batch path for historical asOf). */
+    * lies beyond `asOfMicros` are EXCLUDED FROM THE OUTPUT — the state
+    * has folded in events the backfill instant must not see, and a
+    * mergeable state cannot un-add them (use the batch path for
+    * historical asOf). A current-time read can hit this too (clock
+    * skew between the read instant and ingested event times makes a
+    * key vanish rather than error), so a production read should pair
+    * this with [[outrunKeys]] and alarm when it is non-empty. */
   def scoresFromState(state: DataFrame, asOfMicros: Long,
                       halfLifeHours: Double): DataFrame = {
     require(halfLifeHours > 0, s"halfLifeHours must be > 0: $halfLifeHours")
@@ -118,6 +122,16 @@ object Decay {
         round(col("_dsum") * scale, 4).as("decayed_sum"),
         col("_n").as("n_events"))
   }
+
+  /** The keys [[scoresFromState]] would exclude at `asOfMicros`, with
+    * how far each reference has outrun the read instant — the alarm
+    * surface for the exclusion above: a scheduled read that expects
+    * asOf ≈ now should fail (or page) when this is non-empty instead
+    * of letting clock skew read as "key has no activity". */
+  def outrunKeys(state: DataFrame, asOfMicros: Long): DataFrame =
+    state.filter(col("_ref") > asOfMicros)
+      .select(col("key"), col("_ref"),
+        (col("_ref") - lit(asOfMicros)).as("outrun_micros"))
 
   /** Replay-idempotent streaming maintenance — the generalized fold
     * ([[IncrementalAgg.foldStateIntoStore]]): trending scores stay

@@ -34,6 +34,14 @@ object StreamJoin {
                    leftTsCol: String, rightTsCol: String,
                    horizon: String): DataFrame = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
+    // enforce the documented disjointness contract up front: overlapping
+    // non-key names would silently produce duplicate output columns that
+    // only fail later as ambiguous references downstream
+    val overlap = left.columns.intersect(right.columns).toSet -- keyCols
+    require(overlap.isEmpty,
+      s"intervalJoin: non-key column names must be disjoint between the " +
+        s"two sides, but both carry ${overlap.mkString(", ")} — rename or " +
+        "drop them on one side before joining")
     val keyEq = keyCols.map(k => left(k) === right(k)).reduce(_ && _)
     val lo = right(rightTsCol) >= left(leftTsCol)
     val hi = right(rightTsCol) <= left(leftTsCol) + expr(s"INTERVAL $horizon")

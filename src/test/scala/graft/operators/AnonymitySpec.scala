@@ -55,6 +55,20 @@ class AnonymitySpec extends SparkSpec {
     assert(r.getAs[Boolean]("k_anonymous"), r.toString)
   }
 
+  test("empty input yields a definite FALSE verdict, not a null one") {
+    // 'couldn't measure' must never read as releasable: a consumer
+    // testing `!= false` on a NULL verdict would pass an unmeasured set
+    val empty = Seq.empty[(String, Int)].toDF("zip", "age")
+    val r = Anonymity.report(empty, Seq("zip", "age"), k = 3).collect().head
+    assert(!r.getAs[Boolean]("k_anonymous"))
+    assert(r.getAs[Long]("n_groups") == 0L && r.getAs[Long]("n_rows") == 0L)
+    assert(r.getAs[Long]("groups_below_k") == 0L &&
+      r.getAs[Long]("rows_below_k") == 0L)
+    assert(r.getAs[Double]("at_risk_pct") == 0.0)
+    assert(r.isNullAt(r.fieldIndex("min_group_size")),
+      "there is no smallest class in an empty set — that one stays null")
+  }
+
   test("invalid k fails loudly") {
     intercept[IllegalArgumentException] {
       Anonymity.report(df, Seq("zip"), k = 1)

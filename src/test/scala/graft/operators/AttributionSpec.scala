@@ -65,6 +65,23 @@ class AttributionSpec extends SparkSpec {
       r.getAs[Double]("lag_minutes") == 0.0)
   }
 
+  test("null-keyed conversions come back attributed=false, never dropped") {
+    val convs = Seq(
+      (1L, Some(1L), Some("2024-01-02 00:00:00")),
+      (5L, None, Some("2024-01-02 00:00:00")),     // null user
+      (6L, Some(1L), None))                        // null ts
+      .toDF("event_id", "user_id", "s")
+      .select(col("event_id"), col("user_id"), to_timestamp(col("s")).as("ts"))
+    val got = Attribution.lastTouch(convs, clicks, "user_id", "ts", "ts", 72)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Boolean]("attributed"),
+        Option(r.getAs[Timestamp]("touch_ts"))))).toMap
+    assert(got.keySet == Set(1L, 5L, 6L), s"conversions dropped: ${got.keySet}")
+    assert(got(1L)._1, "the attributable row still attributes")
+    assert(got(5L) == (false, None) && got(6L) == (false, None),
+      s"null-keyed rows must be (false, null): $got")
+  }
+
   test("invalid window fails loudly") {
     intercept[IllegalArgumentException] {
       Attribution.lastTouch(purchases, clicks, "user_id", "ts", "ts", 0)

@@ -52,6 +52,17 @@ class BloomPruneSpec extends SparkSpec {
     assert(got == Seq(1L))
   }
 
+  test("pruned() itself drops null probe keys in the scan, not just the exact join") {
+    // xxhash64(null) evaluates to the seed constant, which the bloom may
+    // well admit — the explicit isNotNull conjunct must drop the row
+    // before the shuffle regardless
+    val p = Seq(Some(1L), Some(2L), None).toDF("k")
+    val bloom = BloomPrune.bloomOf(Seq(1L, 2L).toDF("bk"), "bk",
+      estimatedItems = 10)
+    val got = BloomPrune.pruned(p, "k", bloom).collect().map(_.get(0)).toSet
+    assert(got == Set(1L, 2L), s"null row survived the prune: $got")
+  }
+
   test("the bloom probe sits in the plan and builds as an aggregate") {
     val df = BloomPrune.semiJoin(probe, "l_partkey", build, "p_partkey",
       estimatedItems = 10000)

@@ -92,6 +92,13 @@ class DecaySpec extends SparkSpec {
       .map(_.getString(0)).toSet
     assert(back == Set("b"),
       "key 'a' folded future events relative to the backfill instant")
+    // outrunKeys is the alarm surface for that exclusion: it names the
+    // dropped key and by how much its reference outran the read instant
+    val outrun = Decay.outrunKeys(st, asOf - 10 * hour).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(outrun == Map("a" -> 10 * hour), outrun.toString)
+    assert(Decay.outrunKeys(st, asOf).isEmpty,
+      "nothing outruns a current-time read here")
   }
 
   test("foldIntoStore is replay-idempotent and matches the full recompute") {

@@ -79,6 +79,16 @@ class StreamJoinSpec extends SparkSpec {
     assert(rows.isEmpty, s"late purchase must not join: ${rows.toSeq}")
   }
 
+  test("overlapping non-key column names fail loudly up front") {
+    import spark.implicits._
+    val l = Seq((1L, "2024-01-01 00:00:00", "x")).toDF("k", "lts", "payload")
+    val r = Seq((1L, "2024-01-01 00:30:00", "y")).toDF("k", "rts", "payload")
+    val e = intercept[IllegalArgumentException] {
+      StreamJoin.intervalJoin(l, r, Seq("k"), "lts", "rts", "1 HOUR")
+    }
+    assert(e.getMessage.contains("payload"), e.getMessage)
+  }
+
   test("empty keyCols fails loudly") {
     intercept[IllegalArgumentException] {
       StreamJoin.intervalJoin(clicksFx.toDF(), purchasesFx.toDF(),
