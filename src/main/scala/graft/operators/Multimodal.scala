@@ -70,17 +70,35 @@ object Multimodal {
     val hx = rpad(hex(substring(payload, 1, 64)), 128, "0")
     val bytes = transform(sequence(lit(0), lit(63)),
       i => conv(hx.substr(i * 2 + 1, lit(2)), 16, 10).cast("int"))
-    // λ-bind bytes (and its sum) via single-element transform so the
-    // 64-conv array evaluates ONCE per row — referencing `bytes` from
-    // both the sum and the bit map would evaluate the tree twice
-    // (lambda subexpressions are outside Spark's subexpr elimination)
-    transform(array(bytes), bs =>
+    aHashBitsOfValues(bytes)
+  }
+
+  /** The aHash bit pipeline over an ALREADY-EXTRACTED 64-value integer
+    * block: bit i = (v_i · 64 > Σ v) — exact integer arithmetic, shared
+    * by the byte-lane stand-in ([[aHashBits]]) and the pixel path
+    * ([[aHashBitsPixels]]). Null blocks hash to null. */
+  def aHashBitsOfValues(values: Column): Column =
+    // λ-bind values (and their sum) via single-element transform so the
+    // input array evaluates ONCE per row — referencing it from both the
+    // sum and the bit map would evaluate the tree twice (lambda
+    // subexpressions are outside Spark's subexpr elimination)
+    transform(array(values), bs =>
       transform(array(aggregate(bs, lit(0), (a, x) => a + x)), tot =>
         array_join(transform(bs, b =>
           when(b * 64 > tot, lit("1")).otherwise(lit("0"))), ""))
         .getItem(0))
       .getItem(0)
-  }
+
+  /** PIXEL-path aHash: decode the payload (JPEG/PNG/BMP/GIF via the
+    * JDK's ImageIO — [[graft.plans.GrayBlock]]), integer-grayscale,
+    * downscale to the 8×8 block-mean luma block, then the same exact
+    * bit pipeline. THIS is the classic perceptual aHash; undecodable
+    * payloads yield null instead of a garbage hash (filter nulls before
+    * grouping). Decode cost is per-payload and embarrassingly parallel;
+    * everything downstream of the 64-int block is identical to
+    * [[aHashBits]]. */
+  def aHashBitsPixels(payload: Column): Column =
+    aHashBitsOfValues(call_function("media_gray8x8", payload))
 
   /** Near-duplicate payload pairs by aHash Hamming distance ≤
     * `maxHamming` — image-style fuzzy dedup with the LSH-banding

@@ -63,6 +63,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => MediaHeader(children.head)))
 
     ext.injectFunction((
+      new FunctionIdentifier("media_gray8x8"),
+      new ExpressionInfo(classOf[GrayBlock].getName, "media_gray8x8"),
+      (children: Seq[Expression]) => GrayBlock(children.head)))
+
+    ext.injectFunction((
       new FunctionIdentifier("vec_lsh_sketch"),
       new ExpressionInfo(classOf[VecLshSketch].getName, "vec_lsh_sketch"),
       (children: Seq[Expression]) =>

@@ -109,4 +109,89 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(_._2) == Seq(4L, 26L, 0L))
     assert(out.head._3 == "tiny".getBytes("UTF-8").map(_.toLong & 0xFF).sum)
   }
+
+  // ---------------------------------------------------- pixel-path aHash
+
+  private def grayImage(w: Int, h: Int, v: (Int, Int) => Int) = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, v(x, y))
+    img
+  }
+  private def encode(img: java.awt.image.BufferedImage, fmt: String) = {
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  test("gray block of a PNG equals the hand-computed 8x8 block means exactly") {
+    // 16x16: each block is a 2x2 pixel patch; v(x,y) = x*3 + y*5
+    val bytes = encode(grayImage(16, 16, (x, y) => (x * 3 + y * 5) % 256), "png")
+    val got = graft.plans.GrayBlock.decode(bytes)
+    val exp = (for (by <- 0 until 8; bx <- 0 until 8) yield {
+      val vs = for (y <- by * 2 until by * 2 + 2; x <- bx * 2 until bx * 2 + 2)
+        yield (x * 3 + y * 5) % 256
+      vs.sum / 4
+    }).toArray
+    assert(got.toSeq == exp.toSeq)
+  }
+
+  test("non-divisible dims use integer block boundaries (e.g. 10x9)") {
+    val bytes = encode(grayImage(10, 9, (x, y) => x + y), "png")
+    val got = graft.plans.GrayBlock.decode(bytes)
+    val exp = (for (by <- 0 until 8; bx <- 0 until 8) yield {
+      val (x0, x1) = (bx * 10 / 8, (bx + 1) * 10 / 8)
+      val (y0, y1) = (by * 9 / 8, (by + 1) * 9 / 8)
+      val vs = for (y <- y0 until y1; x <- x0 until x1) yield x + y
+      (vs.sum.toLong / vs.size).toInt
+    }).toArray
+    assert(got.toSeq == exp.toSeq)
+  }
+
+  test("RGB images grayscale through the exact BT.601 integer weights") {
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img.setRGB(x, y, (200 << 16) | (100 << 8) | 50)
+    val got = graft.plans.GrayBlock.decode(encode(img, "png"))
+    val luma = (200 * 299 + 100 * 587 + 50 * 114) / 1000
+    assert(got.forall(_ == luma), s"${got.toSeq} vs $luma")
+  }
+
+  test("JPEG baseline rides the same pixel path: smooth image decodes within quantization error") {
+    // constant-per-macroblock image: JPEG's DCT quantization error on a
+    // flat 16x16 block is small, so the 8x8 block means land near the
+    // authored values while still exercising a REAL lossy decode
+    val authored = (x: Int, y: Int) => ((x / 4) * 16 + (y / 4) * 2 + 40) % 256
+    val img = grayImage(32, 32, authored)
+    val jpeg = encode(img, "jpg")
+    val got = graft.plans.GrayBlock.decode(jpeg)
+    assert(got != null, "JPEG failed to decode")
+    val exp = graft.plans.GrayBlock.decode(encode(img, "png")) // exact pixels
+    val maxDiff = got.zip(exp).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxDiff <= 4, s"JPEG block means drifted by $maxDiff")
+    // and the hash is a pure function of the bytes: re-decode agrees
+    assert(graft.plans.GrayBlock.decode(jpeg).toSeq == got.toSeq)
+  }
+
+  test("aHashBitsPixels: planted PNG duplicates share a hash; undecodable payloads hash null") {
+    val a1 = encode(grayImage(32, 32, (x, y) => (x * 7 + y * 13) % 256), "png")
+    val a2 = encode(grayImage(32, 32, (x, y) => (x * 7 + y * 13) % 256), "png")
+    val b = encode(grayImage(32, 32, (x, y) => 255 - (x * 7 + y * 13) % 256), "png")
+    val rows: Seq[(Long, Array[Byte])] =
+      Seq((1L, a1), (2L, a2), (3L, b), (4L, Array[Byte](9, 9, 9)))
+    val got = rows.toDF("id", "payload")
+      .select($"id", Multimodal.aHashBitsPixels($"payload").as("h"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L).isDefined && got(1L) == got(2L), "identical pixels must collide")
+    assert(got(3L).isDefined && got(1L) != got(3L), "inverted image must differ")
+    assert(got(4L).isEmpty, "undecodable payload must hash null")
+    assert(got(1L).get.length == 64 && got(1L).get.forall(c => c == '0' || c == '1'))
+  }
+
+  test("tiny images (under 8x8) refuse to hash rather than fabricate blocks") {
+    val bytes = encode(grayImage(4, 12, (x, y) => x + y), "png")
+    assert(graft.plans.GrayBlock.decode(bytes) == null)
+  }
 }
