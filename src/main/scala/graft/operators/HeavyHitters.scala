@@ -72,28 +72,49 @@ object HeavyHitters {
     * fold-maintained candidates still provably contain every true heavy
     * hitter. The keyless window/aggregates below run on ≤ states×capacity
     * rows (the whole point of the sketch), never on data. */
-  def mergeStates(capacity: Int, states: DataFrame*): DataFrame = {
+  def mergeStates(capacity: Int, states: DataFrame*): DataFrame =
+    mergeStatesGrouped(capacity, Seq.empty, states: _*)
+
+  /** [[mergeStates]] generalized to PER-GROUP states ((groups…, _n,
+    * _cands) rows — [[statePerGroup]]'s shape): the PODS'12 rule
+    * applies within each group independently (the bound is
+    * per-stream), so the trim window partitions by the group columns
+    * — per-group candidate rows, never data, never a global sort.
+    * With `groups` empty this IS the global merge (keyless window
+    * over ≤ states×capacity rows). Groups absent from one side pass
+    * through; a group whose candidates all cancelled keeps an empty
+    * array (its _n still counts — the share bar needs it). */
+  def mergeStatesGrouped(capacity: Int, groups: Seq[String],
+                         states: DataFrame*): DataFrame = {
     require(states.nonEmpty, "mergeStates needs at least one state frame")
     val u = states.reduce(_.unionByName(_))
-    val n = u.agg(coalesce(sum(col("_n")), lit(0L)).as("_n"))
-    val combined = u.select(explode(col("_cands")).as("c"))
-      .groupBy(col("c.term").as("term")).agg(sum(col("c.est")).as("est"))
+    val g = groups.map(col)
+    val n = u.groupBy(g: _*).agg(coalesce(sum(col("_n")), lit(0L)).as("_n"))
+    val combined = u.select(g :+ explode(col("_cands")).as("c"): _*)
+      .groupBy(g :+ col("c.term").as("term"): _*)
+      .agg(sum(col("c.est")).as("est"))
     val ranked = combined.withColumn("_rk",
-      row_number().over(Window.orderBy(col("est").desc, col("term"))))
-    val cut = ranked.agg(coalesce(
+      row_number().over(Window.partitionBy(g: _*)
+        .orderBy(col("est").desc, col("term"))))
+    val cut = ranked.groupBy(g: _*).agg(coalesce(
       max(when(col("_rk") === capacity + 1, col("est"))), lit(0L)).as("_cut"))
-    val kept = ranked.crossJoin(broadcast(cut))
+    val kept = (if (groups.isEmpty) ranked.crossJoin(broadcast(cut))
+                else ranked.join(cut, groups))
       .filter(col("est") > col("_cut"))
-      .select(col("term"), (col("est") - col("_cut")).as("est"))
+      .select(g :+ col("term") :+ (col("est") - col("_cut")).as("est"): _*)
     // deterministic candidate order (est desc, term asc) — the same
     // order finish() pins, so state round-trips are byte-stable
     val cands = kept
+      .groupBy(g: _*)
       .agg(collect_list(struct(col("term"), col("est"))).as("raw"))
-      .select(array_sort(col("raw"), (l, r) =>
+      .select(g :+ array_sort(col("raw"), (l, r) =>
         when(l("est") > r("est"), -1).when(l("est") < r("est"), 1)
           .when(l("term") < r("term"), -1).when(l("term") > r("term"), 1)
-          .otherwise(0)).as("_cands"))
-    n.crossJoin(cands)
+          .otherwise(0)).as("_cands"): _*)
+    if (groups.isEmpty) n.crossJoin(cands)
+    else n.join(cands, groups, "left")
+      .withColumn("_cands", coalesce(col("_cands"),
+        array().cast("array<struct<term:string,est:bigint>>")))
   }
 
   /** The exact heavy-hitter set derived from a MAINTAINED state instead
@@ -130,6 +151,48 @@ object HeavyHitters {
       state(batch, termCol, capacity),
       (p, d) => mergeStates(capacity, p, d), batchId, epoch)
 
+  // --------------------------------------------- per-group state fold
+
+  /** [[sketchPerGroup]] in the storable state shape:
+    * (group, _n, _cands) rows. */
+  def statePerGroup(df: DataFrame, groupCol: String, termCol: String,
+                    capacity: Int): DataFrame =
+    sketchPerGroup(df, groupCol, termCol, capacity)
+      .select(col(groupCol), col("n_total").as("_n"),
+        col("candidates").as("_cands"))
+
+  /** [[exactFromState]] per group, with NO driver collect (the
+    * [[exactPerGroup]] plan over a MAINTAINED state instead of a fresh
+    * sketch pass): candidates explode to a (group, term) frame, the
+    * restriction is a (group, term) semi-join, the share bar joins the
+    * state's per-group _n. `df` must be the same full history the
+    * state folded. */
+  def exactFromStatePerGroup(state: DataFrame, df: DataFrame,
+                             groupCol: String, termCol: String,
+                             capacity: Int): DataFrame = {
+    val cands = state.select(col(groupCol), explode(col("_cands")).as("c"))
+      .select(col(groupCol), col("c.term").as("term"))
+    df.select(col(groupCol), col(termCol).as("term"))
+      .join(cands, Seq(groupCol, "term"), "left_semi")
+      .groupBy(col(groupCol), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(state.select(col(groupCol), col("_n")), Seq(groupCol))
+      .filter(col("cnt") * (capacity + 1) > col("_n"))
+      .select(col(groupCol), col("term"), col("cnt"))
+  }
+
+  /** Per-group replay-idempotent maintenance: "top terms per language"
+    * stays current per micro-batch. Same marker protocol; the state
+    * table is group-cardinality-sized (≤ capacity candidates each). */
+  def foldIntoStorePerGroup(store: ParquetTableStore, name: String,
+                            batch: DataFrame, groupCol: String,
+                            termCol: String, capacity: Int,
+                            batchId: Long, epoch: String): Unit =
+    IncrementalAgg.foldStateIntoStore(store, name,
+      statePerGroup(batch, groupCol, termCol, capacity),
+      (p, d) => mergeStatesGrouped(capacity, Seq(groupCol), p, d),
+      batchId, epoch)
+
   /** Per-group summaries: (group, n_total, candidates). The per-key
     * variant for "top domains per language"-shaped questions; state is
     * O(capacity) per group on the map side. */
@@ -140,4 +203,28 @@ object HeavyHitters {
       .select(col(groupCol), col("s._1").as("n_total"),
         transform(col("s._2"),
           e => struct(e("_1").as("term"), e("_2").as("est"))).as("candidates"))
+
+  /** The exact per-group heavy-hitter sets — (group, term, cnt) for
+    * every term whose within-group share exceeds 1/(capacity+1) — at
+    * per-group sketch cost. Unlike [[exact]], NOTHING collects to the
+    * driver: the candidate list is a frame ((group, term) pairs, ≤
+    * capacity per group), the restriction is a (group, term) semi-join
+    * (vocabulary-pruned before the counting shuffle), and the share
+    * bar joins each group's exact candidate counts against the
+    * sketch's exact per-group n — so group cardinality can be
+    * warehouse-sized. Exactness argument per group is [[exact]]'s
+    * verbatim: the MG bound holds within each group independently. */
+  def exactPerGroup(df: DataFrame, groupCol: String, termCol: String,
+                    capacity: Int): DataFrame = {
+    val sk = sketchPerGroup(df, groupCol, termCol, capacity)
+    val cands = sk.select(col(groupCol), explode(col("candidates")).as("c"))
+      .select(col(groupCol), col("c.term").as("term"))
+    df.select(col(groupCol), col(termCol).as("term"))
+      .join(cands, Seq(groupCol, "term"), "left_semi")
+      .groupBy(col(groupCol), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(sk.select(col(groupCol), col("n_total")), Seq(groupCol))
+      .filter(col("cnt") * (capacity + 1) > col("n_total"))
+      .select(col(groupCol), col("term"), col("cnt"))
+  }
 }

@@ -76,6 +76,19 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got("g2") == (40L, "y"), got.toString)
   }
 
+  test("exactPerGroup returns each group's true set independently, with no driver collect") {
+    // different HH sets per group; g2's heavy term is g1's tail noise
+    val rows =
+      Seq.fill(60)(("g1", "alpha")) ++ Seq.fill(40)(("g1", "beta")) ++
+        (0 until 20).map(i => ("g1", s"noise_$i")) ++      // g1: n=120, bar 40
+        Seq.fill(9)(("g2", "noise_3")) ++
+        (0 until 6).map(i => ("g2", s"z$i"))               // g2: n=15, bar 5
+    val got = HeavyHitters.exactPerGroup(
+      rows.toDF("g", "term").repartition(5), "g", "term", capacity = 2)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("g1", "alpha", 60L), ("g2", "noise_3", 9L)), got.toString)
+  }
+
   test("mergeStates obeys the PODS'12 bound and keeps every true heavy hitter") {
     val cap = 5
     val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
@@ -122,6 +135,34 @@ class HeavyHittersSpec extends SparkSpec {
     assert(nStored == stream.size.toLong, s"replay inflated n: $nStored")
     val e = intercept[RuntimeException] { fold(Seq("x"), 0L, epoch = "other") }
     assert(e.getMessage.contains("epoch"))
+  }
+
+  test("per-group fold: maintained per-group state yields each group's exact set; replay no-ops") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_hhg_fold").toString
+    val store = new ParquetTableStore(spark, wh)
+    // distinct per-group heavy terms; g2's heavy term is g1 tail noise
+    val rows =
+      Seq.fill(60)(("g1", "alpha")) ++ Seq.fill(40)(("g1", "beta")) ++
+        (0 until 20).map(i => ("g1", s"noise_$i")) ++
+        Seq.fill(9)(("g2", "noise_3")) ++
+        (0 until 6).map(i => ("g2", s"z$i"))
+    val shuffled = new scala.util.Random(5).shuffle(rows)
+    val parts = shuffled.grouped((shuffled.size + 2) / 3).toSeq
+    def fold(p: Seq[(String, String)], id: Long): Unit =
+      HeavyHitters.foldIntoStorePerGroup(store, "hhg",
+        p.toDF("g", "term"), "g", "term", capacity = 2, id, "e1")
+    fold(parts(0), 0L)
+    fold(parts(1), 1L)
+    fold(parts(1), 1L) // replay: must no-op per group too
+    fold(parts(2), 2L)
+    val st = store.read("hhg").get.drop("_last_batch", "_epoch")
+    val got = HeavyHitters.exactFromStatePerGroup(st,
+      shuffled.toDF("g", "term"), "g", "term", capacity = 2)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("g1", "alpha", 60L), ("g2", "noise_3", 9L)), got.toString)
+    // per-group _n survived the replay exactly
+    val ns = st.select(col("g"), col("_n")).as[(String, Long)].collect().toMap
+    assert(ns == Map("g1" -> 120L, "g2" -> 15L), ns.toString)
   }
 
   test("foldIntoStore recovers a state table stranded mid whole-table swap") {

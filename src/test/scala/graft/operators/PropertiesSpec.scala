@@ -14,9 +14,9 @@ class PropertiesSpec extends SparkSpec {
   private val rowsGen: Gen[List[(Int, Int, Double)]] =
     Gen.listOfN(40, Gen.zip(Gen.choose(0, 5), Gen.choose(0, 1000), Gen.choose(0.0, 9.9)))
 
-  private def check(p: Prop): Unit = {
+  private def check(p: Prop, trials: Int = 20): Unit = {
     val result = org.scalacheck.Test.check(
-      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(20), p)
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(trials), p)
     assert(result.passed, result.status.toString)
   }
 
@@ -146,6 +146,97 @@ class PropertiesSpec extends SparkSpec {
         .select("lid", "pid").as[(Long, Option[Long])].collect().toMap
       viaOp == viaWindow
     })
+  }
+
+  test("property: Decay.merge re-anchoring ≡ scratch recompute under adversarial splits") {
+    // the shapes that stress the floating-reference algebra: one hot key
+    // carrying most rows (single-key skew), duplicate offsets (both
+    // sides can share the SAME max ts → re-anchor scale exactly 1), and
+    // offsets 1 µs apart (sub-microsecond-adjacent references); a split
+    // point of 0 or 24 makes one side's state empty (full-outer path)
+    val base = 1704153600000000L
+    val hl = 24.0
+    val offGen = Gen.oneOf(0L, 1L, 2L, 999999L, 1000000L,
+      3600000000L, 3600000001L, 86400000000L, 86400000001L)
+    val evGen = Gen.listOfN(24, Gen.zip(
+      Gen.frequency(8 -> Gen.const("hot"), 1 -> Gen.const("k1"),
+        1 -> Gen.const("k2")),
+      offGen, Gen.choose(0.5, 9.5)))
+    check(forAll(evGen, Gen.choose(0, 24)) { (rows, cut) =>
+      def mk(rs: List[(String, Long, Double)]) =
+        rs.map { case (k, off, v) => (k, base - off, v) }
+          .toDF("k", "us", "v")
+          .select($"k", timestamp_micros($"us").as("ts"), $"v")
+      val (r1, r2) = rows.splitAt(cut)
+      val merged = Decay.merge(
+        Decay.state(mk(r1), "k", "ts", "v", hl),
+        Decay.state(mk(r2), "k", "ts", "v", hl), hl)
+      // read the merged state as of `base` by re-anchoring in Scala
+      val got = merged.collect().map { r =>
+        val scale = math.pow(0.5, (base - r.getLong(1)).toDouble / 3.6e9 / hl)
+        r.getString(0) ->
+          ((r.getDouble(2) * scale, r.getDouble(3) * scale, r.getLong(4)))
+      }.toMap
+      // independent scratch recompute of the decayed sums
+      val exp = rows.groupBy(_._1).map { case (k, rs) =>
+        val ws = rs.map(t => (math.pow(0.5, t._2.toDouble / 3.6e9 / hl), t._3))
+        k -> ((ws.map(_._1).sum, ws.map(w => w._1 * w._2).sum, rs.size.toLong))
+      }
+      def close(a: Double, b: Double) = math.abs(a - b) <= 1e-8 * math.max(1.0, math.abs(b))
+      got.keySet == exp.keySet && exp.forall { case (k, (c, s, n)) =>
+        close(got(k)._1, c) && close(got(k)._2, s) && got(k)._3 == n
+      }
+    })
+  }
+
+  test("property: grouped MG merge ≡ the global merge rule applied per group") {
+    // the PODS'12 bound is per-stream, so partitioning the trim window
+    // by group must give EXACTLY what the global rule gives on each
+    // group's slice of the SAME state rows — any leakage of one
+    // group's cut into another's counters breaks this. The state rows
+    // are generated in SCALA (not via a second MG pass: MG summaries
+    // are merge-order-dependent, so two independent sketch passes over
+    // the same data are not comparable — the property isolates the
+    // MERGE rule, which is deterministic given its inputs).
+    val cap = 3
+    val candGen = Gen.choose(1, cap).flatMap(k =>
+      Gen.pick(k, 0 until 8).flatMap(ts =>
+        Gen.sequence[List[(String, Long)], (String, Long)](ts.map(t =>
+          Gen.choose(1L, 50L).map(c => (s"t$t", c))))))
+    val stateRowGen = Gen.zip(Gen.oneOf("ga", "gb"), Gen.choose(1L, 200L), candGen)
+    // a "state set" = up to one row per group per side, 2 sides
+    val sideGen = Gen.zip(Gen.option(stateRowGen), Gen.option(stateRowGen))
+    check(forAll(sideGen, sideGen) { (s1, s2) =>
+      def rowsOf(s: (Option[(String, Long, List[(String, Long)])],
+                     Option[(String, Long, List[(String, Long)])])) =
+        Seq(s._1, s._2).flatten.distinctBy(_._1) // ≤ 1 row per group
+      val sides = Seq(rowsOf(s1), rowsOf(s2))
+      // tuple encoders name struct fields _1/_2 — rename to the state
+      // contract's (term, est)
+      def df(rows: Seq[(String, Long, List[(String, Long)])]) =
+        rows.toDF("g", "_n", "_cands")
+          .select($"g", $"_n", org.apache.spark.sql.functions.transform($"_cands",
+            c => org.apache.spark.sql.functions.struct(
+              c("_1").as("term"), c("_2").as("est"))).as("_cands"))
+      def cands(r: org.apache.spark.sql.Row) =
+        r.getSeq[org.apache.spark.sql.Row](r.length - 1)
+          .map(c => c.getString(0) -> c.getLong(1)).toList
+      val grouped = HeavyHitters
+        .mergeStatesGrouped(cap, Seq("g"), sides.map(df): _*)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), cands(r)))).toMap
+      val groups = sides.flatten.map(_._1).distinct
+      val perGroup = groups.map { g =>
+        val slices = sides.map(_.filter(_._1 == g).map(r => (r._2, r._3)))
+          .filter(_.nonEmpty)
+          .map(_.toDF("_n", "_cands")
+            .select($"_n", org.apache.spark.sql.functions.transform($"_cands",
+              c => org.apache.spark.sql.functions.struct(
+                c("_1").as("term"), c("_2").as("est"))).as("_cands")))
+        val r = HeavyHitters.mergeStates(cap, slices: _*).collect().head
+        g -> ((r.getLong(0), cands(r)))
+      }.toMap
+      grouped == perGroup
+    }, trials = 10)
   }
 
   test("property: saltedAgg equals direct aggregation for algebraic aggs") {
