@@ -2702,6 +2702,120 @@ object SparkEntry {
       .orderBy(col("term"))
   }
 
+  /** PIXEL-path perceptual hash (closes the r8 "aHash hashes payload
+    * bytes, not pixels" item): 64 real 32×32 grayscale PNGs are
+    * authored from an integer pixel formula (driver-side, bounded —
+    * the fixture build), then DECODED (JDK ImageIO via the
+    * `media_gray8x8` expression), block-mean downscaled to the 8×8
+    * luma block and bit-hashed, all distributed and all in exact
+    * integer arithmetic. PNG because it is lossless: decoded pixels ≡
+    * authored pixels, so the DuckDB oracle regenerates the pixels from
+    * the same formula and replays the downscale (4×4 block sums / 16)
+    * and every hash bit with no decoder at all — JPEG rides the
+    * identical code path but its quantized pixels exist only JVM-side,
+    * so it is spec-gated (MultimodalSpec) rather than oracle-gated.
+    * Four undecodable payloads ride along and must hash to null (the
+    * one-bad-blob-cannot-kill-the-scan contract). */
+  def q132_phash_pixels(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows: Seq[(Long, Array[Byte])] = (0 until 64).map { id =>
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val r = img.getRaster
+      for (y <- 0 until 32; x <- 0 until 32)
+        r.setSample(x, y, 0, ((id % 8) * 31 + x * 7 + y * 13) % 256)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      (id.toLong, bos.toByteArray)
+    } ++ (64 until 68).map(id => (id.toLong, Array[Byte](1, 2, 3)))
+    rows.toDF("id", "payload")
+      .select(col("id"),
+        graft.operators.Multimodal.aHashBitsPixels(col("payload")).as("phash"))
+      .filter(col("phash").isNotNull)
+      .groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_imgs"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+      .orderBy(col("phash"))
+  }
+
+  /** Per-group exact heavy hitters ([[graft.operators.HeavyHitters
+    * .exactPerGroup]] — q90's composition with NO driver collect:
+    * candidates stay a frame, the restriction is a (group, term)
+    * semi-join, the share bar is a join against per-group totals, so
+    * group cardinality can be warehouse-sized). Groups are the three
+    * l_returnflag populations, terms q90's decimal-magnitude stream;
+    * each group independently clears the 1/3 bar for the same two
+    * magnitudes but with group-sized counts, and the oracle is the
+    * per-group GROUP BY + HAVING the sketch path replaces. */
+  def q133_heavy_hitters_grouped(s: SparkSession, d: String): DataFrame =
+    graft.operators.HeavyHitters.exactPerGroup(
+      lineitem(s, d).select(col("l_returnflag").as("grp"),
+        length(col("l_partkey").cast("string")).cast("string").as("term")),
+      "grp", "term", capacity = 2)
+      .orderBy(col("grp"), col("term"))
+
+  /** SQ8 compressed-scan ANN ([[graft.operators.ScalarQuantizer]] —
+    * int8 codes + per-vector scale, FAISS QT_8bit re-expressed as
+    * columns): planted twins probe the quantized corpus, integer dots
+    * rescale once per pair. No training anywhere, so unlike the PQ
+    * gates the oracle replays EVERY code and EVERY reconstructed
+    * score exactly (round-half-away shared by both engines) — the
+    * strongest contract in the compressed family. */
+  def q134_ann_sq8(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val codes = graft.operators.ScalarQuantizer.encode(emb, "vec_id", "embedding")
+    val planted = emb.filter(col("vec_id") >= 32 && col("vec_id") < 40)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    graft.operators.ScalarQuantizer.search(planted, codes, "vec_id",
+        "embedding", 1)
+      .orderBy(col("query_id"))
+  }
+
+  /** Stream-maintained PER-GROUP heavy hitters (q131's fold × q133's
+    * grouped exactness): three l_orderkey-residue batches fold
+    * per-returnflag MG summaries through a real store (batch 1
+    * replayed — must no-op), then the exact per-group sets derive from
+    * the stored state with no driver collect. The PODS'12 bound holds
+    * within each group independently across the fold tree, so the
+    * oracle is q133's per-group GROUP BY + HAVING verbatim. */
+  def q135_heavy_hitters_grouped_maintained(s: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_q135_wh").toString
+    val store = new graft.operators.ParquetTableStore(s, wh)
+    val terms = lineitem(s, d).select(col("l_returnflag").as("grp"),
+      length(col("l_partkey").cast("string")).cast("string").as("term"),
+      col("l_orderkey"))
+    def fold(batch: DataFrame, id: Long): Unit =
+      graft.operators.HeavyHitters.foldIntoStorePerGroup(store, "hhg",
+        batch, "grp", "term", capacity = 2, id, epoch = "q135")
+    fold(terms.filter(col("l_orderkey") % 3 === 0), 0L)
+    fold(terms.filter(col("l_orderkey") % 3 === 1), 1L)
+    fold(terms.filter(col("l_orderkey") % 3 === 1), 1L) // replay: must no-op
+    fold(terms.filter(col("l_orderkey") % 3 === 2), 2L)
+    graft.operators.HeavyHitters.exactFromStatePerGroup(
+      store.read("hhg").get.drop("_last_batch", "_epoch"),
+      terms.select(col("grp"), col("term")), "grp", "term", capacity = 2)
+      .orderBy(col("grp"), col("term"))
+  }
+
+  /** IVF-SQ composite ([[graft.operators.IvfSq]] — partition-pruned
+    * coarse probe × int8 compressed scan × bounded exact refine, the
+    * middle point of the stored-ANN memory/recall curve between q88's
+    * full floats and q96's PQ codes): planted twins must survive all
+    * three stages and surface at rank 1 with the exact brute-force
+    * score — q88's oracle shape over a fresh planted range. */
+  def q136_ann_ivfsq(s: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_q136_wh").toString
+    val store = new graft.operators.ParquetTableStore(s, wh)
+    val emb = embeddings(s, d)
+    graft.operators.IvfSq.build(store, "ix", emb, "vec_id", "embedding",
+      iterations = 3)
+    graft.operators.IvfIndex.verifyFresh(store, "ix", emb, "vec_id")
+    val planted = emb.filter(col("vec_id") >= 40 && col("vec_id") < 48)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    graft.operators.IvfSq.probe(store, "ix", planted, "vec_id", "embedding", 1)
+      .orderBy(col("query_id"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2836,6 +2950,11 @@ object SparkEntry {
     "q129_mutual_information" -> (q129_mutual_information _),
     "q130_decay_maintained" -> (q130_decay_maintained _),
     "q131_heavy_hitters_maintained" -> (q131_heavy_hitters_maintained _),
+    "q132_phash_pixels"     -> (q132_phash_pixels _),
+    "q133_heavy_hitters_grouped" -> (q133_heavy_hitters_grouped _),
+    "q134_ann_sq8"          -> (q134_ann_sq8 _),
+    "q135_heavy_hitters_grouped_maintained" -> (q135_heavy_hitters_grouped_maintained _),
+    "q136_ann_ivfsq"        -> (q136_ann_ivfsq _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5155,11 +5274,13 @@ object SparkEntry {
                FROM one)""",
 
     // q124: the correlated latest-touch selection, window verdict and
-    // microsecond lag arithmetic replayed, rolled up by verdict
+    // microsecond lag arithmetic replayed, rolled up by verdict.
+    // Null-keyed conversions stay in (attributed=false, null lag) — the
+    // correlated max() finds no touch for them, matching lastTouch's
+    // every-conversion-comes-back contract
     "q124_attribution" ->
       """WITH conv AS (SELECT event_id, user_id, ts FROM events
-              WHERE event_type = 'purchase'
-                AND user_id IS NOT NULL AND ts IS NOT NULL),
+              WHERE event_type = 'purchase'),
          t AS (SELECT DISTINCT user_id, ts FROM events
                WHERE event_type = 'click'
                  AND user_id IS NOT NULL AND ts IS NOT NULL),
@@ -5310,6 +5431,104 @@ object SparkEntry {
          c AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
          n AS (SELECT count(*) AS total FROM t)
          SELECT term, cnt FROM c, n WHERE cnt * 3 > total ORDER BY term""",
+
+    // q132: the oracle regenerates the authored pixels from the same
+    // integer formula and replays the ENTIRE pixel path analytically —
+    // 4×4 block sums, /16 integer mean, v·64 > Σ bits, grouping —
+    // PNG's losslessness is what makes decoded ≡ authored exact. The
+    // four undecodable payloads (ids 64-67) are absent here because
+    // they must hash to null and be filtered on the Spark side.
+    "q132_phash_pixels" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 63)) AS id),
+         blocks AS (SELECT id, list_transform(range(0, 64), b ->
+             list_sum(list_transform(range(0, 16), p ->
+               ((id % 8) * 31 + ((b % 8) * 4 + (p % 4)) * 7
+                 + ((b // 8) * 4 + (p // 4)) * 13) % 256)) // 16) AS vals
+           FROM ids),
+         h AS (SELECT id, array_to_string(list_transform(vals, v ->
+               CASE WHEN v * 64 > list_sum(vals) THEN '1' ELSE '0' END),
+               '') AS phash
+             FROM blocks)
+         SELECT phash, count(*) AS n_imgs, min(id) AS min_id,
+                max(id) AS max_id
+         FROM h GROUP BY 1 ORDER BY phash""",
+
+    // q133: q90's oracle grouped — per-group direct GROUP BY + HAVING
+    // against the per-group within-group share bar
+    "q133_heavy_hitters_grouped" ->
+      """WITH t AS (SELECT l_returnflag AS grp,
+                CAST(length(CAST(l_partkey AS VARCHAR)) AS VARCHAR) AS term
+              FROM lineitem),
+         c AS (SELECT grp, term, count(*) AS cnt FROM t GROUP BY 1, 2),
+         n AS (SELECT grp, count(*) AS total FROM t GROUP BY 1)
+         SELECT c.grp, c.term, c.cnt FROM c JOIN n ON c.grp = n.grp
+         WHERE c.cnt * 3 > n.total ORDER BY c.grp, c.term""",
+
+    // q134: the whole SQ8 pipeline replayed — per-vector max-abs scale,
+    // round-half-away int8 codes, integer dots, the single double
+    // rescale — identical literal arithmetic in both engines
+    "q134_ann_sq8" ->
+      """WITH q0 AS (SELECT vec_id + 1000000 AS query_id, embedding AS v
+                     FROM embeddings WHERE vec_id >= 32 AND vec_id < 40),
+         c0 AS (SELECT vec_id AS neighbor_id, embedding AS v FROM embeddings),
+         qe AS (SELECT query_id,
+                  list_max(list_transform(v, x -> abs(CAST(x AS DOUBLE)))) AS s,
+                  v FROM q0),
+         qc AS (SELECT query_id, s,
+                  list_transform(v, x -> CASE WHEN s > 0
+                    THEN CAST(round(CAST(x AS DOUBLE) / s * 127) AS BIGINT)
+                    ELSE 0 END) AS codes
+                FROM qe),
+         ce AS (SELECT neighbor_id,
+                  list_max(list_transform(v, x -> abs(CAST(x AS DOUBLE)))) AS s,
+                  v FROM c0),
+         cc AS (SELECT neighbor_id, s,
+                  list_transform(v, x -> CASE WHEN s > 0
+                    THEN CAST(round(CAST(x AS DOUBLE) / s * 127) AS BIGINT)
+                    ELSE 0 END) AS codes
+                FROM ce),
+         sc AS (SELECT query_id, neighbor_id,
+                  CAST(list_sum(list_transform(generate_series(1, 64),
+                    i -> qc.codes[i] * cc.codes[i])) AS DOUBLE)
+                    * (qc.s * cc.s / 16129.0) AS score
+                FROM qc, cc WHERE neighbor_id <> query_id),
+         r AS (SELECT query_id, neighbor_id, score,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, neighbor_id ASC) AS rank
+               FROM sc)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+                round(score, 4) AS score
+         FROM r WHERE rank = 1 ORDER BY query_id""",
+
+    // q135: q133's per-group oracle VERBATIM — the per-group fold tree
+    // preserves each group's MG bound, so maintained ≡ one-shot
+    "q135_heavy_hitters_grouped_maintained" ->
+      """WITH t AS (SELECT l_returnflag AS grp,
+                CAST(length(CAST(l_partkey AS VARCHAR)) AS VARCHAR) AS term
+              FROM lineitem),
+         c AS (SELECT grp, term, count(*) AS cnt FROM t GROUP BY 1, 2),
+         n AS (SELECT grp, count(*) AS total FROM t GROUP BY 1)
+         SELECT c.grp, c.term, c.cnt FROM c JOIN n ON c.grp = n.grp
+         WHERE c.cnt * 3 > n.total ORDER BY c.grp, c.term""",
+
+    // q136: q88's planted-twin rank-1 oracle over a fresh planted range
+    // — the IVF-SQ probe's refined scores are exact dots, so the
+    // exact-scan oracle applies verbatim
+    "q136_ann_ivfsq" ->
+      """WITH q AS (SELECT vec_id + 1000000 AS query_id, embedding AS qv
+                    FROM embeddings WHERE vec_id >= 40 AND vec_id < 48),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         s AS (
+           SELECT query_id, neighbor_id,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) AS score
+           FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+         r AS (
+           SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+           FROM s)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(score, 4) AS score
+         FROM r WHERE rank = 1 ORDER BY query_id""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a
