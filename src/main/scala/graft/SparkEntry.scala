@@ -2816,6 +2816,30 @@ object SparkEntry {
       .orderBy(col("query_id"))
   }
 
+  /** Stream-maintained weighted reservoir ([[graft.operators
+    * .WeightedSample]] state path — A-Res reservoirs merge exactly,
+    * and the seeded-hash priority makes the maintained sample
+    * INDISTINGUISHABLE from the batch draw, not merely statistically
+    * valid): q104's corpus split into three doc_id-residue batches
+    * folded through a real store (batch 1 replayed — the marker must
+    * no-op it), then the sample read from the stored reservoir alone.
+    * Oracle: q104's full-scan A-Res replay VERBATIM. */
+  def q137_weighted_sample_maintained(s: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_q137_wh").toString
+    val store = new graft.operators.ParquetTableStore(s, wh)
+    val docs = documents(s, d)
+    def fold(batch: DataFrame, id: Long): Unit =
+      graft.operators.WeightedSample.foldIntoStore(store, "ws", batch,
+        "doc_id", "n_chars", k = 50, seed = "ws8", id, epoch = "q137")
+    fold(docs.filter(col("doc_id") % 3 === 0), 0L)
+    fold(docs.filter(col("doc_id") % 3 === 1), 1L)
+    fold(docs.filter(col("doc_id") % 3 === 1), 1L) // replay: must no-op
+    fold(docs.filter(col("doc_id") % 3 === 2), 2L)
+    graft.operators.WeightedSample.sampleFromState(
+      store.read("ws").get.drop("_last_batch", "_epoch"), "doc_id")
+      .orderBy(col("rank"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2955,6 +2979,7 @@ object SparkEntry {
     "q134_ann_sq8"          -> (q134_ann_sq8 _),
     "q135_heavy_hitters_grouped_maintained" -> (q135_heavy_hitters_grouped_maintained _),
     "q136_ann_ivfsq"        -> (q136_ann_ivfsq _),
+    "q137_weighted_sample_maintained" -> (q137_weighted_sample_maintained _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5529,6 +5554,23 @@ object SparkEntry {
            FROM s)
          SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(score, 4) AS score
          FROM r WHERE rank = 1 ORDER BY query_id""",
+
+    // q137: q104's full A-Res replay VERBATIM -- the fold-maintained
+    // reservoir must be indistinguishable from the batch draw (seeded-
+    // hash priorities are a pure function of id, reservoirs merge
+    // exactly, the marker no-ops the replayed batch)
+    "q137_weighted_sample_maintained" ->
+      """WITH p AS (
+           SELECT doc_id,
+             ln((CAST(('0x' || substr(md5('ws8/' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1)
+                / 4503599627370496.0) / CAST(n_chars AS DOUBLE) AS k
+           FROM documents
+           WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0),
+         r AS (SELECT doc_id, k,
+                 CAST(row_number() OVER (ORDER BY k DESC, doc_id ASC) AS INT) AS rank
+               FROM p)
+         SELECT rank, doc_id, round(k, 6) AS key FROM r WHERE rank <= 50
+         ORDER BY rank""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a

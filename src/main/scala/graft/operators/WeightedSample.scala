@@ -61,6 +61,66 @@ object WeightedSample {
         col("_r._1").as(idCol), round(col("_r._2"), 6).as("key"))
   }
 
+  // ------------------------------------------------- mergeable state
+
+  /** One-row mergeable reservoir state: (_sample array<struct<id,
+    * key>>), the ≤ k highest-priority rows seen so far with UNROUNDED
+    * keys, sorted (key desc, id asc). A-Res reservoirs merge exactly —
+    * the k best of a union is the k best of each side's k best — and
+    * because u is a seeded hash of the id (not an RNG draw), the same
+    * row re-encountered in any batch draws the SAME priority, so the
+    * maintained sample is INDISTINGUISHABLE from the batch sample over
+    * the full history (q137's gate), not merely statistically valid. */
+  def state(df: DataFrame, idCol: String, weightCol: String, k: Int,
+            seed: String): DataFrame = {
+    require(k > 0, "sample size must be positive")
+    valid(df, idCol, weightCol)
+      .select(col(idCol).cast("long").as("_id"),
+        priority(idCol, weightCol, seed).as("_key"))
+      .agg(graft.functions.TopK.topK(k)(col("_id"), col("_key")).as("_t"))
+      .select(transform(col("_t"),
+        e => struct(e("_1").as("id"), e("_2").as("key"))).as("_sample"))
+  }
+
+  /** Exact reservoir merge, in-plan: union the samples, dedup by id
+    * (the same id carries the same seeded-hash key on every side —
+    * max() is defensive, not semantic), keep the k best by (key desc,
+    * id asc). All frames here are ≤ states×k rows. */
+  def mergeStates(k: Int, states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "mergeStates needs at least one state frame")
+    val ranked = states.reduce(_.unionByName(_))
+      .select(explode(col("_sample")).as("e"))
+      .select(col("e.id").as("id"), col("e.key").as("key"))
+      .groupBy(col("id")).agg(max(col("key")).as("key"))
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("key").desc, col("id"))))
+      .filter(col("_rk") <= k)
+    ranked
+      .agg(collect_list(struct(col("id"), col("key"))).as("raw"))
+      .select(array_sort(col("raw"), (l, r) =>
+        when(l("key") > r("key"), -1).when(l("key") < r("key"), 1)
+          .when(l("id") < r("id"), -1).when(l("id") > r("id"), 1)
+          .otherwise(0)).as("_sample"))
+  }
+
+  /** (rank, id, key·6dp) from a state frame — [[sample]]'s output shape
+    * without rescanning history. */
+  def sampleFromState(state: DataFrame, idCol: String): DataFrame =
+    state.select(posexplode(col("_sample")).as(Seq("_pos", "_r")))
+      .select((col("_pos") + 1).cast("int").as("rank"),
+        col("_r.id").as(idCol), round(col("_r.key"), 6).as("key"))
+
+  /** Replay-idempotent streaming maintenance — the generalized fold:
+    * a corpus-mixing sample stays current per ingest micro-batch at
+    * one O(k)-state aggregate per batch plus a k-row merge. */
+  def foldIntoStore(store: ParquetTableStore, name: String, batch: DataFrame,
+                    idCol: String, weightCol: String, k: Int, seed: String,
+                    batchId: Long, epoch: String): Unit =
+    IncrementalAgg.foldStateIntoStore(store, name,
+      state(batch, idCol, weightCol, k, seed),
+      (p, d) => mergeStates(k, p, d), batchId, epoch)
+
   /** Per-group weighted k-sample — the balanced-mixture construction
     * (k docs per source/language, weighted by quality/length) —
     * one hash aggregate, O(k) state per group. */

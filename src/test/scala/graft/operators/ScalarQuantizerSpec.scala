@@ -51,6 +51,17 @@ class ScalarQuantizerSpec extends SparkSpec {
     assert(e.getMessage.contains("STALE"))
   }
 
+  test("SQ8 search plan: broadcast queries, TopK aggregate, no window") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val codes = ScalarQuantizer.encode(emb, "vec_id", "embedding")
+    val q = emb.filter($"vec_id" < 4)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    val plan = ScalarQuantizer.search(q, codes, "vec_id", "embedding", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan) // top-k is the O(k) aggregator
+    assert(plan.contains("Broadcast"), plan) // queries ride to the scan side
+  }
+
   test("SQ8 top-1 agrees with float brute force on nearly all real queries") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val queries = emb.filter($"vec_id" >= 100 && $"vec_id" < 140)

@@ -80,4 +80,29 @@ class WeightedSampleSpec extends SparkSpec {
       .as[(String, Int, Long, Double)].collect().toSeq
     assert(rows.map(r => (r._1, r._3)).toSet === Set(("a", 1L), ("a", 2L), ("b", 3L)))
   }
+
+  test("reservoir fold: maintained sample ≡ batch sample; replay no-ops; id overlap dedups") {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Files.createTempDirectory("graft_ws_fold").toString
+    val store = new ParquetTableStore(spark, wh)
+    val rows = (1L to 200L).map(i => (i, (i % 17 + 1).toDouble))
+    val all = rows.toDF("id", "w")
+    def fold(p: Seq[(Long, Double)], bid: Long): Unit =
+      WeightedSample.foldIntoStore(store, "ws", p.toDF("id", "w"),
+        "id", "w", k = 12, seed = "sX", bid, "e1")
+    fold(rows.take(70), 0L)
+    fold(rows.slice(70, 140), 1L)
+    fold(rows.slice(70, 140), 1L) // replay: must no-op
+    // overlap: batch 2 re-contains some of batch 1's rows — the seeded
+    // hash gives them identical priorities, so dedup-by-id absorbs them
+    fold(rows.drop(120), 2L)
+    val maintained = WeightedSample.sampleFromState(
+      store.read("ws").get.drop("_last_batch", "_epoch"), "id")
+      .as[(Int, Long, Double)].collect().toSeq
+    val batch = WeightedSample.sample(all, "id", "w", 12, "sX")
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(maintained == batch,
+      s"maintained reservoir diverged from the batch draw:\n$maintained\nvs\n$batch")
+    assert(maintained.map(_._2).distinct.size == 12, "duplicate ids in reservoir")
+  }
 }
