@@ -2840,6 +2840,33 @@ object SparkEntry {
       .orderBy(col("rank"))
   }
 
+  /** Incrementally-appended IVF index ([[graft.operators.IvfIndex
+    * .append]] — FAISS's `add` vs `train` split: batches assign against
+    * the FROZEN stored quantizer and merge only their touched cell
+    * partitions): build over a third of the corpus, append the other
+    * two thirds in batches (one replayed — keyed upsert + frozen
+    * assignment must make it a no-op), attest freshness against the
+    * FULL corpus, then probe planted twins. Oracle: q88's exact-scan
+    * rank-1 shape verbatim over a fresh planted range — the appended
+    * index must answer exactly like an index built over everything. */
+  def q138_ann_ivf_append(s: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_q138_wh").toString
+    val store = new graft.operators.ParquetTableStore(s, wh)
+    val emb = embeddings(s, d)
+    graft.operators.IvfIndex.build(store, "ix",
+      emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding")
+    def app(r: Int): Unit = graft.operators.IvfIndex.append(store, "ix",
+      emb.filter(col("vec_id") % 3 === r), "vec_id", "embedding")
+    app(1)
+    app(1) // replay: must no-op
+    app(2)
+    graft.operators.IvfIndex.verifyFresh(store, "ix", emb, "vec_id")
+    val planted = emb.filter(col("vec_id") >= 16 && col("vec_id") < 24)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    graft.operators.IvfIndex.probe(store, "ix", planted, "vec_id", "embedding", 1)
+      .orderBy(col("query_id"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2980,6 +3007,7 @@ object SparkEntry {
     "q135_heavy_hitters_grouped_maintained" -> (q135_heavy_hitters_grouped_maintained _),
     "q136_ann_ivfsq"        -> (q136_ann_ivfsq _),
     "q137_weighted_sample_maintained" -> (q137_weighted_sample_maintained _),
+    "q138_ann_ivf_append"   -> (q138_ann_ivf_append _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5571,6 +5599,25 @@ object SparkEntry {
                FROM p)
          SELECT rank, doc_id, round(k, 6) AS key FROM r WHERE rank <= 50
          ORDER BY rank""",
+
+    // q138: q88's planted-twin rank-1 exact-scan oracle over a fresh
+    // range — the build+append+append index must answer exactly like an
+    // index built over the whole corpus at once
+    "q138_ann_ivf_append" ->
+      """WITH q AS (SELECT vec_id + 1000000 AS query_id, embedding AS qv
+                    FROM embeddings WHERE vec_id >= 16 AND vec_id < 24),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         s AS (
+           SELECT query_id, neighbor_id,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) AS score
+           FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+         r AS (
+           SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+           FROM s)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(score, 4) AS score
+         FROM r WHERE rank = 1 ORDER BY query_id""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a

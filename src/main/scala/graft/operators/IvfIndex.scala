@@ -23,6 +23,11 @@ import graft.functions.Vectors
   *   - `<name>_meta` (n_vectors, id_fingerprint, n_cells): build-time
   *     corpus identity for staleness detection.
   *
+  * [[append]] extends the index incrementally under the frozen coarse
+  * quantizer (FAISS's `add` vs `train` split) — build/append/probe/
+  * staleness parity with [[MinHashIndex]], so the two incremental
+  * indexes (fuzzy dedup, ANN) share one ingest protocol.
+  *
   * Staleness: an index probed against a corpus that has since changed
   * returns silently wrong neighbors — the classic stale-index failure.
   * The meta table stores a commutative corpus fingerprint (count +
@@ -46,23 +51,30 @@ object IvfIndex {
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
-  /** Train the coarse quantizer and materialize the inverted lists.
-    * Assignment is the max_by hash-aggregate argmax (no window — the
-    * r5 finding), one pass over the corpus; the cells table is written
-    * partitioned by cell so probes prune at the file level. */
-  def build(store: ParquetTableStore, name: String, candidates: DataFrame,
-            idCol: String, vecCol: String, nCells: Int = 16,
-            iterations: Int = 5): Unit = {
-    val centroids = Similarity.trainIvfCentroids(
-      candidates, idCol, vecCol, nCells, iterations)
-    val vecs = candidates.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val assigned = vecs.crossJoin(broadcast(centroids))
+  /** Nearest-cell assignment under a FIXED centroid frame: the max_by
+    * hash-aggregate argmax (no window — the r5 finding), one pass over
+    * `vecs`. Shared by [[build]] (whole corpus, freshly-trained
+    * centroids) and [[append]] (one batch, the STORED centroids — the
+    * FAISS train/add split). */
+  private def assignToCells(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(centroids))
       .select(col("id"), col("v"), col("cell"),
         Vectors.dotNative(col("v"), col("centroid")).as("cd"))
       .groupBy(col("id"))
       .agg(max_by(struct(col("cell"), col("v")),
         struct(col("cd"), (-col("cell")).as("nc"))).as("b"))
       .select(col("id"), col("b.cell").as("cell"), col("b.v").as("v"))
+
+  /** Train the coarse quantizer and materialize the inverted lists;
+    * the cells table is written partitioned by cell so probes prune at
+    * the file level. */
+  def build(store: ParquetTableStore, name: String, candidates: DataFrame,
+            idCol: String, vecCol: String, nCells: Int = 16,
+            iterations: Int = 5): Unit = {
+    val centroids = Similarity.trainIvfCentroids(
+      candidates, idCol, vecCol, nCells, iterations)
+    val vecs = candidates.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val assigned = assignToCells(vecs, centroids)
     store.replace(s"${name}_centroids", centroids)
     // partitioned write through the store's atomic swap: a probe reading
     // 4 of 16 cells opens 4 of 16 partition dirs, and a crash mid-build
@@ -70,19 +82,72 @@ object IvfIndex {
     // live path deletes first and commits per partition, and the
     // fingerprint cannot distinguish "old corpus, half-written cells"
     // from a completed build over the old corpus
-    val spark = candidates.sparkSession
     store.replacePartitioned(s"${name}_cells", assigned, Seq("cell"))
-    val (n, h) = fingerprint(candidates, idCol)
+    writeMeta(store, name, nCells)
+  }
+
+  /** Recompute the meta fingerprint from the STORED cells table's id
+    * column (an id-only columnar scan — `cell` is a partition column, so
+    * no vector bytes are read). Recomputed, never folded: the
+    * fingerprint can then never drift from the actual index contents
+    * under an append replay — the same rule as
+    * [[MinHashIndex.append]]. */
+  private def writeMeta(store: ParquetTableStore, name: String,
+                        nCells: Int): Unit = {
+    val cells = store.read(s"${name}_cells").getOrElse(
+      sys.error(s"IVF index '$name' has no cells table"))
+    val (n, h) = fingerprint(cells, "id")
     store.replace(s"${name}_meta",
-      spark.createDataFrame(java.util.List.of(
-        org.apache.spark.sql.Row(n, h, nCells)),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("n_vectors",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("id_fingerprint",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("n_cells",
-            org.apache.spark.sql.types.IntegerType, nullable = false)))))
+      cells.sparkSession.range(1).select(
+        lit(n).as("n_vectors"), lit(h).as("id_fingerprint"),
+        lit(nCells).as("n_cells")))
+  }
+
+  /** Extend the STORED index with an ingested batch under the FROZEN
+    * coarse quantizer — FAISS's `add` vs `train` split: new vectors are
+    * assigned against the stored centroid frame (no retrain, no corpus
+    * re-assignment) and merged into ONLY the cell partitions the batch
+    * touches ([[ParquetTableStore.upsertPartitioned]]'s dynamic
+    * partition overwrite), so an append costs O(|batch| × nCells dots)
+    * + the touched partitions' rewrite — never a corpus pass over
+    * vector bytes. Keyed upsert on id makes replayed batches no-ops
+    * (same vector → same cell under the frozen quantizer → identical
+    * rows rewritten in place), and the meta fingerprint is recomputed
+    * from the stored id column, so replay leaves it unchanged.
+    *
+    * A re-delivered id whose VECTOR changed may land in a different
+    * cell; the partition-pruned merge cannot move a row across
+    * partitions (the stale row in the old cell would keep answering
+    * probes), so that case FAILS LOUDLY — an in-place vector update is
+    * a rebuild (or a delete + append), not an append. The guard joins
+    * the stored (id, cell) pairs — an id+partition-column scan, no
+    * vector bytes — against the batch's broadcast assignment. */
+  def append(store: ParquetTableStore, name: String, batch: DataFrame,
+             idCol: String, vecCol: String): Unit = {
+    val centroids = store.read(s"${name}_centroids").getOrElse(
+      sys.error(s"IVF index '$name' has no centroids table — not built?"))
+    val stored = store.read(s"${name}_cells").getOrElse(
+      sys.error(s"IVF index '$name' has no cells table — not built?"))
+    val assigned = Checkpoints.materialize(assignToCells(
+      batch.select(col(idCol).as("id"), col(vecCol).as("v")), centroids))
+    val moved = stored.select(col("id"), col("cell").as("old_cell"))
+      .join(broadcast(assigned.select(col("id"), col("cell"))), Seq("id"))
+      .filter(col("old_cell") =!= col("cell"))
+      .limit(5).collect()
+    if (moved.nonEmpty) sys.error(
+      s"IVF index '$name': batch re-delivers id(s) " +
+        moved.map(r => s"${r.get(0)} (cell ${r.get(1)} -> ${r.get(2)})")
+          .mkString(", ") +
+        " with a CHANGED vector that re-assigns to a different cell — a " +
+        "partition-pruned append cannot move rows across cells (the stale " +
+        "row would keep answering probes). Rebuild the index, or delete " +
+        "the ids first.")
+    val nCells = store.read(s"${name}_meta").getOrElse(
+      sys.error(s"IVF index '$name' has no meta table — not built?"))
+      .select("n_cells").head().getInt(0)
+    store.upsertPartitioned(s"${name}_cells", assigned, Seq("id"), "cell")
+    writeMeta(store, name, nCells)
+    Checkpoints.release(assigned)
   }
 
   /** Fail loudly if `corpus` no longer matches the fingerprint the index

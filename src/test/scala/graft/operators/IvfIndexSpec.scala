@@ -80,4 +80,52 @@ class IvfIndexSpec extends SparkSpec {
     assert(fromIndex == direct,
       s"stored-index probe diverges from direct annIvf:\n$fromIndex\nvs\n$direct")
   }
+
+  test("append: appended twins retrievable, replay no-ops, freshness tracks the union") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    val store = new ParquetTableStore(spark, wh)
+    val corpus = ring(64)
+    IvfIndex.build(store, "ix", corpus.filter($"id" < 40), "id", "v",
+      nCells = 8, iterations = 3)
+    IvfIndex.append(store, "ix", corpus.filter($"id" >= 40 && $"id" < 52), "id", "v")
+    val metaAfter1 = store.read("ix_meta").get.head()
+    IvfIndex.append(store, "ix", corpus.filter($"id" >= 40 && $"id" < 52), "id", "v")
+    assert(store.read("ix_meta").get.head() == metaAfter1, "replay moved the fingerprint")
+    IvfIndex.append(store, "ix", corpus.filter($"id" >= 52), "id", "v")
+    IvfIndex.verifyFresh(store, "ix", corpus, "id") // the full union is indexed
+    // twins of APPENDED vectors must come back rank-1, like built-in ones
+    val queries = corpus.filter($"id" >= 44 && $"id" < 50)
+      .select(($"id" + 1000L).as("id"), $"v")
+    val got = IvfIndex.probe(store, "ix", queries, "id", "v", topK = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    (44L until 50L).foreach { i =>
+      assert(got(i + 1000L) == i, s"appended twin of $i not retrieved: ${got.get(i + 1000L)}")
+    }
+    // a stale probe (corpus grew past the index) still fails loudly
+    val e = intercept[RuntimeException] {
+      IvfIndex.verifyFresh(store, "ix", ring(65), "id")
+    }
+    assert(e.getMessage.contains("STALE"))
+  }
+
+  test("append fails loudly when a re-delivered id's vector moved cells") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_ivf_mv").toString
+    val store = new ParquetTableStore(spark, wh)
+    val corpus = ring(64)
+    IvfIndex.build(store, "ix", corpus, "id", "v", nCells = 8, iterations = 3)
+    // pick two indexed ids that live in DIFFERENT cells and swap their
+    // vectors: the re-delivered ids must re-assign across cells
+    val cells = store.read("ix_cells").get
+      .select($"id", $"cell").as[(Long, Int)].collect().toMap
+    val (idA, cellA) = cells.head
+    val idB = cells.collectFirst { case (i, c) if c != cellA => i }.get
+    val vOf = corpus.as[(Long, Seq[Float])].collect().toMap
+    val swapped = Seq((idA, vOf(idB)), (idB, vOf(idA))).toDF("id", "v")
+    val e = intercept[RuntimeException] {
+      IvfIndex.append(store, "ix", swapped, "id", "v")
+    }
+    assert(e.getMessage.contains("CHANGED vector"), e.getMessage)
+    // and the failed append left the index intact (guard runs pre-merge)
+    IvfIndex.verifyFresh(store, "ix", corpus, "id")
+  }
 }
