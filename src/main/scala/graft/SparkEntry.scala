@@ -2867,6 +2867,30 @@ object SparkEntry {
       .orderBy(col("query_id"))
   }
 
+  /** Stream-maintained PER-GROUP weighted reservoir ([[graft.operators
+    * .WeightedSample]] grouped state path — the balanced per-language
+    * mixture staying current per ingest micro-batch): q104's fold
+    * protocol with the reservoir PARTITIONED by language, three
+    * doc_id-residue batches through a real store with a deliberate
+    * replay, then the mixture read from state alone. Oracle: the
+    * per-group A-Res replay (row_number PARTITIONED by lang) — the
+    * maintained mixture is bit-equal to the one-shot per-group draw. */
+  def q139_weighted_sample_grouped_maintained(s: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_q139_wh").toString
+    val store = new graft.operators.ParquetTableStore(s, wh)
+    val docs = documents(s, d)
+    def fold(batch: DataFrame, id: Long): Unit =
+      graft.operators.WeightedSample.foldIntoStorePerGroup(store, "wsg", batch,
+        "lang", "doc_id", "n_chars", k = 10, seed = "wg9", id, epoch = "q139")
+    fold(docs.filter(col("doc_id") % 3 === 0), 0L)
+    fold(docs.filter(col("doc_id") % 3 === 1), 1L)
+    fold(docs.filter(col("doc_id") % 3 === 1), 1L) // replay: must no-op
+    fold(docs.filter(col("doc_id") % 3 === 2), 2L)
+    graft.operators.WeightedSample.perGroupFromState(
+      store.read("wsg").get.drop("_last_batch", "_epoch"), "lang", "doc_id")
+      .orderBy(col("lang"), col("rank"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3008,6 +3032,7 @@ object SparkEntry {
     "q136_ann_ivfsq"        -> (q136_ann_ivfsq _),
     "q137_weighted_sample_maintained" -> (q137_weighted_sample_maintained _),
     "q138_ann_ivf_append"   -> (q138_ann_ivf_append _),
+    "q139_weighted_sample_grouped_maintained" -> (q139_weighted_sample_grouped_maintained _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5618,6 +5643,21 @@ object SparkEntry {
            FROM s)
          SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(score, 4) AS score
          FROM r WHERE rank = 1 ORDER BY query_id""",
+
+    // q139: q104's A-Res replay PARTITIONED by lang — the fold-maintained
+    // per-group reservoir must equal the one-shot per-group draw
+    "q139_weighted_sample_grouped_maintained" ->
+      """WITH p AS (
+           SELECT lang, doc_id,
+             ln((CAST(('0x' || substr(md5('wg9/' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1)
+                / 4503599627370496.0) / CAST(n_chars AS DOUBLE) AS k
+           FROM documents
+           WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0),
+         r AS (SELECT lang, doc_id, k,
+                 CAST(row_number() OVER (PARTITION BY lang ORDER BY k DESC, doc_id ASC) AS INT) AS rank
+               FROM p)
+         SELECT lang, rank, doc_id, round(k, 6) AS key FROM r WHERE rank <= 10
+         ORDER BY lang, rank""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a

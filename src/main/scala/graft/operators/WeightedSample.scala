@@ -136,4 +136,65 @@ object WeightedSample {
       .select(col(groupCol), (col("_pos") + 1).cast("int").as("rank"),
         col("_r._1").as(idCol), round(col("_r._2"), 6).as("key"))
   }
+
+  // ---------------------------------------- per-group mergeable state
+
+  /** [[state]] partitioned by `groupCol`: one `_sample` reservoir row
+    * per group value. The merge argument is per-group ([[mergeStates]]'
+    * union-dedup-rank window runs PARTITIONED by group over ≤ states×k
+    * candidate rows per group, never data), so group cardinality can be
+    * warehouse-sized — the same shape as the per-group heavy-hitter
+    * state. */
+  def statePerGroup(df: DataFrame, groupCol: String, idCol: String,
+                    weightCol: String, k: Int, seed: String): DataFrame = {
+    require(k > 0, "sample size must be positive")
+    valid(df, idCol, weightCol)
+      .select(col(groupCol), col(idCol).cast("long").as("_id"),
+        priority(idCol, weightCol, seed).as("_key"))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.TopK.topK(k)(col("_id"), col("_key")).as("_t"))
+      .select(col(groupCol), transform(col("_t"),
+        e => struct(e("_1").as("id"), e("_2").as("key"))).as("_sample"))
+  }
+
+  /** [[mergeStates]] per group value: groups absent from one side pass
+    * through (union semantics); within a group the rule is identical to
+    * the global merge — dedup by id (same seeded key everywhere), keep
+    * the k best by (key desc, id asc). */
+  def mergeStatesGrouped(groupCol: String, k: Int,
+                         states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "mergeStatesGrouped needs at least one state frame")
+    states.reduce(_.unionByName(_))
+      .select(col(groupCol), explode(col("_sample")).as("e"))
+      .select(col(groupCol), col("e.id").as("id"), col("e.key").as("key"))
+      .groupBy(col(groupCol), col("id")).agg(max(col("key")).as("key"))
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+          .orderBy(col("key").desc, col("id"))))
+      .filter(col("_rk") <= k)
+      .groupBy(col(groupCol))
+      .agg(collect_list(struct(col("id"), col("key"))).as("raw"))
+      .select(col(groupCol), array_sort(col("raw"), (l, r) =>
+        when(l("key") > r("key"), -1).when(l("key") < r("key"), 1)
+          .when(l("id") < r("id"), -1).when(l("id") > r("id"), 1)
+          .otherwise(0)).as("_sample"))
+  }
+
+  /** [[perGroup]]'s output shape from a per-group state frame — the
+    * balanced mixture read without rescanning history. */
+  def perGroupFromState(state: DataFrame, groupCol: String,
+                        idCol: String): DataFrame =
+    state.select(col(groupCol), posexplode(col("_sample")).as(Seq("_pos", "_r")))
+      .select(col(groupCol), (col("_pos") + 1).cast("int").as("rank"),
+        col("_r.id").as(idCol), round(col("_r.key"), 6).as("key"))
+
+  /** [[foldIntoStore]] partitioned by group — the per-source balanced
+    * mixture staying current per ingest micro-batch. */
+  def foldIntoStorePerGroup(store: ParquetTableStore, name: String,
+                            batch: DataFrame, groupCol: String, idCol: String,
+                            weightCol: String, k: Int, seed: String,
+                            batchId: Long, epoch: String): Unit =
+    IncrementalAgg.foldStateIntoStore(store, name,
+      statePerGroup(batch, groupCol, idCol, weightCol, k, seed),
+      (p, d) => mergeStatesGrouped(groupCol, k, p, d), batchId, epoch)
 }

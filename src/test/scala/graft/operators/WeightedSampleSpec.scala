@@ -105,4 +105,30 @@ class WeightedSampleSpec extends SparkSpec {
       s"maintained reservoir diverged from the batch draw:\n$maintained\nvs\n$batch")
     assert(maintained.map(_._2).distinct.size == 12, "duplicate ids in reservoir")
   }
+
+  test("grouped fold: per-group maintained ≡ per-group batch; group absent from a batch survives") {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Files.createTempDirectory("graft_wsg_fold").toString
+    val store = new ParquetTableStore(spark, wh)
+    // group "c" appears ONLY in batch 0 — the grouped merge must pass it
+    // through every later fold untouched
+    val rows = (1L to 180L).map(i =>
+      (if (i <= 20) "c" else if (i % 2 == 0) "a" else "b", i, (i % 13 + 1).toDouble))
+    val all = rows.toDF("g", "id", "w")
+    def fold(p: Seq[(String, Long, Double)], bid: Long): Unit =
+      WeightedSample.foldIntoStorePerGroup(store, "wsg", p.toDF("g", "id", "w"),
+        "g", "id", "w", k = 7, seed = "sG", bid, "e1")
+    fold(rows.take(60), 0L)
+    fold(rows.slice(60, 120), 1L)
+    fold(rows.slice(60, 120), 1L) // replay: must no-op
+    fold(rows.drop(110), 2L)      // deliberate id overlap with batch 1
+    val maintained = WeightedSample.perGroupFromState(
+      store.read("wsg").get.drop("_last_batch", "_epoch"), "g", "id")
+      .orderBy("g", "rank").as[(String, Int, Long, Double)].collect().toSeq
+    val batch = WeightedSample.perGroup(all, "g", "id", "w", 7, "sG")
+      .orderBy("g", "rank").as[(String, Int, Long, Double)].collect().toSeq
+    assert(maintained == batch,
+      s"grouped maintained reservoir diverged:\n$maintained\nvs\n$batch")
+    assert(maintained.count(_._1 == "c") == 7, "batch-0-only group lost by later folds")
+  }
 }
