@@ -2891,6 +2891,35 @@ object SparkEntry {
       .orderBy(col("lang"), col("rank"))
   }
 
+  /** Incrementally-appended BM25 index ([[graft.operators.Bm25Index]]
+    * — the third index on the shared build/append/probe/staleness
+    * protocol): build postings over a third of the corpus, append the
+    * other two thirds (one batch replayed — keyed upsert + recomputed
+    * fingerprint must no-op it), attest freshness against the FULL
+    * corpus, then search from the stored index. BM25 stats are
+    * corpus-global (N/avgdl/df), so the gate proves the appends
+    * maintained them exactly: the oracle is q94's full-corpus scoring
+    * replay VERBATIM over fresh 2-term queries — the appended index is
+    * bit-equal to one-shot search over everything. */
+  def q140_bm25_indexed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_q140_wh").toString
+    val store = new graft.operators.ParquetTableStore(s, wh)
+    val docs = documents(s, d)
+    graft.operators.Bm25Index.build(store, "bx",
+      docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+    def app(r: Int): Unit = graft.operators.Bm25Index.append(store, "bx",
+      docs.filter(col("doc_id") % 3 === r), "doc_id", "text")
+    app(1)
+    app(1) // replay: must no-op
+    app(2)
+    graft.operators.Bm25Index.verifyFresh(store, "bx", docs, "doc_id")
+    val queries = Seq((1L, "spark"), (1L, "sort"), (2L, "customer"),
+      (2L, "join"), (3L, "window")).toDF("query_id", "term")
+    graft.operators.Bm25Index.search(store, "bx", queries, 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3033,6 +3062,7 @@ object SparkEntry {
     "q137_weighted_sample_maintained" -> (q137_weighted_sample_maintained _),
     "q138_ann_ivf_append"   -> (q138_ann_ivf_append _),
     "q139_weighted_sample_grouped_maintained" -> (q139_weighted_sample_grouped_maintained _),
+    "q140_bm25_indexed"     -> (q140_bm25_indexed _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5658,6 +5688,37 @@ object SparkEntry {
                FROM p)
          SELECT lang, rank, doc_id, round(k, 6) AS key FROM r WHERE rank <= 10
          ORDER BY lang, rank""",
+
+    // q140: q94's full-corpus BM25 replay VERBATIM over fresh 2-term
+    // queries — the build+append+append index must score bit-equal to a
+    // one-shot search over everything (N/avgdl/df maintained exactly)
+    "q140_bm25_indexed" ->
+      """WITH tf AS (
+           SELECT doc_id, term, count(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t
+           GROUP BY 1, 2),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         nn AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         q(query_id, term) AS (VALUES
+           (1, 'spark'), (1, 'sort'), (2, 'customer'), (2, 'join'), (3, 'window')),
+         dfs AS (SELECT term, count(*) AS df FROM tf
+                 WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         c AS (
+           SELECT q.query_id, tf.doc_id,
+             ln(1 + (nn.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) *
+               (tf.tf * (1.2 + 1)) /
+               (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / nn.avgdl)) AS contrib
+           FROM tf JOIN q ON tf.term = q.term
+                   JOIN dfs ON tf.term = dfs.term
+                   JOIN dl ON tf.doc_id = dl.doc_id
+                   CROSS JOIN nn),
+         sc AS (SELECT query_id, doc_id, sum(contrib) AS score FROM c GROUP BY 1, 2),
+         r AS (SELECT query_id, doc_id, score,
+                 row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+               FROM sc)
+         SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+                doc_id, round(score, 4) AS score
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a

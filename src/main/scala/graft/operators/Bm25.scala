@@ -48,6 +48,19 @@ object Bm25 {
     // corpus constants: one-row frame, broadcast
     val n = stats.select(col("id"), col("dl")).distinct()
       .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    scoreStats(stats, n, queries, topK, k1, b)
+  }
+
+  /** The scoring tail shared by the one-shot path ([[search]] — stats
+    * recomputed from the corpus) and the stored-index path
+    * ([[Bm25Index.search]] — stats read bucket-pruned from parquet, N
+    * and avgdl from the doc side table): identical frames in, identical
+    * IEEE op sequence, bit-equal scores out. `stats` needs only the
+    * query terms' rows present (df is counted per term from them);
+    * `n` is the one-row (n_docs, avgdl) corpus-constants frame. */
+  private[operators] def scoreStats(stats: DataFrame, n: DataFrame,
+                                    queries: DataFrame, topK: Int,
+                                    k1: Double, b: Double): DataFrame = {
     // df per query term only (semi-filtered before the aggregate)
     val qTerms = queries.select(col("term")).distinct()
     val dfStats = stats.join(broadcast(qTerms), Seq("term"))

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class Bm25IndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "apple banana cherry"),
+    (2L, "apple apple banana"),
+    (3L, "durian elderberry fig grape honeydew"),
+    (4L, "apple durian"),
+    (5L, "banana banana banana banana"),
+    (6L, "cherry fig apple"),
+    (7L, "grape grape banana durian"),
+    (8L, "elderberry apple apple cherry")
+  ).toDF("doc_id", "text")
+
+  private def q(rows: (Long, String)*) = rows.toDF("query_id", "term")
+
+  test("stored-index search is bit-equal to one-shot Bm25.search; appends maintain N/avgdl/df") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_bm25_ix").toString
+    val store = new ParquetTableStore(spark, wh)
+    Bm25Index.build(store, "bx", docs.filter($"doc_id" <= 3), "doc_id", "text")
+    Bm25Index.append(store, "bx", docs.filter($"doc_id" > 3 && $"doc_id" <= 6), "doc_id", "text")
+    val metaAfter1 = store.read("bx_meta").get.head()
+    Bm25Index.append(store, "bx", docs.filter($"doc_id" > 3 && $"doc_id" <= 6), "doc_id", "text")
+    assert(store.read("bx_meta").get.head() == metaAfter1, "replay moved the fingerprint")
+    Bm25Index.append(store, "bx", docs.filter($"doc_id" > 6), "doc_id", "text")
+    Bm25Index.verifyFresh(store, "bx", docs, "doc_id")
+    val queries = q(1L -> "apple", 1L -> "durian", 2L -> "banana")
+    val fromIndex = Bm25Index.search(store, "bx", queries, 10)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val oneShot = Bm25.search(docs, "doc_id", "text", queries, 10)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(fromIndex == oneShot,
+      s"stored-index search diverges from one-shot:\n$fromIndex\nvs\n$oneShot")
+  }
+
+  test("staleness: an unappended batch fails verifyFresh loudly") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_bm25_stale").toString
+    val store = new ParquetTableStore(spark, wh)
+    Bm25Index.build(store, "bx", docs.filter($"doc_id" <= 5), "doc_id", "text")
+    val e = intercept[RuntimeException] {
+      Bm25Index.verifyFresh(store, "bx", docs, "doc_id")
+    }
+    assert(e.getMessage.contains("STALE"), e.getMessage)
+  }
+
+  test("changed-text re-delivery fails loudly before any merge") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_bm25_chg").toString
+    val store = new ParquetTableStore(spark, wh)
+    Bm25Index.build(store, "bx", docs, "doc_id", "text")
+    val edited = Seq((2L, "apple pie recipe")).toDF("doc_id", "text")
+    val e = intercept[RuntimeException] {
+      Bm25Index.append(store, "bx", edited, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("CHANGED text"), e.getMessage)
+    // guard ran pre-merge: the index still answers for the ORIGINAL corpus
+    Bm25Index.verifyFresh(store, "bx", docs, "doc_id")
+  }
+
+  test("search prunes the postings table at the term-bucket partition level") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_bm25_prune").toString
+    val store = new ParquetTableStore(spark, wh)
+    Bm25Index.build(store, "bx", docs, "doc_id", "text")
+    val plan = Bm25Index.search(store, "bx", q(1L -> "apple"), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("pb"), plan)
+  }
+}
