@@ -2920,6 +2920,28 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Closed-form OLS in one pass ([[graft.operators.LinearFit]] —
+    * normal-equation moments as ONE hash aggregate over the fact
+    * table, (p+1)×(p+1) driver solve, R²/RMSE from the same pass via
+    * SSE = Σy² − wᵀ(Xᵀy)): predict l_extendedprice from quantity and
+    * discount points. The oracle replays the full train — the same
+    * moment sums, Cramer's-rule 3×3 solve, and fit metrics — in SQL;
+    * the discount feature is pre-scaled ×100 so the normal matrix stays
+    * well-conditioned (the operator's documented contract). */
+  def q141_linear_fit(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+      .withColumn("disc_pct", col("l_discount") * 100)
+    val m = graft.operators.LinearFit.fit(li,
+      Seq("l_quantity", "disc_pct"), "l_extendedprice")
+    s.range(1).select(
+      lit(m.n).as("n"),
+      lit(math.rint(m.weights(0) * 1e4) / 1e4).as("w_intercept"),
+      lit(math.rint(m.weights(1) * 1e4) / 1e4).as("w_quantity"),
+      lit(math.rint(m.weights(2) * 1e4) / 1e4).as("w_disc_pct"),
+      lit(math.rint(m.r2 * 1e4) / 1e4).as("r2"),
+      lit(math.rint(m.rmse * 1e2) / 1e2).as("rmse"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3063,6 +3085,7 @@ object SparkEntry {
     "q138_ann_ivf_append"   -> (q138_ann_ivf_append _),
     "q139_weighted_sample_grouped_maintained" -> (q139_weighted_sample_grouped_maintained _),
     "q140_bm25_indexed"     -> (q140_bm25_indexed _),
+    "q141_linear_fit"       -> (q141_linear_fit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5719,6 +5742,42 @@ object SparkEntry {
          SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
                 doc_id, round(score, 4) AS score
          FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // q141: the whole closed-form train replayed — moment sums, 3x3
+    // Cramer solve of the normal equations, and the same-pass fit
+    // metrics (SSE = Syy - w.(X'y), SST = Syy - Sy^2/n)
+    "q141_linear_fit" ->
+      """WITH f AS (
+           SELECT CAST(l_quantity AS DOUBLE) AS x1,
+                  CAST(l_discount * 100 AS DOUBLE) AS x2,
+                  CAST(l_extendedprice AS DOUBLE) AS y
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+             AND l_extendedprice IS NOT NULL),
+         s AS (
+           SELECT count(*) AS n,
+             sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+             sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x2*x2) AS s22,
+             sum(x1*y) AS s1y, sum(x2*y) AS s2y, sum(y*y) AS syy
+           FROM f),
+         w AS (
+           SELECT n, sy, s1y, s2y, syy,
+             n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2) AS det,
+             sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y) AS d0,
+             n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2) AS d1,
+             n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2) AS d2
+           FROM s),
+         m AS (
+           SELECT n, d0/det AS w0, d1/det AS w1, d2/det AS w2,
+             greatest(0, syy - (d0/det*sy + d1/det*s1y + d2/det*s2y)) AS sse,
+             greatest(0, syy - sy*sy/n) AS sst
+           FROM w)
+         SELECT CAST(n AS BIGINT) AS n,
+           round(w0, 4) AS w_intercept, round(w1, 4) AS w_quantity,
+           round(w2, 4) AS w_disc_pct,
+           round(CASE WHEN sst = 0 THEN 0 ELSE greatest(0, 1 - sse/sst) END, 4) AS r2,
+           round(sqrt(sse/n), 2) AS rmse
+         FROM m""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a
