@@ -2942,6 +2942,43 @@ object SparkEntry {
       lit(math.rint(m.rmse * 1e2) / 1e2).as("rmse"))
   }
 
+  /** KMV/theta sketch set algebra ([[graft.operators.KmvSketch]] — the
+    * distinct sketch that, unlike HLL, INTERSECTS): the lineitem
+    * partkey population folded through a real store in three residue
+    * batches (one replayed), the filtered-part population sketched
+    * one-shot, then solo estimates + theta-combined |A∩B| / |A∪B| /
+    * Jaccard next to the exact answers. Every number is deterministic
+    * (seeded 52-bit md5 minima), so the oracle replays the hashes, the
+    * k-minima, θ, the estimator and the set algebra bit-for-bit. */
+  def q142_kmv_set_sketch(s: SparkSession, d: String): DataFrame = {
+    val k = 256
+    val wh = java.nio.file.Files.createTempDirectory("graft_q142_wh").toString
+    val store = new graft.operators.ParquetTableStore(s, wh)
+    val li = lineitem(s, d)
+    def fold(batch: DataFrame, id: Long): Unit =
+      graft.operators.KmvSketch.foldIntoStore(store, "ka", batch,
+        "l_partkey", k, seed = "km9", id, epoch = "q142")
+    fold(li.filter(col("l_orderkey") % 3 === 0), 0L)
+    fold(li.filter(col("l_orderkey") % 3 === 1), 1L)
+    fold(li.filter(col("l_orderkey") % 3 === 1), 1L) // replay: must no-op
+    fold(li.filter(col("l_orderkey") % 3 === 2), 2L)
+    val stA = store.read("ka").get.drop("_last_batch", "_epoch")
+    val pr = part(s, d).filter(col("p_size") > 25)
+    val stB = graft.operators.KmvSketch.state(pr, "p_partkey", k, "km9")
+    val solo = graft.operators.KmvSketch.estimateFromState(stA, k)
+      .select(col("n_est").as("n_est_a"))
+      .crossJoin(graft.operators.KmvSketch.estimateFromState(stB, k)
+        .select(col("n_est").as("n_est_b")))
+    val sets = graft.operators.KmvSketch.setEstimates(stA, stB, k)
+      .select("est_inter", "est_union", "jaccard")
+    val exact = li.select(col("l_partkey")).distinct()
+      .join(pr.select(col("p_partkey").as("l_partkey")), Seq("l_partkey"))
+      .agg(count(lit(1)).as("exact_inter"))
+      .crossJoin(li.agg(count_distinct(col("l_partkey")).as("exact_a")))
+      .crossJoin(pr.agg(count_distinct(col("p_partkey")).as("exact_b")))
+    solo.crossJoin(sets).crossJoin(exact)
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3086,6 +3123,7 @@ object SparkEntry {
     "q139_weighted_sample_grouped_maintained" -> (q139_weighted_sample_grouped_maintained _),
     "q140_bm25_indexed"     -> (q140_bm25_indexed _),
     "q141_linear_fit"       -> (q141_linear_fit _),
+    "q142_kmv_set_sketch"   -> (q142_kmv_set_sketch _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5778,6 +5816,50 @@ object SparkEntry {
            round(CASE WHEN sst = 0 THEN 0 ELSE greatest(0, 1 - sse/sst) END, 4) AS r2,
            round(sqrt(sse/n), 2) AS rmse
          FROM m""",
+
+    // q142: the whole sketch replayed — seeded 52-bit md5 minima per
+    // population, theta = k-th minimum (or 2^52 when unsaturated), the
+    // (k-1)*2^52/theta estimator, and the theta-combined set algebra at
+    // the common cut, next to the exact distinct counts
+    "q142_kmv_set_sketch" ->
+      """WITH ha AS (SELECT DISTINCT
+             CAST(('0x' || substr(md5('km9/' || CAST(l_partkey AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+           FROM lineitem WHERE l_partkey IS NOT NULL),
+         hb AS (SELECT DISTINCT
+             CAST(('0x' || substr(md5('km9/' || CAST(p_partkey AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+           FROM part WHERE p_size > 25 AND p_partkey IS NOT NULL),
+         ka AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+         kb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+         th AS (SELECT
+             CASE WHEN (SELECT count(*) FROM ka) < 256 THEN 4503599627370496.0
+                  ELSE CAST((SELECT max(h) FROM ka) AS DOUBLE) END AS ta,
+             CASE WHEN (SELECT count(*) FROM kb) < 256 THEN 4503599627370496.0
+                  ELSE CAST((SELECT max(h) FROM kb) AS DOUBLE) END AS tb),
+         cm AS (SELECT ta, tb, least(ta, tb) AS tc FROM th),
+         cnt AS (SELECT
+             (SELECT count(*) FROM ka, cm WHERE h < ta) AS ra,
+             (SELECT count(*) FROM kb, cm WHERE h < tb) AS rb,
+             (SELECT count(*) FROM ka, cm WHERE h < tc) AS ca,
+             (SELECT count(*) FROM kb, cm WHERE h < tc) AS cb,
+             (SELECT count(*) FROM ka JOIN kb USING (h), cm WHERE h < tc) AS ci
+           FROM cm),
+         ex AS (SELECT
+             (SELECT count(DISTINCT l_partkey) FROM lineitem) AS exact_a,
+             (SELECT count(DISTINCT p_partkey) FROM part WHERE p_size > 25) AS exact_b,
+             (SELECT count(*) FROM
+               (SELECT DISTINCT l_partkey FROM lineitem) l
+               JOIN (SELECT p_partkey FROM part WHERE p_size > 25) p
+               ON l.l_partkey = p.p_partkey) AS exact_inter)
+         SELECT
+           round(CAST(ra AS DOUBLE) * 4503599627370496.0 / ta, 4) AS n_est_a,
+           round(CAST(rb AS DOUBLE) * 4503599627370496.0 / tb, 4) AS n_est_b,
+           round(CAST(ci AS DOUBLE) * 4503599627370496.0 / tc, 4) AS est_inter,
+           round(CAST(ca + cb - ci AS DOUBLE) * 4503599627370496.0 / tc, 4) AS est_union,
+           round(CASE WHEN ca + cb - ci = 0 THEN 0.0
+                      ELSE CAST(ci AS DOUBLE) / (ca + cb - ci) END, 4) AS jaccard,
+           CAST(exact_a AS BIGINT) AS exact_a, CAST(exact_b AS BIGINT) AS exact_b,
+           CAST(exact_inter AS BIGINT) AS exact_inter
+         FROM cnt, cm, ex""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a

@@ -99,6 +99,33 @@ class TopKTermsAggregator(k: Int)
   override def outputEncoder: Encoder[Seq[(String, Long)]] = ExpressionEncoder()
 }
 
+/** Bounded bottom-k DISTINCT longs: keeps the k smallest distinct input
+  * values, ascending. The KMV/theta sketch buffer ([[graft.operators
+  * .KmvSketch]]): O(k) map-side state, shuffle ships ≤ k values per
+  * partition — never the distinct key set itself (which is exactly the
+  * shuffle a sketch exists to avoid). Once the buffer saturates, rows
+  * hashing above its largest value reject in O(1); the O(k) dedup scan
+  * only runs for rows that would actually enter. */
+class BottomKDistinctLongAggregator(k: Int)
+  extends Aggregator[Long, Seq[Long], Seq[Long]] {
+
+  private def insert(buf: Seq[Long], x: Long): Seq[Long] =
+    if (buf.size == k && x >= buf.last) buf
+    else if (buf.contains(x)) buf
+    else {
+      val (pre, post) = buf.span(_ < x)
+      (pre :+ x) ++ post.take(k - pre.size - 1)
+    }
+
+  override def zero: Seq[Long] = Seq.empty
+  override def reduce(buf: Seq[Long], in: Long): Seq[Long] = insert(buf, in)
+  override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+    b.foldLeft(a)(insert)
+  override def finish(buf: Seq[Long]): Seq[Long] = buf
+  override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+}
+
 object TopK {
   /** Untyped column form: `topK(5)(col("id"), col("score"))` → array of
     * struct<_1: id, _2: score> ordered by (score desc, id asc). */
@@ -121,5 +148,12 @@ object TopK {
   def bottomK(k: Int): Column => Column = {
     val fn = udaf(new BottomKAggregator(k), Encoders.STRING)
     s => fn(s)
+  }
+
+  /** `bottomKDistinct(256)(col("h"))` → array of the k smallest DISTINCT
+    * longs, ascending — the KMV sketch buffer. */
+  def bottomKDistinct(k: Int): Column => Column = {
+    val fn = udaf(new BottomKDistinctLongAggregator(k), Encoders.scalaLong)
+    h => fn(h)
   }
 }
