@@ -2979,6 +2979,37 @@ object SparkEntry {
     solo.crossJoin(sets).crossJoin(exact)
   }
 
+  /** Stream-maintained linear model ([[graft.operators.LinearFit]]
+    * state path — the normal-equation moments are plain sums, so the
+    * TRAINED MODEL folds like any other mergeable state): q141's
+    * lineitem train split into three orderkey-residue batches folded
+    * through a real store (one replayed — the marker must no-op it),
+    * then the model solved from the stored moments alone. Oracle:
+    * q141's full-scan train replay VERBATIM — a model maintained per
+    * ingest micro-batch is the model trained on everything. */
+  def q143_linear_fit_maintained(s: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_q143_wh").toString
+    val store = new graft.operators.ParquetTableStore(s, wh)
+    val li = lineitem(s, d).withColumn("disc_pct", col("l_discount") * 100)
+    def fold(batch: DataFrame, id: Long): Unit =
+      graft.operators.LinearFit.foldIntoStore(store, "lm", batch,
+        Seq("l_quantity", "disc_pct"), "l_extendedprice", id, epoch = "q143")
+    fold(li.filter(col("l_orderkey") % 3 === 0), 0L)
+    fold(li.filter(col("l_orderkey") % 3 === 1), 1L)
+    fold(li.filter(col("l_orderkey") % 3 === 1), 1L) // replay: must no-op
+    fold(li.filter(col("l_orderkey") % 3 === 2), 2L)
+    val m = graft.operators.LinearFit.fitFromState(
+      store.read("lm").get.drop("_last_batch", "_epoch"),
+      Seq("l_quantity", "disc_pct"))
+    s.range(1).select(
+      lit(m.n).as("n"),
+      lit(math.rint(m.weights(0) * 1e4) / 1e4).as("w_intercept"),
+      lit(math.rint(m.weights(1) * 1e4) / 1e4).as("w_quantity"),
+      lit(math.rint(m.weights(2) * 1e4) / 1e4).as("w_disc_pct"),
+      lit(math.rint(m.r2 * 1e4) / 1e4).as("r2"),
+      lit(math.rint(m.rmse * 1e2) / 1e2).as("rmse"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3124,6 +3155,7 @@ object SparkEntry {
     "q140_bm25_indexed"     -> (q140_bm25_indexed _),
     "q141_linear_fit"       -> (q141_linear_fit _),
     "q142_kmv_set_sketch"   -> (q142_kmv_set_sketch _),
+    "q143_linear_fit_maintained" -> (q143_linear_fit_maintained _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5860,6 +5892,40 @@ object SparkEntry {
            CAST(exact_a AS BIGINT) AS exact_a, CAST(exact_b AS BIGINT) AS exact_b,
            CAST(exact_inter AS BIGINT) AS exact_inter
          FROM cnt, cm, ex""",
+    // q143: q141's full-scan train replay VERBATIM -- the fold-maintained
+    // moments must solve to the same model as training on everything
+    "q143_linear_fit_maintained" ->
+      """WITH f AS (
+           SELECT CAST(l_quantity AS DOUBLE) AS x1,
+                  CAST(l_discount * 100 AS DOUBLE) AS x2,
+                  CAST(l_extendedprice AS DOUBLE) AS y
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+             AND l_extendedprice IS NOT NULL),
+         s AS (
+           SELECT count(*) AS n,
+             sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+             sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x2*x2) AS s22,
+             sum(x1*y) AS s1y, sum(x2*y) AS s2y, sum(y*y) AS syy
+           FROM f),
+         w AS (
+           SELECT n, sy, s1y, s2y, syy,
+             n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2) AS det,
+             sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y) AS d0,
+             n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2) AS d1,
+             n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2) AS d2
+           FROM s),
+         m AS (
+           SELECT n, d0/det AS w0, d1/det AS w1, d2/det AS w2,
+             greatest(0, syy - (d0/det*sy + d1/det*s1y + d2/det*s2y)) AS sse,
+             greatest(0, syy - sy*sy/n) AS sst
+           FROM w)
+         SELECT CAST(n AS BIGINT) AS n,
+           round(w0, 4) AS w_intercept, round(w1, 4) AS w_quantity,
+           round(w2, 4) AS w_disc_pct,
+           round(CASE WHEN sst = 0 THEN 0 ELSE greatest(0, 1 - sse/sst) END, 4) AS r2,
+           round(sqrt(sse/n), 2) AS rmse
+         FROM m""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a

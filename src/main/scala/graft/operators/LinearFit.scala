@@ -48,28 +48,55 @@ object LinearFit {
   /** Fit y = w0 + Σ wᵢ·xᵢ (+ ridge λ on the non-intercept diagonal).
     * One aggregate over `df`; O(p²) driver state; p = features.size. */
   def fit(df: DataFrame, features: Seq[String], targetCol: String,
-          ridge: Double = 0.0): Model = {
+          ridge: Double = 0.0): Model =
+    fitFromState(state(df, features, targetCol), features, ridge)
+
+  /** One-row mergeable moment state — the upper triangle of
+    * [1 X y]ᵀ[1 X y] (`_n`, `_mi_j` for i ≤ j): everything a fit needs,
+    * and every component merges by PLAIN SUM, so the model folds
+    * through [[IncrementalAgg.foldStateIntoStore]] like any other
+    * mergeable state — the fitted model stays current per ingest
+    * micro-batch with no history rescan (q143's gate: fold ≡ one-shot
+    * train to coefficient precision). */
+  def state(df: DataFrame, features: Seq[String], targetCol: String): DataFrame = {
     require(features.nonEmpty, "fit needs at least one feature")
-    require(ridge >= 0.0, "ridge must be non-negative")
     val p = features.size + 1 // + intercept
     val cols: Seq[Column] =
       lit(1.0) +: features.map(col(_).cast("double")) :+ col(targetCol).cast("double")
     val clean = df.filter((features :+ targetCol)
       .map(col(_).isNotNull).reduce(_ && _))
-    // upper triangle of [X 1 y]ᵀ[X 1 y]: G (p×p), b (p), Σy² — one row out
-    val sums = clean.agg(
+    clean.agg(
       count(lit(1)).as("_n"),
       (for (i <- 0 until (p + 1); j <- i until (p + 1))
-        yield sum(cols(i) * cols(j)).as(s"_m${i}_$j")): _*).head()
-    val n = sums.getLong(0)
+        yield sum(cols(i) * cols(j)).as(s"_m${i}_$j")): _*)
+  }
+
+  /** Fold moment states: every component is a sum. Null moments (an
+    * all-null batch contributes zero rows) coalesce to 0 so an empty
+    * delta is the identity. */
+  def mergeStates(states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "mergeStates needs at least one state frame")
+    val u = states.reduce(_.unionByName(_))
+    u.agg(
+      sum(col("_n")).as("_n"),
+      u.columns.filter(_.startsWith("_m")).toSeq
+        .map(c => coalesce(sum(col(c)), lit(0.0)).as(c)): _*)
+  }
+
+  /** Solve the model from a moment state frame — O(p³) driver work,
+    * no data touch. */
+  def fitFromState(stateDf: DataFrame, features: Seq[String],
+                   ridge: Double = 0.0): Model = {
+    require(ridge >= 0.0, "ridge must be non-negative")
+    val p = features.size + 1
+    val sums = stateDf.head()
+    val n = sums.getLong(sums.fieldIndex("_n"))
     if (n == 0) sys.error(
       s"LinearFit.fit: no rows with non-null (${features.mkString(", ")}, " +
-        s"$targetCol) — cannot fit on an empty input.")
+        "target) — cannot fit on an empty input.")
     def m(i: Int, j: Int): Double = {
       val (a, b) = if (i <= j) (i, j) else (j, i)
-      // field order: (0,0),(0,1)..(0,p),(1,1)..(p,p) after _n
-      val idx = 1 + (0 until a).map(r => p + 1 - r).sum + (b - a)
-      sums.getDouble(idx)
+      sums.getDouble(sums.fieldIndex(s"_m${a}_$b"))
     }
     val g = Array.tabulate(p, p)((i, j) =>
       m(i, j) + (if (i == j && i > 0) ridge else 0.0))
@@ -81,6 +108,15 @@ object LinearFit {
     val r2 = if (sst == 0.0) 0.0 else math.max(0.0, 1.0 - sse / sst)
     Model(features, w, r2, math.sqrt(sse / n), n)
   }
+
+  /** Replay-idempotent streaming maintenance of the moment state — the
+    * fitted model is then [[fitFromState]] at any read point. */
+  def foldIntoStore(store: ParquetTableStore, name: String, batch: DataFrame,
+                    features: Seq[String], targetCol: String,
+                    batchId: Long, epoch: String): Unit =
+    IncrementalAgg.foldStateIntoStore(store, name,
+      state(batch, features, targetCol),
+      (p, d) => mergeStates(p, d), batchId, epoch)
 
   /** Gaussian elimination with partial pivoting over the p×p normal
     * matrix — O(p³) driver work on a handful of doubles. */

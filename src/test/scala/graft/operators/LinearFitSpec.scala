@@ -57,6 +57,25 @@ class LinearFitSpec extends SparkSpec {
     assert(e2.getMessage.contains("empty"), e2.getMessage)
   }
 
+  test("moment fold: maintained model ≡ one-shot model; replay no-ops") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_lf_fold").toString
+    val store = new ParquetTableStore(spark, wh)
+    val noisy = plane.withColumn("y", $"y" + ($"x1" * 13 % 5) - 2)
+    def fold(r: Int, bid: Long): Unit =
+      LinearFit.foldIntoStore(store, "lm",
+        noisy.filter(pmod($"x1" * 7 + $"x2", lit(3)) === r),
+        Seq("x1", "x2"), "y", bid, "e1")
+    fold(0, 0L); fold(1, 1L); fold(1, 1L) /* replay */; fold(2, 2L)
+    val m = LinearFit.fitFromState(
+      store.read("lm").get.drop("_last_batch", "_epoch"), Seq("x1", "x2"))
+    val oneShot = LinearFit.fit(noisy, Seq("x1", "x2"), "y")
+    assert(m.n == oneShot.n, s"${m.n} != ${oneShot.n} (replay leaked?)")
+    m.weights.zip(oneShot.weights).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"folded weights ${m.weights.toSeq} vs ${oneShot.weights.toSeq}")
+    }
+    assert(math.abs(m.r2 - oneShot.r2) < 1e-9)
+  }
+
   test("the train is ONE aggregate pass: no joins, no window, no second scan") {
     // count the scans in the aggregate's plan via a spy: fit must run
     // exactly one job over the data (moments + metrics in one pass) —
