@@ -3010,6 +3010,27 @@ object SparkEntry {
       lit(math.rint(m.rmse * 1e2) / 1e2).as("rmse"))
   }
 
+  /** Per-group closed-form OLS ([[graft.operators.LinearFit
+    * .fitPerGroup]] — one model per stratum from one grouped moment
+    * aggregate + a group-cardinality-bounded driver solve): q141's
+    * price model fitted separately per l_returnflag. The oracle runs
+    * the grouped Cramer solve — the per-group moment sums and all
+    * three models' weights and metrics replayed in one GROUP BY. */
+  def q144_linear_fit_grouped(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).withColumn("disc_pct", col("l_discount") * 100)
+    val st = graft.operators.LinearFit.statePerGroup(li, "l_returnflag",
+      Seq("l_quantity", "disc_pct"), "l_extendedprice")
+    graft.operators.LinearFit.fitPerGroup(st, "l_returnflag",
+        Seq("l_quantity", "disc_pct"))
+      .select(col("l_returnflag"), col("n"),
+        round(element_at(col("w"), 1), 4).as("w_intercept"),
+        round(element_at(col("w"), 2), 4).as("w_quantity"),
+        round(element_at(col("w"), 3), 4).as("w_disc_pct"),
+        round(col("r2"), 4).as("r2"),
+        round(col("rmse"), 2).as("rmse"))
+      .orderBy(col("l_returnflag"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3156,6 +3177,7 @@ object SparkEntry {
     "q141_linear_fit"       -> (q141_linear_fit _),
     "q142_kmv_set_sketch"   -> (q142_kmv_set_sketch _),
     "q143_linear_fit_maintained" -> (q143_linear_fit_maintained _),
+    "q144_linear_fit_grouped" -> (q144_linear_fit_grouped _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5926,6 +5948,42 @@ object SparkEntry {
            round(CASE WHEN sst = 0 THEN 0 ELSE greatest(0, 1 - sse/sst) END, 4) AS r2,
            round(sqrt(sse/n), 2) AS rmse
          FROM m""",
+
+    // q144: q141's Cramer solve GROUPED -- per-returnflag moment sums
+    // and all three models replayed in one GROUP BY
+    "q144_linear_fit_grouped" ->
+      """WITH f AS (
+           SELECT l_returnflag AS rf,
+                  CAST(l_quantity AS DOUBLE) AS x1,
+                  CAST(l_discount * 100 AS DOUBLE) AS x2,
+                  CAST(l_extendedprice AS DOUBLE) AS y
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+             AND l_extendedprice IS NOT NULL),
+         s AS (
+           SELECT rf, count(*) AS n,
+             sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+             sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x2*x2) AS s22,
+             sum(x1*y) AS s1y, sum(x2*y) AS s2y, sum(y*y) AS syy
+           FROM f GROUP BY rf),
+         w AS (
+           SELECT rf, n, sy, s1y, s2y, syy,
+             n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2) AS det,
+             sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y) AS d0,
+             n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2) AS d1,
+             n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2) AS d2
+           FROM s),
+         m AS (
+           SELECT rf, n, d0/det AS w0, d1/det AS w1, d2/det AS w2,
+             greatest(0, syy - (d0/det*sy + d1/det*s1y + d2/det*s2y)) AS sse,
+             greatest(0, syy - sy*sy/n) AS sst
+           FROM w)
+         SELECT rf AS l_returnflag, CAST(n AS BIGINT) AS n,
+           round(w0, 4) AS w_intercept, round(w1, 4) AS w_quantity,
+           round(w2, 4) AS w_disc_pct,
+           round(CASE WHEN sst = 0 THEN 0 ELSE greatest(0, 1 - sse/sst) END, 4) AS r2,
+           round(sqrt(sse/n), 2) AS rmse
+         FROM m ORDER BY l_returnflag""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a

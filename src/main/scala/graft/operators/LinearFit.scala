@@ -118,6 +118,90 @@ object LinearFit {
       state(batch, features, targetCol),
       (p, d) => mergeStates(p, d), batchId, epoch)
 
+  // --------------------------------------------------- per-group fit
+
+  /** [[state]] per `groupCol` value — one moment row per group; merges
+    * by group-keyed sum, so the per-group family composes with the
+    * fold protocol exactly like the global state. */
+  def statePerGroup(df: DataFrame, groupCol: String, features: Seq[String],
+                    targetCol: String): DataFrame = {
+    require(features.nonEmpty, "fit needs at least one feature")
+    val p = features.size + 1
+    val cols: Seq[Column] =
+      lit(1.0) +: features.map(col(_).cast("double")) :+ col(targetCol).cast("double")
+    df.filter((features :+ targetCol).map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_n"),
+        (for (i <- 0 until (p + 1); j <- i until (p + 1))
+          yield sum(cols(i) * cols(j)).as(s"_m${i}_$j")): _*)
+  }
+
+  /** One fitted model per group from a per-group moment frame:
+    * (group, n, w array<double> — intercept first — r2, rmse). The
+    * moment rows are collected driver-side — bounded by GROUP
+    * CARDINALITY × O(p²) doubles, never data (the same bound as any
+    * per-group driver solve; a million groups of 10 moments is 80 MB,
+    * at which point fit fewer, coarser models). A singular group fails
+    * loudly BY NAME — one degenerate stratum must not yield silent
+    * garbage weights inside an otherwise-good model table. */
+  def fitPerGroup(stateDf: DataFrame, groupCol: String, features: Seq[String],
+                  ridge: Double = 0.0): DataFrame = {
+    require(ridge >= 0.0, "ridge must be non-negative")
+    val p = features.size + 1
+    val spark = stateDf.sparkSession
+    val rows = stateDf.collect()
+    val out = rows.map { r =>
+      def m(i: Int, j: Int): Double = {
+        val (a, b) = if (i <= j) (i, j) else (j, i)
+        r.getDouble(r.fieldIndex(s"_m${a}_$b"))
+      }
+      val n = r.getLong(r.fieldIndex("_n"))
+      val g = Array.tabulate(p, p)((i, j) =>
+        m(i, j) + (if (i == j && i > 0) ridge else 0.0))
+      val b = Array.tabulate(p)(i => m(i, p))
+      val w =
+        try solve(g, b, features)
+        catch { case e: RuntimeException => sys.error(
+          s"LinearFit.fitPerGroup: group ${groupCol}=${r.get(0)}: ${e.getMessage}")
+        }
+      val syy = m(p, p)
+      val sse = math.max(0.0, syy - (0 until p).map(i => w(i) * b(i)).sum)
+      val sst = math.max(0.0, syy - m(0, p) * m(0, p) / n)
+      val r2 = if (sst == 0.0) 0.0 else math.max(0.0, 1.0 - sse / sst)
+      org.apache.spark.sql.Row(r.get(0), n, w.toSeq, r2, math.sqrt(sse / n))
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(out: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        stateDf.schema.fields.head,
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false),
+          nullable = false),
+        org.apache.spark.sql.types.StructField("r2",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("rmse",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+  }
+
+  /** Score `df` against a per-group model table IN-PLAN: broadcast-join
+    * the (group → weights) frame and evaluate w0 + Σ wᵢ·xᵢ as a column
+    * expression — the grouped analog of [[Model.prediction]]. Rows
+    * whose group has no model get a null prediction. */
+  def predictPerGroup(df: DataFrame, models: DataFrame, groupCol: String,
+                      features: Seq[String]): DataFrame = {
+    val pred = features.zipWithIndex.foldLeft(element_at(col("w"), 1)) {
+      case (acc, (f, i)) =>
+        acc + element_at(col("w"), i + 2) * col(f).cast("double")
+    }
+    df.join(broadcast(models.select(col(groupCol), col("w"))),
+        Seq(groupCol), "left")
+      .withColumn("prediction", pred)
+      .drop("w")
+  }
+
   /** Gaussian elimination with partial pivoting over the p×p normal
     * matrix — O(p³) driver work on a handful of doubles. */
   private def solve(g: Array[Array[Double]], b: Array[Double],

@@ -76,6 +76,40 @@ class LinearFitSpec extends SparkSpec {
     assert(math.abs(m.r2 - oneShot.r2) < 1e-9)
   }
 
+  test("per-group fit: each group's model equals a solo fit on that group; in-plan scoring") {
+    val grouped = plane.withColumn("g", when($"x1" < 3, "lo").otherwise("hi"))
+      .withColumn("y", when($"g" === "lo", $"y").otherwise($"y" * 2 + 1))
+    val models = LinearFit.fitPerGroup(
+      LinearFit.statePerGroup(grouped, "g", Seq("x1", "x2"), "y"),
+      "g", Seq("x1", "x2"))
+    val byG = models.select("g", "w").as[(String, Seq[Double])].collect().toMap
+    Seq("lo", "hi").foreach { g =>
+      val solo = LinearFit.fit(grouped.filter($"g" === g), Seq("x1", "x2"), "y")
+      byG(g).zip(solo.weights).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-8, s"group $g: ${byG(g)} vs ${solo.weights.toSeq}")
+      }
+    }
+    val scored = LinearFit.predictPerGroup(grouped, models, "g", Seq("x1", "x2"))
+    val maxErr = scored.select(max(abs($"prediction" - $"y"))).head().getDouble(0)
+    assert(maxErr < 1e-6, s"per-group prediction error $maxErr")
+    // a row whose group has no model predicts null, not garbage
+    val orphan = Seq(("zz", 1.0, 2.0, 0.0)).toDF("g", "x1", "x2", "y")
+    assert(LinearFit.predictPerGroup(orphan, models, "g", Seq("x1", "x2"))
+      .filter($"prediction".isNull).count() == 1)
+  }
+
+  test("a singular group fails loudly BY NAME") {
+    val grouped = plane.withColumn("g", lit("ok"))
+      .unionByName(Seq(("bad", 2.0, 7.0, 1.0), ("bad", 2.0, 7.0, 2.0))
+        .toDF("g", "x1", "x2", "y").select("x1", "x2", "y", "g"))
+    val e = intercept[RuntimeException] {
+      LinearFit.fitPerGroup(
+        LinearFit.statePerGroup(grouped, "g", Seq("x1", "x2"), "y"),
+        "g", Seq("x1", "x2"))
+    }
+    assert(e.getMessage.contains("g=bad"), e.getMessage)
+  }
+
   test("the train is ONE aggregate pass: no joins, no window, no second scan") {
     // count the scans in the aggregate's plan via a spy: fit must run
     // exactly one job over the data (moments + metrics in one pass) —
