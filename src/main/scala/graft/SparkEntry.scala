@@ -2909,9 +2909,9 @@ object SparkEntry {
     graft.operators.Bm25Index.build(store, "bx",
       docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
     def app(r: Int): Unit = graft.operators.Bm25Index.append(store, "bx",
-      docs.filter(col("doc_id") % 3 === r), "doc_id", "text")
+      docs.filter(col("doc_id") % 3 === r), "doc_id", "text", batchId = r)
     app(1)
-    app(1) // replay: must no-op
+    app(1) // replay (same segment id): must no-op
     app(2)
     graft.operators.Bm25Index.verifyFresh(store, "bx", docs, "doc_id")
     val queries = Seq((1L, "spark"), (1L, "sort"), (2L, "customer"),

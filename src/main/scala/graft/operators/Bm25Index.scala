@@ -14,11 +14,19 @@ import org.apache.spark.sql.functions._
   *
   * Layout (three tables under one index name):
   *   - `<name>_postings` (id, term, tf, dl): the inverted lists —
-  *     [[Bm25.docTermStats]] rows, PARTITIONED on disk by
-  *     `pb = pmod(xxhash64(term), nBuckets)` so a probe's term-bucket
-  *     filter prunes partition directories before reading a row (the
-  *     lexical analog of [[IvfIndex]]'s cell pruning; a handful of
-  *     query terms touches a handful of the index's bucket dirs).
+  *     [[Bm25.docTermStats]] rows, PARTITIONED on disk by ingest
+  *     segment (`seg` = the append's batch id — the Lucene segment
+  *     model re-expressed as partition directories). Segment
+  *     partitioning is what makes an append O(batch): the merge
+  *     touches ONLY the batch's own segment directory. Terms hash into
+  *     every ingest batch, so any term-keyed layout would have every
+  *     append rewriting most of the index — write amplification
+  *     O(index) per batch, the exact failure mode segment files exist
+  *     to avoid. Probes prune by PUSHED term filter instead: the
+  *     query's terms (driver-collected — bounded by query size) become
+  *     an `isin` that reaches the parquet scan, so row groups without
+  *     the terms are skipped by min/max/dictionary stats rather than
+  *     directory listing.
   *   - `<name>_docs` (id, dl, text_hash): one row per indexed doc —
   *     the corpus constants N and avgdl come from this doc-sized table
   *     (never from a postings scan), the fingerprint comes from its id
@@ -36,16 +44,19 @@ import org.apache.spark.sql.functions._
   * [[Bm25.search]] over the full indexed corpus (the q140 gate), not
   * an approximation of it.
   *
-  * Append contract: new docs, or byte-identical replays (keyed upsert
-  * on (id, term) rewrites identical rows; the meta fingerprint is
-  * recomputed from stored ids, so replay provably cannot drift it). A
-  * re-delivered id whose TEXT changed would strand postings rows of
-  * its removed terms — (id, term) keys that the new batch no longer
-  * carries cannot be deleted by an upsert — so that case FAILS LOUDLY
-  * via the stored `text_hash` (an in-place document edit is a rebuild
-  * or a delete + append, not an append). Docs whose text tokenizes to
-  * nothing have no postings and are not indexed — the same population
-  * [[Bm25.search]] scores.
+  * Append contract: [[append]] takes the ingest `batchId` (the segment
+  * key — replays of a batch MUST re-use it, exactly as in the fold
+  * protocol). A re-delivered doc with IDENTICAL text is skipped (the
+  * doc-sized anti-join makes replays and cross-batch re-sends
+  * idempotent); a re-delivered id whose TEXT changed would strand
+  * postings rows of its removed terms — an upsert cannot delete them —
+  * so that case FAILS LOUDLY (an in-place document edit is a rebuild
+  * or a delete + append, not an append). The meta fingerprint is
+  * recomputed from stored doc ids after every append, never folded.
+  * Docs whose text tokenizes to nothing have no postings and are not
+  * indexed — the same population [[Bm25.search]] scores. Segment count
+  * tracks ingest history; compact segments on the lakehouse schedule
+  * like any other table (SURVEY §7.4).
   */
 object Bm25Index {
 
@@ -55,17 +66,10 @@ object Bm25Index {
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
-  // cast to int: parquet partition-column inference reads "pb=17" back
-  // as IntegerType, and the merge path unions stored vs batch by name
-  private def bucket(nBuckets: Int) =
-    pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int")
-
-  /** (id, term, tf, dl, pb) + (id, dl, text_hash) for one batch. */
-  private def statsOf(docs: DataFrame, idCol: String, textCol: String,
-                      nBuckets: Int): (DataFrame, DataFrame) = {
-    val stats = Checkpoints.materialize(
-      Bm25.docTermStats(docs, idCol, textCol)
-        .withColumn("pb", bucket(nBuckets)))
+  /** (id, term, tf, dl) + (id, dl, text_hash) for one batch. */
+  private def statsOf(docs: DataFrame, idCol: String,
+                      textCol: String): (DataFrame, DataFrame) = {
+    val stats = Checkpoints.materialize(Bm25.docTermStats(docs, idCol, textCol))
     val docRows = stats.select(col("id"), col("dl")).distinct()
       .join(docs.select(col(idCol).as("id"),
         xxhash64(col(textCol)).as("text_hash")), Seq("id"))
@@ -78,37 +82,35 @@ object Bm25Index {
     val (n, h) = fingerprint(docs, "id")
     store.replace(s"${name}_meta",
       docs.sparkSession.range(1).select(
-        lit(n).as("n_docs"), lit(h).as("id_fingerprint"),
-        lit(DefaultBuckets).as("n_buckets")))
+        lit(n).as("n_docs"), lit(h).as("id_fingerprint")))
   }
 
-  val DefaultBuckets = 32
-
-  /** Tokenize and aggregate the corpus once; materialize the
-    * bucket-partitioned postings and the doc-stats side table. */
+  /** Tokenize and aggregate the corpus once; materialize the postings
+    * (segment 0) and the doc-stats side table. */
   def build(store: ParquetTableStore, name: String, docs: DataFrame,
             idCol: String, textCol: String): Unit = {
-    val (stats, docRows) = statsOf(docs, idCol, textCol, DefaultBuckets)
-    store.replacePartitioned(s"${name}_postings", stats, Seq("pb"))
+    val (stats, docRows) = statsOf(docs, idCol, textCol)
+    store.replacePartitioned(s"${name}_postings",
+      stats.withColumn("seg", lit(0L)), Seq("seg"))
     store.replace(s"${name}_docs", docRows)
     writeMeta(store, name)
     Checkpoints.release(stats)
   }
 
-  /** Extend the index with an ingested batch: tokenize ONLY the batch,
-    * merge its postings into the touched term-bucket partitions
-    * ([[ParquetTableStore.upsertPartitioned]] — `pb` is a pure function
-    * of `term`, so keys never move partitions), upsert the doc stats,
-    * and recompute the meta fingerprint from stored ids. Changed-text
-    * re-delivery fails loudly BEFORE any merge (see class doc). */
+  /** Extend the index with ingest batch `batchId` (> 0; segment 0 is
+    * the build): tokenize ONLY the batch, drop docs already indexed
+    * with identical text (idempotent replay/re-send), fail loudly on
+    * changed text, and merge the remainder into the batch's OWN
+    * segment partition — O(batch) write, no other segment touched. */
   def append(store: ParquetTableStore, name: String, batch: DataFrame,
-             idCol: String, textCol: String): Unit = {
+             idCol: String, textCol: String, batchId: Long): Unit = {
+    require(batchId > 0, "batchId 0 is the build segment — use ids > 0")
     val stored = store.read(s"${name}_docs").getOrElse(
       sys.error(s"BM25 index '$name' has no docs table — not built?"))
-    val (stats, docRows) = statsOf(batch, idCol, textCol, DefaultBuckets)
-    val changed = stored.select(col("id"), col("text_hash").as("old_hash"))
+    val (stats, docRows) = statsOf(batch, idCol, textCol)
+    val prior = stored.select(col("id"), col("text_hash").as("old_hash"))
       .join(broadcast(docRows.select(col("id"), col("text_hash"))), Seq("id"))
-      .filter(col("old_hash") =!= col("text_hash"))
+    val changed = prior.filter(col("old_hash") =!= col("text_hash"))
       .limit(5).collect()
     if (changed.nonEmpty) sys.error(
       s"BM25 index '$name': batch re-delivers doc id(s) " +
@@ -116,8 +118,17 @@ object Bm25Index {
         " with CHANGED text — an upsert cannot delete the postings of " +
         "removed terms, so stale rows would keep scoring. Rebuild the " +
         "index, or delete the ids first.")
-    store.upsertPartitioned(s"${name}_postings", stats, Seq("id", "term"), "pb")
-    store.upsert(s"${name}_docs", docRows, Seq("id"), countAfter = false)
+    // already-indexed identical docs: skip (replays and re-sends no-op)
+    val seen = prior.select(col("id"))
+    val newStats = stats.join(broadcast(seen), Seq("id"), "left_anti")
+    val newDocs = docRows.join(broadcast(seen), Seq("id"), "left_anti")
+    if (!newStats.isEmpty) {
+      store.upsertPartitioned(s"${name}_postings",
+        newStats.withColumn("seg", lit(batchId)), Seq("id", "term"), "seg")
+      store.upsert(s"${name}_docs", newDocs, Seq("id"), countAfter = false)
+    }
+    // unconditional: converges the meta after a crash between the docs
+    // upsert and the meta write of a prior run of this same batch
     writeMeta(store, name)
     Checkpoints.release(stats)
   }
@@ -138,24 +149,21 @@ object Bm25Index {
   }
 
   /** Top-k docs per query from the STORED index — bit-equal to
-    * [[Bm25.search]] over the indexed corpus. The postings read is
-    * term-bucket partition-pruned (the query's terms hash to a handful
-    * of `pb` values, collected driver-side — bounded by query terms,
-    * never index size); N/avgdl come from the doc-sized side table. */
+    * [[Bm25.search]] over the indexed corpus. The postings read
+    * carries a PUSHED `term isin (...)` filter (the query's distinct
+    * terms, driver-collected — bounded by query size, never index
+    * size), so parquet row groups without the terms are skipped on
+    * column statistics; N/avgdl come from the doc-sized side table. */
   def search(store: ParquetTableStore, name: String, queries: DataFrame,
              topK: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val postings = store.read(s"${name}_postings").getOrElse(
       sys.error(s"BM25 index '$name' has no postings table — not built?"))
     val docs = store.read(s"${name}_docs").getOrElse(
       sys.error(s"BM25 index '$name' has no docs table — not built?"))
-    val nBuckets = store.read(s"${name}_meta").getOrElse(
-      sys.error(s"BM25 index '$name' has no meta table — not built?"))
-      .select("n_buckets").head().getInt(0)
     val n = docs.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val buckets = queries.select(col("term")).distinct()
-      .select(bucket(nBuckets).as("pb"))
-      .distinct().collect().map(_.getInt(0))
-    val pruned = postings.filter(col("pb").isin(buckets.toSeq: _*))
+    val terms = queries.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val pruned = postings.filter(col("term").isin(terms: _*))
     Bm25.scoreStats(pruned, n, queries, topK, k1, b)
   }
 }

@@ -23,11 +23,15 @@ class Bm25IndexSpec extends SparkSpec {
     val wh = java.nio.file.Files.createTempDirectory("graft_bm25_ix").toString
     val store = new ParquetTableStore(spark, wh)
     Bm25Index.build(store, "bx", docs.filter($"doc_id" <= 3), "doc_id", "text")
-    Bm25Index.append(store, "bx", docs.filter($"doc_id" > 3 && $"doc_id" <= 6), "doc_id", "text")
+    Bm25Index.append(store, "bx", docs.filter($"doc_id" > 3 && $"doc_id" <= 6), "doc_id", "text", 1L)
     val metaAfter1 = store.read("bx_meta").get.head()
-    Bm25Index.append(store, "bx", docs.filter($"doc_id" > 3 && $"doc_id" <= 6), "doc_id", "text")
+    Bm25Index.append(store, "bx", docs.filter($"doc_id" > 3 && $"doc_id" <= 6), "doc_id", "text", 1L)
     assert(store.read("bx_meta").get.head() == metaAfter1, "replay moved the fingerprint")
-    Bm25Index.append(store, "bx", docs.filter($"doc_id" > 6), "doc_id", "text")
+    // re-send of already-indexed identical docs under a NEW batch id:
+    // must also no-op (the anti-join skip), not duplicate postings
+    Bm25Index.append(store, "bx", docs.filter($"doc_id" === 5), "doc_id", "text", 7L)
+    assert(store.read("bx_meta").get.head() == metaAfter1, "re-send duplicated a doc")
+    Bm25Index.append(store, "bx", docs.filter($"doc_id" > 6), "doc_id", "text", 2L)
     Bm25Index.verifyFresh(store, "bx", docs, "doc_id")
     val queries = q(1L -> "apple", 1L -> "durian", 2L -> "banana")
     val fromIndex = Bm25Index.search(store, "bx", queries, 10)
@@ -56,20 +60,34 @@ class Bm25IndexSpec extends SparkSpec {
     Bm25Index.build(store, "bx", docs, "doc_id", "text")
     val edited = Seq((2L, "apple pie recipe")).toDF("doc_id", "text")
     val e = intercept[RuntimeException] {
-      Bm25Index.append(store, "bx", edited, "doc_id", "text")
+      Bm25Index.append(store, "bx", edited, "doc_id", "text", 1L)
     }
     assert(e.getMessage.contains("CHANGED text"), e.getMessage)
     // guard ran pre-merge: the index still answers for the ORIGINAL corpus
     Bm25Index.verifyFresh(store, "bx", docs, "doc_id")
   }
 
-  test("search prunes the postings table at the term-bucket partition level") {
+  test("search pushes the query-term filter into the postings scan") {
     val wh = java.nio.file.Files.createTempDirectory("graft_bm25_prune").toString
     val store = new ParquetTableStore(spark, wh)
     Bm25Index.build(store, "bx", docs, "doc_id", "text")
-    val plan = Bm25Index.search(store, "bx", q(1L -> "apple"), 5)
+    val plan = Bm25Index.search(store, "bx", q(1L -> "apple", 1L -> "durian"), 5)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters"), plan)
-    assert(plan.contains("pb"), plan)
+    assert(plan.contains("In(term, [apple,durian])") ||
+      plan.contains("In(term, [durian,apple])"),
+      s"no pushed term-membership filter on the postings scan:\n$plan")
+  }
+
+  test("appends are segment-partitioned: a batch writes only its own segment dir") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_bm25_seg").toString
+    val store = new ParquetTableStore(spark, wh)
+    Bm25Index.build(store, "bx", docs.filter($"doc_id" <= 4), "doc_id", "text")
+    val seg0 = new java.io.File(store.path("bx_postings"), "seg=0")
+    val before = seg0.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    Bm25Index.append(store, "bx", docs.filter($"doc_id" > 4), "doc_id", "text", 1L)
+    val after = seg0.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    assert(after == before, "append rewrote the build segment's files")
+    assert(new java.io.File(store.path("bx_postings"), "seg=1").exists(),
+      "append did not create its own segment")
   }
 }
