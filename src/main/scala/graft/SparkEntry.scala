@@ -3031,6 +3031,61 @@ object SparkEntry {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Incrementally-appended IVF-SQ index ([[graft.operators.IvfSq
+    * .append]] — q138's frozen-quantizer append composed with
+    * segment-partitioned SQ codes; the crash-order argument holds
+    * under append because the cells append, whose last step rewrites
+    * the fingerprint, runs LAST): build over a third, append the rest
+    * (one batch replayed under its own segment id), attest freshness
+    * of the full union, probe planted twins. Oracle: q88's exact-scan
+    * rank-1 shape verbatim over a fresh range. */
+  def q145_ann_ivfsq_append(s: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_q145_wh").toString
+    val store = new graft.operators.ParquetTableStore(s, wh)
+    val emb = embeddings(s, d)
+    graft.operators.IvfSq.build(store, "ix",
+      emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
+      iterations = 3)
+    def app(r: Int): Unit = graft.operators.IvfSq.append(store, "ix",
+      emb.filter(col("vec_id") % 3 === r), "vec_id", "embedding", batchId = r)
+    app(1)
+    app(1) // replay (same segment id): must no-op
+    app(2)
+    graft.operators.IvfIndex.verifyFresh(store, "ix", emb, "vec_id")
+    val planted = emb.filter(col("vec_id") >= 48 && col("vec_id") < 56)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    graft.operators.IvfSq.probe(store, "ix", planted, "vec_id", "embedding", 1)
+      .orderBy(col("query_id"))
+  }
+
+  /** Incrementally-appended IVF-PQ index ([[graft.operators.IvfPq
+    * .append]] — FAISS's add-vs-train split applied to BOTH quantizers:
+    * the batch encodes against the FROZEN stored codebook and assigns
+    * against the FROZEN coarse centroids; codes land in the batch's own
+    * segment). Build over a third, append the rest with a replay,
+    * attest freshness, probe planted twins. Oracle: q88's exact-scan
+    * rank-1 shape verbatim over a fresh range. */
+  def q146_ann_ivfpq_append(s: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_q146_wh").toString
+    val store = new graft.operators.ParquetTableStore(s, wh)
+    val emb = embeddings(s, d)
+    graft.operators.IvfPq.build(store, "ix",
+      emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding", 64,
+      iterations = 3)
+    def app(r: Int): Unit = graft.operators.IvfPq.append(store, "ix",
+      emb.filter(col("vec_id") % 3 === r), "vec_id", "embedding", 64,
+      batchId = r)
+    app(1)
+    app(1) // replay (same segment id): must no-op
+    app(2)
+    graft.operators.IvfIndex.verifyFresh(store, "ix", emb, "vec_id")
+    val planted = emb.filter(col("vec_id") >= 56 && col("vec_id") < 64)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    graft.operators.IvfPq.probe(store, "ix", planted, "vec_id", "embedding",
+        64, topK = 1)
+      .orderBy(col("query_id"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3178,6 +3233,8 @@ object SparkEntry {
     "q142_kmv_set_sketch"   -> (q142_kmv_set_sketch _),
     "q143_linear_fit_maintained" -> (q143_linear_fit_maintained _),
     "q144_linear_fit_grouped" -> (q144_linear_fit_grouped _),
+    "q145_ann_ivfsq_append"  -> (q145_ann_ivfsq_append _),
+    "q146_ann_ivfpq_append"  -> (q146_ann_ivfpq_append _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5984,6 +6041,43 @@ object SparkEntry {
            round(CASE WHEN sst = 0 THEN 0 ELSE greatest(0, 1 - sse/sst) END, 4) AS r2,
            round(sqrt(sse/n), 2) AS rmse
          FROM m ORDER BY l_returnflag""",
+
+    // q145: q88's planted-twin rank-1 exact-scan oracle over a fresh
+    // range -- the build+append+append IVF-SQ index must answer exactly
+    // like one built over the whole corpus
+    "q145_ann_ivfsq_append" ->
+      """WITH q AS (SELECT vec_id + 1000000 AS query_id, embedding AS qv
+                    FROM embeddings WHERE vec_id >= 48 AND vec_id < 56),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         s AS (
+           SELECT query_id, neighbor_id,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) AS score
+           FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+         r AS (
+           SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+           FROM s)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(score, 4) AS score
+         FROM r WHERE rank = 1 ORDER BY query_id""",
+
+    // q146: same contract for the IVF-PQ append (frozen codebook +
+    // frozen coarse centroids)
+    "q146_ann_ivfpq_append" ->
+      """WITH q AS (SELECT vec_id + 1000000 AS query_id, embedding AS qv
+                    FROM embeddings WHERE vec_id >= 56 AND vec_id < 64),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         s AS (
+           SELECT query_id, neighbor_id,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) AS score
+           FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+         r AS (
+           SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+           FROM s)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(score, 4) AS score
+         FROM r WHERE rank = 1 ORDER BY query_id""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a

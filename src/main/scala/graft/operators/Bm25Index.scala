@@ -133,6 +133,24 @@ object Bm25Index {
     Checkpoints.release(stats)
   }
 
+  /** Rewrite all ingest segments as ONE segment (seg 0) — the Lucene
+    * background merge: segment count tracks ingest history, not data
+    * size, and scan task counts should track data size. One postings
+    * read + one partitioned publish ([[ParquetTableStore
+    * .replacePartitioned]]'s staged-write + swap, so a crash leaves the
+    * old segments intact); search results are unchanged by construction
+    * (scores never depend on segment boundaries). Returns (segments
+    * before, postings rows). */
+  def compactSegments(store: ParquetTableStore, name: String): (Long, Long) = {
+    val postings = store.read(s"${name}_postings").getOrElse(
+      sys.error(s"BM25 index '$name' has no postings table — not built?"))
+    val segs = postings.select(col("seg")).distinct().count()
+    val rows = postings.count()
+    store.replacePartitioned(s"${name}_postings",
+      postings.drop("seg").withColumn("seg", lit(0L)), Seq("seg"))
+    (segs, rows)
+  }
+
   /** Fail loudly if `corpus` no longer matches the indexed population
     * (id-column-only scan; see [[IvfIndex.verifyFresh]]). */
   def verifyFresh(store: ParquetTableStore, name: String,

@@ -37,9 +37,40 @@ object IvfPq {
     val codebook = ProductQuantizer.train(corpus, idCol, vecCol, dim, m, ksub,
       iterations)
     store.replace(s"${name}_pq_codebook", codebook)
-    store.replace(s"${name}_pq_codes",
-      ProductQuantizer.encode(corpus, idCol, vecCol, dim, codebook, m))
+    // codes are segment-partitioned (seg 0 = the build) so appends can
+    // write only their own segment — see [[append]]
+    store.replacePartitioned(s"${name}_pq_codes",
+      ProductQuantizer.encode(corpus, idCol, vecCol, dim, codebook, m)
+        .withColumn("seg", lit(0L)),
+      Seq("seg"))
     IvfIndex.build(store, name, corpus, idCol, vecCol, nCells, iterations)
+  }
+
+  /** Extend the stored IVF-PQ index with an ingest batch under the
+    * FROZEN codebook — FAISS's `add` vs `train` split applied to BOTH
+    * quantizers: the batch encodes against the stored PQ codebook (no
+    * retrain) and assigns against the stored coarse centroids
+    * ([[IvfIndex.append]]). Codes land in the batch's OWN segment
+    * partition (`seg` = `batchId`; replays re-use it; already-indexed
+    * ids are skipped by an id-column anti-join, so re-sends cannot
+    * duplicate code rows), and the cells append runs LAST — its final
+    * step rewrites the freshness fingerprint, preserving the build's
+    * crash-order argument: a crash anywhere leaves the OLD fingerprint
+    * and verifyFresh fails loudly. */
+  def append(store: ParquetTableStore, name: String, batch: DataFrame,
+             idCol: String, vecCol: String, dim: Int, batchId: Long,
+             m: Int = 8): Unit = {
+    require(batchId > 0, "batchId 0 is the build segment — use ids > 0")
+    val codebook = store.read(s"${name}_pq_codebook").getOrElse(
+      sys.error(s"IVF-PQ index '$name' has no codebook — not built?"))
+    val stored = store.read(s"${name}_pq_codes").getOrElse(
+      sys.error(s"IVF-PQ index '$name' has no codes table — not built?"))
+    val fresh = ProductQuantizer.encode(batch, idCol, vecCol, dim, codebook, m)
+      .join(stored.select(col("id")), Seq("id"), "left_anti")
+    if (!fresh.isEmpty)
+      store.upsertPartitioned(s"${name}_pq_codes",
+        fresh.withColumn("seg", lit(batchId)), Seq("id"), "seg")
+    IvfIndex.append(store, name, batch, idCol, vecCol)
   }
 
   /** Top-k via coarse probe → compressed ADC scan → bounded exact

@@ -25,9 +25,37 @@ object IvfSq {
   def build(store: ParquetTableStore, name: String, corpus: DataFrame,
             idCol: String, vecCol: String, nCells: Int = 16,
             iterations: Int = 5): Unit = {
-    store.replace(s"${name}_sq_codes",
-      ScalarQuantizer.encode(corpus, idCol, vecCol))
+    // codes are segment-partitioned (seg 0 = the build) so appends can
+    // write only their own segment — see [[append]]
+    store.replacePartitioned(s"${name}_sq_codes",
+      ScalarQuantizer.encode(corpus, idCol, vecCol).withColumn("seg", lit(0L)),
+      Seq("seg"))
     IvfIndex.build(store, name, corpus, idCol, vecCol, nCells, iterations)
+  }
+
+  /** Extend the stored IVF-SQ index with an ingest batch: SQ-encode the
+    * batch (deterministic, no training), write the codes into the
+    * batch's OWN segment partition (`seg` = `batchId` — replays MUST
+    * re-use it, as in the fold protocol; ids already indexed are
+    * skipped via an id-column anti-join, so replays and cross-batch
+    * re-sends cannot duplicate code rows), then [[IvfIndex.append]] the
+    * cells — whose LAST step rewrites the freshness fingerprint, so a
+    * crash anywhere in this sequence leaves the OLD fingerprint and
+    * [[IvfIndex.verifyFresh]] fails loudly instead of probing cells
+    * that lack code rows (the build's crash-order argument, preserved
+    * under append). Moved-vector re-delivery fails loudly inside
+    * [[IvfIndex.append]] before any cells merge. */
+  def append(store: ParquetTableStore, name: String, batch: DataFrame,
+             idCol: String, vecCol: String, batchId: Long): Unit = {
+    require(batchId > 0, "batchId 0 is the build segment — use ids > 0")
+    val stored = store.read(s"${name}_sq_codes").getOrElse(
+      sys.error(s"IVF-SQ index '$name' has no codes table — not built?"))
+    val fresh = ScalarQuantizer.encode(batch, idCol, vecCol)
+      .join(stored.select(col("id")), Seq("id"), "left_anti")
+    if (!fresh.isEmpty)
+      store.upsertPartitioned(s"${name}_sq_codes",
+        fresh.withColumn("seg", lit(batchId)), Seq("id"), "seg")
+    IvfIndex.append(store, name, batch, idCol, vecCol)
   }
 
   /** Top-k via coarse probe → integer-dot SQ8 scan of the probed

@@ -78,6 +78,26 @@ class Bm25IndexSpec extends SparkSpec {
       s"no pushed term-membership filter on the postings scan:\n$plan")
   }
 
+  test("compactSegments: one segment after, search results identical, appends continue") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_bm25_cmp").toString
+    val store = new ParquetTableStore(spark, wh)
+    Bm25Index.build(store, "bx", docs.filter($"doc_id" <= 3), "doc_id", "text")
+    Bm25Index.append(store, "bx", docs.filter($"doc_id" > 3 && $"doc_id" <= 6), "doc_id", "text", 1L)
+    Bm25Index.append(store, "bx", docs.filter($"doc_id" === 7), "doc_id", "text", 2L)
+    val queries = q(1L -> "apple", 2L -> "banana")
+    val before = Bm25Index.search(store, "bx", queries, 10)
+      .orderBy("query_id", "rank").as[(Long, Long, Long, Double)].collect().toSeq
+    val (segs, _) = Bm25Index.compactSegments(store, "bx")
+    assert(segs == 3, s"expected 3 segments before compaction, saw $segs")
+    assert(store.read("bx_postings").get.select("seg").distinct().count() == 1)
+    val after = Bm25Index.search(store, "bx", queries, 10)
+      .orderBy("query_id", "rank").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(after == before, "compaction changed search results")
+    // the merged index keeps accepting appends
+    Bm25Index.append(store, "bx", docs.filter($"doc_id" === 8), "doc_id", "text", 3L)
+    Bm25Index.verifyFresh(store, "bx", docs, "doc_id")
+  }
+
   test("appends are segment-partitioned: a batch writes only its own segment dir") {
     val wh = java.nio.file.Files.createTempDirectory("graft_bm25_seg").toString
     val store = new ParquetTableStore(spark, wh)

@@ -63,4 +63,35 @@ class IvfPqSpec extends SparkSpec {
     assert(compressed == float,
       s"with an uncapping shortlist, ADC+refine must equal the float probe:\n$compressed\nvs\n$float")
   }
+
+  test("append: frozen codebook + frozen centroids; replay no-ops; appended twins retrievable") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_ivfpq_app").toString
+    val store = new ParquetTableStore(spark, wh)
+    val corpus = ring(64)
+    IvfPq.build(store, "ix", corpus.filter($"id" < 40), "id", "v", dim = 8,
+      nCells = 8, m = 2, ksub = 8, iterations = 3)
+    val cbBefore = store.read("ix_pq_codebook").get.collect().toSet
+    IvfPq.append(store, "ix", corpus.filter($"id" >= 40 && $"id" < 52),
+      "id", "v", dim = 8, batchId = 1L, m = 2)
+    val metaAfter1 = store.read("ix_meta").get.head()
+    IvfPq.append(store, "ix", corpus.filter($"id" >= 40 && $"id" < 52),
+      "id", "v", dim = 8, batchId = 1L, m = 2) // replay
+    assert(store.read("ix_meta").get.head() == metaAfter1, "replay moved the fingerprint")
+    IvfPq.append(store, "ix", corpus.filter($"id" >= 52), "id", "v", dim = 8,
+      batchId = 2L, m = 2)
+    assert(store.read("ix_pq_codebook").get.collect().toSet == cbBefore,
+      "append retrained the codebook")
+    IvfIndex.verifyFresh(store, "ix", corpus, "id")
+    // exactly one code row per corpus vector (no duplicates across segments)
+    val codes = store.read("ix_pq_codes").get
+    assert(codes.count() == 64 && codes.select("id").distinct().count() == 64)
+    val queries = corpus.filter($"id" >= 44 && $"id" < 50)
+      .select(($"id" + 1000L).as("id"), $"v")
+    val got = IvfPq.probe(store, "ix", queries, "id", "v", dim = 8, topK = 1,
+        m = 2, ksub = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    (44L until 50L).foreach { i =>
+      assert(got(i + 1000L) == i, s"appended twin of $i: ${got.get(i + 1000L)}")
+    }
+  }
 }

@@ -51,6 +51,33 @@ class ScalarQuantizerSpec extends SparkSpec {
     assert(e.getMessage.contains("STALE"))
   }
 
+  test("IvfSq append: replay no-ops, no duplicate code rows, appended twins retrievable") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_ivfsq_app").toString
+    val store = new ParquetTableStore(spark, wh)
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    IvfSq.build(store, "ix", emb.filter($"vec_id" < 300), "vec_id", "embedding",
+      iterations = 1)
+    IvfSq.append(store, "ix", emb.filter($"vec_id" >= 300 && $"vec_id" < 400),
+      "vec_id", "embedding", batchId = 1L)
+    val metaAfter1 = store.read("ix_meta").get.head()
+    IvfSq.append(store, "ix", emb.filter($"vec_id" >= 300 && $"vec_id" < 400),
+      "vec_id", "embedding", batchId = 1L) // replay
+    assert(store.read("ix_meta").get.head() == metaAfter1, "replay moved the fingerprint")
+    IvfSq.append(store, "ix", emb.filter($"vec_id" >= 400), "vec_id",
+      "embedding", batchId = 2L)
+    IvfIndex.verifyFresh(store, "ix", emb, "vec_id")
+    val codes = store.read("ix_sq_codes").get
+    val n = emb.count()
+    assert(codes.count() == n && codes.select("id").distinct().count() == n,
+      "duplicate or missing code rows after appends")
+    val planted = emb.filter($"vec_id" >= 320 && $"vec_id" < 326)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    val got = IvfSq.probe(store, "ix", planted, "vec_id", "embedding", 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    (320L until 326L).foreach(i => assert(got(i + 1000000L) == i,
+      s"appended twin of $i not rank-1: $got"))
+  }
+
   test("SQ8 search plan: broadcast queries, TopK aggregate, no window") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val codes = ScalarQuantizer.encode(emb, "vec_id", "embedding")

@@ -63,8 +63,13 @@ object IndexAppendScaleSmoke {
       "vec_id", "embedding", 1)
     t("IVF probe (8 twins of APPENDED vectors)") {
       val hits = probe.collect()
-      val ok = hits.count(r => r.getLong(2) == r.getLong(0) - 900000000L)
-      println(s"[smoke]   appended-twin rank-1 hits: $ok/8")
+      // replicas are byte-identical vectors, so the rank-1 neighbor is
+      // SOME copy of the twin (the lowest-id one under the tie-break) —
+      // same vec_id modulo the replica stride
+      val ok = hits.count(r =>
+        (r.getLong(0) - 900000000L - r.getLong(2)) % 10000000L == 0)
+      println(s"[smoke]   twin-copy rank-1 hits: $ok/8")
+      assert(ok == 8, hits.mkString("; "))
     }
     val pruned = probe.queryExecution.executedPlan.toString
       .contains("PartitionFilters: [cell")
