@@ -3086,6 +3086,47 @@ object SparkEntry {
       .orderBy(col("query_id"))
   }
 
+  /** Trained multinomial Naive Bayes text classifier ([[graft
+    * .operators.NaiveBayes]] — the fastText-shaped language/quality
+    * filter: per-class token counts + Laplace smoothing, one training
+    * aggregate, broadcast model-sized scoring, no window, no driver
+    * loop): train on even doc_ids, classify the odd half, emit the
+    * integer-exact CONFUSION MATRIX. The oracle replays the whole
+    * thing — token counts, priors, smoothing floors, per-doc
+    * log-likelihood sums, argmax with class-asc ties — in SQL. */
+  def q147_naive_bayes(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val st = graft.operators.NaiveBayes.state(
+      docs.filter(col("doc_id") % 2 === 0), "lang", "text")
+    graft.operators.NaiveBayes.confusion(st,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "lang", "text")
+      .orderBy(col("class"), col("predicted"))
+  }
+
+  /** Stream-maintained classifier ([[graft.operators.NaiveBayes]]
+    * fold path — the training state is nothing but counts, so the
+    * MODEL folds): q147's training half split into three residue
+    * batches through a real store (one replayed), then the SAME
+    * evaluation. Oracle: q147's verbatim — a classifier maintained
+    * per micro-batch is the classifier trained on everything. */
+  def q148_naive_bayes_maintained(s: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_q148_wh").toString
+    val store = new graft.operators.ParquetTableStore(s, wh)
+    val docs = documents(s, d)
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    def fold(batch: DataFrame, id: Long): Unit =
+      graft.operators.NaiveBayes.foldIntoStore(store, "nb", batch,
+        "lang", "text", id, epoch = "q148")
+    fold(train.filter(col("doc_id") % 6 === 0), 0L)
+    fold(train.filter(col("doc_id") % 6 === 2), 1L)
+    fold(train.filter(col("doc_id") % 6 === 2), 1L) // replay: must no-op
+    fold(train.filter(col("doc_id") % 6 === 4), 2L)
+    graft.operators.NaiveBayes.confusion(
+        store.read("nb").get.drop("_last_batch", "_epoch"),
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "lang", "text")
+      .orderBy(col("class"), col("predicted"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3235,6 +3276,8 @@ object SparkEntry {
     "q144_linear_fit_grouped" -> (q144_linear_fit_grouped _),
     "q145_ann_ivfsq_append"  -> (q145_ann_ivfsq_append _),
     "q146_ann_ivfpq_append"  -> (q146_ann_ivfpq_append _),
+    "q147_naive_bayes"       -> (q147_naive_bayes _),
+    "q148_naive_bayes_maintained" -> (q148_naive_bayes_maintained _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6078,6 +6121,78 @@ object SparkEntry {
            FROM s)
          SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(score, 4) AS score
          FROM r WHERE rank = 1 ORDER BY query_id""",
+    // q147: the whole NB train + eval replayed -- token counts, priors,
+    // Laplace floors, per-doc log-likelihood sums, argmax with class-asc
+    // ties, and the integer-exact confusion matrix
+    "q147_naive_bayes" ->
+      """WITH tr AS (SELECT lang AS class, text FROM documents
+                     WHERE doc_id % 2 = 0 AND lang IS NOT NULL AND text IS NOT NULL),
+         tok AS (SELECT class, unnest(string_split(text, ' ')) AS term FROM tr),
+         tc AS (SELECT class, term, count(*) AS cnt FROM tok GROUP BY 1, 2),
+         dc AS (SELECT class, count(*) AS n_docs FROM tr GROUP BY 1),
+         tot AS (SELECT class, sum(cnt) AS total FROM tc GROUP BY 1),
+         cst AS (SELECT (SELECT count(DISTINCT term) FROM tc) AS v,
+                        (SELECT sum(n_docs) FROM dc) AS all_docs),
+         pc AS (SELECT dc.class,
+                  ln(CAST(n_docs AS DOUBLE)) - ln(CAST(all_docs AS DOUBLE)) AS logprior,
+                  ln(1.0) - ln(CAST(total AS DOUBLE) + 1.0 * v) AS logfloor,
+                  CAST(total AS DOUBLE) + 1.0 * v AS den
+                FROM dc JOIN tot ON dc.class = tot.class CROSS JOIN cst),
+         pt AS (SELECT tc.class, term,
+                  ln(CAST(cnt AS DOUBLE) + 1.0) - ln(den) AS logp
+                FROM tc JOIN pc ON tc.class = pc.class),
+         te AS (SELECT doc_id, lang, text FROM documents
+                WHERE doc_id % 2 = 1 AND doc_id IS NOT NULL AND text IS NOT NULL),
+         tt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM te),
+         sc AS (SELECT t.doc_id, pc.class, pc.logprior,
+                  sum(coalesce(pt.logp, pc.logfloor)) AS loglik
+                FROM tt t CROSS JOIN pc
+                LEFT JOIN pt ON pt.class = pc.class AND pt.term = t.term
+                GROUP BY t.doc_id, pc.class, pc.logprior),
+         scs AS (SELECT doc_id, class, logprior + loglik AS score FROM sc),
+         best AS (SELECT doc_id, max(score) AS score FROM scs GROUP BY 1),
+         pred AS (SELECT s.doc_id, min(s.class) AS predicted
+                  FROM scs s JOIN best b ON s.doc_id = b.doc_id AND s.score = b.score
+                  GROUP BY 1)
+         SELECT te.lang AS class, p.predicted, CAST(count(*) AS BIGINT) AS n
+         FROM pred p JOIN te ON p.doc_id = te.doc_id
+         GROUP BY 1, 2 ORDER BY class, predicted""",
+
+    // q148: q147's replay VERBATIM -- the fold-maintained count state
+    // must classify identically to training on everything
+    "q148_naive_bayes_maintained" ->
+      """WITH tr AS (SELECT lang AS class, text FROM documents
+                     WHERE doc_id % 2 = 0 AND lang IS NOT NULL AND text IS NOT NULL),
+         tok AS (SELECT class, unnest(string_split(text, ' ')) AS term FROM tr),
+         tc AS (SELECT class, term, count(*) AS cnt FROM tok GROUP BY 1, 2),
+         dc AS (SELECT class, count(*) AS n_docs FROM tr GROUP BY 1),
+         tot AS (SELECT class, sum(cnt) AS total FROM tc GROUP BY 1),
+         cst AS (SELECT (SELECT count(DISTINCT term) FROM tc) AS v,
+                        (SELECT sum(n_docs) FROM dc) AS all_docs),
+         pc AS (SELECT dc.class,
+                  ln(CAST(n_docs AS DOUBLE)) - ln(CAST(all_docs AS DOUBLE)) AS logprior,
+                  ln(1.0) - ln(CAST(total AS DOUBLE) + 1.0 * v) AS logfloor,
+                  CAST(total AS DOUBLE) + 1.0 * v AS den
+                FROM dc JOIN tot ON dc.class = tot.class CROSS JOIN cst),
+         pt AS (SELECT tc.class, term,
+                  ln(CAST(cnt AS DOUBLE) + 1.0) - ln(den) AS logp
+                FROM tc JOIN pc ON tc.class = pc.class),
+         te AS (SELECT doc_id, lang, text FROM documents
+                WHERE doc_id % 2 = 1 AND doc_id IS NOT NULL AND text IS NOT NULL),
+         tt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM te),
+         sc AS (SELECT t.doc_id, pc.class, pc.logprior,
+                  sum(coalesce(pt.logp, pc.logfloor)) AS loglik
+                FROM tt t CROSS JOIN pc
+                LEFT JOIN pt ON pt.class = pc.class AND pt.term = t.term
+                GROUP BY t.doc_id, pc.class, pc.logprior),
+         scs AS (SELECT doc_id, class, logprior + loglik AS score FROM sc),
+         best AS (SELECT doc_id, max(score) AS score FROM scs GROUP BY 1),
+         pred AS (SELECT s.doc_id, min(s.class) AS predicted
+                  FROM scs s JOIN best b ON s.doc_id = b.doc_id AND s.score = b.score
+                  GROUP BY 1)
+         SELECT te.lang AS class, p.predicted, CAST(count(*) AS BIGINT) AS n
+         FROM pred p JOIN te ON p.doc_id = te.doc_id
+         GROUP BY 1, 2 ORDER BY class, predicted""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a
