@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit}
 import org.apache.spark.sql.types._
 import graft.sources.v2.GraftCatalog
 
@@ -230,16 +231,13 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
     table.fields.forall(f => MergeableTypes.contains(f.dataType)) &&
       table.fieldNames.sorted.sameElements(updates.fieldNames.sorted)
 
-  /** Run the upsert as `MERGE INTO` against a parquet-backed v2 table
-    * registered in a store-private catalog. Null-safe key equality in the
-    * ON clause mirrors [[Upsert.merge]] (a NULL key part must match itself
-    * or the row is re-inserted every run, breaking idempotence T4). */
-  private def rowLevelMerge(name: String, tableSchema: StructType,
-                            updates: DataFrame, keys: Seq[String]): Unit = {
+  /** Register (or re-register on schema change) `name` as a parquet-backed
+    * v2 table in the store-private catalog and return its fully-qualified
+    * SQL name. Identity = (location, name): a different warehouse or a
+    * recreated table gets its own catalog entry. */
+  private def ensureV2Table(name: String, tableSchema: StructType): String = {
     spark.conf.set(s"spark.sql.catalog.$CatalogName", classOf[GraftCatalog].getName)
     val tablePath = path(name)
-    // identity = (location, name): a different warehouse or a recreated
-    // table gets its own catalog entry; a schema change drops + recreates
     val fq = s"$CatalogName.store.`${name}_${pathHash(tablePath)}`"
     val existingSchema =
       try Some(spark.table(fq).schema) catch { case _: Exception => None }
@@ -251,6 +249,16 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
       // CREATE with LOCATION wraps the existing parquet dir; no data moves
       spark.sql(s"CREATE TABLE $fq (${tableSchema.toDDL}) LOCATION '$tablePath'")
     }
+    fq
+  }
+
+  /** Run the upsert as `MERGE INTO` against a parquet-backed v2 table
+    * registered in a store-private catalog. Null-safe key equality in the
+    * ON clause mirrors [[Upsert.merge]] (a NULL key part must match itself
+    * or the row is re-inserted on every run, breaking idempotence T4). */
+  private def rowLevelMerge(name: String, tableSchema: StructType,
+                            updates: DataFrame, keys: Seq[String]): Unit = {
+    val fq = ensureV2Table(name, tableSchema)
     // Stage the deduped batch as parquet and merge FROM THE STAGE — the
     // reference's own staging-table shape (stage → MERGE → truncate, ref
     // :483-590). This (a) makes the MERGE source deterministic (the
@@ -278,6 +286,127 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
       spark.catalog.dropTempView(view)
       stageFs.delete(stage, true)
     }
+  }
+
+  /** All table columns carry through the v2 delete codec. Unlike
+    * [[canRowLevelMerge]] there is no column-set-equality requirement:
+    * a DELETE-only merge never expands `UPDATE SET * / INSERT *`, so the
+    * source may bring just the key columns. */
+  private def canRowLevelDelete(table: StructType): Boolean =
+    table.fields.forall(f => MergeableTypes.contains(f.dataType))
+
+  /** Delete every row of `name` whose key columns match a row of
+    * `matches` (null-safe, mirroring [[Upsert.merge]]'s `<=>` — a
+    * NULL-keyed row must be deletable by a NULL-keyed match). Returns the
+    * number of rows removed; deleting keys that are not present is a
+    * no-op, so a crashed delete converges by re-running it.
+    *
+    * Codec-supported schemas run as `MERGE INTO ... WHEN MATCHED THEN
+    * DELETE` against the v2 table — runtime group filtering rewrites ONLY
+    * the parquet files containing matched keys, so a delete touching 0.1%
+    * of keys leaves the other files byte-identical (same pruning as
+    * [[upsert]]'s matched-row path). Other schemas fall back to a
+    * left-anti rewrite + atomic swap publish. Partitioned tables should
+    * use [[deletePartitioned]] (this path would rewrite the table
+    * unpartitioned). */
+  def delete(name: String, matches: DataFrame, keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "delete needs at least one key column")
+    val current = read(name).getOrElse(
+      sys.error(s"cannot delete from missing table $name"))
+    val keyFrame = matches.select(keys.map(col): _*).distinct()
+    val renamed = keyFrame.toDF(keys.map(k => s"__d_$k"): _*)
+    val cond = keys.map(k => current(k) <=> renamed(s"__d_$k")).reduce(_ && _)
+    val removed = current.join(renamed, cond, "left_semi").count()
+    if (removed == 0L) return 0L
+    if (canRowLevelDelete(current.schema)) {
+      val fq = ensureV2Table(name, current.schema)
+      // stage the key frame (deterministic source — same rationale as
+      // rowLevelMerge's stage) and merge-delete from it
+      val stage = new Path(s"$warehouse/_merge_src_$name")
+      val stageFs = fs(stage)
+      withMicrosTimestamps(matches.sparkSession) {
+        keyFrame.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+      }
+      val view = s"__graft_delete_src_${java.util.UUID.randomUUID().toString.take(8)}"
+      spark.read.parquet(stage.toString).createOrReplaceTempView(view)
+      try {
+        val on = keys.map(k => s"t.`$k` <=> u.`$k`").mkString(" AND ")
+        spark.sql(
+          s"""MERGE INTO $fq t USING $view u ON $on
+             |WHEN MATCHED THEN DELETE""".stripMargin)
+      } finally {
+        spark.catalog.dropTempView(view)
+        stageFs.delete(stage, true)
+      }
+    } else publish(name, current.join(renamed, cond, "left_anti"))
+    removed
+  }
+
+  /** Partition-pruned delete from a PARTITIONED table: remove every row
+    * matching a key row of `matches` (null-safe), rewriting ONLY the
+    * partition directories that contain matched keys — the delete analogue
+    * of [[upsertPartitioned]]'s O(batch) merge. A partition whose rows are
+    * ALL removed is dropped entirely (its directory is removed through the
+    * same backup protocol, so a crash mid-removal restores it and the
+    * caller re-runs the delete to converge). Unlike [[upsertPartitioned]]
+    * there is no key-stability contract: the touched-partition list is
+    * computed from where the keys actually live (a keys+partition-column
+    * scan — partition values are read from directory names, so only the
+    * key column bytes are read), never assumed. Returns the number of rows
+    * removed; absent keys are a no-op. */
+  def deletePartitioned(name: String, matches: DataFrame, keys: Seq[String],
+                        partitionCol: String): Long = {
+    require(keys.nonEmpty, "delete needs at least one key column")
+    val dst = new Path(path(name))
+    recoverPartitionBackups(name, dst)
+    val f = fs(dst)
+    require(f.exists(dst), s"cannot delete from missing table $name")
+    val current = spark.read.parquet(dst.toString)
+    val keyFrame = matches.select(keys.map(col): _*).distinct()
+    val renamed = keyFrame.toDF(keys.map(k => s"__d_$k"): _*)
+    val cond = keys.map(k => current(k) <=> renamed(s"__d_$k")).reduce(_ && _)
+    // one pass finds the touched partitions AND the removed-row count
+    val hits = current.join(renamed, cond, "left_semi")
+      .groupBy(col(partitionCol)).agg(count(lit(1)).as("__n")).collect()
+    if (hits.isEmpty) return 0L
+    if (hits.exists(_.isNullAt(0))) sys.error(
+      s"deletePartitioned('$name'): matched rows live in a NULL $partitionCol " +
+        "partition, which cannot be swapped by value — use delete() on an " +
+        "unpartitioned layout or clean the partition column.")
+    val parts = hits.map(_.get(0))
+    val removed = hits.map(_.getLong(1)).sum
+    val affected = current.filter(current(partitionCol).isin(parts.toSeq: _*))
+    val kept = affected.join(renamed, cond, "left_anti")
+    // Stage the surviving rows of the touched partitions, then swap each
+    // touched partition dir — the upsertPartitioned publish protocol. A
+    // partition absent from the stage lost ALL its rows: its live dir is
+    // moved to backup and dropped (crash between the two restores it).
+    val tmp = new Path(s"$warehouse/_tmp_${name}_delete")
+    if (f.exists(tmp)) f.delete(tmp, true)
+    withMicrosTimestamps(matches.sparkSession) {
+      kept.write.partitionBy(partitionCol).mode(SaveMode.Overwrite)
+        .parquet(tmp.toString)
+    }
+    val backupRoot = new Path(backupDir(name))
+    f.mkdirs(backupRoot)
+    parts.foreach { v =>
+      val pdir = s"$partitionCol=" +
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(v.toString)
+      val target = new Path(dst, pdir)
+      val staged = new Path(tmp, pdir)
+      val old = new Path(backupRoot, pdir)
+      if (f.exists(old)) f.delete(old, true)
+      if (f.exists(target) && !f.rename(target, old))
+        sys.error(s"partition swap failed for $name/$pdir")
+      if (f.exists(staged) && !f.rename(staged, target)) {
+        f.rename(old, target); sys.error(s"partition swap failed for $name/$pdir")
+      }
+      f.delete(old, true)
+    }
+    f.delete(tmp, true)
+    f.delete(backupRoot, true)
+    removed
   }
 
   /** Rewrite `name` as `targetFiles` files and swap — incremental upserts
