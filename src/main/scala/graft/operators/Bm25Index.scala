@@ -116,8 +116,8 @@ object Bm25Index {
       s"BM25 index '$name': batch re-delivers doc id(s) " +
         changed.map(_.get(0)).mkString(", ") +
         " with CHANGED text — an upsert cannot delete the postings of " +
-        "removed terms, so stale rows would keep scoring. Rebuild the " +
-        "index, or delete the ids first.")
+        "removed terms, so stale rows would keep scoring. Use upsertDocs " +
+        "(delete + append), delete(ids) then re-append, or rebuild.")
     // already-indexed identical docs: skip (replays and re-sends no-op)
     val seen = prior.select(col("id"))
     val newStats = stats.join(broadcast(seen), Seq("id"), "left_anti")
@@ -131,6 +131,55 @@ object Bm25Index {
     // upsert and the meta write of a prior run of this same batch
     writeMeta(store, name)
     Checkpoints.release(stats)
+  }
+
+  /** Remove `ids` from the index: postings first (the rows whose stale
+    * term contributions are the reason in-place edits are forbidden in
+    * [[append]]), the doc-stats rows second, the meta fingerprint LAST —
+    * a crash anywhere leaves the OLD fingerprint, which no longer matches
+    * the post-delete corpus, so [[verifyFresh]] fails loudly instead of
+    * blessing a half-deleted index; re-running the delete converges
+    * (removing absent ids is a no-op at every layer).
+    *
+    * The postings delete is partition-pruned ([[ParquetTableStore
+    * .deletePartitioned]]): a doc's postings live in the segment(s) that
+    * ingested it, so only those directories are rewritten — O(touched
+    * segments), never O(index). The docs delete takes the store's
+    * row-level MERGE-DELETE path (file-group pruned). BM25 stats are
+    * corpus-global, so scores of the REMAINING docs legitimately shift
+    * after a delete (df/N/avgdl reflect the indexed population — exactly
+    * as [[search]] over the reduced corpus would score). Returns the
+    * number of docs removed. `ids`: one column named `idCol`. */
+  def delete(store: ParquetTableStore, name: String, ids: DataFrame,
+             idCol: String): Long = {
+    val key = ids.select(col(idCol).as("id")).distinct()
+    store.deletePartitioned(s"${name}_postings", key, Seq("id"), "seg")
+    val removed = store.delete(s"${name}_docs", key, Seq("id"))
+    writeMeta(store, name)
+    removed
+  }
+
+  /** The in-place document edit recipe, composed: delete the batch's
+    * already-indexed ids whose text CHANGED, then [[append]] the batch —
+    * the reference's MERGE matched→UPDATE arm (ref
+    * shopify-etl/shopify_etl.py:578-582) re-expressed for an index whose
+    * postings cannot be updated row-wise (removed terms must be deleted,
+    * not overwritten). Replays are no-ops end-to-end: a re-delivered
+    * batch finds no changed hashes (the first run already indexed the
+    * new text), so the delete is empty and the append's identical-doc
+    * anti-join skips every row. Unchanged and brand-new docs never touch
+    * the delete path at all. */
+  def upsertDocs(store: ParquetTableStore, name: String, batch: DataFrame,
+                 idCol: String, textCol: String, batchId: Long): Unit = {
+    val stored = store.read(s"${name}_docs").getOrElse(
+      sys.error(s"BM25 index '$name' has no docs table — not built?"))
+    val changed = stored.select(col("id"), col("text_hash").as("old_hash"))
+      .join(broadcast(batch.select(col(idCol).as("id"),
+        xxhash64(col(textCol)).as("new_hash"))), Seq("id"))
+      .filter(col("old_hash") =!= col("new_hash"))
+      .select(col("id").as(idCol))
+    if (!changed.isEmpty) delete(store, name, changed, idCol)
+    append(store, name, batch, idCol, textCol, batchId)
   }
 
   /** Rewrite all ingest segments as ONE segment (seg 0) — the Lucene

@@ -46,7 +46,7 @@ object IvfIndex {
     * xxhash64 values trips ANSI overflow); a removed+added id pair
     * changes the xor, and the count catches the self-cancelling
     * duplicate-pair case xor alone would miss. */
-  private def fingerprint(corpus: DataFrame, idCol: String): (Long, Long) = {
+  private[operators] def fingerprint(corpus: DataFrame, idCol: String): (Long, Long) = {
     val r = corpus.agg(count(lit(1)), bit_xor(xxhash64(col(idCol)))).head()
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
@@ -83,7 +83,65 @@ object IvfIndex {
     // fingerprint cannot distinguish "old corpus, half-written cells"
     // from a completed build over the old corpus
     store.replacePartitioned(s"${name}_cells", assigned, Seq("cell"))
+    // build-time occupancy snapshot for checkHealth — computed from the
+    // STORED cells table (partition-column-only scan) so it can never
+    // disagree with what was actually written
+    val stored = store.read(s"${name}_cells").get
+    store.replace(s"${name}_health",
+      stored.groupBy(col("cell")).agg(count(lit(1)).as("n_build")))
     writeMeta(store, name, nCells)
+  }
+
+  /** Index-health drift monitor: PSI between the BUILD-time cell
+    * occupancy histogram and the CURRENT one. A frozen coarse quantizer
+    * degrades as the vector distribution drifts — appended vectors pile
+    * into a few cells, probes read ever-larger inverted lists, and
+    * recall decays because the Voronoi partition no longer matches the
+    * data. Occupancy is the cheap observable: current counts come from a
+    * partition-column-only scan of the cells table (row-group metadata,
+    * no vector bytes), the build snapshot from the `_health` table, and
+    * the PSI is one aggregate over nCells rows with [[Drift]]'s +0.5
+    * smoothing over the full cell grid (an emptied or newly-hot cell
+    * carries its smoothed term instead of vanishing).
+    *
+    * Returns a 1-row frame (psi, n_build, n_current, retrain). The
+    * conventional PSI reading (documented with [[Drift]]): < 0.10
+    * stationary, 0.10–0.25 drifting, > 0.25 act — `threshold` defaults
+    * to 0.25 and `retrain = psi > threshold` means REBUILD the index
+    * (retraining the quantizer re-partitions the space; appends under
+    * the frozen one remain correct but increasingly unbalanced).
+    * Indexes built before health tracking fail loudly — rebuild once to
+    * enable. */
+  def checkHealth(store: ParquetTableStore, name: String,
+                  threshold: Double = 0.25): DataFrame = {
+    val health = store.read(s"${name}_health").getOrElse(
+      sys.error(s"IVF index '$name' has no health table — built before " +
+        "occupancy tracking; rebuild once to enable checkHealth."))
+    val cells = store.read(s"${name}_cells").getOrElse(
+      sys.error(s"IVF index '$name' has no cells table — not built?"))
+    val nCells = store.read(s"${name}_meta").getOrElse(
+      sys.error(s"IVF index '$name' has no meta table — not built?"))
+      .select("n_cells").head().getInt(0)
+    val spark = cells.sparkSession
+    val grid = spark.range(nCells).select(col("id").cast("int").as("cell"))
+    val cur = cells.groupBy(col("cell")).agg(count(lit(1)).as("n_cur"))
+    val joined = grid
+      .join(health, Seq("cell"), "left").join(cur, Seq("cell"), "left")
+      .na.fill(0L, Seq("n_build", "n_cur"))
+    val smooth = 0.5
+    val denom = lit(smooth * nCells)
+    joined
+      .crossJoin(broadcast(joined.agg(sum(col("n_build")).as("_tb"),
+        sum(col("n_cur")).as("_tc"))))
+      .select(col("n_build"), col("n_cur"), col("_tb"), col("_tc"),
+        ((col("n_build") + smooth) / (col("_tb") + denom)).as("pb"),
+        ((col("n_cur") + smooth) / (col("_tc") + denom)).as("pc"))
+      .agg(
+        round(sum((col("pc") - col("pb")) * log(col("pc") / col("pb"))), 4)
+          .as("psi"),
+        first(col("_tb")).as("n_build"), first(col("_tc")).as("n_current"))
+      .select(col("psi"), col("n_build"), col("n_current"),
+        (col("psi") > threshold).as("retrain"))
   }
 
   /** Recompute the meta fingerprint from the STORED cells table's id
@@ -150,6 +208,28 @@ object IvfIndex {
     Checkpoints.release(assigned)
   }
 
+  /** Remove `ids` from the index: the cells delete is partition-pruned
+    * ([[ParquetTableStore.deletePartitioned]] — only the cell directories
+    * holding the ids are rewritten; a cell emptied entirely is dropped),
+    * and the meta fingerprint is recomputed LAST, so a crash anywhere
+    * leaves the OLD fingerprint ≠ the post-delete corpus and
+    * [[verifyFresh]] fails loudly; re-running the delete converges
+    * (absent ids are a no-op). The coarse quantizer is untouched — cell
+    * REGIONS are defined by the centroids, not by membership, so probes
+    * of the surviving corpus remain exactly the probes a fresh build over
+    * it (same centroids) would answer. Returns vectors removed.
+    * `ids`: one column named `idCol`. */
+  def delete(store: ParquetTableStore, name: String, ids: DataFrame,
+             idCol: String): Long = {
+    val key = ids.select(col(idCol).as("id")).distinct()
+    val nCells = store.read(s"${name}_meta").getOrElse(
+      sys.error(s"IVF index '$name' has no meta table — not built?"))
+      .select("n_cells").head().getInt(0)
+    val removed = store.deletePartitioned(s"${name}_cells", key, Seq("id"), "cell")
+    writeMeta(store, name, nCells)
+    removed
+  }
+
   /** Fail loudly if `corpus` no longer matches the fingerprint the index
     * was built from (an id-column-only scan — cheap relative to any
     * re-assignment, and the only way to make staleness a crash instead
@@ -205,11 +285,16 @@ object IvfIndex {
       .select(col("query_id"), col("qv"), col("cs._1").cast("int").as("cell")))
     val probedCells = qAssigned.select("cell").distinct()
       .collect().map(_.getInt(0)) // bounded: ≤ queries × nProbe, ≤ nCells
+    // No dedup needed: a candidate lives in exactly ONE cell (the
+    // assignment argmax is unique per id) and qAssigned carries one row
+    // per (query, probed cell), so each (query, candidate) pair joins at
+    // most once — the full-row distinct this used to run was a pure
+    // shuffle of the two widest columns (qv, v) for nothing (the 100×
+    // smoke measured it as the probe's dominant cost at high nProbe).
     val pool = cells.filter(col("cell").isin(probedCells.toSeq: _*))
       .join(broadcast(qAssigned), Seq("cell"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("qv"), col("id"), col("v"))
-      .distinct() // a pair can meet in several probed cells
     if (materialized) Checkpoints.materialize(pool) else pool
   }
 

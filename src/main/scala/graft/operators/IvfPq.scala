@@ -73,6 +73,43 @@ object IvfPq {
     IvfIndex.append(store, name, batch, idCol, vecCol)
   }
 
+  /** Remove `ids` from the IVF-PQ index: codes first (partition-pruned
+    * to the holding segments), cells + fingerprint LAST ([[IvfIndex
+    * .delete]]) — the same fingerprint-last crash ordering as
+    * [[IvfSq.delete]]; the codebook is untouched (it quantizes REGIONS,
+    * not members, exactly like the coarse centroids). Returns vectors
+    * removed. */
+  def delete(store: ParquetTableStore, name: String, ids: DataFrame,
+             idCol: String): Long = {
+    val key = ids.select(col(idCol).as("id")).distinct()
+    store.deletePartitioned(s"${name}_pq_codes", key, Seq("id"), "seg")
+    IvfIndex.delete(store, name, ids, idCol)
+  }
+
+  /** [[IvfIndex.verifyFresh]] plus the codes≡cells id-population parity
+    * attest — see [[IvfSq.verifyFresh]] for the failure modes this
+    * catches (orphaned codes after a crashed delete, missing codes after
+    * a crashed append). */
+  def verifyFresh(store: ParquetTableStore, name: String,
+                  corpus: DataFrame, idCol: String): Unit = {
+    IvfIndex.verifyFresh(store, name, corpus, idCol)
+    IvfSq.codesCellsParity(store, name, "_pq_codes", "IVF-PQ")
+  }
+
+  /** Rewrite all PQ code segments as ONE segment (seg 0) — the same
+    * staged-swap compaction as [[IvfSq.compactCodeSegments]]; probe
+    * results unchanged, appends continue after. Returns (segments
+    * before, code rows). */
+  def compactCodeSegments(store: ParquetTableStore, name: String): (Long, Long) = {
+    val codes = store.read(s"${name}_pq_codes").getOrElse(
+      sys.error(s"IVF-PQ index '$name' has no codes table — not built?"))
+    val segs = codes.select(col("seg")).distinct().count()
+    val rows = codes.count()
+    store.replacePartitioned(s"${name}_pq_codes",
+      codes.drop("seg").withColumn("seg", lit(0L)), Seq("seg"))
+    (segs, rows)
+  }
+
   /** Top-k via coarse probe → compressed ADC scan → bounded exact
     * refine. Output: (query_id, rank, neighbor_id, score·4dp), scores
     * exact (dot products of the refined shortlist). */

@@ -58,6 +58,69 @@ object IvfSq {
     IvfIndex.append(store, name, batch, idCol, vecCol)
   }
 
+  /** Remove `ids` from the IVF-SQ index: the codes delete first (its
+    * partition-pruned rewrite touches only the segments holding the
+    * ids), the cells + fingerprint delete LAST ([[IvfIndex.delete]] —
+    * whose final step rewrites the meta), preserving the family's
+    * fingerprint-last crash ordering: a crash anywhere leaves the OLD
+    * fingerprint ≠ the post-delete corpus, so [[verifyFresh]] fails
+    * loudly; re-running converges. Returns vectors removed. */
+  def delete(store: ParquetTableStore, name: String, ids: DataFrame,
+             idCol: String): Long = {
+    val key = ids.select(col(idCol).as("id")).distinct()
+    store.deletePartitioned(s"${name}_sq_codes", key, Seq("id"), "seg")
+    IvfIndex.delete(store, name, ids, idCol)
+  }
+
+  /** [[IvfIndex.verifyFresh]] plus the family-internal parity attest:
+    * the codes table must hold EXACTLY the cells table's id population
+    * (same commutative count+xor fingerprint, id-column-only scans). A
+    * mismatch means a crashed delete/append left orphaned codes (probes
+    * would still be correct — scoring is restricted to cell members —
+    * but a later re-append of an orphaned id would be skipped by the
+    * codes anti-join) or missing codes (probes would silently drop the
+    * id from the compressed scan): both fail loudly here, and both
+    * converge by re-running the interrupted delete/append. */
+  def verifyFresh(store: ParquetTableStore, name: String,
+                  corpus: DataFrame, idCol: String): Unit = {
+    IvfIndex.verifyFresh(store, name, corpus, idCol)
+    codesCellsParity(store, name, "_sq_codes", "IVF-SQ")
+  }
+
+  /** Shared codes≡cells id-population attest — see [[verifyFresh]]. */
+  private[operators] def codesCellsParity(store: ParquetTableStore,
+      name: String, codesSuffix: String, label: String): Unit = {
+    val codes = store.read(s"$name$codesSuffix").getOrElse(
+      sys.error(s"$label index '$name' has no codes table — not built?"))
+    val cells = store.read(s"${name}_cells").getOrElse(
+      sys.error(s"$label index '$name' has no cells table — not built?"))
+    val (nCodes, hCodes) = IvfIndex.fingerprint(codes, "id")
+    val (nCells, hCells) = IvfIndex.fingerprint(cells, "id")
+    if (nCodes != nCells || hCodes != hCells) sys.error(
+      s"$label index '$name' is INCONSISTENT: codes table holds $nCodes ids " +
+        s"(fingerprint $hCodes) but cells table holds $nCells (fingerprint " +
+        s"$hCells) — an interrupted delete/append left the compressed codes " +
+        "out of sync with the inverted lists. Re-run the interrupted " +
+        "operation (deletes and appends both converge), or rebuild.")
+  }
+
+  /** Rewrite all code segments as ONE segment (seg 0) — [[Bm25Index
+    * .compactSegments]]'s staged-swap shape for the SQ code table:
+    * segment count tracks ingest history, scan task counts should track
+    * data size. Probe results are unchanged by construction (codes are
+    * segment-agnostic; only their directory layout moves), and appends
+    * continue afterwards (the next batch writes its own fresh segment).
+    * Returns (segments before, code rows). */
+  def compactCodeSegments(store: ParquetTableStore, name: String): (Long, Long) = {
+    val codes = store.read(s"${name}_sq_codes").getOrElse(
+      sys.error(s"IVF-SQ index '$name' has no codes table — not built?"))
+    val segs = codes.select(col("seg")).distinct().count()
+    val rows = codes.count()
+    store.replacePartitioned(s"${name}_sq_codes",
+      codes.drop("seg").withColumn("seg", lit(0L)), Seq("seg"))
+    (segs, rows)
+  }
+
   /** Top-k via coarse probe → integer-dot SQ8 scan of the probed
     * cells' codes → bounded exact refine. Output (query_id, rank,
     * neighbor_id, score·4dp), scores exact (refined dot products). */

@@ -94,6 +94,27 @@ object MinHashIndex {
     Checkpoints.release(sigs)
   }
 
+  /** Remove `ids` from the index: buckets first (the candidate-join side
+    * — a stale bucket row would keep surfacing the removed doc as a dup
+    * candidate), signatures second, the meta fingerprint LAST — a crash
+    * anywhere leaves the OLD fingerprint ≠ the post-delete corpus, so
+    * [[verifyFresh]] fails loudly; re-running converges (absent ids
+    * no-op). Both deletes take [[ParquetTableStore.delete]]'s pruned
+    * paths (buckets row-level MERGE-DELETE; sigs carry an array column
+    * so fall back to the anti-join publish). Unlike an in-place edit on
+    * [[Bm25Index]], a MinHash re-delivery with changed text never
+    * REQUIRED delete ([[append]]'s keyed upsert overwrites whole rows) —
+    * delete exists for genuine removals: takedowns, retention expiry,
+    * license revocation. Returns docs removed. */
+  def delete(store: ParquetTableStore, name: String, ids: DataFrame,
+             idCol: String): Long = {
+    val key = ids.select(col(idCol).as("id")).distinct()
+    store.delete(s"${name}_buckets", key, Seq("id"))
+    val removed = store.delete(s"${name}_sigs", key, Seq("id"))
+    writeMeta(store, name)
+    removed
+  }
+
   /** Fail loudly if `corpus` no longer matches what the index was built
     * from (id-column-only scan; see [[IvfIndex.verifyFresh]] for the
     * policy-not-mechanism rationale of keeping this a separate call). */
