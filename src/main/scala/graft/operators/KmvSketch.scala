@@ -121,4 +121,81 @@ object KmvSketch {
     IncrementalAgg.foldStateIntoStore(store, name,
       state(batch, keyCol, k, seed),
       (p, d) => mergeStates(k, p, d), batchId, epoch)
+
+  // --------------------------------------------- per-group state fold
+
+  /** [[state]] per group: (group, _kmv) rows, one O(k)-buffer grouped
+    * hash aggregate — the per-stratum variant ("how many of this crawl's
+    * URLs are new, PER DOMAIN") completing the fold family's per-group
+    * symmetry (HH, reservoir, linear fit, NB all have one). Groups whose
+    * keys are all null produce no row (no defined hash), same population
+    * rule as the global sketch. */
+  def statePerGroup(df: DataFrame, groupCol: String, keyCol: String,
+                    k: Int, seed: String): DataFrame = {
+    require(k > 1, "sketch size must be at least 2 (the estimator uses k-1)")
+    df.filter(col(keyCol).isNotNull)
+      .select(col(groupCol), hash52(col(keyCol), seed).as("_h"))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.TopK.bottomKDistinct(k)(col("_h")).as("_kmv"))
+  }
+
+  /** Exact grouped sketch merge: groups present on either side keep the
+    * k smallest distinct hashes of the union — frames are ≤ states ×
+    * groups × k values. The same "k smallest of a union = k smallest of
+    * each side's k smallest" identity as [[mergeStates]], per group. */
+  def mergeStatesGrouped(k: Int, groupCol: String,
+                         states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "mergeStatesGrouped needs at least one state frame")
+    states.reduce(_.unionByName(_))
+      .select(col(groupCol), explode(col("_kmv")).as("_h")).distinct()
+      .groupBy(col(groupCol))
+      .agg(graft.functions.TopK.bottomKDistinct(k)(col("_h")).as("_kmv"))
+  }
+
+  /** (group, n_est) from a grouped state frame — [[estimateFromState]]
+    * per group: exact for unsaturated groups (the common case for small
+    * strata — the sketch degrades to nothing at all), (k−1)·2^52/θ for
+    * saturated ones. */
+  def estimatePerGroup(state: DataFrame, groupCol: String,
+                       k: Int): DataFrame =
+    state.select(col(groupCol),
+      round(size(retained(col("_kmv"), theta(col("_kmv"), k))).cast("double")
+        * lit(Denom) / theta(col("_kmv"), k), 4).as("n_est"))
+
+  /** Theta set algebra BETWEEN GROUPS of one grouped state frame: every
+    * unordered group pair's estimated |A∩B|, |A∪B| and Jaccard — "which
+    * domains share url populations" from one state table, no rescan.
+    * Output (group_a, group_b, est_inter, est_union, jaccard) with
+    * group_a < group_b; same common-θ cut rule as [[setEstimates]].
+    * Frames are (groups choose 2) × ≤ 2k values — group cardinality is
+    * bounded (a sketch per group already assumes that). */
+  def setEstimatesAcrossGroups(state: DataFrame, groupCol: String,
+                               k: Int): DataFrame = {
+    val a = state.select(col(groupCol).as("group_a"), col("_kmv").as("_a"))
+    val b = state.select(col(groupCol).as("group_b"), col("_kmv").as("_b"))
+    a.join(b, col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"), col("_a"), col("_b"),
+        least(theta(col("_a"), k), theta(col("_b"), k)).as("_th"))
+      .select(col("group_a"), col("group_b"), col("_th"),
+        retained(col("_a"), col("_th")).as("_ca"),
+        retained(col("_b"), col("_th")).as("_cb"))
+      .select(col("group_a"), col("group_b"),
+        round(size(array_intersect(col("_ca"), col("_cb"))).cast("double")
+          * lit(Denom) / col("_th"), 4).as("est_inter"),
+        round(size(array_union(col("_ca"), col("_cb"))).cast("double")
+          * lit(Denom) / col("_th"), 4).as("est_union"),
+        round(when(size(array_union(col("_ca"), col("_cb"))) === 0, lit(0.0))
+          .otherwise(size(array_intersect(col("_ca"), col("_cb"))).cast("double")
+            / size(array_union(col("_ca"), col("_cb")))), 4).as("jaccard"))
+  }
+
+  /** Per-group replay-idempotent maintenance — the grouped sketch stays
+    * current per ingest micro-batch; state table is groups × one row. */
+  def foldIntoStorePerGroup(store: ParquetTableStore, name: String,
+                            batch: DataFrame, groupCol: String,
+                            keyCol: String, k: Int, seed: String,
+                            batchId: Long, epoch: String): Unit =
+    IncrementalAgg.foldStateIntoStore(store, name,
+      statePerGroup(batch, groupCol, keyCol, k, seed),
+      (p, d) => mergeStatesGrouped(k, groupCol, p, d), batchId, epoch)
 }
