@@ -3127,6 +3127,161 @@ object SparkEntry {
       .orderBy(col("class"), col("predicted"))
   }
 
+  /** Index delete + in-place edit recipe ([[graft.operators.Bm25Index
+    * .delete]]/[[graft.operators.Bm25Index.upsertDocs]] — the MERGE
+    * matched→UPDATE arm for an index whose postings must be deleted, not
+    * overwritten): build a third, append a third, then upsert a batch
+    * mixing EDITED already-indexed docs (delete + re-append), brand-new
+    * docs and unchanged re-sends — replayed once (must no-op end to
+    * end). The postings delete is partition-pruned to the segments
+    * holding the ids; the meta fingerprint is recomputed last, and the
+    * freshness attest runs against the EDITED corpus. Oracle: q140's
+    * full-corpus BM25 replay VERBATIM over the edited corpus — delete +
+    * re-append must be bit-equal to one-shot indexing of the final
+    * state, including df for the token only edits introduced. */
+  def q149_bm25_delete_upsert(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_q149_wh").toString
+    val store = new graft.operators.ParquetTableStore(s, wh)
+    val docs = documents(s, d)
+    val edited = docs.withColumn("text",
+      when(col("doc_id") % 10 === 4, concat(col("text"), lit(" graftedit")))
+        .otherwise(col("text")))
+    graft.operators.Bm25Index.build(store, "bx",
+      docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+    graft.operators.Bm25Index.append(store, "bx",
+      docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", batchId = 1)
+    // batch 2: the remaining third (new) + every edited doc (changed
+    // text for the already-indexed ones -> delete + re-append)
+    val batch2 = edited.filter(col("doc_id") % 3 === 2 || col("doc_id") % 10 === 4)
+    graft.operators.Bm25Index.upsertDocs(store, "bx", batch2,
+      "doc_id", "text", batchId = 2)
+    graft.operators.Bm25Index.upsertDocs(store, "bx", batch2,
+      "doc_id", "text", batchId = 2) // replay: must no-op
+    graft.operators.Bm25Index.verifyFresh(store, "bx", edited, "doc_id")
+    val queries = Seq((1L, "spark"), (1L, "graftedit"), (2L, "customer"),
+      (2L, "join"), (3L, "window")).toDF("query_id", "term")
+    graft.operators.Bm25Index.search(store, "bx", queries, 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Stored-index delete for the ANN family ([[graft.operators.IvfSq
+    * .delete]] — codes first, cells + fingerprint last): build a third,
+    * append the rest, DELETE every vec_id ≡ 3 (mod 7) (takedown/expiry),
+    * re-run the delete (must no-op), attest freshness + codes≡cells
+    * parity against the surviving corpus, then probe twins of SURVIVORS
+    * (rank-1 self-retrieval) and twins of DELETED vectors — the latter
+    * with nProbe = nCells so the probe is exhaustive over the index and
+    * the oracle's exact scan over the remaining corpus is the provable
+    * answer: the deleted vector must NOT come back, its nearest survivor
+    * must. Oracle: q88's exact-scan rank-1 shape over embeddings minus
+    * the deleted ids. */
+  def q150_ann_ivfsq_delete(s: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_q150_wh").toString
+    val store = new graft.operators.ParquetTableStore(s, wh)
+    val emb = embeddings(s, d)
+    graft.operators.IvfSq.build(store, "ix",
+      emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
+      iterations = 3)
+    def app(r: Int): Unit = graft.operators.IvfSq.append(store, "ix",
+      emb.filter(col("vec_id") % 3 === r), "vec_id", "embedding", batchId = r)
+    app(1)
+    app(2)
+    val doomed = emb.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
+    graft.operators.IvfSq.delete(store, "ix", doomed, "vec_id")
+    graft.operators.IvfSq.delete(store, "ix", doomed, "vec_id") // replay: no-op
+    val remaining = emb.filter(col("vec_id") % 7 =!= 3)
+    graft.operators.IvfSq.verifyFresh(store, "ix", remaining, "vec_id")
+    val planted = emb.filter(col("vec_id") >= 30 && col("vec_id") < 40)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val survivors = planted.filter((col("vec_id") - 1000000L) % 7 =!= 3)
+    val deletedTwins = planted.filter((col("vec_id") - 1000000L) % 7 === 3)
+    graft.operators.IvfSq.probe(store, "ix", survivors,
+        "vec_id", "embedding", topK = 1)
+      .unionByName(graft.operators.IvfSq.probe(store, "ix", deletedTwins,
+        "vec_id", "embedding", topK = 1, nProbe = 16))
+      .orderBy(col("query_id"))
+  }
+
+  /** Per-group KMV/theta sketch ([[graft.operators.KmvSketch
+    * .statePerGroup]] — the per-stratum distinct sketch, completing the
+    * fold family's per-group symmetry): the lineitem partkey population
+    * sketched PER RETURNFLAG through a real store in three residue
+    * batches (one replayed), then the per-group estimates next to the
+    * exact per-group distinct counts. Deterministic end to end (seeded
+    * 52-bit md5 minima per group), so the oracle replays the grouped
+    * hashes, k-minima, θ and estimator bit-for-bit. */
+  def q151_kmv_grouped(s: SparkSession, d: String): DataFrame = {
+    val k = 128
+    val wh = java.nio.file.Files.createTempDirectory("graft_q151_wh").toString
+    val store = new graft.operators.ParquetTableStore(s, wh)
+    val li = lineitem(s, d)
+    def fold(batch: DataFrame, id: Long): Unit =
+      graft.operators.KmvSketch.foldIntoStorePerGroup(store, "kg", batch,
+        "l_returnflag", "l_partkey", k, seed = "kg1", id, epoch = "q151")
+    fold(li.filter(col("l_orderkey") % 3 === 0), 0L)
+    fold(li.filter(col("l_orderkey") % 3 === 1), 1L)
+    fold(li.filter(col("l_orderkey") % 3 === 1), 1L) // replay: must no-op
+    fold(li.filter(col("l_orderkey") % 3 === 2), 2L)
+    val st = store.read("kg").get.drop("_last_batch", "_epoch")
+    val est = graft.operators.KmvSketch.estimatePerGroup(st, "l_returnflag", k)
+    val exact = li.filter(col("l_partkey").isNotNull)
+      .groupBy(col("l_returnflag"))
+      .agg(count_distinct(col("l_partkey")).as("exact_n"))
+    est.join(exact, Seq("l_returnflag")).orderBy(col("l_returnflag"))
+  }
+
+  /** Measured recall@k contract for the compressed ANN variants
+    * ([[graft.operators.IvfIndex]]/[[graft.operators.IvfSq]]/
+    * [[graft.operators.IvfPq]] vs the exact brute-force scan): recall@10
+    * of each probe against [[Similarity.annBruteForce]]'s exact top-10,
+    * asserted against per-variant floors — the SQ8-vs-PQ recall/memory
+    * tradeoff as a NUMBER (RecallSpec pins the exact values per fixture;
+    * this gate pins the ordering and floors at every driver SF). The
+    * recall computation collects only query-bounded frames (|queries| ×
+    * 10 rows per side). The emitted booleans are the contract the
+    * oracle can state independently: floors met, compression ordered
+    * ivf ≥ sq ≥ pq, probes non-empty. */
+  def q152_ann_recall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_q152_wh").toString
+    val store = new graft.operators.ParquetTableStore(s, wh)
+    val emb = embeddings(s, d)
+    val queries = emb.filter(col("vec_id") % 31 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    def sets(df: DataFrame): Map[Long, Set[Long]] =
+      df.select(col("query_id"), col("neighbor_id")).as[(Long, Long)]
+        .collect().groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+    val exact = sets(Similarity.annBruteForce(queries, emb,
+      "vec_id", "embedding", 10))
+    def recall(got: Map[Long, Set[Long]]): Double = {
+      val per = exact.map { case (q, truth) =>
+        got.getOrElse(q, Set.empty[Long]).intersect(truth).size.toDouble / truth.size
+      }
+      per.sum / per.size
+    }
+    graft.operators.IvfIndex.build(store, "ivf", emb, "vec_id", "embedding",
+      nCells = 16, iterations = 5)
+    graft.operators.IvfSq.build(store, "sq", emb, "vec_id", "embedding",
+      nCells = 16, iterations = 5)
+    graft.operators.IvfPq.build(store, "pq", emb, "vec_id", "embedding",
+      dim = 64, nCells = 16, m = 8, ksub = 16, iterations = 5)
+    val rIvf = recall(sets(graft.operators.IvfIndex.probe(store, "ivf",
+      queries, "vec_id", "embedding", topK = 10, nProbe = 8)))
+    val rSq = recall(sets(graft.operators.IvfSq.probe(store, "sq",
+      queries, "vec_id", "embedding", topK = 10, nProbe = 8, shortlist = 32)))
+    val rPq = recall(sets(graft.operators.IvfPq.probe(store, "pq",
+      queries, "vec_id", "embedding", dim = 64, topK = 10, m = 8, ksub = 16,
+      nProbe = 8, shortlist = 32)))
+    val floors = Map("ivf" -> 0.60, "ivf_sq" -> 0.60, "ivf_pq" -> 0.35)
+    Seq(
+      ("ivf", floors("ivf"), rIvf >= floors("ivf"), rIvf >= rSq - 1e-9),
+      ("ivf_pq", floors("ivf_pq"), rPq >= floors("ivf_pq"), rSq >= rPq - 1e-9),
+      ("ivf_sq", floors("ivf_sq"), rSq >= floors("ivf_sq"), rIvf >= rSq - 1e-9)
+    ).toDF("variant", "floor", "meets_floor", "compression_ordered")
+      .orderBy(col("variant"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3278,6 +3433,10 @@ object SparkEntry {
     "q146_ann_ivfpq_append"  -> (q146_ann_ivfpq_append _),
     "q147_naive_bayes"       -> (q147_naive_bayes _),
     "q148_naive_bayes_maintained" -> (q148_naive_bayes_maintained _),
+    "q149_bm25_delete_upsert" -> (q149_bm25_delete_upsert _),
+    "q150_ann_ivfsq_delete"  -> (q150_ann_ivfsq_delete _),
+    "q151_kmv_grouped"       -> (q151_kmv_grouped _),
+    "q152_ann_recall"        -> (q152_ann_recall _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6193,6 +6352,96 @@ object SparkEntry {
          SELECT te.lang AS class, p.predicted, CAST(count(*) AS BIGINT) AS n
          FROM pred p JOIN te ON p.doc_id = te.doc_id
          GROUP BY 1, 2 ORDER BY class, predicted""",
+
+    // q149: q140's full-corpus BM25 replay VERBATIM over the EDITED
+    // corpus (docs % 10 = 4 carry an appended token) — the
+    // delete + re-append path must index bit-equal to one-shot over the
+    // final text, including df('graftedit') = the edited population
+    "q149_bm25_delete_upsert" ->
+      """WITH ed AS (SELECT doc_id,
+             CASE WHEN doc_id % 10 = 4 THEN text || ' graftedit' ELSE text END AS text
+           FROM documents),
+         tf AS (
+           SELECT doc_id, term, count(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM ed) t
+           GROUP BY 1, 2),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         nn AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         q(query_id, term) AS (VALUES
+           (1, 'spark'), (1, 'graftedit'), (2, 'customer'), (2, 'join'), (3, 'window')),
+         dfs AS (SELECT term, count(*) AS df FROM tf
+                 WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         c AS (
+           SELECT q.query_id, tf.doc_id,
+             ln(1 + (nn.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) *
+               (tf.tf * (1.2 + 1)) /
+               (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / nn.avgdl)) AS contrib
+           FROM tf JOIN q ON tf.term = q.term
+                   JOIN dfs ON tf.term = dfs.term
+                   JOIN dl ON tf.doc_id = dl.doc_id
+                   CROSS JOIN nn),
+         sc AS (SELECT query_id, doc_id, sum(contrib) AS score FROM c GROUP BY 1, 2),
+         r AS (SELECT query_id, doc_id, score,
+                 row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+               FROM sc)
+         SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+                doc_id, round(score, 4) AS score
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // q150: q88's exact-scan rank-1 shape over the corpus MINUS the
+    // deleted ids — the deleted vector must never come back; the planted
+    // twin (survivors) or nearest survivor (deleted twins, probed
+    // exhaustively) must
+    "q150_ann_ivfsq_delete" ->
+      """WITH q AS (SELECT vec_id + 1000000 AS query_id, embedding AS qv
+                    FROM embeddings WHERE vec_id >= 30 AND vec_id < 40),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+               WHERE vec_id % 7 <> 3),
+         s AS (
+           SELECT query_id, neighbor_id,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) AS score
+           FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+         r AS (
+           SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+           FROM s)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(score, 4) AS score
+         FROM r WHERE rank = 1 ORDER BY query_id""",
+
+    // q151: q142's sketch replay PARTITION BY the group — per-group
+    // seeded 52-bit md5 minima, per-group theta (2^52 when unsaturated),
+    // the (retained)*2^52/theta estimator, next to the exact per-group
+    // distinct counts
+    "q151_kmv_grouped" ->
+      """WITH h AS (SELECT DISTINCT l_returnflag AS g,
+             CAST(('0x' || substr(md5('kg1/' || CAST(l_partkey AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+           FROM lineitem WHERE l_partkey IS NOT NULL),
+         r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM h),
+         k AS (SELECT g, h, rn FROM r WHERE rn <= 128),
+         t AS (SELECT g, CASE WHEN count(*) < 128 THEN 4503599627370496.0
+                              ELSE CAST(max(h) AS DOUBLE) END AS th
+               FROM k GROUP BY g),
+         c AS (SELECT k.g, count(*) AS ret FROM k JOIN t ON k.g = t.g
+               WHERE CAST(k.h AS DOUBLE) < t.th GROUP BY k.g),
+         e AS (SELECT l_returnflag AS g, CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_n
+               FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1)
+         SELECT t.g AS l_returnflag,
+           round(c.ret * 4503599627370496.0 / t.th, 4) AS n_est, e.exact_n
+         FROM t JOIN c ON t.g = c.g JOIN e ON t.g = e.g
+         ORDER BY l_returnflag""",
+
+    // q152: the contract stated independently — recall floors met and
+    // the compression ordering holds for every variant (the measured
+    // values live in RecallSpec + NOTES; the gate hashes the booleans)
+    "q152_ann_recall" ->
+      """SELECT variant, floor, meets_floor, compression_ordered
+         FROM (VALUES
+           ('ivf',    0.60, TRUE, TRUE),
+           ('ivf_pq', 0.35, TRUE, TRUE),
+           ('ivf_sq', 0.60, TRUE, TRUE))
+           v(variant, floor, meets_floor, compression_ordered)
+         ORDER BY variant""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a

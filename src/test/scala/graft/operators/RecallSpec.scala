@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Measured recall@10 of the compressed ANN variants against the exact
+  * brute-force scan (VERDICT r9 item 3): the SQ8-vs-PQ recall/memory
+  * tradeoff as a number with asserted floors, not a design argument.
+  * Every input is deterministic (fixture embeddings, seeded Lloyd
+  * training, deterministic quantizers), so recall is a stable number per
+  * fixture — floors sit safely under the measured values to absorb only
+  * genuine regressions. */
+class RecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb =
+    spark.read.parquet(s"$sfDir/embeddings.parquet") // 500 x 64-dim
+
+  // 16 corpus vectors re-idd as queries: their exact top-10 (self
+  // excluded by the id shift... the probe excludes query_id = id only,
+  // so the planted twin itself is a legitimate — and hardest — neighbor)
+  private lazy val queries = emb.filter($"vec_id" % 31 === 0)
+    .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+
+  private lazy val exact = Similarity.annBruteForce(
+      queries, emb, "vec_id", "embedding", 10)
+    .select($"query_id", $"neighbor_id")
+    .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  private def recallAt10(probe: DataFrame): Double = {
+    val got = probe.select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val per = exact.map { case (q, truth) =>
+      got.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    per.sum / per.size
+  }
+
+  test("recall@10 of IVF, IVF-SQ and IVF-PQ probes meets the per-variant floors") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_recall").toString
+    val store = new ParquetTableStore(spark, wh)
+
+    IvfIndex.build(store, "ivf", emb, "vec_id", "embedding",
+      nCells = 16, iterations = 5)
+    IvfSq.build(store, "sq", emb, "vec_id", "embedding",
+      nCells = 16, iterations = 5)
+    IvfPq.build(store, "pq", emb, "vec_id", "embedding", dim = 64,
+      nCells = 16, m = 8, ksub = 16, iterations = 5)
+
+    def atProbe(nProbe: Int): (Double, Double, Double) = (
+      recallAt10(IvfIndex.probe(store, "ivf", queries,
+        "vec_id", "embedding", topK = 10, nProbe = nProbe)),
+      recallAt10(IvfSq.probe(store, "sq", queries,
+        "vec_id", "embedding", topK = 10, nProbe = nProbe, shortlist = 32)),
+      recallAt10(IvfPq.probe(store, "pq", queries,
+        "vec_id", "embedding", dim = 64, topK = 10, m = 8, ksub = 16,
+        nProbe = nProbe, shortlist = 32)))
+
+    val (i4, s4, p4) = atProbe(4)
+    val (i8, s8, p8) = atProbe(8)
+    info(f"recall@10 nProbe=4: ivf=$i4%.3f sq=$s4%.3f pq=$p4%.3f | " +
+      f"nProbe=8: ivf=$i8%.3f sq=$s8%.3f pq=$p8%.3f")
+    // Measured on this fixture (r10): nProbe=4 -> 0.606/0.606/0.506,
+    // where 4/16 cells bounds ALL variants (candidate-pool truncation —
+    // the fixture's top-10 scatter across cells); floors sit under the
+    // measured values to absorb only genuine regressions. SQ8's refined
+    // shortlist tracks the float scan (int8 error tiny at 64-dim); PQ's
+    // ADC shortlist is coarser (m=8, ksub=16) — the recall/memory
+    // tradeoff must show up in this order at both operating points.
+    assert(i4 >= 0.55, f"IVF recall@10 (nProbe=4) regressed: $i4%.3f")
+    assert(s4 >= 0.55, f"IVF-SQ recall@10 (nProbe=4) regressed: $s4%.3f")
+    assert(p4 >= 0.40, f"IVF-PQ recall@10 (nProbe=4) regressed: $p4%.3f")
+    assert(i8 > i4, "more probed cells must not lose recall")
+    assert(i8 >= 0.80, f"IVF recall@10 (nProbe=8) regressed: $i8%.3f")
+    assert(s8 >= 0.75, f"IVF-SQ recall@10 (nProbe=8) regressed: $s8%.3f")
+    assert(p8 >= 0.50, f"IVF-PQ recall@10 (nProbe=8) regressed: $p8%.3f")
+    Seq((i4, s4, p4), (i8, s8, p8)).foreach { case (i, s, p) =>
+      assert(i >= s - 1e-9,
+        f"SQ8 shortlist cannot beat the float scan it approximates: $s%.3f > $i%.3f")
+      assert(s >= p - 1e-9,
+        f"PQ's coarser codes cannot beat SQ8 here: $p%.3f > $s%.3f")
+    }
+  }
+}
