@@ -158,23 +158,35 @@ object Multimodal {
   }
 
   /** Per-partition batched feature extraction — the Scala analogue of a
-    * pandas-batch UDF: iterate a partition in fixed-size batches so a real
-    * decoder could amortize model/codec setup per batch, not per row. */
-  def batchedFeatures(df: DataFrame, idCol: String, textCol: String,
+    * pandas-batch UDF: iterate a partition in fixed-size batches so the
+    * decoder amortizes setup per batch, not per row. The decode is the
+    * REAL pixel path ([[graft.plans.GrayBlock.decode]] — ImageIO
+    * JPEG/PNG/BMP/GIF, BT.601 integer luma, 8×8 block means); per
+    * payload it emits (id, byte_len, decodable, luma_mean) where
+    * luma_mean is the mean of the 64 block means (-1 for undecodable
+    * payloads — they are features too: a crawl shard full of them is a
+    * signal, not a crash). `payloadCol` must be BinaryType (pair with
+    * [[withBlob]] for the text stand-in corpus). */
+  def batchedFeatures(df: DataFrame, idCol: String, payloadCol: String,
                       batchSize: Int = 64): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    withBlob(df, idCol, textCol)
-      .select(col("id"), col("payload"))
+    df.select(col(idCol).cast("long").as("id"),
+        col(payloadCol).cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
-          // STUB: a real impl would run one vectorized decode per batch.
+          // one decode pass per batch: ImageIO's reader registry lookup
+          // and buffer churn amortize over the group, and a model-based
+          // extractor would run its forward pass on exactly this slice
           batch.map { case (id, bytes) =>
-            (id, bytes.length.toLong, if (bytes.isEmpty) 0L else bytes.map(_.toLong & 0xFF).sum)
+            val block = graft.plans.GrayBlock.decode(bytes)
+            val decodable = block != null
+            val lumaMean = if (decodable) block.sum.toLong / 64 else -1L
+            (id, bytes.length.toLong, decodable, lumaMean)
           }
         }
       }
-      .toDF("id", "byte_len", "byte_sum")
+      .toDF("id", "byte_len", "decodable", "luma_mean")
   }
 }

@@ -103,11 +103,21 @@ class MultimodalSpec extends SparkSpec {
     assert(n <= 10, s"sampled $n frames for nFrames=19, cap 10")
   }
 
-  test("batchedFeatures computes per-row byte stats through partition batches") {
-    val out = Multimodal.batchedFeatures(media, "doc_id", "text", batchSize = 2)
-      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
-    assert(out.map(_._2) == Seq(4L, 26L, 0L))
-    assert(out.head._3 == "tiny".getBytes("UTF-8").map(_.toLong & 0xFF).sum)
+  test("batchedFeatures runs the real pixel decode through partition batches") {
+    // two real images (one flat gray 100, one half-dark/half-bright) and
+    // one undecodable text payload, through batchSize=2 so the partition
+    // iterates in more than one batch
+    val flat = encode(grayImage(16, 16, (_, _) => 100), "png")
+    val split = encode(grayImage(16, 16, (x, _) => if (x < 8) 0 else 200), "png")
+    val rows = Seq((1L, flat), (2L, split), (3L, "not an image".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val out = Multimodal.batchedFeatures(rows, "id", "payload", batchSize = 2)
+      .orderBy("id").as[(Long, Long, Boolean, Long)].collect().toSeq
+    assert(out.map(_._3) == Seq(true, true, false))
+    assert(out(0)._4 == 100L, "flat gray image must mean to its level")
+    assert(out(1)._4 == 100L, "half 0 / half 200 must mean to 100")
+    assert(out(2)._4 == -1L, "undecodable payload must carry the -1 sentinel")
+    assert(out.map(_._2) == Seq(flat.length.toLong, split.length.toLong, 12L))
   }
 
   // ---------------------------------------------------- pixel-path aHash
