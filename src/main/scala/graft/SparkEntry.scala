@@ -3260,13 +3260,14 @@ object SparkEntry {
       }
       per.sum / per.size
     }
-    graft.operators.IvfIndex.build(store, "ivf", emb, "vec_id", "embedding",
-      nCells = 16, iterations = 5)
+    // two builds, not three: the float-IVF probe reads the SQ index's own
+    // IVF trio (same tables, same trained quantizer — IvfSq.build IS
+    // IvfIndex.build plus the codes), so "ivf" needs no separate build
     graft.operators.IvfSq.build(store, "sq", emb, "vec_id", "embedding",
       nCells = 16, iterations = 5)
     graft.operators.IvfPq.build(store, "pq", emb, "vec_id", "embedding",
       dim = 64, nCells = 16, m = 8, ksub = 16, iterations = 5)
-    val rIvf = recall(sets(graft.operators.IvfIndex.probe(store, "ivf",
+    val rIvf = recall(sets(graft.operators.IvfIndex.probe(store, "sq",
       queries, "vec_id", "embedding", topK = 10, nProbe = 8)))
     val rSq = recall(sets(graft.operators.IvfSq.probe(store, "sq",
       queries, "vec_id", "embedding", topK = 10, nProbe = 8, shortlist = 32)))

@@ -740,11 +740,16 @@ object Similarity {
       "query_id", nProbe)
       .select(col("query_id"), col("v").as("qv"), col("cell"))
 
+    // No dedup: a candidate is assigned to exactly ONE cell (n=1 argmax,
+    // unique by the cell-asc tie-break) and qAssigned has one row per
+    // (query, probed cell), so each (query, candidate) pair joins at most
+    // once — a distinct here would shuffle the scored frame (the widest
+    // in the query) for nothing. Same finding as IvfIndex.probeMembers
+    // (r10 100x smoke: 4.8x).
     val scored = cAssigned.join(broadcast(qAssigned), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         Vectors.dotNative(col("qv"), col("cv")).as("score"))
-      .distinct() // a pair can meet in several probed cells
     takeTopK(scored, topK)
   }
 

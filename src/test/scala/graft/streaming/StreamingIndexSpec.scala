@@ -1,0 +1,96 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.{Bm25Index, Bm25, IvfSq, IvfIndex, ParquetTableStore}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The stored-index family driven from Structured Streaming — the shape a
+  * live crawl ingest actually runs: `foreachBatch` hands each micro-batch
+  * (with its replayable batchId) to the index append, Spark's checkpoint
+  * replays deliver the SAME batchId after a crash, and the index family's
+  * idempotent appends (identical-doc anti-join, keyed cell upsert,
+  * fingerprint recomputed from stored ids) turn at-least-once delivery
+  * into an exactly-once index. The edit path composes the same way:
+  * `upsertDocs` inside foreachBatch gives a streaming MERGE
+  * matched→UPDATE over the index. */
+class StreamingIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("foreachBatch BM25 ingest: appended stream == one-shot build; batch replay no-ops") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("graft_sidx").toString
+    val store = new ParquetTableStore(spark, wh)
+    val docs = Seq(
+      (1L, "apple banana cherry"), (2L, "apple apple banana"),
+      (3L, "durian elderberry fig"), (4L, "apple durian"),
+      (5L, "banana banana banana"), (6L, "cherry fig apple"))
+    Bm25Index.build(store, "bx",
+      docs.take(2).toDF("doc_id", "text"), "doc_id", "text")
+
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // batchId 0 would collide with the build segment; offset once
+        Bm25Index.append(store, "bx", batch, "doc_id", "text", batchId + 1)
+      }
+      .start()
+    mem.addData(docs(2), docs(3))
+    q.processAllAvailable()
+    val metaMid = store.read("bx_meta").get.head()
+    mem.addData(docs(4), docs(5))
+    q.processAllAvailable()
+    q.stop()
+    assert(store.read("bx_meta").get.head() != metaMid, "second batch not indexed")
+
+    // simulate the checkpoint replay of batch 1 (at-least-once delivery):
+    // identical docs under the same segment id must no-op
+    val metaEnd = store.read("bx_meta").get.head()
+    Bm25Index.append(store, "bx",
+      Seq(docs(2), docs(3)).toDF("doc_id", "text"), "doc_id", "text", 1L)
+    assert(store.read("bx_meta").get.head() == metaEnd, "replay moved the fingerprint")
+
+    val all = docs.toDF("doc_id", "text")
+    Bm25Index.verifyFresh(store, "bx", all, "doc_id")
+    val queries = Seq((1L, "apple"), (2L, "banana")).toDF("query_id", "term")
+    val streamed = Bm25Index.search(store, "bx", queries, 10)
+      .orderBy("query_id", "rank").as[(Long, Long, Long, Double)].collect().toSeq
+    val oneShot = Bm25.search(all, "doc_id", "text", queries, 10)
+      .orderBy("query_id", "rank").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(streamed == oneShot,
+      s"stream-built index diverges from one-shot:\n$streamed\nvs\n$oneShot")
+  }
+
+  test("foreachBatch IVF-SQ ingest: streamed appends answer probes like a one-shot build") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("graft_sivf").toString
+    val store = new ParquetTableStore(spark, wh)
+    def vec(i: Int): Seq[Float] = {
+      val th = 2 * math.Pi * i / 48
+      Array(math.cos(th).toFloat, math.sin(th).toFloat) ++ Array.fill(6)(0.0f)
+    }.toSeq
+    val full = (0 until 48).map(i => (i.toLong, vec(i)))
+    IvfSq.build(store, "ix", full.take(24).toDF("id", "v"), "id", "v",
+      nCells = 8, iterations = 3)
+
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = mem.toDF().toDF("id", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        IvfSq.append(store, "ix", batch, "id", "v", batchId + 1)
+      }
+      .start()
+    mem.addData(full.slice(24, 36): _*)
+    q.processAllAvailable()
+    mem.addData(full.slice(36, 48): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    IvfSq.verifyFresh(store, "ix", full.toDF("id", "v"), "id")
+    // twins of vectors from BOTH streamed batches retrieve at rank 1
+    val planted = full.toDF("id", "v").filter($"id".isin(30L, 42L))
+      .select(($"id" + 1000L).as("id"), $"v")
+    val got = IvfSq.probe(store, "ix", planted, "id", "v", topK = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(got(1030L) == 30L && got(1042L) == 42L, s"streamed twins lost: $got")
+  }
+}
