@@ -56,7 +56,7 @@ object IvfIndex {
     * `vecs`. Shared by [[build]] (whole corpus, freshly-trained
     * centroids) and [[append]] (one batch, the STORED centroids — the
     * FAISS train/add split). */
-  private def assignToCells(vecs: DataFrame, centroids: DataFrame): DataFrame =
+  private[operators] def assignToCells(vecs: DataFrame, centroids: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(centroids))
       .select(col("id"), col("v"), col("cell"),
         Vectors.dotNative(col("v"), col("centroid")).as("cd"))
@@ -206,6 +206,44 @@ object IvfIndex {
     store.upsertPartitioned(s"${name}_cells", assigned, Seq("id"), "cell")
     writeMeta(store, name, nCells)
     Checkpoints.release(assigned)
+  }
+
+  /** In-place vector update recipe, composed ([[Bm25Index.upsertDocs]]'s
+    * analogue for the ANN family): delete the already-indexed ids the
+    * frozen quantizer re-assigns to a DIFFERENT cell (the case
+    * [[append]] must reject — a partition-pruned merge cannot move
+    * rows), then append the batch. Same-cell vector changes need no
+    * delete here: the keyed cell upsert replaces the row's vector in
+    * place, and float probes score the stored vectors directly. Moved-id
+    * detection is the guard's own join — an id+partition-column scan of
+    * the cells table against the batch's broadcast assignment, no stored
+    * vector bytes. Replays no-op end to end (nothing moved on the second
+    * delivery; the append rewrites identical rows). Compressed variants
+    * must use THEIR upsert ([[IvfSq.upsertVectors]] /
+    * [[IvfPq.upsertVectors]]) — they also have to re-encode. */
+  def upsertVectors(store: ParquetTableStore, name: String, batch: DataFrame,
+                    idCol: String, vecCol: String): Unit = {
+    val moved = movedIds(store, name, batch, idCol, vecCol)
+    if (!moved.isEmpty) delete(store, name, moved, "id")
+    append(store, name, batch, idCol, vecCol)
+  }
+
+  /** (id) frame of batch ids whose re-delivered vector re-assigns to a
+    * different cell than the stored row's — the cross-partition case
+    * every in-place update path must delete first. */
+  private[operators] def movedIds(store: ParquetTableStore, name: String,
+                                  batch: DataFrame, idCol: String,
+                                  vecCol: String): DataFrame = {
+    val centroids = store.read(s"${name}_centroids").getOrElse(
+      sys.error(s"IVF index '$name' has no centroids table — not built?"))
+    val stored = store.read(s"${name}_cells").getOrElse(
+      sys.error(s"IVF index '$name' has no cells table — not built?"))
+    val assigned = assignToCells(
+      batch.select(col(idCol).as("id"), col(vecCol).as("v")), centroids)
+    stored.select(col("id"), col("cell").as("_old_cell"))
+      .join(broadcast(assigned.select(col("id"), col("cell"))), Seq("id"))
+      .filter(col("_old_cell") =!= col("cell"))
+      .select(col("id"))
   }
 
   /** Remove `ids` from the index: the cells delete is partition-pruned

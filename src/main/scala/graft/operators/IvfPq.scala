@@ -65,12 +65,54 @@ object IvfPq {
       sys.error(s"IVF-PQ index '$name' has no codebook — not built?"))
     val stored = store.read(s"${name}_pq_codes").getOrElse(
       sys.error(s"IVF-PQ index '$name' has no codes table — not built?"))
-    val fresh = ProductQuantizer.encode(batch, idCol, vecCol, dim, codebook, m)
-      .join(stored.select(col("id")), Seq("id"), "left_anti")
+    val freshAll = ProductQuantizer.encode(batch, idCol, vecCol, dim, codebook, m)
+    // Changed-CODE guard — see IvfSq.append: a same-cell vector edit
+    // slips past the moved-cell guard and the id anti-join would keep
+    // its stale PQ codes steering the ADC shortlist. Code-invisible
+    // changes are harmless (same codes = same ADC scores; refine reads
+    // the updated stored vectors).
+    val changed = stored.select(col("id"), col("codes").as("_oc"))
+      .join(broadcast(freshAll), Seq("id"))
+      .filter(col("_oc") =!= col("codes"))
+      .limit(5).collect()
+    if (changed.nonEmpty) sys.error(
+      s"IVF-PQ index '$name': batch re-delivers id(s) " +
+        changed.map(_.get(0)).mkString(", ") +
+        " with a CHANGED vector that encodes to different codes — an " +
+        "id-keyed append cannot update them (stale codes would keep " +
+        "steering the ADC shortlist). Use upsertVectors (delete + " +
+        "append), delete the ids first, or rebuild.")
+    val fresh = freshAll.join(stored.select(col("id")), Seq("id"), "left_anti")
     if (!fresh.isEmpty)
       store.upsertPartitioned(s"${name}_pq_codes",
         fresh.withColumn("seg", lit(batchId)), Seq("id"), "seg")
     IvfIndex.append(store, name, batch, idCol, vecCol)
+  }
+
+  /** In-place vector update recipe for the PQ variant — delete the ids
+    * whose re-delivered vector encodes differently OR moves cells, then
+    * append; see [[IvfSq.upsertVectors]] for why the union. Replays
+    * no-op. */
+  def upsertVectors(store: ParquetTableStore, name: String, batch: DataFrame,
+                    idCol: String, vecCol: String, dim: Int, batchId: Long,
+                    m: Int = 8): Unit = {
+    val codebook = store.read(s"${name}_pq_codebook").getOrElse(
+      sys.error(s"IVF-PQ index '$name' has no codebook — not built?"))
+    val stored = store.read(s"${name}_pq_codes").getOrElse(
+      sys.error(s"IVF-PQ index '$name' has no codes table — not built?"))
+    val freshAll = ProductQuantizer.encode(batch, idCol, vecCol, dim, codebook, m)
+    val changedCodes = stored.select(col("id"), col("codes").as("_oc"))
+      .join(broadcast(freshAll), Seq("id"))
+      .filter(col("_oc") =!= col("codes"))
+      .select(col("id"))
+    // materialized — the doomed plan reads the codes table delete()
+    // rewrites; see IvfSq.upsertVectors
+    val doomed = Checkpoints.materialize(changedCodes
+      .unionByName(IvfIndex.movedIds(store, name, batch, idCol, vecCol))
+      .distinct())
+    if (!doomed.isEmpty) delete(store, name, doomed, "id")
+    append(store, name, batch, idCol, vecCol, dim, batchId, m)
+    Checkpoints.release(doomed)
   }
 
   /** Remove `ids` from the IVF-PQ index: codes first (partition-pruned

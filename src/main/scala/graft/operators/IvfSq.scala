@@ -50,12 +50,62 @@ object IvfSq {
     require(batchId > 0, "batchId 0 is the build segment — use ids > 0")
     val stored = store.read(s"${name}_sq_codes").getOrElse(
       sys.error(s"IVF-SQ index '$name' has no codes table — not built?"))
-    val fresh = ScalarQuantizer.encode(batch, idCol, vecCol)
-      .join(stored.select(col("id")), Seq("id"), "left_anti")
+    val freshAll = ScalarQuantizer.encode(batch, idCol, vecCol)
+    // Changed-CODE guard: a re-delivered id whose vector changed enough
+    // to encode differently would be skipped by the id anti-join below
+    // and keep its STALE codes steering probe shortlists (the moved-cell
+    // guard inside IvfIndex.append only fires when the change crosses a
+    // cell boundary — a same-cell edit slips past it). Code-invisible
+    // changes are harmless by definition: the stale codes ARE the new
+    // vector's exact encoding, and the refine stage reads the updated
+    // stored vectors. Cost: one broadcast join over the COMPRESSED codes.
+    val changed = stored
+      .select(col("id"), col("scale").as("_os"), col("codes").as("_oc"))
+      .join(broadcast(freshAll), Seq("id"))
+      .filter(col("_os") =!= col("scale") || col("_oc") =!= col("codes"))
+      .limit(5).collect()
+    if (changed.nonEmpty) sys.error(
+      s"IVF-SQ index '$name': batch re-delivers id(s) " +
+        changed.map(_.get(0)).mkString(", ") +
+        " with a CHANGED vector that encodes to different codes — an " +
+        "id-keyed append cannot update them (stale codes would keep " +
+        "steering probe shortlists). Use upsertVectors (delete + " +
+        "append), delete the ids first, or rebuild.")
+    val fresh = freshAll.join(stored.select(col("id")), Seq("id"), "left_anti")
     if (!fresh.isEmpty)
       store.upsertPartitioned(s"${name}_sq_codes",
         fresh.withColumn("seg", lit(batchId)), Seq("id"), "seg")
     IvfIndex.append(store, name, batch, idCol, vecCol)
+  }
+
+  /** In-place vector update recipe for the SQ variant
+    * ([[IvfIndex.upsertVectors]] + re-encoding): delete every
+    * already-indexed id whose re-delivered vector either encodes to
+    * DIFFERENT codes (the stale-shortlist case [[append]] rejects) or
+    * re-assigns to a different CELL (the cross-partition case — almost
+    * always code-visible too, but a boundary-sitting vector can move
+    * cells on a sub-quantization change, and deleting only the
+    * code-changed set would then trip the moved-cell guard), then
+    * append. Replays no-op: the second delivery changes nothing. */
+  def upsertVectors(store: ParquetTableStore, name: String, batch: DataFrame,
+                    idCol: String, vecCol: String, batchId: Long): Unit = {
+    val stored = store.read(s"${name}_sq_codes").getOrElse(
+      sys.error(s"IVF-SQ index '$name' has no codes table — not built?"))
+    val freshAll = ScalarQuantizer.encode(batch, idCol, vecCol)
+    val changedCodes = stored
+      .select(col("id"), col("scale").as("_os"), col("codes").as("_oc"))
+      .join(broadcast(freshAll), Seq("id"))
+      .filter(col("_os") =!= col("scale") || col("_oc") =!= col("codes"))
+      .select(col("id"))
+    // materialized: the doomed plan READS the codes table, and delete()
+    // rewrites that table before its second consumer (the cells delete)
+    // would lazily re-evaluate it over the replaced files
+    val doomed = Checkpoints.materialize(changedCodes
+      .unionByName(IvfIndex.movedIds(store, name, batch, idCol, vecCol))
+      .distinct())
+    if (!doomed.isEmpty) delete(store, name, doomed, "id")
+    append(store, name, batch, idCol, vecCol, batchId)
+    Checkpoints.release(doomed)
   }
 
   /** Remove `ids` from the IVF-SQ index: the codes delete first (its

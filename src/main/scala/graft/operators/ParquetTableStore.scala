@@ -308,7 +308,14 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
     * [[upsert]]'s matched-row path). Other schemas fall back to a
     * left-anti rewrite + atomic swap publish. Partitioned tables should
     * use [[deletePartitioned]] (this path would rewrite the table
-    * unpartitioned). */
+    * unpartitioned).
+    *
+    * A single call is safe even when `matches`' plan READS the table
+    * being deleted (every consumption happens before the table is
+    * modified) — but a caller re-using such a frame across SEVERAL
+    * delete calls must materialize it first ([[Checkpoints.materialize]]):
+    * the later calls would lazily re-list files the earlier ones
+    * replaced. */
   def delete(name: String, matches: DataFrame, keys: Seq[String]): Long = {
     require(keys.nonEmpty, "delete needs at least one key column")
     val current = read(name).getOrElse(

@@ -192,6 +192,80 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(!post.contains(1L), s"deleted doc still surfaces as dup candidate: $post")
   }
 
+  // ------------------------------------------- in-place vector updates
+
+  test("ivf upsertVectors: a cross-cell vector change is rejected by append, applied by upsert") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_ivfup").toString
+    val store = new ParquetTableStore(spark, wh)
+    val corpus = ring(32)
+    IvfIndex.build(store, "ix", corpus, "id", "v", nCells = 8, iterations = 3)
+    // id 3 flips to the opposite side of the ring: different cell
+    val flipped = corpus.filter($"id" === 3L)
+      .select($"id", transform($"v", x => -x).as("v"))
+    val e = intercept[RuntimeException] {
+      IvfIndex.append(store, "ix", flipped, "id", "v")
+    }
+    assert(e.getMessage.contains("CHANGED vector"), e.getMessage)
+    IvfIndex.upsertVectors(store, "ix", flipped, "id", "v")
+    IvfIndex.upsertVectors(store, "ix", flipped, "id", "v") // replay: no-op
+    // ids unchanged -> attest passes; the stored vector must be the NEW one
+    IvfIndex.verifyFresh(store, "ix", corpus, "id")
+    val q = flipped.select(($"id" + 1000L).as("id"), $"v")
+    val got = IvfIndex.probe(store, "ix", q, "id", "v", topK = 1, nProbe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(got(1003L) == 3L, s"updated vector not retrievable at its new location: $got")
+  }
+
+  test("ivf-sq: a SAME-cell vector change trips the changed-code guard; upsertVectors re-encodes") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_squp").toString
+    val store = new ParquetTableStore(spark, wh)
+    val corpus = ring(32)
+    IvfSq.build(store, "ix", corpus, "id", "v", nCells = 8, iterations = 3)
+    // id 5 shrinks to half length: SAME direction (same cell), different
+    // SQ scale -> the moved-cell guard is blind to it, the code guard is not
+    val shrunk = corpus.filter($"id" === 5L)
+      .select($"id", transform($"v", x => x * 0.5f).as("v"))
+    val e = intercept[RuntimeException] {
+      IvfSq.append(store, "ix", shrunk, "id", "v", batchId = 1L)
+    }
+    assert(e.getMessage.contains("different codes"), e.getMessage)
+    IvfSq.upsertVectors(store, "ix", shrunk, "id", "v", batchId = 1L)
+    val metaAfter = store.read("ix_meta").get.head()
+    IvfSq.upsertVectors(store, "ix", shrunk, "id", "v", batchId = 1L) // replay
+    assert(store.read("ix_meta").get.head() == metaAfter, "upsert replay moved the fingerprint")
+    IvfSq.verifyFresh(store, "ix", corpus, "id") // ids unchanged + parity
+    // the stored codes must now be the NEW vector's encoding
+    val storedScale = store.read("ix_sq_codes").get.filter($"id" === 5L)
+      .select("scale").as[Double].head()
+    val freshScale = ScalarQuantizer.encode(shrunk, "id", "v")
+      .select("scale").as[Double].head()
+    assert(math.abs(storedScale - freshScale) < 1e-12,
+      s"stale scale survived the upsert: $storedScale vs $freshScale")
+  }
+
+  test("ivf-pq upsertVectors: changed codes re-encoded under the frozen codebook") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_pqup").toString
+    val store = new ParquetTableStore(spark, wh)
+    val corpus = ring(32)
+    IvfPq.build(store, "ix", corpus, "id", "v", dim = 8, nCells = 8,
+      m = 4, iterations = 3)
+    // id 9 flips: different cell AND different codes
+    val flipped = corpus.filter($"id" === 9L)
+      .select($"id", transform($"v", x => -x).as("v"))
+    val cbBefore = store.read("ix_pq_codebook").get.orderBy("sub", "code")
+      .collect().toSeq
+    IvfPq.upsertVectors(store, "ix", flipped, "id", "v", dim = 8, batchId = 1L, m = 4)
+    IvfPq.verifyFresh(store, "ix", corpus, "id")
+    // codebook frozen byte-for-byte; the flipped twin retrieves at rank 1
+    assert(store.read("ix_pq_codebook").get.orderBy("sub", "code")
+      .collect().toSeq == cbBefore, "upsert retrained the codebook")
+    val q = flipped.select(($"id" + 1000L).as("id"), $"v")
+    val got = IvfPq.probe(store, "ix", q, "id", "v", dim = 8, topK = 1,
+        m = 4, nProbe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(got(1009L) == 9L, s"updated vector not retrievable: $got")
+  }
+
   // ------------------------------------------------------- compaction
 
   test("ivf-sq code-segment compaction: one segment after, probes identical, appends continue") {
