@@ -131,6 +131,34 @@ object MinHashIndex {
         "index silently misses duplicates of the unindexed docs.")
   }
 
+  /** Index-health report for the bucket table: LSH candidate generation
+    * degrades when buckets grow hot (boilerplate floods, near-constant
+    * shingles), because [[probe]]'s `maxBucket` cap DROPS over-cap
+    * buckets whole — structurally missed duplicates, silent unless
+    * measured. One aggregate over the (id, band, bh) table returns a
+    * 1-row frame: (n_buckets, max_occupancy, p99_occupancy,
+    * over_cap_buckets, over_cap_row_share) where over_cap_row_share is
+    * the fraction of bucket MEMBERSHIPS sitting in over-cap buckets —
+    * the upper-bound share of the corpus whose candidate generation the
+    * cap can silence. Alarm policy is the caller's (a crawl pipeline
+    * re-shingles or raises the cap past a stated share); the number is
+    * the mechanism. */
+  def checkHealth(store: ParquetTableStore, name: String,
+                  maxBucket: Int = 1000): DataFrame = {
+    val buckets = store.read(s"${name}_buckets").getOrElse(
+      sys.error(s"MinHash index '$name' has no bucket table — not built?"))
+    buckets.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("occ"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        max(col("occ")).as("max_occupancy"),
+        percentile_approx(col("occ"), lit(0.99), lit(10000))
+          .as("p99_occupancy"),
+        sum(when(col("occ") > maxBucket, 1L).otherwise(0L))
+          .as("over_cap_buckets"),
+        round(sum(when(col("occ") > maxBucket, col("occ")).otherwise(0L))
+          / sum(col("occ")), 4).as("over_cap_row_share"))
+  }
+
   /** Near-dup CANDIDATES of `batch` against the indexed corpus:
     * (corpus_id, batch_id, est_jaccard >= threshold). Only the batch is
     * sketched; the stored bucket table is first semi-joined down to the

@@ -192,6 +192,32 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(!post.contains(1L), s"deleted doc still surfaces as dup candidate: $post")
   }
 
+  test("minhash checkHealth surfaces over-cap buckets (the rows the probe cap would silence)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_mhh").toString
+    val store = new ParquetTableStore(spark, wh)
+    // 3 distinct docs + 6 near-identical boilerplate docs: the
+    // boilerplate's shingles pile into shared buckets
+    val docs = (Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "zeta eta theta iota kappa"),
+      (3L, "lambda mu nu xi omicron")) ++
+      (10L to 15L).map(i => (i, "same boilerplate text everywhere forever")))
+      .toDF("doc_id", "text")
+    MinHashIndex.build(store, "ix", docs, "doc_id", "text")
+    val h = MinHashIndex.checkHealth(store, "ix", maxBucket = 4)
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(h._2 == 6L, s"hottest bucket must hold the 6 boilerplate docs: $h")
+    assert(h._4 > 0L, s"over-cap buckets must be counted: $h")
+    assert(h._5 > 0.0 && h._5 < 1.0, s"over-cap row share must be a fraction: $h")
+    // a clean index reads zero over-cap
+    val wh2 = java.nio.file.Files.createTempDirectory("graft_mhh2").toString
+    val store2 = new ParquetTableStore(spark, wh2)
+    MinHashIndex.build(store2, "ix", docs.filter($"doc_id" <= 3), "doc_id", "text")
+    val h2 = MinHashIndex.checkHealth(store2, "ix", maxBucket = 4)
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(h2._4 == 0L && h2._5 == 0.0, s"clean index must read zero over-cap: $h2")
+  }
+
   // ------------------------------------------- in-place vector updates
 
   test("ivf upsertVectors: a cross-cell vector change is rejected by append, applied by upsert") {

@@ -102,6 +102,22 @@ class StoreDeleteSpec extends SparkSpec {
     assert(store.read("t").get.count() == 18)
   }
 
+  test("a single delete call is safe when the match frame reads the table being deleted") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_delself").toString
+    val store = new ParquetTableStore(spark, wh)
+    store.replace("t", Seq((1L, "a"), (2L, "b"), (3L, "a"), (4L, "c"), (5L, "a"))
+      .toDF("id", "v"))
+    // matches derive FROM the table itself: ids whose v appears > 1 times
+    val t = store.read("t").get
+    val dupIds = t.join(
+        t.groupBy("v").count().filter(col("count") > 1).select("v"), Seq("v"))
+      .select("id")
+    val removed = store.delete("t", dupIds, Seq("id"))
+    assert(removed == 3L)
+    assert(store.read("t").get.select("id").as[Long].collect().sorted.toSeq
+      == Seq(2L, 4L))
+  }
+
   test("deletePartitioned interrupted mid-swap is restored and converges on re-run") {
     val wh = Files.createTempDirectory("graft_delc").toString
     val store = new ParquetTableStore(spark, wh)
