@@ -3283,6 +3283,41 @@ object SparkEntry {
       .orderBy(col("variant"))
   }
 
+  /** In-place vector updates on a stored compressed index
+    * ([[graft.operators.IvfSq.upsertVectors]] — q149's edit recipe for
+    * the ANN family): build over the ORIGINAL corpus, re-deliver every
+    * vec_id ≡ 2 (mod 9) with its embedding REVERSED (a same-id changed
+    * vector — the case plain append must reject: stale codes would keep
+    * steering shortlists), upsert (delete changed ∪ moved, re-encode,
+    * append), replay the upsert (must no-op end to end), attest
+    * freshness + codes≡cells parity against the EDITED corpus, then
+    * probe twins of edited AND unedited vectors with nProbe = nCells so
+    * the exhaustive probe is oracle-provable. Oracle: q88's exact-scan
+    * rank-1 shape over the CASE-edited corpus — each edited twin must
+    * retrieve its id AT THE NEW VECTOR, not the stale one. */
+  def q153_ann_vector_upsert(s: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_q153_wh").toString
+    val store = new graft.operators.ParquetTableStore(s, wh)
+    val emb = embeddings(s, d)
+    graft.operators.IvfSq.build(store, "ix", emb, "vec_id", "embedding",
+      iterations = 3)
+    val editedBatch = emb.filter(col("vec_id") % 9 === 2)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+    graft.operators.IvfSq.upsertVectors(store, "ix", editedBatch,
+      "vec_id", "embedding", batchId = 1)
+    graft.operators.IvfSq.upsertVectors(store, "ix", editedBatch,
+      "vec_id", "embedding", batchId = 1) // replay: must no-op
+    val editedCorpus = emb.select(col("vec_id"),
+      when(col("vec_id") % 9 === 2, reverse(col("embedding")))
+        .otherwise(col("embedding")).as("embedding"))
+    graft.operators.IvfSq.verifyFresh(store, "ix", editedCorpus, "vec_id")
+    val planted = editedCorpus.filter(col("vec_id") >= 0 && col("vec_id") < 30)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    graft.operators.IvfSq.probe(store, "ix", planted, "vec_id", "embedding",
+        topK = 1, nProbe = 16)
+      .orderBy(col("query_id"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3438,6 +3473,7 @@ object SparkEntry {
     "q150_ann_ivfsq_delete"  -> (q150_ann_ivfsq_delete _),
     "q151_kmv_grouped"       -> (q151_kmv_grouped _),
     "q152_ann_recall"        -> (q152_ann_recall _),
+    "q153_ann_vector_upsert" -> (q153_ann_vector_upsert _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6443,6 +6479,30 @@ object SparkEntry {
            ('ivf_sq', 0.60, TRUE, TRUE))
            v(variant, floor, meets_floor, compression_ordered)
          ORDER BY variant""",
+
+    // q153: q88's exact-scan rank-1 shape over the CASE-edited corpus —
+    // the upserted index must answer for the NEW vectors (reversed
+    // embeddings for vec_id % 9 = 2), with queries planted from the
+    // edited corpus itself
+    "q153_ann_vector_upsert" ->
+      """WITH ec AS (SELECT vec_id,
+             CASE WHEN vec_id % 9 = 2 THEN list_reverse(embedding)
+                  ELSE embedding END AS embedding
+           FROM embeddings),
+         q AS (SELECT vec_id + 1000000 AS query_id, embedding AS qv
+               FROM ec WHERE vec_id >= 0 AND vec_id < 30),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM ec),
+         s AS (
+           SELECT query_id, neighbor_id,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) AS score
+           FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+         r AS (
+           SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+           FROM s)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(score, 4) AS score
+         FROM r WHERE rank = 1 ORDER BY query_id""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a
