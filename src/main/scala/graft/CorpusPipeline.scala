@@ -111,4 +111,89 @@ object CorpusPipeline {
 
     (curated, CurationReport(input, nLang, nQuality, nDecon, nFinal))
   }
+
+  /** Per-stage survivorship for one incremental batch. */
+  case class IncrementReport(input: Long, afterLang: Long, afterQuality: Long,
+                             afterDecontamination: Long, afterCorpusDedup: Long,
+                             afterBatchDedup: Long)
+
+  /** The INCREMENTAL composition — what each crawl batch runs once the
+    * corpus is big enough that re-curating everything per batch is
+    * absurd (at 100 TB: always). Stages 1-4 of [[curate]] touch only
+    * the BATCH (narrow per-row ops); the cross-corpus near-dup check
+    * probes the STORED MinHash index ([[operators.MinHashIndex
+    * .dedupBatch]] — only the batch is sketched, the corpus side is
+    * parquet), batch-internal dups then dedup through the batch-local
+    * pass (tiny input), and the survivors are APPENDED to the same
+    * index so the next batch dedups against them too. One store, one
+    * protocol: replays of a batch re-send identical docs, which the
+    * append's keyed upsert absorbs idempotently.
+    *
+    * Returns (curated survivors of this batch, report). The caller owns
+    * appending survivors to its corpus TABLE (the index append here
+    * maintains only the dedup index); a takedown later is
+    * [[operators.MinHashIndex.delete]] + the table's own delete. */
+  def curateIncrement(store: graft.operators.ParquetTableStore,
+                      indexName: String, batch: DataFrame,
+                      evalDocs: DataFrame, idCol: String, textCol: String,
+                      config: Config = Config(),
+                      report: Boolean = true): (DataFrame, IncrementReport) = {
+    def n(df: DataFrame): Long = if (report) df.count() else -1L
+    val input = n(batch)
+
+    val langKept = LangId.predict(batch, idCol, textCol)
+      .filter(col("pred_lang").isin(config.keepLangs.toSeq: _*))
+      .select(col(idCol))
+    val afterLang = batch.join(langKept, Seq(idCol), "left_semi")
+    val nLang = n(afterLang)
+
+    val qualityFiltered = afterLang
+      .withColumn("__cp_w", Text.tokens(col(textCol)))
+      .filter(Text.qualityScore(col(textCol)) >= config.minQuality &&
+        Text.bigramRepetitionRatioOf(col("__cp_w")) <= config.maxBigramRepetition)
+      .drop("__cp_w")
+    val nQuality = n(qualityFiltered)
+
+    val scrubbed = qualityFiltered.withColumn(textCol, Pii.redact(col(textCol)))
+
+    // materialized for the same reason as curate(): the dedup stages
+    // consume this frame several times (index probe, batch-local sketch,
+    // exact scoring, final joins)
+    val decontaminated = graft.operators.Checkpoints.materialize(
+      Decontaminate.clean(scrubbed, evalDocs, idCol, textCol,
+        config.decontaminateN))
+    val nDecon = n(decontaminated)
+
+    // 5a. cross-corpus dedup: batch rows with a near-dup ALREADY IN the
+    // stored index are dropped — only the batch is sketched
+    val vsCorpus = graft.operators.MinHashIndex.dedupBatch(store, indexName,
+      decontaminated, idCol, textCol, config.dedupJaccard,
+      maxBucket = config.dedupMaxBucket)
+    val nVsCorpus = n(vsCorpus)
+
+    // 5b. batch-internal dedup: the batch-local pass over the survivors
+    // (|batch| input — the full pipeline's dedup machinery at batch size)
+    val pairs = Similarity.scoreCandidatesJaccard(
+        Similarity.minhashNearDup(vsCorpus, idCol, textCol,
+          threshold = math.max(0.1, config.dedupJaccard - 0.1),
+          maxBucket = config.dedupMaxBucket),
+        vsCorpus, idCol,
+        sub => sub.select(col(idCol), Text.tokens(col(textCol)).as("__cp_w"))
+          .select(col(idCol), Similarity.shingleHashesOf(col("__cp_w"), 3).as("g")))
+      .filter(col("jaccard") >= config.dedupJaccard)
+      .select("id_a", "id_b")
+    val reps = Similarity.dedupClusters(pairs, vsCorpus.select(col(idCol)), idCol)
+      .filter(col("id") === col("label"))
+      .select(col("id").as(idCol))
+    val curated = graft.operators.Checkpoints.materialize(
+      vsCorpus.join(reps, Seq(idCol), "left_semi"))
+    val nFinal = n(curated)
+
+    // survivors join the index so the NEXT batch dedups against them
+    graft.operators.MinHashIndex.append(store, indexName, curated, idCol, textCol)
+    graft.operators.Checkpoints.release(decontaminated)
+
+    (curated,
+      IncrementReport(input, nLang, nQuality, nDecon, nVsCorpus, nFinal))
+  }
 }

@@ -71,6 +71,56 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(lazyRep == CorpusPipeline.CurationReport(-1, -1, -1, -1, -1))
   }
 
+  test("curateIncrement: batches dedup against the stored index, survivors join it for the next batch") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_cpinc").toString
+    val store = new graft.operators.ParquetTableStore(spark, wh)
+    val corpusDoc = "the migration committee published detailed seasonal " +
+      "routing charts covering upland corridors and lowland crossings with " +
+      "annotated elevation profiles compiled from volunteer observation logs"
+    val freshDoc = "quarterly reservoir maintenance schedules list spillway " +
+      "inspection intervals alongside sediment clearance milestones agreed " +
+      "with the downstream irrigation cooperatives during winter planning"
+    val secondDoc = "harbor pilotage guidance describes approach bearings " +
+      "anchorage depth allowances and seasonal fog procedures issued to " +
+      "masters of vessels exceeding the published tonnage threshold"
+    // the standing corpus (already curated) is indexed once
+    graft.operators.MinHashIndex.build(store, "cx",
+      Seq((1L, corpusDoc, "a")).toDF("doc_id", "text", "source"),
+      "doc_id", "text")
+    val emptyEval = Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+    // batch 1: a near-dup of the CORPUS doc (drop via index probe), an
+    // internal dup pair (collapse to min id), and junk the early stages cut
+    val batch1 = Seq(
+      (10L, corpusDoc.replace("winter", "summer").replace("logs", "notes"), "c"),
+      (11L, freshDoc, "c"),
+      (12L, freshDoc.replace("winter", "autumn"), "c"),
+      (13L, "zzz qqq xxx", "c") // fails quality
+    ).toDF("doc_id", "text", "source")
+    val (out1, rep1) = CorpusPipeline.curateIncrement(store, "cx", batch1,
+      emptyEval, "doc_id", "text")
+    val ids1 = out1.select("doc_id").as[Long].collect().toSet
+    assert(ids1 == Set(11L), s"batch 1 survivors wrong: $ids1 ($rep1)")
+    assert(rep1.afterCorpusDedup < rep1.afterDecontamination,
+      s"the corpus near-dup must be cut by the index probe: $rep1")
+    assert(rep1.afterBatchDedup < rep1.afterCorpusDedup,
+      s"the internal dup pair must collapse: $rep1")
+
+    // batch 2: a near-dup of batch 1's SURVIVOR must now be dropped too —
+    // the survivor joined the index
+    val batch2 = Seq(
+      (20L, freshDoc.replace("milestones", "targets"), "c"),
+      (21L, secondDoc, "c")
+    ).toDF("doc_id", "text", "source")
+    val (out2, _) = CorpusPipeline.curateIncrement(store, "cx", batch2,
+      emptyEval, "doc_id", "text")
+    val ids2 = out2.select("doc_id").as[Long].collect().toSet
+    assert(ids2 == Set(21L), s"batch 2 survivors wrong: $ids2")
+    // the index now answers for all three generations
+    graft.operators.MinHashIndex.verifyFresh(store, "cx",
+      Seq((1L, ""), (11L, ""), (21L, "")).toDF("doc_id", "text"), "doc_id")
+  }
+
   test("cap-ENGAGED curation: mega-bucket pruned, selective near-dups still collapse") {
     // Both texts pass every pre-dedup stage (en, quality >= 0.3,
     // repetition 0, no PII, no eval gram). The 60 identical boilerplate
