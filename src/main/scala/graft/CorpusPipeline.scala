@@ -147,11 +147,16 @@ object CorpusPipeline {
     val afterLang = batch.join(langKept, Seq(idCol), "left_semi")
     val nLang = n(afterLang)
 
-    val qualityFiltered = afterLang
+    val qualityRaw = afterLang
       .withColumn("__cp_w", Text.tokens(col(textCol)))
       .filter(Text.qualityScore(col(textCol)) >= config.minQuality &&
         Text.bigramRepetitionRatioOf(col("__cp_w")) <= config.maxBigramRepetition)
       .drop("__cp_w")
+    // same report-mode lineage cut as curate(): the counts downstream
+    // would otherwise replay the language-ID prefix per action
+    val qualityFiltered =
+      if (report) graft.operators.Checkpoints.materialize(qualityRaw)
+      else qualityRaw
     val nQuality = n(qualityFiltered)
 
     val scrubbed = qualityFiltered.withColumn(textCol, Pii.redact(col(textCol)))
@@ -165,10 +170,15 @@ object CorpusPipeline {
     val nDecon = n(decontaminated)
 
     // 5a. cross-corpus dedup: batch rows with a near-dup ALREADY IN the
-    // stored index are dropped — only the batch is sketched
-    val vsCorpus = graft.operators.MinHashIndex.dedupBatch(store, indexName,
-      decontaminated, idCol, textCol, config.dedupJaccard,
-      maxBucket = config.dedupMaxBucket)
+    // stored index are dropped — only the batch is sketched.
+    // MATERIALIZED: the survivors feed the count, the batch-local sketch,
+    // the exact-scoring features, the reps join and the final semi-join —
+    // without cutting lineage each consumer would re-run the stored-index
+    // probe (bucket semi-join + cap + candidate join) from scratch.
+    val vsCorpus = graft.operators.Checkpoints.materialize(
+      graft.operators.MinHashIndex.dedupBatch(store, indexName,
+        decontaminated, idCol, textCol, config.dedupJaccard,
+        maxBucket = config.dedupMaxBucket))
     val nVsCorpus = n(vsCorpus)
 
     // 5b. batch-internal dedup: the batch-local pass over the survivors
@@ -192,6 +202,7 @@ object CorpusPipeline {
     // survivors join the index so the NEXT batch dedups against them
     graft.operators.MinHashIndex.append(store, indexName, curated, idCol, textCol)
     graft.operators.Checkpoints.release(decontaminated)
+    graft.operators.Checkpoints.release(vsCorpus)
 
     (curated,
       IncrementReport(input, nLang, nQuality, nDecon, nVsCorpus, nFinal))

@@ -122,11 +122,8 @@ object IvfPq {
     * not members, exactly like the coarse centroids). Returns vectors
     * removed. */
   def delete(store: ParquetTableStore, name: String, ids: DataFrame,
-             idCol: String): Long = {
-    val key = ids.select(col(idCol).as("id")).distinct()
-    store.deletePartitioned(s"${name}_pq_codes", key, Seq("id"), "seg")
-    IvfIndex.delete(store, name, ids, idCol)
-  }
+             idCol: String): Long =
+    IvfSq.deleteWithCodes(store, name, "_pq_codes", ids, idCol)
 
   /** [[IvfIndex.verifyFresh]] plus the codes≡cells id-population parity
     * attest — see [[IvfSq.verifyFresh]] for the failure modes this
@@ -142,15 +139,8 @@ object IvfPq {
     * staged-swap compaction as [[IvfSq.compactCodeSegments]]; probe
     * results unchanged, appends continue after. Returns (segments
     * before, code rows). */
-  def compactCodeSegments(store: ParquetTableStore, name: String): (Long, Long) = {
-    val codes = store.read(s"${name}_pq_codes").getOrElse(
-      sys.error(s"IVF-PQ index '$name' has no codes table — not built?"))
-    val segs = codes.select(col("seg")).distinct().count()
-    val rows = codes.count()
-    store.replacePartitioned(s"${name}_pq_codes",
-      codes.drop("seg").withColumn("seg", lit(0L)), Seq("seg"))
-    (segs, rows)
-  }
+  def compactCodeSegments(store: ParquetTableStore, name: String): (Long, Long) =
+    IvfSq.compactCodes(store, name, "_pq_codes", "IVF-PQ")
 
   /** Top-k via coarse probe → compressed ADC scan → bounded exact
     * refine. Output: (query_id, rank, neighbor_id, score·4dp), scores

@@ -86,7 +86,14 @@ object IvfSq {
     * always code-visible too, but a boundary-sitting vector can move
     * cells on a sub-quantization change, and deleting only the
     * code-changed set would then trip the moved-cell guard), then
-    * append. Replays no-op: the second delivery changes nothing. */
+    * append. Replays no-op: the second delivery changes nothing.
+    *
+    * Known (accepted) cost: the batch is SQ-encoded and cell-assigned
+    * here for change detection and AGAIN inside [[append]] — both are
+    * narrow per-batch codegen passes, small next to the stored-table
+    * joins and partition merges that dominate the path; fuse into a
+    * precomputed-frames append variant only if profiling ever says
+    * otherwise. */
   def upsertVectors(store: ParquetTableStore, name: String, batch: DataFrame,
                     idCol: String, vecCol: String, batchId: Long): Unit = {
     val stored = store.read(s"${name}_sq_codes").getOrElse(
@@ -116,9 +123,16 @@ object IvfSq {
     * fingerprint ≠ the post-delete corpus, so [[verifyFresh]] fails
     * loudly; re-running converges. Returns vectors removed. */
   def delete(store: ParquetTableStore, name: String, ids: DataFrame,
-             idCol: String): Long = {
+             idCol: String): Long =
+    deleteWithCodes(store, name, "_sq_codes", ids, idCol)
+
+  /** Shared codes-then-cells delete for the compressed variants (the
+    * fingerprint rewrite happens LAST, inside [[IvfIndex.delete]]). */
+  private[operators] def deleteWithCodes(store: ParquetTableStore,
+      name: String, codesSuffix: String, ids: DataFrame,
+      idCol: String): Long = {
     val key = ids.select(col(idCol).as("id")).distinct()
-    store.deletePartitioned(s"${name}_sq_codes", key, Seq("id"), "seg")
+    store.deletePartitioned(s"$name$codesSuffix", key, Seq("id"), "seg")
     IvfIndex.delete(store, name, ids, idCol)
   }
 
@@ -161,12 +175,17 @@ object IvfSq {
     * segment-agnostic; only their directory layout moves), and appends
     * continue afterwards (the next batch writes its own fresh segment).
     * Returns (segments before, code rows). */
-  def compactCodeSegments(store: ParquetTableStore, name: String): (Long, Long) = {
-    val codes = store.read(s"${name}_sq_codes").getOrElse(
-      sys.error(s"IVF-SQ index '$name' has no codes table — not built?"))
+  def compactCodeSegments(store: ParquetTableStore, name: String): (Long, Long) =
+    compactCodes(store, name, "_sq_codes", "IVF-SQ")
+
+  /** Shared code-segment compaction for the compressed variants. */
+  private[operators] def compactCodes(store: ParquetTableStore, name: String,
+      codesSuffix: String, label: String): (Long, Long) = {
+    val codes = store.read(s"$name$codesSuffix").getOrElse(
+      sys.error(s"$label index '$name' has no codes table — not built?"))
     val segs = codes.select(col("seg")).distinct().count()
     val rows = codes.count()
-    store.replacePartitioned(s"${name}_sq_codes",
+    store.replacePartitioned(s"$name$codesSuffix",
       codes.drop("seg").withColumn("seg", lit(0L)), Seq("seg"))
     (segs, rows)
   }

@@ -180,10 +180,14 @@ object Multimodal {
           // and buffer churn amortize over the group, and a model-based
           // extractor would run its forward pass on exactly this slice
           batch.map { case (id, bytes) =>
-            val block = graft.plans.GrayBlock.decode(bytes)
+            // null payloads are features too (byte_len 0, undecodable) —
+            // a crawl row with a missing blob must not kill the task
+            val block =
+              if (bytes == null) null else graft.plans.GrayBlock.decode(bytes)
             val decodable = block != null
             val lumaMean = if (decodable) block.sum.toLong / 64 else -1L
-            (id, bytes.length.toLong, decodable, lumaMean)
+            (id, if (bytes == null) 0L else bytes.length.toLong, decodable,
+              lumaMean)
           }
         }
       }

@@ -325,6 +325,15 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
     val cond = keys.map(k => current(k) <=> renamed(s"__d_$k")).reduce(_ && _)
     val removed = current.join(renamed, cond, "left_semi").count()
     if (removed == 0L) return 0L
+    // Refuse a delete of EVERY row: the zero-row result would be written
+    // as a parquet dir with no data files (schema gone — every later read
+    // fails inference), permanently wedging state that callers like the
+    // index family recover from by RE-RUNNING the delete. Emptying a
+    // table is a drop/rebuild decision, not a row delete.
+    if (removed == current.count()) sys.error(
+      s"delete('$name') matches every row — an emptied parquet table loses " +
+        "its schema and becomes unreadable. Drop or rebuild the table " +
+        "instead of deleting all rows.")
     if (canRowLevelDelete(current.schema)) {
       val fq = ensureV2Table(name, current.schema)
       // stage the key frame (deterministic source — same rationale as
@@ -368,7 +377,17 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
     recoverPartitionBackups(name, dst)
     val f = fs(dst)
     require(f.exists(dst), s"cannot delete from missing table $name")
-    val current = spark.read.parquet(dst.toString)
+    // Partition-value TYPE INFERENCE OFF for this read: the swap below
+    // reconstructs each touched directory name from the collected value,
+    // and inference is not faithful to the directory string (a StringType
+    // partition written as "01" re-infers as integer 1 — the
+    // reconstructed dir p=1 would not match the live dir p=01, so the
+    // matched rows would silently survive next to a duplicate partition).
+    // With inference off the value IS the unescaped directory string;
+    // escapePathName round-trips it exactly, for the staged write too.
+    val current = withPartitionStringValues {
+      spark.read.parquet(dst.toString)
+    }
     val keyFrame = matches.select(keys.map(col): _*).distinct()
     val renamed = keyFrame.toDF(keys.map(k => s"__d_$k"): _*)
     val cond = keys.map(k => current(k) <=> renamed(s"__d_$k")).reduce(_ && _)
@@ -384,6 +403,15 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
     val removed = hits.map(_.getLong(1)).sum
     val affected = current.filter(current(partitionCol).isin(parts.toSeq: _*))
     val kept = affected.join(renamed, cond, "left_anti")
+    // Refuse to empty the whole table (same rationale as delete()): if
+    // the touched set covers every live partition and no row survives,
+    // the result would be a data-less dir every later read fails on.
+    val livePartitions = f.listStatus(dst)
+      .count(s => s.isDirectory && s.getPath.getName.contains("="))
+    if (parts.length == livePartitions && kept.isEmpty) sys.error(
+      s"deletePartitioned('$name') would remove every row of every " +
+        "partition — an emptied parquet table loses its schema and becomes " +
+        "unreadable. Drop or rebuild the table instead.")
     // Stage the surviving rows of the touched partitions, then swap each
     // touched partition dir — the upsertPartitioned publish protocol. A
     // partition absent from the stage lost ALL its rows: its live dir is
@@ -564,6 +592,20 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
     }
     val post = spark.read.parquet(dst.toString)
     post.filter(post(partitionCol).isin(parts: _*)).count()
+  }
+
+  /** Run `body` with partition-column type inference disabled (values
+    * come back as the raw directory strings), restoring the previous
+    * setting afterwards — see [[deletePartitioned]]. */
+  private def withPartitionStringValues[T](body: => T): T = {
+    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   def compact(name: String, targetFiles: Int = 1): (Int, Int) = {

@@ -64,6 +64,8 @@ object GrayBlock {
   /** 64 row-major 8×8 block means, or null if the payload does not
     * decode to an image of at least 8×8. */
   def decode(bytes: Array[Byte]): Array[Int] = {
+    if (bytes == null) return null // direct callers; the expression path
+                                   // already null-guards via nullSafeEval
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       catch { case _: java.io.IOException => null }

@@ -120,6 +120,14 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(_._2) == Seq(flat.length.toLong, split.length.toLong, 12L))
   }
 
+  test("batchedFeatures treats a NULL payload as a feature row, not a task failure") {
+    val rows = Seq((1L, Some("bytes".getBytes("UTF-8"))), (2L, None))
+      .toDF("id", "payload")
+    val out = Multimodal.batchedFeatures(rows, "id", "payload")
+      .orderBy("id").as[(Long, Long, Boolean, Long)].collect().toSeq
+    assert(out(1) == ((2L, 0L, false, -1L)), s"null payload row wrong: ${out(1)}")
+  }
+
   // ---------------------------------------------------- pixel-path aHash
 
   private def grayImage(w: Int, h: Int, v: (Int, Int) => Int) = {

@@ -102,6 +102,54 @@ class StoreDeleteSpec extends SparkSpec {
     assert(store.read("t").get.count() == 18)
   }
 
+  test("deletePartitioned is faithful to string partition directory names (no type re-inference)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_delstr").toString
+    val store = new ParquetTableStore(spark, wh)
+    // "01" re-infers as integer 1 under partition type inference — the
+    // reconstructed dir p=1 would not match the live dir p=01
+    val rows = Seq((1L, "01"), (2L, "01"), (3L, "1"), (4L, "2"))
+      .toDF("id", "p")
+    store.replacePartitioned("t", rows, Seq("p"))
+    assert(new java.io.File(s"${store.path("t")}/p=01").exists())
+    val removed = store.deletePartitioned("t", Seq(1L).toDF("id"), Seq("id"), "p")
+    assert(removed == 1L)
+    val left = store.read("t").get.select("id").as[Long].collect().sorted.toSeq
+    assert(left == Seq(2L, 3L, 4L), s"rows after delete: $left")
+    // the p=01 dir was rewritten in place, not duplicated as p=1's
+    // sibling (assert on the DIRECTORIES: a normal read's type inference
+    // conflates "01" and "1" into one value, which is exactly why the
+    // swap must reconstruct names inference-free)
+    assert(new java.io.File(s"${store.path("t")}/p=01").exists())
+    assert(spark.read.parquet(s"${store.path("t")}/p=01")
+      .select("id").as[Long].collect().toSeq == Seq(2L),
+      "p=01 must hold exactly the surviving row")
+    assert(spark.read.parquet(s"${store.path("t")}/p=1")
+      .select("id").as[Long].collect().toSeq == Seq(3L),
+      "p=1 must be untouched")
+  }
+
+  test("deleting every row is refused loudly; the table stays intact") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_delall").toString
+    val store = new ParquetTableStore(spark, wh)
+    store.replace("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val e = intercept[RuntimeException] {
+      store.delete("t", Seq(1L, 2L).toDF("id"), Seq("id"))
+    }
+    assert(e.getMessage.contains("every row"), e.getMessage)
+    assert(store.read("t").get.count() == 2L, "refused delete must not touch data")
+
+    store.replacePartitioned("tp",
+      Seq((1L, 0L), (2L, 1L)).toDF("id", "seg"), Seq("seg"))
+    val e2 = intercept[RuntimeException] {
+      store.deletePartitioned("tp", Seq(1L, 2L).toDF("id"), Seq("id"), "seg")
+    }
+    assert(e2.getMessage.contains("every row"), e2.getMessage)
+    assert(store.read("tp").get.count() == 2L)
+    // emptying SOME partitions while others survive is still fine
+    assert(store.deletePartitioned("tp", Seq(2L).toDF("id"), Seq("id"), "seg") == 1L)
+    assert(store.read("tp").get.count() == 1L)
+  }
+
   test("a single delete call is safe when the match frame reads the table being deleted") {
     val wh = java.nio.file.Files.createTempDirectory("graft_delself").toString
     val store = new ParquetTableStore(spark, wh)
