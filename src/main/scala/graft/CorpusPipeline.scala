@@ -92,6 +92,10 @@ object CorpusPipeline {
     val decontaminated = graft.operators.Checkpoints.materialize(
       Decontaminate.clean(scrubbed, evalDocs, idCol, textCol, config.decontaminateN))
     val nDecon = n(decontaminated)
+    // the quality checkpoint's consumers are done (its lineage ends in
+    // the now-materialized decontaminated frame) — release its blocks
+    // rather than holding them until ContextCleaner GC (ADVICE r10)
+    if (report) graft.operators.Checkpoints.release(afterQuality)
 
     // 5. near-dup dedup: candidates → exact verify → components → keep rep
     val pairs = Similarity.scoreCandidatesJaccard(
@@ -203,6 +207,10 @@ object CorpusPipeline {
     graft.operators.MinHashIndex.append(store, indexName, curated, idCol, textCol)
     graft.operators.Checkpoints.release(decontaminated)
     graft.operators.Checkpoints.release(vsCorpus)
+    // report-mode quality checkpoint too (ADVICE r10): repeated per-batch
+    // calls would otherwise accumulate executor block storage until the
+    // ContextCleaner eventually GCs the orphaned localCheckpoint RDDs
+    if (report) graft.operators.Checkpoints.release(qualityFiltered)
 
     (curated,
       IncrementReport(input, nLang, nQuality, nDecon, nVsCorpus, nFinal))

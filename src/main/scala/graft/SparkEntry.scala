@@ -3274,11 +3274,16 @@ object SparkEntry {
     val rPq = recall(sets(graft.operators.IvfPq.probe(store, "pq",
       queries, "vec_id", "embedding", dim = 64, topK = 10, m = 8, ksub = 16,
       nProbe = 8, shortlist = 32)))
+    // ordering tolerance 0.02 (ADVICE r10): ivf >= sq is empirical on a
+    // fixture, not structural — SQ's quantized shortlist can legitimately
+    // admit a ground-truth neighbor the float scan's top-10 over the same
+    // probed pool excludes, so an innocuous fixture or quantizer change
+    // must not flip this gate; the floors remain the hard contract
     val floors = Map("ivf" -> 0.60, "ivf_sq" -> 0.60, "ivf_pq" -> 0.35)
     Seq(
-      ("ivf", floors("ivf"), rIvf >= floors("ivf"), rIvf >= rSq - 1e-9),
-      ("ivf_pq", floors("ivf_pq"), rPq >= floors("ivf_pq"), rSq >= rPq - 1e-9),
-      ("ivf_sq", floors("ivf_sq"), rSq >= floors("ivf_sq"), rIvf >= rSq - 1e-9)
+      ("ivf", floors("ivf"), rIvf >= floors("ivf"), rIvf >= rSq - 0.02),
+      ("ivf_pq", floors("ivf_pq"), rPq >= floors("ivf_pq"), rSq >= rPq - 0.02),
+      ("ivf_sq", floors("ivf_sq"), rSq >= floors("ivf_sq"), rIvf >= rSq - 0.02)
     ).toDF("variant", "floor", "meets_floor", "compression_ordered")
       .orderBy(col("variant"))
   }

@@ -108,7 +108,10 @@ object Bm25Index {
     val stored = store.read(s"${name}_docs").getOrElse(
       sys.error(s"BM25 index '$name' has no docs table — not built?"))
     val (stats, docRows) = statsOf(batch, idCol, textCol)
-    val prior = stored.select(col("id"), col("text_hash").as("old_hash"))
+    // doc-sized guard, now also id-span-pruned ([[KeyPrune]]): an
+    // all-new-ids batch skips the stored docs scan via row-group stats
+    val prior = KeyPrune.toKeySpan(stored, "id", docRows, "id")
+      .select(col("id"), col("text_hash").as("old_hash"))
       .join(broadcast(docRows.select(col("id"), col("text_hash"))), Seq("id"))
     val changed = prior.filter(col("old_hash") =!= col("text_hash"))
       .limit(5).collect()
@@ -152,11 +155,19 @@ object Bm25Index {
     * number of docs removed. `ids`: one column named `idCol`. */
   def delete(store: ParquetTableStore, name: String, ids: DataFrame,
              idCol: String): Long = {
-    val key = ids.select(col(idCol).as("id")).distinct()
-    store.deletePartitioned(s"${name}_postings", key, Seq("id"), "seg")
-    val removed = store.delete(s"${name}_docs", key, Seq("id"))
-    writeMeta(store, name)
-    removed
+    // materialized ONCE before the first rewrite (ADVICE r10): an ids
+    // frame whose plan reads one of this index's own tables would
+    // otherwise lazily re-list files the postings delete already
+    // replaced when the docs delete re-evaluates it — the store's
+    // cross-call contract, enforced here instead of left to callers
+    val key = Checkpoints.materialize(
+      ids.select(col(idCol).as("id")).distinct())
+    try {
+      store.deletePartitioned(s"${name}_postings", key, Seq("id"), "seg")
+      val removed = store.delete(s"${name}_docs", key, Seq("id"))
+      writeMeta(store, name)
+      removed
+    } finally Checkpoints.release(key)
   }
 
   /** The in-place document edit recipe, composed: delete the batch's
@@ -173,7 +184,10 @@ object Bm25Index {
                  idCol: String, textCol: String, batchId: Long): Unit = {
     val stored = store.read(s"${name}_docs").getOrElse(
       sys.error(s"BM25 index '$name' has no docs table — not built?"))
-    val changed = stored.select(col("id"), col("text_hash").as("old_hash"))
+    // id-span-pruned like [[append]]'s guard — change detection reads
+    // only the row groups the batch's id span overlaps
+    val changed = KeyPrune.toKeySpan(stored, "id", batch, idCol)
+      .select(col("id"), col("text_hash").as("old_hash"))
       .join(broadcast(batch.select(col(idCol).as("id"),
         xxhash64(col(textCol)).as("new_hash"))), Seq("id"))
       .filter(col("old_hash") =!= col("new_hash"))

@@ -82,7 +82,11 @@ object IvfIndex {
     // live path deletes first and commits per partition, and the
     // fingerprint cannot distinguish "old corpus, half-written cells"
     // from a completed build over the old corpus
-    store.replacePartitioned(s"${name}_cells", assigned, Seq("cell"))
+    // id-sorted within write tasks: tight row-group id stats let the
+    // append guard's id-span predicate ([[KeyPrune]]) prune the cells
+    // scan instead of reading every member row
+    store.replacePartitioned(s"${name}_cells",
+      assigned.sortWithinPartitions(col("id")), Seq("cell"))
     // build-time occupancy snapshot for checkHealth — computed from the
     // STORED cells table (partition-column-only scan) so it can never
     // disagree with what was actually written
@@ -188,7 +192,10 @@ object IvfIndex {
       sys.error(s"IVF index '$name' has no cells table — not built?"))
     val assigned = Checkpoints.materialize(assignToCells(
       batch.select(col(idCol).as("id"), col(vecCol).as("v")), centroids))
-    val moved = stored.select(col("id"), col("cell").as("old_cell"))
+    // guard scan id-span-pruned ([[KeyPrune]]): an all-new-ids batch
+    // skips the stored cells table entirely via row-group id stats
+    val moved = KeyPrune.toKeySpan(stored, "id", assigned, "id")
+      .select(col("id"), col("cell").as("old_cell"))
       .join(broadcast(assigned.select(col("id"), col("cell"))), Seq("id"))
       .filter(col("old_cell") =!= col("cell"))
       .limit(5).collect()
@@ -203,7 +210,8 @@ object IvfIndex {
     val nCells = store.read(s"${name}_meta").getOrElse(
       sys.error(s"IVF index '$name' has no meta table — not built?"))
       .select("n_cells").head().getInt(0)
-    store.upsertPartitioned(s"${name}_cells", assigned, Seq("id"), "cell")
+    store.upsertPartitioned(s"${name}_cells", assigned, Seq("id"), "cell",
+      countAfter = false)
     writeMeta(store, name, nCells)
     Checkpoints.release(assigned)
   }
@@ -240,7 +248,10 @@ object IvfIndex {
       sys.error(s"IVF index '$name' has no cells table — not built?"))
     val assigned = assignToCells(
       batch.select(col(idCol).as("id"), col(vecCol).as("v")), centroids)
-    stored.select(col("id"), col("cell").as("_old_cell"))
+    // span from the raw batch ids (no assignment pass needed for it);
+    // the stored cells scan prunes to the batch's id span — see KeyPrune
+    KeyPrune.toKeySpan(stored, "id", batch, idCol)
+      .select(col("id"), col("cell").as("_old_cell"))
       .join(broadcast(assigned.select(col("id"), col("cell"))), Seq("id"))
       .filter(col("_old_cell") =!= col("cell"))
       .select(col("id"))

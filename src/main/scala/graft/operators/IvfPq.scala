@@ -38,10 +38,12 @@ object IvfPq {
       iterations)
     store.replace(s"${name}_pq_codebook", codebook)
     // codes are segment-partitioned (seg 0 = the build) so appends can
-    // write only their own segment — see [[append]]
+    // write only their own segment — see [[append]]; id-sorted within
+    // write tasks so the append guard's id-span predicate prunes at the
+    // row-group level (see [[IvfSq.build]] / [[KeyPrune]])
     store.replacePartitioned(s"${name}_pq_codes",
       ProductQuantizer.encode(corpus, idCol, vecCol, dim, codebook, m)
-        .withColumn("seg", lit(0L)),
+        .withColumn("seg", lit(0L)).sortWithinPartitions(col("id")),
       Seq("seg"))
     IvfIndex.build(store, name, corpus, idCol, vecCol, nCells, iterations)
   }
@@ -67,26 +69,37 @@ object IvfPq {
       sys.error(s"IVF-PQ index '$name' has no codes table — not built?"))
     val freshAll = ProductQuantizer.encode(batch, idCol, vecCol, dim, codebook, m)
     // Changed-CODE guard — see IvfSq.append: a same-cell vector edit
-    // slips past the moved-cell guard and the id anti-join would keep
+    // slips past the moved-cell guard and the new-id filter would keep
     // its stale PQ codes steering the ADC shortlist. Code-invisible
     // changes are harmless (same codes = same ADC scores; refine reads
-    // the updated stored vectors).
-    val changed = stored.select(col("id"), col("codes").as("_oc"))
-      .join(broadcast(freshAll), Seq("id"))
-      .filter(col("_oc") =!= col("codes"))
+    // the updated stored vectors). Cost shape mirrors IvfSq.append's:
+    // id-span-pruned stored side, one materialized batch-sized left
+    // join feeding both the guard and the new-id filter — O(batch), not
+    // O(corpus-codes).
+    val storedSpan = KeyPrune.toKeySpan(stored, "id", batch, idCol)
+      .select(col("id"), col("codes").as("_oc"))
+    val annotated = Checkpoints.materialize(
+      freshAll.join(storedSpan, Seq("id"), "left"))
+    val changed = annotated
+      .filter(col("_oc").isNotNull && col("_oc") =!= col("codes"))
       .limit(5).collect()
-    if (changed.nonEmpty) sys.error(
-      s"IVF-PQ index '$name': batch re-delivers id(s) " +
-        changed.map(_.get(0)).mkString(", ") +
-        " with a CHANGED vector that encodes to different codes — an " +
-        "id-keyed append cannot update them (stale codes would keep " +
-        "steering the ADC shortlist). Use upsertVectors (delete + " +
-        "append), delete the ids first, or rebuild.")
-    val fresh = freshAll.join(stored.select(col("id")), Seq("id"), "left_anti")
+    if (changed.nonEmpty) {
+      Checkpoints.release(annotated)
+      sys.error(
+        s"IVF-PQ index '$name': batch re-delivers id(s) " +
+          changed.map(_.get(0)).mkString(", ") +
+          " with a CHANGED vector that encodes to different codes — an " +
+          "id-keyed append cannot update them (stale codes would keep " +
+          "steering the ADC shortlist). Use upsertVectors (delete + " +
+          "append), delete the ids first, or rebuild.")
+    }
+    val fresh = annotated.filter(col("_oc").isNull).drop("_oc")
     if (!fresh.isEmpty)
       store.upsertPartitioned(s"${name}_pq_codes",
-        fresh.withColumn("seg", lit(batchId)), Seq("id"), "seg")
+        fresh.withColumn("seg", lit(batchId)).sortWithinPartitions(col("id")),
+        Seq("id"), "seg", countAfter = false)
     IvfIndex.append(store, name, batch, idCol, vecCol)
+    Checkpoints.release(annotated)
   }
 
   /** In-place vector update recipe for the PQ variant — delete the ids
@@ -101,7 +114,9 @@ object IvfPq {
     val stored = store.read(s"${name}_pq_codes").getOrElse(
       sys.error(s"IVF-PQ index '$name' has no codes table — not built?"))
     val freshAll = ProductQuantizer.encode(batch, idCol, vecCol, dim, codebook, m)
-    val changedCodes = stored.select(col("id"), col("codes").as("_oc"))
+    // id-span-pruned like [[append]]'s guard — see IvfSq.upsertVectors
+    val changedCodes = KeyPrune.toKeySpan(stored, "id", batch, idCol)
+      .select(col("id"), col("codes").as("_oc"))
       .join(broadcast(freshAll), Seq("id"))
       .filter(col("_oc") =!= col("codes"))
       .select(col("id"))

@@ -108,11 +108,18 @@ object MinHashIndex {
     * license revocation. Returns docs removed. */
   def delete(store: ParquetTableStore, name: String, ids: DataFrame,
              idCol: String): Long = {
-    val key = ids.select(col(idCol).as("id")).distinct()
-    store.delete(s"${name}_buckets", key, Seq("id"))
-    val removed = store.delete(s"${name}_sigs", key, Seq("id"))
-    writeMeta(store, name)
-    removed
+    // materialized ONCE before the first rewrite (ADVICE r10): an ids
+    // frame whose plan reads this index's own tables would otherwise
+    // lazily re-list files the buckets delete already replaced when the
+    // sigs delete re-evaluates it
+    val key = Checkpoints.materialize(
+      ids.select(col(idCol).as("id")).distinct())
+    try {
+      store.delete(s"${name}_buckets", key, Seq("id"))
+      val removed = store.delete(s"${name}_sigs", key, Seq("id"))
+      writeMeta(store, name)
+      removed
+    } finally Checkpoints.release(key)
   }
 
   /** Fail loudly if `corpus` no longer matches what the index was built

@@ -323,14 +323,23 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
     val keyFrame = matches.select(keys.map(col): _*).distinct()
     val renamed = keyFrame.toDF(keys.map(k => s"__d_$k"): _*)
     val cond = keys.map(k => current(k) <=> renamed(s"__d_$k")).reduce(_ && _)
-    val removed = current.join(renamed, cond, "left_semi").count()
+    // (total, matched) in ONE pass (ADVICE r10): keyFrame is distinct and
+    // the join is full-key null-safe equality, so each table row matches
+    // at most one key row — the left join preserves row count, and the
+    // non-null hit marker counts the matches. Two separate count jobs
+    // here made even a 2-key delete pay two full table scans.
+    val marked = renamed.withColumn("__d_hit", lit(true))
+    val stats = current.join(marked, cond, "left")
+      .agg(count(lit(1)), count(col("__d_hit"))).head()
+    val total = stats.getLong(0)
+    val removed = stats.getLong(1)
     if (removed == 0L) return 0L
     // Refuse a delete of EVERY row: the zero-row result would be written
     // as a parquet dir with no data files (schema gone — every later read
     // fails inference), permanently wedging state that callers like the
     // index family recover from by RE-RUNNING the delete. Emptying a
     // table is a drop/rebuild decision, not a row delete.
-    if (removed == current.count()) sys.error(
+    if (removed == total) sys.error(
       s"delete('$name') matches every row — an emptied parquet table loses " +
         "its schema and becomes unreadable. Drop or rebuild the table " +
         "instead of deleting all rows.")
@@ -377,17 +386,25 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
     recoverPartitionBackups(name, dst)
     val f = fs(dst)
     require(f.exists(dst), s"cannot delete from missing table $name")
-    // Partition-value TYPE INFERENCE OFF for this read: the swap below
-    // reconstructs each touched directory name from the collected value,
-    // and inference is not faithful to the directory string (a StringType
-    // partition written as "01" re-infers as integer 1 — the
-    // reconstructed dir p=1 would not match the live dir p=01, so the
-    // matched rows would silently survive next to a duplicate partition).
-    // With inference off the value IS the unescaped directory string;
-    // escapePathName round-trips it exactly, for the staged write too.
-    val current = withPartitionStringValues {
-      spark.read.parquet(dst.toString)
-    }
+    // Partition values read as their raw directory STRINGS for this
+    // pipeline: the swap below reconstructs each touched directory name
+    // from the collected value, and type inference is not faithful to the
+    // directory string (a StringType partition written as "01" re-infers
+    // as integer 1 — the reconstructed dir p=1 would not match the live
+    // dir p=01, so the matched rows would silently survive next to a
+    // duplicate partition). Inference is bypassed with a USER-SPECIFIED
+    // schema pinning the partition column to string (Spark takes
+    // partition-column types from the user schema, skipping inference and
+    // leaving the value = the unescaped directory string, which
+    // escapePathName round-trips exactly — for the staged write too).
+    // Scoped to this one read: no session conf is toggled, so concurrent
+    // reads of partitioned tables on the same session are unaffected
+    // (ADVICE r10 — the previous session-global inference toggle leaked
+    // string-typed partition values into any read in its window).
+    val inferredSchema = spark.read.parquet(dst.toString).schema
+    val stringPartSchema = StructType(inferredSchema.map(f =>
+      if (f.name == partitionCol) f.copy(dataType = StringType) else f))
+    val current = spark.read.schema(stringPartSchema).parquet(dst.toString)
     val keyFrame = matches.select(keys.map(col): _*).distinct()
     val renamed = keyFrame.toDF(keys.map(k => s"__d_$k"): _*)
     val cond = keys.map(k => current(k) <=> renamed(s"__d_$k")).reduce(_ && _)
@@ -540,7 +557,15 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
   }
 
   def upsertPartitioned(name: String, updates: DataFrame, keys: Seq[String],
-                        partitionCol: String): Long = {
+                        partitionCol: String): Long =
+    upsertPartitioned(name, updates, keys, partitionCol, countAfter = true)
+
+  /** As [[upsertPartitioned]]; `countAfter = false` skips the post-merge
+    * touched-partition row count (an extra O(batch) read per call) and
+    * returns -1 — the index family's append paths call this per ingest
+    * batch and never read the count. */
+  def upsertPartitioned(name: String, updates: DataFrame, keys: Seq[String],
+                        partitionCol: String, countAfter: Boolean): Long = {
     val dst = new Path(path(name))
     val parts = updates.select(updates(partitionCol)).distinct().collect().map(_.get(0))
     if (parts.contains(null)) throw new IllegalArgumentException(
@@ -590,22 +615,10 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
       f.delete(tmp, true)
       f.delete(backupRoot, true)
     }
-    val post = spark.read.parquet(dst.toString)
-    post.filter(post(partitionCol).isin(parts: _*)).count()
-  }
-
-  /** Run `body` with partition-column type inference disabled (values
-    * come back as the raw directory strings), restoring the previous
-    * setting afterwards — see [[deletePartitioned]]. */
-  private def withPartitionStringValues[T](body: => T): T = {
-    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
+    if (countAfter) {
+      val post = spark.read.parquet(dst.toString)
+      post.filter(post(partitionCol).isin(parts: _*)).count()
+    } else -1L
   }
 
   def compact(name: String, targetFiles: Int = 1): (Int, Int) = {

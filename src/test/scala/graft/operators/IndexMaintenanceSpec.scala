@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The maintenance decision rule (VERDICT r10 item 4): segment growth
+  * triggers compaction exactly once, planted drift returns
+  * retrain=true, a stationary index no-ops, and probe results are
+  * bit-identical through maintenance. */
+class IndexMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ring(ids: Range, denom: Int, dim: Int = 8) = ids.map { i =>
+    val th = 2 * math.Pi * (i % denom) / denom
+    (i.toLong, (Array(math.cos(th).toFloat, math.sin(th).toFloat) ++
+      Array.fill(dim - 2)(0.0f)).toSeq)
+  }.toDF("id", "v")
+
+  private def probeRows(store: ParquetTableStore): Seq[Row3] = {
+    val qs = ring(500 until 504, 64)
+      .select((col("id") + 1000L).as("id"), col("v"))
+    IvfSq.probe(store, "ix", qs, "id", "v", topK = 3, nProbe = 8)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+      .map { case (q, r, n) => Row3(q, r, n) }
+  }
+  case class Row3(q: Long, r: Long, n: Long)
+
+  test("IVF-SQ: segment growth compacts exactly once, stationary no-ops, drift recommends retrain, probes bit-identical") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_maint_sq").toString
+    val store = new ParquetTableStore(spark, wh)
+    IvfSq.build(store, "ix", ring(0 until 64, 64), "id", "v",
+      nCells = 8, iterations = 3)
+    (1 to 5).foreach { b =>
+      IvfSq.append(store, "ix", ring(64 + 16 * (b - 1) until 64 + 16 * b, 64),
+        "id", "v", batchId = b.toLong)
+    }
+    val before = probeRows(store)
+
+    // 6 segments (build + 5 appends) > maxSegments=4 → compact NOW
+    val first = IndexMaintenance.maintain(store, "ix", "ivf-sq", maxSegments = 4)
+    assert(first.compacted && first.segmentsBefore == 6L &&
+      first.segmentsAfter == 1L, first.toString)
+    assert(!first.retrainRecommended,
+      s"stationary ring appends must not recommend retrain: ${first.psi}")
+    assert(probeRows(store) == before,
+      "probe results must be bit-identical through compaction")
+
+    // exactly once: the next pass finds 1 segment and no-ops
+    val second = IndexMaintenance.maintain(store, "ix", "ivf-sq", maxSegments = 4)
+    assert(!second.compacted && second.segmentsBefore == 1L &&
+      second.segmentsAfter == 1L, second.toString)
+    assert(probeRows(store) == before)
+
+    // planted shift: a pile-up at one angle must flip the recommendation
+    val shifted = (200 until 392).map { i =>
+      (i.toLong, (Array(1.0f, 0.0f) ++ Array.fill(6)(0.0f)).toSeq)
+    }.toDF("id", "v")
+    IvfSq.append(store, "ix", shifted, "id", "v", batchId = 9L)
+    val drifted = IndexMaintenance.maintain(store, "ix", "ivf-sq", maxSegments = 4)
+    assert(drifted.retrainRecommended && drifted.psi > 0.25, drifted.toString)
+    assert(!drifted.compacted, "2 segments must not re-trigger compaction")
+  }
+
+  test("BM25: segment threshold compacts once, search results bit-identical") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_maint_bm").toString
+    val store = new ParquetTableStore(spark, wh)
+    val docs = (0 until 30).map(i =>
+      (i.toLong, s"alpha beta doc$i " + ("gamma " * (i % 5)))).toDF("doc_id", "text")
+    Bm25Index.build(store, "bx", docs.filter(col("doc_id") < 10), "doc_id", "text")
+    (1 to 2).foreach { b =>
+      Bm25Index.append(store, "bx",
+        docs.filter(col("doc_id") >= 10 * b && col("doc_id") < 10 * (b + 1)),
+        "doc_id", "text", batchId = b.toLong)
+    }
+    val qs = Seq((1L, "alpha"), (1L, "gamma"), (2L, "beta")).toDF("query_id", "term")
+    def res(): Seq[(Long, Long, Double)] =
+      Bm25Index.search(store, "bx", qs, topK = 5)
+        .select(col("query_id"), col("doc_id"), col("score"))
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+    val before = res()
+    val first = IndexMaintenance.maintain(store, "bx", "bm25", maxSegments = 2)
+    assert(first.compacted && first.segmentsBefore == 3L &&
+      first.segmentsAfter == 1L, first.toString)
+    assert(res() == before, "search must be bit-identical through compaction")
+    val second = IndexMaintenance.maintain(store, "bx", "bm25", maxSegments = 2)
+    assert(!second.compacted && second.segmentsBefore == 1L, second.toString)
+    assert(res() == before)
+  }
+
+  test("MinHash: healthy buckets stay quiet; a tiny cap flips the reshingle recommendation") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_maint_mh").toString
+    val store = new ParquetTableStore(spark, wh)
+    val docs = (0 until 20).map(i =>
+      (i.toLong, s"unique document number $i with its own words w$i x$i y$i"))
+      .toDF("doc_id", "text")
+    MinHashIndex.build(store, "mx", docs, "doc_id", "text")
+    val ok = IndexMaintenance.maintain(store, "mx", "minhash",
+      maxBucket = 1000, maxOverCapShare = 0.05)
+    assert(!ok.reshingleRecommended && ok.overCapRowShare <= 0.05, ok.toString)
+    // cap=0 puts EVERY bucket membership over cap — the recommendation
+    // must flip (the planted boilerplate-flood reading)
+    val hot = IndexMaintenance.maintainMinHash(store, "mx",
+      maxBucket = 0, maxOverCapShare = 0.05)
+    assert(hot.reshingleRecommended && hot.overCapRowShare == 1.0, hot.toString)
+  }
+
+  test("unknown family fails loudly") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_maint_uf").toString
+    val store = new ParquetTableStore(spark, wh)
+    val e = intercept[RuntimeException] {
+      IndexMaintenance.maintain(store, "zz", "hnsw")
+    }
+    assert(e.getMessage.contains("unknown index family"), e.getMessage)
+  }
+}
