@@ -31,12 +31,14 @@ object IndexMaintenance {
 
   /** One maintenance pass's outcome. Fields not applicable to the
     * family carry -1 (`segmentsBefore`/`segmentsAfter`/`psi`/
-    * `overCapRowShare`) or false (the recommendation flags). */
+    * `overCapRowShare`/`cellFiles`) or false (the recommendation and
+    * compaction flags). */
   case class Report(index: String, family: String,
                     segmentsBefore: Long, compacted: Boolean,
                     segmentsAfter: Long,
                     psi: Double, retrainRecommended: Boolean,
-                    overCapRowShare: Double, reshingleRecommended: Boolean)
+                    overCapRowShare: Double, reshingleRecommended: Boolean,
+                    cellFiles: Long = -1L, cellsCompacted: Boolean = false)
 
   /** Dispatcher over the family tag ("ivf", "ivf-sq", "ivf-pq", "bm25",
     * "minhash") — the scheduled-job entry point. Thresholds: segment
@@ -48,37 +50,46 @@ object IndexMaintenance {
   def maintain(store: ParquetTableStore, name: String, family: String,
                maxSegments: Int = 16, psiThreshold: Double = 0.25,
                maxBucket: Int = 1000,
-               maxOverCapShare: Double = 0.05): Report = family match {
-    case "ivf"     => maintainIvf(store, name, psiThreshold)
-    case "ivf-sq"  => maintainIvfSq(store, name, maxSegments, psiThreshold)
-    case "ivf-pq"  => maintainIvfPq(store, name, maxSegments, psiThreshold)
+               maxOverCapShare: Double = 0.05,
+               maxCellFiles: Int = 64): Report = family match {
+    case "ivf"     => maintainIvf(store, name, psiThreshold, maxCellFiles)
+    case "ivf-sq"  => maintainIvfSq(store, name, maxSegments, psiThreshold, maxCellFiles)
+    case "ivf-pq"  => maintainIvfPq(store, name, maxSegments, psiThreshold, maxCellFiles)
     case "bm25"    => maintainBm25(store, name, maxSegments)
     case "minhash" => maintainMinHash(store, name, maxBucket, maxOverCapShare)
     case other => sys.error(
       s"unknown index family '$other' — one of ivf, ivf-sq, ivf-pq, bm25, minhash")
   }
 
-  /** Float IVF: no code segments to compact (cell partitions are merged
-    * in place per append, so layout tracks data size already) — the pass
-    * is the PSI read + retrain recommendation. */
+  /** Float IVF: no code segments, but [[IvfIndex.append]] adds files
+    * per ingest batch, so the pass compacts the CELLS table past the
+    * file threshold (probe-bit-identical by construction) and reads the
+    * PSI for the retrain recommendation. */
   def maintainIvf(store: ParquetTableStore, name: String,
-                  psiThreshold: Double = 0.25): Report = {
+                  psiThreshold: Double = 0.25,
+                  maxCellFiles: Int = 64): Report = {
+    val (files, didCompact) = maybeCompactCells(store, name, maxCellFiles)
     val h = IvfIndex.checkHealth(store, name, psiThreshold).head()
     Report(name, "ivf", -1L, compacted = false, -1L,
-      h.getDouble(0), h.getBoolean(3), -1.0, reshingleRecommended = false)
+      h.getDouble(0), h.getBoolean(3), -1.0, reshingleRecommended = false,
+      cellFiles = files, cellsCompacted = didCompact)
   }
 
   def maintainIvfSq(store: ParquetTableStore, name: String,
                     maxSegments: Int = 16,
-                    psiThreshold: Double = 0.25): Report =
+                    psiThreshold: Double = 0.25,
+                    maxCellFiles: Int = 64): Report =
     compressedIvf(store, name, "ivf-sq", "_sq_codes",
-      () => IvfSq.compactCodeSegments(store, name), maxSegments, psiThreshold)
+      () => IvfSq.compactCodeSegments(store, name), maxSegments,
+      psiThreshold, maxCellFiles)
 
   def maintainIvfPq(store: ParquetTableStore, name: String,
                     maxSegments: Int = 16,
-                    psiThreshold: Double = 0.25): Report =
+                    psiThreshold: Double = 0.25,
+                    maxCellFiles: Int = 64): Report =
     compressedIvf(store, name, "ivf-pq", "_pq_codes",
-      () => IvfPq.compactCodeSegments(store, name), maxSegments, psiThreshold)
+      () => IvfPq.compactCodeSegments(store, name), maxSegments,
+      psiThreshold, maxCellFiles)
 
   def maintainBm25(store: ParquetTableStore, name: String,
                    maxSegments: Int = 16): Report = {
@@ -101,13 +112,29 @@ object IndexMaintenance {
   private def compressedIvf(store: ParquetTableStore, name: String,
                             family: String, codesSuffix: String,
                             compactFn: () => (Long, Long),
-                            maxSegments: Int, psiThreshold: Double): Report = {
+                            maxSegments: Int, psiThreshold: Double,
+                            maxCellFiles: Int): Report = {
     val segs = segmentCount(store, s"$name$codesSuffix", family, name)
     val compacted = segs > maxSegments
     if (compacted) compactFn()
+    val (files, didCompact) = maybeCompactCells(store, name, maxCellFiles)
     val h = IvfIndex.checkHealth(store, name, psiThreshold).head()
     Report(name, family, segs, compacted, if (compacted) 1L else segs,
-      h.getDouble(0), h.getBoolean(3), -1.0, reshingleRecommended = false)
+      h.getDouble(0), h.getBoolean(3), -1.0, reshingleRecommended = false,
+      cellFiles = files, cellsCompacted = didCompact)
+  }
+
+  /** Compact the cells table when its parquet file count exceeds the
+    * threshold (append-mode ingest adds files per batch — file count
+    * tracks ingest history). Returns (files before, compacted?). */
+  private def maybeCompactCells(store: ParquetTableStore, name: String,
+                                maxCellFiles: Int): (Long, Boolean) = {
+    val files = store.read(s"${name}_cells").getOrElse(sys.error(
+        s"IVF index '$name' has no cells table — not built?"))
+      .inputFiles.length.toLong
+    val compact = files > maxCellFiles
+    if (compact) IvfIndex.compactCells(store, name)
+    (files, compact)
   }
 
   /** Distinct `seg` count — a partition-column-only scan (directory

@@ -168,22 +168,31 @@ object IvfIndex {
   /** Extend the STORED index with an ingested batch under the FROZEN
     * coarse quantizer — FAISS's `add` vs `train` split: new vectors are
     * assigned against the stored centroid frame (no retrain, no corpus
-    * re-assignment) and merged into ONLY the cell partitions the batch
-    * touches ([[ParquetTableStore.upsertPartitioned]]'s dynamic
-    * partition overwrite), so an append costs O(|batch| × nCells dots)
-    * + the touched partitions' rewrite — never a corpus pass over
-    * vector bytes. Keyed upsert on id makes replayed batches no-ops
-    * (same vector → same cell under the frozen quantizer → identical
-    * rows rewritten in place), and the meta fingerprint is recomputed
-    * from the stored id column, so replay leaves it unchanged.
+    * re-assignment) and written as APPENDED FILES inside their cell
+    * directories ([[ParquetTableStore.appendPartitioned]]) — an append
+    * costs O(|batch| × nCells dots) + the batch's own bytes, never a
+    * partition rewrite. (The previous keyed-merge shape rewrote every
+    * touched cell partition; a scattered batch touches all of them, so
+    * each append silently cost O(corpus) in data volume — the 100×
+    * smoke measured append scaling with corpus size, not batch size.)
     *
-    * A re-delivered id whose VECTOR changed may land in a different
-    * cell; the partition-pruned merge cannot move a row across
-    * partitions (the stale row in the old cell would keep answering
-    * probes), so that case FAILS LOUDLY — an in-place vector update is
-    * a rebuild (or a delete + append), not an append. The guard joins
-    * the stored (id, cell) pairs — an id+partition-column scan, no
-    * vector bytes — against the batch's broadcast assignment. */
+    * One span-pruned left join ([[KeyPrune]] — an all-new-ids batch
+    * skips the stored cells table entirely via row-group id stats)
+    * classifies the batch:
+    *   - id absent from the store → NEW: appended, no rewrite;
+    *   - present, vector IDENTICAL → replay/re-send: skipped (no-op);
+    *   - present, vector changed, SAME cell → in-place update: the rare
+    *     keyed merge of just those rows' cells (the one case that must
+    *     rewrite — float probes score stored vectors directly, so the
+    *     row itself must change);
+    *   - present, vector changed, DIFFERENT cell → FAILS LOUDLY (a
+    *     cell-local write cannot move a row across partitions; the
+    *     stale row would keep answering probes). Use [[upsertVectors]].
+    * The meta fingerprint is recomputed from stored ids LAST, so a crash
+    * anywhere leaves the old fingerprint and [[verifyFresh]] fails
+    * loudly; re-running converges (committed ids classify as identical
+    * re-sends). Appended files accumulate per batch — see
+    * [[compactCells]] and the [[IndexMaintenance]] policy. */
   def append(store: ParquetTableStore, name: String, batch: DataFrame,
              idCol: String, vecCol: String): Unit = {
     val centroids = store.read(s"${name}_centroids").getOrElse(
@@ -192,28 +201,63 @@ object IvfIndex {
       sys.error(s"IVF index '$name' has no cells table — not built?"))
     val assigned = Checkpoints.materialize(assignToCells(
       batch.select(col(idCol).as("id"), col(vecCol).as("v")), centroids))
-    // guard scan id-span-pruned ([[KeyPrune]]): an all-new-ids batch
-    // skips the stored cells table entirely via row-group id stats
-    val moved = KeyPrune.toKeySpan(stored, "id", assigned, "id")
-      .select(col("id"), col("cell").as("old_cell"))
-      .join(broadcast(assigned.select(col("id"), col("cell"))), Seq("id"))
-      .filter(col("old_cell") =!= col("cell"))
+    val storedSpan = KeyPrune.toKeySpan(stored, "id", assigned, "id")
+      .select(col("id"), col("cell").as("_oc"), col("v").as("_ov"))
+    val annotated = Checkpoints.materialize(
+      assigned.join(storedSpan, Seq("id"), "left"))
+    val moved = annotated
+      .filter(col("_oc").isNotNull && col("_oc") =!= col("cell"))
+      .select(col("id"), col("_oc"), col("cell"))
       .limit(5).collect()
-    if (moved.nonEmpty) sys.error(
-      s"IVF index '$name': batch re-delivers id(s) " +
-        moved.map(r => s"${r.get(0)} (cell ${r.get(1)} -> ${r.get(2)})")
-          .mkString(", ") +
-        " with a CHANGED vector that re-assigns to a different cell — a " +
-        "partition-pruned append cannot move rows across cells (the stale " +
-        "row would keep answering probes). Rebuild the index, or delete " +
-        "the ids first.")
+    if (moved.nonEmpty) {
+      Checkpoints.release(assigned); Checkpoints.release(annotated)
+      sys.error(
+        s"IVF index '$name': batch re-delivers id(s) " +
+          moved.map(r => s"${r.get(0)} (cell ${r.get(1)} -> ${r.get(2)})")
+            .mkString(", ") +
+          " with a CHANGED vector that re-assigns to a different cell — a " +
+          "cell-local append cannot move rows across cells (the stale " +
+          "row would keep answering probes). Rebuild the index, or delete " +
+          "the ids first.")
+    }
     val nCells = store.read(s"${name}_meta").getOrElse(
       sys.error(s"IVF index '$name' has no meta table — not built?"))
       .select("n_cells").head().getInt(0)
-    store.upsertPartitioned(s"${name}_cells", assigned, Seq("id"), "cell",
-      countAfter = false)
+    val changed = annotated
+      .filter(col("_oc").isNotNull && !(col("_ov") <=> col("v")))
+      .select(col("id"), col("cell"), col("v"))
+    if (!changed.isEmpty)
+      store.upsertPartitioned(s"${name}_cells", changed, Seq("id"), "cell",
+        countAfter = false)
+    val fresh = annotated.filter(col("_oc").isNull)
+      .select(col("id"), col("cell"), col("v"))
+    if (!fresh.isEmpty)
+      store.appendPartitioned(s"${name}_cells",
+        fresh.sortWithinPartitions(col("id")), "cell")
     writeMeta(store, name, nCells)
     Checkpoints.release(assigned)
+    Checkpoints.release(annotated)
+  }
+
+  /** Rewrite the cells table down to a bounded number of id-range-sorted
+    * files and swap — [[append]] adds files per ingest batch, so file
+    * count tracks ingest history while scan task counts should track
+    * data size; probe results are unchanged by construction (only the
+    * directory layout moves). `repartitionByRange(cell, id)` keeps hot
+    * cells split across several contiguous-id files (no one-task-per-
+    * cell skew) with tight row-group id stats for the guards' span
+    * pruning. Returns (parquet files before, rows). The background-merge
+    * sibling of [[Bm25Index.compactSegments]] /
+    * [[IvfSq.compactCodeSegments]], run on the [[IndexMaintenance]]
+    * schedule. */
+  def compactCells(store: ParquetTableStore, name: String): (Long, Long) = {
+    val cells = store.read(s"${name}_cells").getOrElse(
+      sys.error(s"IVF index '$name' has no cells table — not built?"))
+    val files = cells.inputFiles.length.toLong
+    val rows = cells.count()
+    store.replacePartitioned(s"${name}_cells",
+      cells.repartitionByRange(col("cell"), col("id")), Seq("cell"))
+    (files, rows)
   }
 
   /** In-place vector update recipe, composed ([[Bm25Index.upsertDocs]]'s

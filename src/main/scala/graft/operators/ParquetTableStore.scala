@@ -556,6 +556,38 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
     f.delete(root, true)
   }
 
+  /** Append `df`'s rows as NEW FILES inside the partition directories of
+    * an EXISTING partitioned table — no merge, no partition rewrite: the
+    * O(batch) ingest primitive for batches whose keys the caller has
+    * already verified absent (e.g. [[IvfIndex.append]]'s span-pruned
+    * anti-join of new ids). Where [[upsertPartitioned]] rewrites every
+    * touched partition (O(touched-partition DATA) per batch — correct
+    * for keyed merges, ruinous for a scattered all-new batch that
+    * touches every partition), this writes exactly the batch's bytes.
+    *
+    * Crash shape: uncommitted output from a died write stays under the
+    * job's `_temporary` directory, which parquet listing ignores, so a
+    * crash adds nothing visible and the caller re-runs the whole batch
+    * (its key anti-join skips anything a previous attempt committed).
+    * NULL partition values are rejected up front — they would land in
+    * the Hive default-partition dir that partition-pruned readers never
+    * select, silently hiding the rows. */
+  def appendPartitioned(name: String, df: DataFrame,
+                        partitionCol: String): Unit = {
+    val dst = new Path(path(name))
+    recoverPartitionBackups(name, dst)
+    require(fs(dst).exists(dst), s"cannot append to missing table $name")
+    if (!df.filter(df(partitionCol).isNull).isEmpty)
+      throw new IllegalArgumentException(
+        s"appendPartitioned('$name'): batch contains NULL $partitionCol " +
+          "values; the default-partition dir is invisible to partition-" +
+          "pruned readers. Clean or default the partition column upstream.")
+    withMicrosTimestamps(df.sparkSession) {
+      df.write.partitionBy(partitionCol).mode(SaveMode.Append)
+        .parquet(dst.toString)
+    }
+  }
+
   def upsertPartitioned(name: String, updates: DataFrame, keys: Seq[String],
                         partitionCol: String): Long =
     upsertPartitioned(name, updates, keys, partitionCol, countAfter = true)

@@ -124,10 +124,19 @@ object LifecycleScaleSmoke {
     }
 
     // ---- recall@10 at 100× over the JITTERED corpus: probes vs exact
-    // brute force (queries are replica-0 originals re-idd; every truth
-    // set is a genuine ranking over distinct jittered vectors)
-    val queries = remaining.filter(col("vec_id") < 2000 && col("vec_id") % 97 === 0)
-      .select((col("vec_id") + 900000000L).as("vec_id"), col("embedding"))
+    // brute force. Queries are MIDPOINTS of unrelated vector pairs, not
+    // corpus twins: a twin query's true top-10 is its own jittered
+    // copies, which all share its cell — recall would read 1.0 for the
+    // legitimate-but-uninformative reason that the pool is never
+    // truncated. A midpoint's neighbors straddle (at least) two cells,
+    // so recall measures what nProbe actually truncates.
+    val r0 = remaining.filter(col("vec_id") < 2000)
+    val queries = r0.alias("x")
+      .join(r0.alias("y"), col("x.vec_id") + 37 === col("y.vec_id"))
+      .filter(col("x.vec_id") % 97 === 0)
+      .select((col("x.vec_id") + 900000000L).as("vec_id"),
+        zip_with(col("x.embedding"), col("y.embedding"),
+          (a, b) => ((a + b) / 2.0d).cast("float")).as("embedding"))
     println(s"[smoke] recall queries: ${queries.count()}")
     def sets(df: DataFrame): Map[Long, Set[Long]] =
       df.select(col("query_id"), col("neighbor_id")).as[(Long, Long)]
