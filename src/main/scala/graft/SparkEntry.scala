@@ -3323,6 +3323,103 @@ object SparkEntry {
       .orderBy(col("query_id"))
   }
 
+  /** Stored-index HYBRID retrieval — the q97 fusion served from the
+    * warehouse instead of one-shot scans: a [[graft.operators.Bm25Index]]
+    * built in two segments and a [[graft.operators.IvfIndex]] built +
+    * appended under the frozen quantizer, both attested fresh, probed for
+    * the SAME query batch as q97 and fused with
+    * [[graft.operators.HybridRank.rrf]]. The semantic probe runs at
+    * nProbe = nCells, so it is exhaustive over the index and exactly the
+    * brute-force ranking; the lexical search is bit-equal to the one-shot
+    * scorer by q140's contract. Oracle: q97's full replay VERBATIM —
+    * BM25 arithmetic, exact cosine ranking, and the RRF fusion — i.e.
+    * index lifecycle (build/append/attest) composes into retrieval
+    * without changing a single fused rank. */
+  def q154_hybrid_indexed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_q154_wh").toString
+    val store = new graft.operators.ParquetTableStore(s, wh)
+    val docs = documents(s, d)
+    graft.operators.Bm25Index.build(store, "hx",
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    graft.operators.Bm25Index.append(store, "hx",
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", batchId = 1)
+    graft.operators.Bm25Index.verifyFresh(store, "hx", docs, "doc_id")
+    val emb = embeddings(s, d)
+    graft.operators.IvfIndex.build(store, "hv",
+      emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      iterations = 3)
+    graft.operators.IvfIndex.append(store, "hv",
+      emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    graft.operators.IvfIndex.verifyFresh(store, "hv", emb, "vec_id")
+    val lexQ = Seq((1L, "spark"), (1L, "join"), (2L, "window"),
+      (2L, "sort"), (3L, "customer")).toDF("query_id", "term")
+    val lex = graft.operators.Bm25Index.search(store, "hx", lexQ, 20)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val qVecs = emb.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 1000001L).as("vec_id"), col("embedding"))
+    val sem = graft.operators.IvfIndex.probe(store, "hv", qVecs,
+        "vec_id", "embedding", topK = 20, nProbe = 16)
+      .select((col("query_id") - 1000000L).as("query_id"),
+        col("neighbor_id").as("doc_id"), col("rank"))
+    graft.operators.HybridRank.rrf(Seq(lex, sem), k = 60, topK = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Classifier readout — per-group ROC-AUC
+    * ([[graft.operators.BinaryMetrics.aucRocPerGroup]], the Mann–Whitney
+    * midrank formulation over the GROUPED score distribution): how well
+    * document length separates English from the other languages, per
+    * source. Every per-score term is exact in double arithmetic, so the
+    * oracle replays the whole readout — per-score class counts, the
+    * running negatives-below mass, the midrank sum and the single final
+    * division — bit-for-bit in SQL. */
+  def q155_auc_readout(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .withColumn("is_en", col("lang") === "en")
+    graft.operators.BinaryMetrics.aucRocPerGroup(
+        docs, Seq("source"), "n_chars", "is_en")
+      .orderBy(col("source"))
+  }
+
+  /** Zone-map data skipping ([[graft.operators.ZoneMaps]] — the
+    * Delta/Iceberg file-stats manifest over the store's own parquet
+    * tables): lineitem written range-clustered by l_orderkey, a one-scan
+    * zones manifest built over it, then a range read that consults the
+    * manifest and opens ONLY admitted files (ZoneMapsSpec pins that the
+    * plan actually skips files; this gate pins exactness). Oracle: the
+    * plain range filter + rollup — pruned ≡ unpruned is the contract. */
+  def q156_zonemap_scan(s: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_q156_wh").toString
+    val store = new graft.operators.ParquetTableStore(s, wh)
+    store.replace("li_zoned", lineitem(s, d)
+      .repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey")))
+    graft.operators.ZoneMaps.build(store, "li_zoned",
+      Seq("l_orderkey", "l_extendedprice"))
+    graft.operators.ZoneMaps.prunedReadRange(store, "li_zoned",
+        "l_orderkey", 1000L, 3000L)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Classifier readout #2 — per-group average precision
+    * ([[graft.operators.BinaryMetrics.averagePrecisionPerGroup]], the
+    * step-interpolated PR-AUC, tie-safe because thresholds sit at
+    * DISTINCT scores): same prediction task as q155. The un-normalized
+    * term sum runs in an ORDERED window (score descending) instead of an
+    * unordered aggregate, so both engines add in the identical order and
+    * the replay is IEEE-identical, not just close. */
+  def q157_ap_readout(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .withColumn("is_en", col("lang") === "en")
+    graft.operators.BinaryMetrics.averagePrecisionPerGroup(
+        docs, Seq("source"), "n_chars", "is_en")
+      .orderBy(col("source"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3479,6 +3576,10 @@ object SparkEntry {
     "q151_kmv_grouped"       -> (q151_kmv_grouped _),
     "q152_ann_recall"        -> (q152_ann_recall _),
     "q153_ann_vector_upsert" -> (q153_ann_vector_upsert _),
+    "q154_hybrid_indexed"    -> (q154_hybrid_indexed _),
+    "q155_auc_readout"       -> (q155_auc_readout _),
+    "q156_zonemap_scan"      -> (q156_zonemap_scan _),
+    "q157_ap_readout"        -> (q157_ap_readout _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6508,6 +6609,125 @@ object SparkEntry {
            FROM s)
          SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(score, 4) AS score
          FROM r WHERE rank = 1 ORDER BY query_id""",
+
+    // q154: q97's full replay VERBATIM — the stored Bm25Index search is
+    // bit-equal to the one-shot scorer (q140's contract) and the
+    // nProbe=nCells IvfIndex probe is exhaustive, i.e. exactly the
+    // brute-force ranking — so build/append/attest composes into fusion
+    // without moving a single fused rank
+    "q154_hybrid_indexed" ->
+      """WITH tf AS (
+           SELECT doc_id, term, count(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t
+           GROUP BY 1, 2),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         nn AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         q(query_id, term) AS (VALUES
+           (1, 'spark'), (1, 'join'), (2, 'window'), (2, 'sort'), (3, 'customer')),
+         dfs AS (SELECT term, count(*) AS df FROM tf
+                 WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         c AS (
+           SELECT q.query_id, tf.doc_id,
+             ln(1 + (nn.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) *
+               (tf.tf * (1.2 + 1)) /
+               (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / nn.avgdl)) AS contrib
+           FROM tf JOIN q ON tf.term = q.term
+                   JOIN dfs ON tf.term = dfs.term
+                   JOIN dl ON tf.doc_id = dl.doc_id
+                   CROSS JOIN nn),
+         sc AS (SELECT query_id, doc_id, sum(contrib) AS score FROM c GROUP BY 1, 2),
+         lr AS (SELECT query_id, doc_id, rank FROM (
+                  SELECT query_id, doc_id,
+                    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+                  FROM sc) t WHERE rank <= 20),
+         eq AS (SELECT vec_id + 1000001 AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id < 3),
+         ec AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         es AS (
+           SELECT query_id, neighbor_id,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) AS score
+           FROM ec CROSS JOIN eq WHERE neighbor_id <> query_id),
+         sr AS (SELECT query_id - 1000000 AS query_id, neighbor_id AS doc_id, rank FROM (
+                  SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+                  FROM es) t WHERE rank <= 20),
+         u AS (
+           SELECT query_id, doc_id, 1.0 / (60 + rank) AS contrib FROM lr
+           UNION ALL
+           SELECT query_id, doc_id, 1.0 / (60 + rank) FROM sr),
+         f AS (SELECT query_id, doc_id, sum(contrib) AS fused FROM u GROUP BY 1, 2),
+         fr AS (SELECT query_id, doc_id, fused,
+                  row_number() OVER (PARTITION BY query_id ORDER BY fused DESC, doc_id ASC) AS rank
+                FROM f)
+         SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+                doc_id, round(fused, 4) AS fused
+         FROM fr WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // q155: the Mann–Whitney midrank readout replayed — per-score class
+    // counts, the strictly-below negatives mass, the midrank sum (exact
+    // in double: integers and halves), one final division
+    "q155_auc_readout" ->
+      """WITH c AS (SELECT source, n_chars AS s,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos,
+             sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS neg
+           FROM documents
+           WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+           GROUP BY 1, 2),
+         r AS (SELECT *, coalesce(sum(neg) OVER (PARTITION BY source ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+               FROM c),
+         a AS (SELECT source,
+                 CAST(sum(pos) AS BIGINT) AS n_pos,
+                 CAST(sum(neg) AS BIGINT) AS n_neg,
+                 sum(pos * (CAST(neg_below AS DOUBLE) + CAST(neg AS DOUBLE) / 2.0)) AS u
+               FROM r GROUP BY 1)
+         SELECT source, n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN round(u / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+                ELSE NULL END AS auc
+         FROM a ORDER BY source""",
+
+    // q156: pruned ≡ unpruned — the manifest-admitted read must equal the
+    // plain range filter (the skipping itself is plan-asserted in
+    // ZoneMapsSpec; fixture layouts are not the oracle's business)
+    "q156_zonemap_scan" ->
+      """SELECT l_returnflag, count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem
+         WHERE l_orderkey >= 1000 AND l_orderkey <= 3000
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // q157: the step-interpolated AP replayed — per-score counts, the
+    // descending cumulative tp/fp, each term's two divisions, and the
+    // ORDERED running term sum (identical addition order in both
+    // engines ⇒ IEEE-identical), one final normalization
+    "q157_ap_readout" ->
+      """WITH c AS (SELECT source, n_chars AS s,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos,
+             sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS neg
+           FROM documents
+           WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+           GROUP BY 1, 2),
+         w AS (SELECT source, s, pos, neg,
+             sum(pos) OVER win AS tp, sum(neg) OVER win AS fp
+           FROM c
+           WINDOW win AS (PARTITION BY source ORDER BY s DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         r AS (SELECT source, tp, fp,
+             sum(CAST(pos AS DOUBLE) *
+                 (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))) OVER win2 AS ap_run
+           FROM w
+           WINDOW win2 AS (PARTITION BY source ORDER BY s DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         a AS (SELECT source, CAST(max(tp) AS BIGINT) AS n_pos,
+                 CAST(max(fp) AS BIGINT) AS n_neg, max(ap_run) AS apu
+               FROM r GROUP BY 1)
+         SELECT source, n_pos, n_neg,
+           CASE WHEN n_pos > 0
+                THEN round(apu / CAST(n_pos AS DOUBLE), 6)
+                ELSE NULL END AS ap
+         FROM a ORDER BY source""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a

@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level zone maps (data-skipping manifests) for store tables — the
+  * Delta/Iceberg/ORC stats pattern re-expressed over the warehouse's own
+  * plain-parquet tables: a side table `<table>_zones` holds one row per
+  * data FILE with row count and per-column min/max/null-count (plus an
+  * optional per-file BLOOM for point-lookup columns), and a read consults
+  * that manifest to open only the files that can contain matches.
+  *
+  * Why this matters at 100 TB: parquet row-group stats already prune
+  * WITHIN a file the planner decided to open, but the listing + footer
+  * read of every file is itself the bottleneck on a 100k-file table.
+  * A manifest-driven reader turns "open every footer, skip most groups"
+  * into "open only the k files the manifest admits" — the same reason the
+  * table formats keep file stats in metadata rather than relying on
+  * footers. Pair with a range-clustered layout ([[graft.functions.ZOrder]]
+  * or `repartitionByRange`) so each file's interval is tight and a range
+  * predicate admits O(result) files; blooms serve the orthogonal case —
+  * point lookups on a high-cardinality key the table is NOT clustered by
+  * (parquet's own column bloom filters / Iceberg puffin play this role).
+  *
+  * Exactness is structural. Ranges: a file whose [min, max] misses the
+  * range can contain no matching row (nulls sort nowhere — a range
+  * predicate is null-false, and an all-null file has null min/max and is
+  * skipped), and the residual predicate re-applies the range to the
+  * admitted files, so pruned ≡ unpruned row-for-row (gate q156,
+  * ZoneMapsSpec property). Points: a bloom has no false negatives, so the
+  * admitted set is a superset of the files holding the key; false
+  * positives cost an extra file open, never a wrong row — the residual
+  * equality removes them.
+  *
+  * Staleness is loud, mirroring the index family's verifyFresh protocol:
+  * the manifest's file set IS its fingerprint — a read whose live file
+  * listing differs from the manifest's (compaction, upsert, replace since
+  * build) fails by name instead of silently scanning a wrong subset.
+  * Rebuild zones after any table rewrite (`build` is one scan);
+  * [[maintain]] is the decision rule: rebuild iff stale.
+  *
+  * Scope: unpartitioned store tables (the store's `replace`/`compact`
+  * output). Partition-pruned tables already skip at the directory level;
+  * zone maps give the same skip to tables whose clustering key is not a
+  * partition column — too high-cardinality to partition by, exactly the
+  * case partitioning cannot serve.
+  */
+object ZoneMaps {
+
+  /** Build (or rebuild) the `<table>_zones` manifest: ONE scan of the
+    * table computing, per file, the row count, each stats column's
+    * min / max / null count, and — for `bloomCols` — a per-file bloom
+    * over `xxhash64(value)` (Spark's own distributed
+    * `BloomFilterAggregate`, grouped by file; `expectedPerFile` sizes
+    * it). The grouping key is `_metadata.file_path`, so the manifest
+    * build is a plain hash aggregate — no second listing, no driver
+    * work beyond the write. */
+  def build(store: ParquetTableStore, table: String, cols: Seq[String],
+            bloomCols: Seq[String] = Seq.empty,
+            expectedPerFile: Long = 100000L): Unit = {
+    require(cols.nonEmpty || bloomCols.nonEmpty,
+      "zone maps need at least one column")
+    val df = store.read(table).getOrElse(
+      sys.error(s"zone maps: table '$table' does not exist"))
+    val statAggs = cols.flatMap { c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"))
+    }
+    val bloomAggs = bloomCols.map { c =>
+      call_function("graft_bloom_agg", xxhash64(col(c)),
+        lit(expectedPerFile)).as(s"${c}_bloom")
+    }
+    val allAggs = count(lit(1)).as("n_rows") +: (statAggs ++ bloomAggs)
+    val zones = df
+      .groupBy(col("_metadata.file_path").as("_file"))
+      .agg(allAggs.head, allAggs.tail: _*)
+    store.replace(s"${table}_zones", zones)
+  }
+
+  /** Rebuild-iff-stale decision rule (the manifest's slot in the same
+    * maintenance pass that compacts index segments): returns true when
+    * the manifest was missing or its file set no longer matches the live
+    * table and a rebuild ran. Column choices are re-derived from the
+    * existing manifest's schema so maintenance needs no caller config. */
+  def maintain(store: ParquetTableStore, table: String,
+               colsIfMissing: Seq[String]): Boolean = {
+    val liveSet = store.read(table).getOrElse(
+        sys.error(s"zone maps: table '$table' does not exist"))
+      .inputFiles.map(norm).toSet
+    store.read(s"${table}_zones") match {
+      case Some(z) =>
+        val names = z.schema.fieldNames
+        val fresh =
+          z.select(col("_file")).collect().map(r => norm(r.getString(0)))
+            .toSet == liveSet
+        if (fresh) false
+        else {
+          build(store, table,
+            names.filter(_.endsWith("_min")).map(_.dropRight(4)).toSeq,
+            names.filter(_.endsWith("_bloom")).map(_.dropRight(6)).toSeq)
+          true
+        }
+      case None =>
+        build(store, table, colsIfMissing)
+        true
+    }
+  }
+
+  private def norm(p: String): String = new java.net.URI(p).getPath
+
+  /** Shared manifest read + the loud staleness gate: returns the zones
+    * frame only after proving its file set matches the table's live
+    * listing. */
+  private def freshZones(store: ParquetTableStore,
+                         table: String): DataFrame = {
+    val zones = store.read(s"${table}_zones").getOrElse(
+      sys.error(s"zone maps: table '$table' has no zones manifest — " +
+        "run ZoneMaps.build first"))
+    val live = store.read(table).getOrElse(
+      sys.error(s"zone maps: table '$table' does not exist"))
+    val manifestSet = zones.select(col("_file")).collect()
+      .map(r => norm(r.getString(0))).toSet
+    val liveSet = live.inputFiles.map(norm).toSet
+    if (manifestSet != liveSet) sys.error(
+      s"zone maps for '$table' are STALE: manifest lists " +
+        s"${manifestSet.size} files but the table now has ${liveSet.size} " +
+        "(rewritten since build?) — rebuild with ZoneMaps.build")
+    zones
+  }
+
+  /** The range-manifest consultation, exposed for tests and callers that
+    * want the plan without the read: (admitted files, total files).
+    * Bounded driver work — the manifest is file-count-sized, never
+    * data-sized. Fails loudly if the manifest is stale. */
+  private[graft] def planFiles(store: ParquetTableStore, table: String,
+                               colName: String, lo: Any,
+                               hi: Any): (Seq[String], Int) = {
+    val zones = freshZones(store, table)
+    // one bounded collect: (file, admitted) — file count, never rows
+    val entries = zones.select(col("_file"),
+        (!(col(s"${colName}_max") < lit(lo) ||
+           col(s"${colName}_min") > lit(hi))).as("_admit"))
+      .collect()
+      .map(r => (r.getString(0), !r.isNullAt(1) && r.getBoolean(1)))
+    (entries.filter(_._2).map(_._1).toSeq, entries.length)
+  }
+
+  /** The point-manifest consultation: files whose bloom admits the key.
+    * The probe hash is computed BY SPARK over a 1-row frame so insert
+    * and probe hash identically whatever the key type; the per-file
+    * blooms are deserialized driver-side (file-count × bloom bytes —
+    * the manifest read a planner does, same as Iceberg's puffin). */
+  private[graft] def planFilesPoint(store: ParquetTableStore, table: String,
+                                    colName: String,
+                                    value: Any): (Seq[String], Int) = {
+    val zones = freshZones(store, table)
+    require(zones.schema.fieldNames.contains(s"${colName}_bloom"),
+      s"zone maps for '$table' carry no bloom for '$colName' — " +
+        "build with bloomCols")
+    val spark = zones.sparkSession
+    val h = spark.range(1).select(xxhash64(lit(value))).head().getLong(0)
+    val entries = zones.select(col("_file"), col(s"${colName}_bloom"))
+      .collect()
+      .map { r =>
+        val admit = !r.isNullAt(1) && {
+          val in = new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1))
+          org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+            .mightContainLong(h)
+        }
+        (r.getString(0), admit)
+      }
+    (entries.filter(_._2).map(_._1).toSeq, entries.length)
+  }
+
+  private def readFiles(store: ParquetTableStore, table: String,
+                        files: Seq[String]): Option[DataFrame] = {
+    val full = store.read(table).get
+    if (files.isEmpty) None
+    else Some(full.sparkSession.read.schema(full.schema).parquet(files: _*))
+  }
+
+  /** Range read through the manifest: open only the files whose zone
+    * admits [lo, hi], then re-apply the range as the residual predicate.
+    * Result ≡ `store.read(table).filter(lo <= col <= hi)` by the zone
+    * argument above; only the I/O differs. */
+  def prunedReadRange(store: ParquetTableStore, table: String,
+                      colName: String, lo: Any, hi: Any): DataFrame = {
+    val (files, _) = planFiles(store, table, colName, lo, hi)
+    val residual = col(colName) >= lit(lo) && col(colName) <= lit(hi)
+    readFiles(store, table, files)
+      .map(_.filter(residual))
+      .getOrElse(store.read(table).get.filter(lit(false)))
+  }
+
+  /** Point read through the per-file blooms: open only the files whose
+    * bloom admits the key (a superset — no false negatives), then
+    * re-apply the equality. Result ≡ the plain equality filter. */
+  def prunedReadPoint(store: ParquetTableStore, table: String,
+                      colName: String, value: Any): DataFrame = {
+    val (files, _) = planFilesPoint(store, table, colName, value)
+    readFiles(store, table, files)
+      .map(_.filter(col(colName) === lit(value)))
+      .getOrElse(store.read(table).get.filter(lit(false)))
+  }
+}

@@ -1,0 +1,185 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ZoneMapsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshStore(): ParquetTableStore = new ParquetTableStore(spark,
+    java.nio.file.Files.createTempDirectory("graft_zones_spec").toString)
+
+  private def clustered(store: ParquetTableStore, name: String,
+                        n: Int = 2000, parts: Int = 8): Unit = {
+    val df = (1 to n).map(i => (i.toLong, s"s${i % 7}", i * 2.0))
+      .toDF("k", "tag", "v")
+    store.replace(name, df.repartitionByRange(parts, col("k"))
+      .sortWithinPartitions(col("k")))
+    ZoneMaps.build(store, name, Seq("k", "tag", "v"))
+  }
+
+  test("pruned range read ≡ the plain filter, and the plan skips files") {
+    val store = freshStore()
+    clustered(store, "t")
+    val (files, total) = ZoneMaps.planFiles(store, "t", "k", 100L, 300L)
+    assert(total >= 8, s"expected >=8 data files, got $total")
+    assert(files.nonEmpty && files.size < total,
+      s"a narrow range over a range-clustered layout must skip files " +
+        s"(admitted ${files.size} of $total)")
+    val pruned = ZoneMaps.prunedReadRange(store, "t", "k", 100L, 300L)
+      .select("k", "tag", "v").as[(Long, String, Double)].collect().toSet
+    val full = store.read("t").get
+      .filter(col("k") >= 100L && col("k") <= 300L)
+      .select("k", "tag", "v").as[(Long, String, Double)].collect().toSet
+    assert(pruned == full)
+  }
+
+  test("pruned ≡ unpruned over many ranges, including empty and all") {
+    val store = freshStore()
+    clustered(store, "t", n = 500, parts = 5)
+    val ranges = Seq((1L, 500L), (-10L, 0L), (499L, 499L), (250L, 260L),
+      (9999L, 99999L), (1L, 1L))
+    ranges.foreach { case (lo, hi) =>
+      val pruned = ZoneMaps.prunedReadRange(store, "t", "k", lo, hi)
+        .select("k").as[Long].collect().sorted.toSeq
+      val full = store.read("t").get
+        .filter(col("k") >= lo && col("k") <= hi)
+        .select("k").as[Long].collect().sorted.toSeq
+      assert(pruned == full, s"range [$lo, $hi]")
+    }
+    // the empty range admits zero files and returns an empty frame with
+    // the table's schema
+    val (none, _) = ZoneMaps.planFiles(store, "t", "k", 9999L, 99999L)
+    assert(none.isEmpty)
+    val empty = ZoneMaps.prunedReadRange(store, "t", "k", 9999L, 99999L)
+    assert(empty.count() == 0 &&
+      empty.columns.toSeq == store.read("t").get.columns.toSeq)
+  }
+
+  test("string-typed zones prune and stay exact") {
+    val store = freshStore()
+    val df = ('a' to 'z').flatMap(c => (1 to 40).map(i => (s"$c$i", c.toString)))
+      .zipWithIndex.map { case ((s, c), i) => (i.toLong, s, c) }
+      .toDF("k", "s", "bucket")
+    store.replace("st", df.repartitionByRange(6, col("bucket"))
+      .sortWithinPartitions(col("bucket")))
+    ZoneMaps.build(store, "st", Seq("bucket"))
+    val (files, total) = ZoneMaps.planFiles(store, "st", "bucket", "d", "f")
+    assert(files.size < total)
+    val pruned = ZoneMaps.prunedReadRange(store, "st", "bucket", "d", "f")
+      .select("k").as[Long].collect().toSet
+    val full = store.read("st").get
+      .filter(col("bucket") >= "d" && col("bucket") <= "f")
+      .select("k").as[Long].collect().toSet
+    assert(pruned == full)
+  }
+
+  test("nulls: never returned by a range read, and an all-null file is skipped") {
+    val store = freshStore()
+    val some = (1 to 100).map(i => (i.toLong, Some(i.toLong)))
+    val nulls = (101 to 200).map(i => (i.toLong, Option.empty[Long]))
+    // two explicit single-partition halves → the null half is its own file
+    val df = (some ++ nulls).toDF("id", "k")
+      .repartitionByRange(2, col("k").isNull, col("id"))
+    store.replace("nt", df)
+    ZoneMaps.build(store, "nt", Seq("k"))
+    val zones = store.read("nt_zones").get
+    val nullFiles = zones.filter(col("k_nulls") === col("n_rows"))
+      .select("_file").as[String].collect()
+    assert(nullFiles.nonEmpty, "fixture must produce an all-null file")
+    val (admitted, _) = ZoneMaps.planFiles(store, "nt", "k", 1L, 1000L)
+    assert(!admitted.exists(nullFiles.contains),
+      "an all-null file can contain no range match and must be skipped")
+    val got = ZoneMaps.prunedReadRange(store, "nt", "k", 1L, 1000L)
+      .select("id").as[Long].collect().toSet
+    assert(got == (1L to 100L).toSet)
+  }
+
+  test("a rewritten table makes the manifest loudly stale") {
+    val store = freshStore()
+    clustered(store, "t", n = 300, parts = 3)
+    // table rewritten (compaction-shaped): file set changes, zones do not
+    store.replace("t", store.read("t").get.repartition(1))
+    val e = intercept[RuntimeException] {
+      ZoneMaps.prunedReadRange(store, "t", "k", 1L, 10L)
+    }
+    assert(e.getMessage.contains("STALE"), e.getMessage)
+    // rebuild heals it
+    ZoneMaps.build(store, "t", Seq("k"))
+    assert(ZoneMaps.prunedReadRange(store, "t", "k", 1L, 10L).count() == 10L)
+  }
+
+  test("bloom point lookup: skips files on an UNclustered key, stays exact") {
+    val store = freshStore()
+    // key k is scattered across files (layout clustered by g, not k) —
+    // ranges can't skip here; the per-file bloom is the only handle
+    val df = (1 to 3000).map(i => (i.toLong, i % 6))
+      .toDF("k", "g")
+    store.replace("pt", df.repartitionByRange(6, col("g")))
+    ZoneMaps.build(store, "pt", Seq("g"), bloomCols = Seq("k"),
+      expectedPerFile = 1000L)
+    val (files, total) = ZoneMaps.planFilesPoint(store, "pt", "k", 1234L)
+    assert(total >= 4, s"fixture needs several files, got $total")
+    assert(files.nonEmpty && files.size < total,
+      s"a point key living in one file must not admit all $total files " +
+        s"(admitted ${files.size})")
+    val got = ZoneMaps.prunedReadPoint(store, "pt", "k", 1234L)
+      .select("k", "g").as[(Long, Int)].collect().toSeq
+    assert(got == Seq((1234L, 1234 % 6)))
+    // absent key: no false negatives means correctness is unconditional;
+    // the bloom may admit a false-positive file or two, never all
+    val (absent, _) = ZoneMaps.planFilesPoint(store, "pt", "k", 999999L)
+    assert(absent.size < total)
+    assert(ZoneMaps.prunedReadPoint(store, "pt", "k", 999999L).count() == 0)
+  }
+
+  test("bloom admission is a superset of the files that hold the key (no false negatives)") {
+    val store = freshStore()
+    val df = (1 to 2000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    store.replace("sup", df.repartition(8))
+    ZoneMaps.build(store, "sup", Seq("k"), bloomCols = Seq("k"),
+      expectedPerFile = 500L)
+    val full = store.read("sup").get
+    (Seq(1L, 777L, 2000L)).foreach { key =>
+      val holder = full
+        .filter(col("k") === key)
+        .select(col("_metadata.file_path")).as[String].collect().toSet
+      val (admitted, _) = ZoneMaps.planFilesPoint(store, "sup", "k", key)
+      def n(p: String) = new java.net.URI(p).getPath
+      assert(holder.map(n).subsetOf(admitted.map(n).toSet),
+        s"key $key: bloom must admit every file that holds it")
+    }
+  }
+
+  test("maintain: builds when missing, no-ops when fresh, rebuilds (with blooms) after a rewrite") {
+    val store = freshStore()
+    val df = (1 to 400).map(i => (i.toLong, i % 5)).toDF("k", "g")
+    store.replace("mt", df.repartitionByRange(4, col("k")))
+    assert(ZoneMaps.maintain(store, "mt", Seq("k")),
+      "missing manifest must trigger a build")
+    assert(!ZoneMaps.maintain(store, "mt", Seq("k")),
+      "fresh manifest must no-op")
+    // add a bloom, then rewrite the table: maintain must rebuild and
+    // PRESERVE the manifest's column choices, bloom included
+    ZoneMaps.build(store, "mt", Seq("k"), bloomCols = Seq("g"))
+    store.replace("mt", store.read("mt").get.repartition(2))
+    assert(ZoneMaps.maintain(store, "mt", Seq("k")),
+      "stale manifest must trigger a rebuild")
+    val names = store.read("mt_zones").get.schema.fieldNames.toSet
+    assert(names.contains("k_min") && names.contains("g_bloom"))
+    assert(ZoneMaps.prunedReadPoint(store, "mt", "g", 3).count() ==
+      df.filter(col("g") === 3).count())
+  }
+
+  test("manifest accounting: n_rows and per-column null counts are exact") {
+    val store = freshStore()
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("c")), (4L, None))
+      .toDF("k", "s").coalesce(1)
+    store.replace("acc", df)
+    ZoneMaps.build(store, "acc", Seq("k", "s"))
+    val z = store.read("acc_zones").get
+      .select("n_rows", "k_min", "k_max", "k_nulls", "s_nulls")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(z == ((4L, 1L, 4L, 0L, 2L)))
+  }
+}
