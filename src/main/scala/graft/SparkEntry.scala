@@ -3420,6 +3420,34 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** Unicode text normalization ([[graft.functions.Text.normalizeText]]
+    * over the native [[graft.plans.NfcNormalize]] expression): crawl-dirt
+    * planted onto the corpus by doc_id residue — a decomposed e+U+0301
+    * (must COMPOSE to é), a NUL + zero-width space (control/format chars
+    * must become spaces), NBSP runs and tab padding (must collapse) —
+    * then the full cleanup pass. The oracle replays the plant with
+    * chr() arithmetic and the cleanup with utf8proc's `nfc_normalize` +
+    * the same RE2-safe character classes, so BOTH engines' Unicode
+    * tables are under the hash, not just the regex plumbing. */
+  def q158_text_normalize(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val planted = docs.withColumn("t",
+      when(col("doc_id") % 7 === 1, concat(lit("cafe\u0301 "), col("text")))
+        // BEL, not NUL: DuckDB's utf8proc-backed nfc_normalize is
+        // C-string based and TRUNCATES at an embedded NUL (found by the
+        // oracle diff) - the planted control char must be one both
+        // engines carry through their normalizers
+        .when(col("doc_id") % 7 === 2,
+          concat(col("text"), lit("\u0007x\u200B")))
+        .when(col("doc_id") % 7 === 3,
+          concat(col("text"), lit("a\u00A0\u00A0b \t ")))
+        .otherwise(col("text")))
+    planted
+      .select(col("doc_id"), Text.normalizeText(col("t")).as("norm"))
+      .withColumn("n_len", length(col("norm")).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3580,6 +3608,7 @@ object SparkEntry {
     "q155_auc_readout"       -> (q155_auc_readout _),
     "q156_zonemap_scan"      -> (q156_zonemap_scan _),
     "q157_ap_readout"        -> (q157_ap_readout _),
+    "q158_text_normalize"    -> (q158_text_normalize _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6728,6 +6757,25 @@ object SparkEntry {
                 THEN round(apu / CAST(n_pos AS DOUBLE), 6)
                 ELSE NULL END AS ap
          FROM a ORDER BY source""",
+
+    // q158: the plant rebuilt with chr() arithmetic, the cleanup with
+    // utf8proc's nfc_normalize + the same RE2-safe character classes —
+    // both engines' Unicode tables under the hash (769 = U+0301
+    // combining acute, 7 = BEL, 8203 = U+200B ZWSP, 160 = NBSP, 9 = TAB)
+    "q158_text_normalize" ->
+      """WITH p AS (SELECT doc_id,
+           CASE WHEN doc_id % 7 = 1 THEN 'cafe' || chr(769) || ' ' || text
+                WHEN doc_id % 7 = 2 THEN text || chr(7) || 'x' || chr(8203)
+                WHEN doc_id % 7 = 3 THEN text || 'a' || chr(160) || chr(160)
+                                           || 'b ' || chr(9) || ' '
+                ELSE text END AS t
+           FROM documents),
+         n AS (SELECT doc_id,
+           trim(regexp_replace(regexp_replace(nfc_normalize(t),
+             '[\p{Cc}\p{Cf}]', ' ', 'g'), '[\s\x{00A0}]+', ' ', 'g')) AS norm
+           FROM p)
+         SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS n_len
+         FROM n ORDER BY doc_id""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a

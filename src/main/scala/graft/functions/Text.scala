@@ -17,6 +17,19 @@ object Text {
   def normalize(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
+  /** Unicode-clean crawl text, the cleanup pass ahead of fingerprinting /
+    * shingling / equality dedup: NFC composition (native
+    * [[graft.plans.NfcNormalize]] — one grapheme, one byte sequence),
+    * control + format characters (`\p{Cc}\p{Cf}`: NUL, BEL, tabs,
+    * zero-width spaces/joiners, BiDi marks) to spaces, whitespace
+    * including NBSP collapsed, trimmed. Every step is the same regex
+    * dialect subset in Java and RE2, so the whole pipeline replays in
+    * DuckDB (gate q158). Idempotent by construction (spec-pinned). */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(call_function("graft_nfc", c), "[\\p{Cc}\\p{Cf}]", " "),
+      "[\\s\\x{00A0}]+", " "))
+
   /** Whitespace tokens (documents are single-space separated). */
   def tokens(c: Column): Column = split(c, " ")
 

@@ -96,6 +96,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
       (children: Seq[Expression]) => JaroWinkler(children(0), children(1))))
 
+    ext.injectFunction((
+      new FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => NfcNormalize(children.head)))
+
     // The build half of the same runtime-filter pair: Spark's internal
     // BloomFilterAggregate, SQL-registered so a bloom can be built as a
     // DISTRIBUTED aggregate (partial blooms per partition, OR-merge)

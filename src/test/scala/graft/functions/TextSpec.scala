@@ -100,4 +100,30 @@ class TextSpec extends SparkSpec {
       .as[Seq[String]].head()
     assert(out == Seq.tabulate(10)(i => s"w$i")) // concatenation == original
   }
+
+  test("normalizeText: NFC composes, controls/format chars die, whitespace collapses") {
+    def norm(s: String): String =
+      Seq(s).toDF("t").select(Text.normalizeText($"t")).as[String].head()
+    // decomposed e + U+0301 composes to the single-codepoint U+00E9
+    assert(norm("cafe\u0301") == "caf\u00e9")
+    assert(norm("cafe\u0301").length == 4)
+    // NUL (Cc), BEL (Cc), ZWSP (Cf), BiDi LRM (Cf) -> spaces -> collapsed
+    assert(norm("a\u0000b\u0007c\u200Bd\u200Ee") == "a b c d e")
+    // NBSP runs and mixed ASCII whitespace collapse; edges trim
+    assert(norm(" \t a\u00A0\u00A0b \n c \r ") == "a b c")
+    // plain ASCII passes through untouched
+    assert(norm("already clean text") == "already clean text")
+  }
+
+  test("normalizeText is idempotent and null-safe; graft_nfc is SQL-callable") {
+    val dirty = Seq(Some("x\u0007y \u00A0 cafe\u0301 z"), None).toDF("t")
+    val once = dirty.select(Text.normalizeText($"t").as("n"))
+    val twice = once.select(Text.normalizeText($"n").as("n"))
+    assert(once.as[Option[String]].collect().toSeq ==
+      twice.as[Option[String]].collect().toSeq)
+    assert(once.filter($"n".isNull).count() == 1)
+    val viaSql = spark.sql("SELECT graft_nfc('cafe\u0301') AS n")
+      .as[String].head()
+    assert(viaSql == "caf\u00e9")
+  }
 }
