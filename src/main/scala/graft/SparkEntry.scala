@@ -3448,6 +3448,45 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Fuzzy (paraphrase) decontamination
+    * ([[graft.operators.Decontaminate.fuzzyHits]] — the leak channel the
+    * exact n-gram recipe can't see): the eval set is built FROM corpus
+    * docs with a replayable perturbation (an appended answer tail), so
+    * every true (corpus, eval) near-dup pair is known to the oracle by
+    * construction. Candidates via cross-side MinHash banding (corpus
+    * bands × broadcast eval bands — the corpus never self-joins), then
+    * exact 3-shingle Jaccard on the candidate set, threshold 0.8.
+    * Oracle: the perturbation + the EXACT all-pairs corpus×eval Jaccard
+    * replayed (no banding) — the gate passing IS the measured
+    * no-LSH-miss statement at this threshold on these fixtures (the
+    * q20/q62 convention; hashes are fixed, so the outcome is
+    * deterministic per fixture). */
+  def q159_fuzzy_decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val evalDocs = docs
+      .filter(col("doc_id") % 37 === 5 && col("n_chars") >= 150)
+      .select((col("doc_id") + 900000L).as("doc_id"),
+        concat(col("text"), lit(" benchmark answer tail")).as("text"))
+    graft.operators.Decontaminate.fuzzyHits(
+        docs, evalDocs, "doc_id", "text", threshold = 0.8)
+      .orderBy(col("doc_id"), col("eval_id"))
+  }
+
+  /** Quality-ranked survivorship
+    * ([[Similarity.clusterSurvivorsBest]]): q62's near-dup components,
+    * but the survivor is the LONGEST member (n_chars, ties → smallest
+    * id) instead of the min-id accident — the best-copy rule a
+    * production curation pass actually wants. Oracle: q62's
+    * recursive-CTE closure with the argmax replayed as a window. */
+  def q160_cluster_survivors(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val pairs = verifiedDupPairs(s, d)
+    Similarity.clusterSurvivorsBest(pairs,
+        docs.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars")
+      .filter(col("cluster_size") >= 2)
+      .orderBy(col("label"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3609,6 +3648,8 @@ object SparkEntry {
     "q156_zonemap_scan"      -> (q156_zonemap_scan _),
     "q157_ap_readout"        -> (q157_ap_readout _),
     "q158_text_normalize"    -> (q158_text_normalize _),
+    "q159_fuzzy_decontaminate" -> (q159_fuzzy_decontaminate _),
+    "q160_cluster_survivors" -> (q160_cluster_survivors _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6776,6 +6817,77 @@ object SparkEntry {
            FROM p)
          SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS n_len
          FROM n ORDER BY doc_id""",
+
+    // q159: the perturbed eval set rebuilt, then the EXACT all-pairs
+    // corpus×eval 3-shingle Jaccard (no banding) — the engine's banded
+    // candidates + exact verify must emit the identical pair set
+    "q159_fuzzy_decontaminate" ->
+      """WITH ev AS (SELECT doc_id + 900000 AS eval_id,
+             text || ' benchmark answer tail' AS text
+           FROM documents WHERE doc_id % 37 = 5 AND n_chars >= 150),
+         tc AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         te AS (SELECT eval_id, string_split(text, ' ') AS w FROM ev),
+         sc AS (SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(w) - 2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [array_to_string(w, ' ')] END AS g
+           FROM tc),
+         se AS (SELECT eval_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(w) - 2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [array_to_string(w, ' ')] END AS g
+           FROM te),
+         ec AS (SELECT doc_id, unnest(g) AS gram FROM sc),
+         ee AS (SELECT eval_id, unnest(g) AS gram FROM se),
+         nc AS (SELECT doc_id, len(g) AS n FROM sc),
+         ne AS (SELECT eval_id, len(g) AS n FROM se),
+         pr AS (SELECT c.doc_id, e.eval_id, count(*) AS shared
+                FROM ec c JOIN ee e ON c.gram = e.gram GROUP BY 1, 2),
+         j AS (SELECT pr.doc_id, pr.eval_id,
+                 round(CAST(shared AS DOUBLE) /
+                   CAST(nc.n + ne.n - shared AS DOUBLE), 4) AS jaccard
+               FROM pr JOIN nc ON nc.doc_id = pr.doc_id
+                       JOIN ne ON ne.eval_id = pr.eval_id)
+         SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                CAST(eval_id AS BIGINT) AS eval_id, jaccard
+         FROM j WHERE jaccard >= 0.8 ORDER BY doc_id, eval_id""",
+
+    // q160: q62's recursive closure with the best-copy argmax replayed —
+    // survivor = longest member, ties to the smallest id
+    "q160_cluster_survivors" ->
+      """WITH RECURSIVE
+         toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(w) - 2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [array_to_string(w, ' ')] END AS g
+           FROM toks),
+         sz AS (SELECT doc_id, len(g) AS n FROM sh),
+         e AS (SELECT doc_id, unnest(g) AS gram FROM sh),
+         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+                FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         p AS (SELECT id_a, id_b
+               FROM pr JOIN sz sa ON sa.doc_id = pr.id_a
+                       JOIN sz sb ON sb.doc_id = pr.id_b
+               WHERE round(CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE), 4) >= 0.6),
+         edges AS (SELECT id_a AS id, id_b AS nb FROM p
+                   UNION ALL SELECT id_b, id_a FROM p),
+         reach(id, r) AS (
+           SELECT id, nb FROM edges
+           UNION
+           SELECT reach.id, e2.nb FROM reach JOIN edges e2 ON e2.id = reach.r),
+         labels AS (SELECT id, least(id, min(r)) AS label FROM reach GROUP BY id),
+         s AS (SELECT l.label, d.doc_id, d.n_chars,
+                 row_number() OVER (PARTITION BY l.label
+                   ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk,
+                 count(*) OVER (PARTITION BY l.label) AS csize
+               FROM labels l JOIN documents d ON d.doc_id = l.id)
+         SELECT label, doc_id AS survivor_id, CAST(csize AS BIGINT) AS cluster_size
+         FROM s WHERE rk = 1 AND csize >= 2 ORDER BY label""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a

@@ -87,4 +87,59 @@ object Decontaminate {
       .filter(!when(bloomHit, exactHit).otherwise(lit(false)))
       .drop("__dc_w", "__dc_g")
   }
+
+  /** FUZZY decontamination — the paraphrase-leak half the exact n-gram
+    * recipe cannot see: an eval answer lightly reworded shares few long
+    * n-grams with its source but keeps a high small-shingle Jaccard.
+    * Candidates come from MinHash band buckets CROSS-side only (the
+    * corpus never self-joins here: corpus bands equi-join the BROADCAST
+    * eval bands — the eval side is benchmark-sized, so the join is one
+    * corpus pass like [[contaminated]]'s), then every candidate pair is
+    * verified by EXACT k-shingle Jaccard with gram sets built only for
+    * candidate corpus docs. LSH banding bounds recall (the q20 caveat);
+    * at paraphrase-grade similarity (J ≥ ~0.8) the 16×4 banding's
+    * per-pair miss probability is < 1e-6, and the verify stage makes
+    * every EMITTED pair exact. Returns (idCol, eval_id, jaccard) for
+    * pairs at or above `threshold`. */
+  def fuzzyHits(docs: DataFrame, evalDocs: DataFrame, idCol: String,
+                textCol: String, threshold: Double, k: Int = 3,
+                maxBucket: Int = 1000): DataFrame = {
+    def bands(sigs: DataFrame): DataFrame = sigs
+      .select(col(idCol), explode(Similarity.bandHashes(col("sig"))).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.bh").as("bh"))
+    val corpusBands = Similarity.capBuckets(
+      bands(Similarity.minhashSignatures(docs, idCol, textCol, k)),
+      Seq("band", "bh"), maxBucket)
+    val evalBands = bands(
+        Similarity.minhashSignatures(evalDocs, idCol, textCol, k))
+      .select(col(idCol).as("_eval_id"), col("band"), col("bh"))
+    val cand = corpusBands.join(broadcast(evalBands), Seq("band", "bh"))
+      .select(col(idCol), col("_eval_id")).distinct()
+    def gramSets(df: DataFrame, id: String): DataFrame =
+      df.select(col(id),
+        Similarity.shingleHashesOf(Text.tokens(col(textCol)), k).as("_g"))
+    // exact verify: gram sets only for candidate corpus docs; the eval
+    // side's sets are benchmark-sized and broadcast
+    val cg = gramSets(docs, idCol)
+      .join(cand.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+    val eg = gramSets(evalDocs, idCol)
+      .select(col(idCol).as("_eval_id"), col("_g").as("_ge"))
+    cand.join(cg, Seq(idCol)).join(broadcast(eg), Seq("_eval_id"))
+      .select(col(idCol), col("_eval_id").as("eval_id"),
+        round(size(array_intersect(col("_g"), col("_ge"))).cast("double") /
+          size(array_union(col("_g"), col("_ge"))).cast("double"), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** The keep side of [[fuzzyHits]]: corpus docs with no eval near-dup at
+    * or above `threshold`. Compose AFTER [[clean]] — exact n-gram overlap
+    * and paraphrase similarity are different leak channels. */
+  def fuzzyClean(docs: DataFrame, evalDocs: DataFrame, idCol: String,
+                 textCol: String, threshold: Double, k: Int = 3,
+                 maxBucket: Int = 1000): DataFrame =
+    docs.join(
+      fuzzyHits(docs, evalDocs, idCol, textCol, threshold, k, maxBucket)
+        .select(col(idCol)).distinct(),
+      Seq(idCol), "left_anti")
 }

@@ -448,6 +448,41 @@ object Similarity {
     labels.unionByName(singletons)
   }
 
+  /** Quality-ranked survivorship over near-dup clusters: one survivor
+    * per connected component — the HIGHEST-scoring member (ties →
+    * smallest id), where [[dedupClusters]]' min-id convention keeps an
+    * arbitrary copy. Production curation keeps the best copy of a
+    * duplicate family (longest / highest quality score), so the
+    * survivor choice is a ranking, not an accident of id assignment.
+    * One aggregate over the (id, label) frame joined to the scores —
+    * max_by on the (score, −id) struct, no window, nothing
+    * cluster-count-sized on the driver. Returns one row per component
+    * over ALL nodes (singletons survive as themselves with size 1):
+    * (label, survivor_id, cluster_size). */
+  def clusterSurvivorsBest(pairs: DataFrame, nodes: DataFrame,
+                           idCol: String, scoreCol: String,
+                           maxRounds: Int = 20): DataFrame = {
+    val labels = dedupClusters(pairs, nodes.select(col(idCol)), idCol,
+      maxRounds)
+    labels
+      .join(nodes.select(col(idCol).as("id"), col(scoreCol).as("_sc")), "id")
+      .groupBy(col("label"))
+      .agg(max_by(col("id"),
+          struct(col("_sc"), (lit(0L) - col("id")).as("_negid")))
+        .as("survivor_id"),
+        count(lit(1)).as("cluster_size"))
+  }
+
+  /** The corpus after best-copy dedup: every row whose id survived
+    * [[clusterSurvivorsBest]] — duplicates collapse to their
+    * highest-scoring member, singletons pass through. */
+  def dedupKeepBest(docs: DataFrame, pairs: DataFrame, idCol: String,
+                    scoreCol: String, maxRounds: Int = 20): DataFrame =
+    docs.join(
+      clusterSurvivorsBest(pairs, docs, idCol, scoreCol, maxRounds)
+        .select(col("survivor_id").as(idCol)),
+      Seq(idCol), "left_semi")
+
   /** Connected components in O(log n) rounds — the alternating
     * large-star/small-star algorithm (public: Kiveris et al., "Connected
     * Components in MapReduce and Beyond", SoCC'14) that [[dedupClusters]]

@@ -77,4 +77,50 @@ class DecontaminateSpec extends SparkSpec {
     val out = Decontaminate.contaminated(withCols, evalDocs, "doc_id", "text")
     assert(out.columns.toSeq == Seq("doc_id", "text", "source"))
   }
+
+  private val base = "the quick brown fox jumps over the lazy dog while " +
+    "birds sing in the morning light and rivers flow gently to the sea " +
+    "under a warm golden sun that rises slowly"
+
+  test("fuzzyHits finds the paraphrase leak the exact 8-gram recipe misses") {
+    // eval doc: the corpus doc with every 8th word changed — no 8-gram
+    // survives intact, but 3-shingle Jaccard stays high
+    val tweaked = base.split(" ").zipWithIndex
+      .map { case (w, i) => if (i % 8 == 7) w.toUpperCase else w }
+      .mkString(" ")
+    val corpus = Seq((1L, base), (2L, "completely unrelated text about " +
+      "spark shuffles partitions and catalyst optimizer internals at scale"))
+      .toDF("doc_id", "text")
+    val eval = Seq((900L, tweaked)).toDF("doc_id", "text")
+    // exact recipe: nothing flagged (no shared 8-gram)
+    assert(Decontaminate.contaminated(corpus, eval, "doc_id", "text").count() == 0)
+    // fuzzy recipe: doc 1 flagged, doc 2 untouched
+    val hits = Decontaminate.fuzzyHits(corpus, eval, "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(hits.map(h => (h._1, h._2)).toSet == Set((1L, 900L)))
+    assert(hits.head._3 >= 0.5 && hits.head._3 < 1.0)
+    val kept = Decontaminate.fuzzyClean(corpus, eval, "doc_id", "text", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+  }
+
+  test("fuzzyHits threshold is a boundary on the ROUNDED exact jaccard") {
+    val corpus = Seq((1L, base)).toDF("doc_id", "text")
+    val eval = Seq((900L, base + " tail")).toDF("doc_id", "text")
+    val j = Decontaminate.fuzzyHits(corpus, eval, "doc_id", "text", 0.0)
+      .select("jaccard").as[Double].head()
+    // at exactly-j threshold the pair is kept; just above it is not
+    assert(Decontaminate.fuzzyHits(corpus, eval, "doc_id", "text", j).count() == 1)
+    assert(Decontaminate.fuzzyHits(corpus, eval, "doc_id", "text", j + 0.0001).count() == 0)
+  }
+
+  test("fuzzyHits is cross-side only: corpus near-dup PAIRS never surface") {
+    // two corpus docs that are near-dups of each other, eval unrelated:
+    // no hit may be emitted, in either direction
+    val corpus = Seq((1L, base), (2L, base + " extra")).toDF("doc_id", "text")
+    val eval = Seq((900L, "nothing in common with the corpus at all here " +
+      "just spark catalyst tungsten codegen exchange partitions"))
+      .toDF("doc_id", "text")
+    assert(Decontaminate.fuzzyHits(corpus, eval, "doc_id", "text", 0.1).count() == 0)
+  }
 }

@@ -320,4 +320,28 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(base == guarded)
   }
+
+  test("clusterSurvivorsBest keeps the highest score, ties to the smallest id") {
+    // component {1,2,3}: scores 5, 9, 9 -> survivor 2 (max score, min id);
+    // component {7,8}: scores 4, 1 -> survivor 7; singleton 9 survives
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val nodes = Seq((1L, 5.0), (2L, 9.0), (3L, 9.0), (7L, 4.0), (8L, 1.0),
+      (9L, 2.0)).toDF("id", "score")
+    val out = Similarity.clusterSurvivorsBest(pairs, nodes, "id", "score")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L, 3L), (7L, 7L, 2L), (9L, 9L, 1L)))
+    val kept = Similarity.dedupKeepBest(nodes, pairs, "id", "score")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L, 7L, 9L))
+  }
+
+  test("clusterSurvivorsBest with the min-id score reproduces dedupClusters' convention") {
+    // score = -id makes "best" = smallest id, i.e. the label itself
+    val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val nodes = (Seq(10L, 11L, 12L, 20L, 21L, 30L)).map(i => (i, -i.toDouble))
+      .toDF("id", "score")
+    val out = Similarity.clusterSurvivorsBest(pairs, nodes, "id", "score")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out.forall { case (label, survivor, _) => label == survivor })
+  }
 }
