@@ -48,7 +48,19 @@ object CorpusPipeline {
         * against a boilerplate mega-bucket emitting m² candidate rows.
         * Gates that replay exact all-pairs recall (q65) pass 0, the same
         * explicit divergence q30/q62 document. */
-      dedupMaxBucket: Int = 1000)
+      dedupMaxBucket: Int = 1000,
+      /** > 0 adds the PARAPHRASE decontamination stage
+        * ([[operators.Decontaminate.fuzzyClean]], gate q159) after the
+        * exact n-gram pass: drop docs whose 3-shingle Jaccard vs any
+        * eval doc reaches this threshold. 0 (default) = off — the gated
+        * q65/q66 behavior. Batch [[curate]] only; the incremental path
+        * keeps the exact recipe + index-probed dedup. */
+      fuzzyDecontaminateJaccard: Double = 0.0,
+      /** true keeps the HIGHEST-quality member of each near-dup cluster
+        * ([[operators.Similarity.clusterSurvivorsBest]] ranked by
+        * [[functions.Text.qualityScore]], gate q160's rule) instead of
+        * the min-id member. false (default) = the gated q65 convention. */
+      keepBestInCluster: Boolean = false)
 
   /** Curate `docs` (idCol, textCol + any carry-through columns) against a
     * held-out `evalDocs` set. Returns (curated docs with `textCol`
@@ -89,15 +101,31 @@ object CorpusPipeline {
     // scoring features, final keep join) — without cutting lineage here,
     // every reference would re-run the whole language/quality/scrub/
     // decontamination chain (measured 10.9 s → 4-5 s at sf0.1).
-    val decontaminated = graft.operators.Checkpoints.materialize(
+    val exactDecon = graft.operators.Checkpoints.materialize(
       Decontaminate.clean(scrubbed, evalDocs, idCol, textCol, config.decontaminateN))
-    val nDecon = n(decontaminated)
     // the quality checkpoint's consumers are done (its lineage ends in
     // the now-materialized decontaminated frame) — release its blocks
     // rather than holding them until ContextCleaner GC (ADVICE r10)
     if (report) graft.operators.Checkpoints.release(afterQuality)
 
-    // 5. near-dup dedup: candidates → exact verify → components → keep rep
+    // 4b (opt-in). paraphrase decontamination — the leak channel the
+    // exact n-gram pass cannot see (gate q159). Materialized for the
+    // same three-consumer reason as stage 4; once it is, the exact-pass
+    // checkpoint is dead and released.
+    val decontaminated =
+      if (config.fuzzyDecontaminateJaccard <= 0) exactDecon
+      else {
+        val f = graft.operators.Checkpoints.materialize(
+          Decontaminate.fuzzyClean(exactDecon, evalDocs, idCol, textCol,
+            config.fuzzyDecontaminateJaccard,
+            maxBucket = config.dedupMaxBucket))
+        graft.operators.Checkpoints.release(exactDecon)
+        f
+      }
+    val nDecon = n(decontaminated)
+
+    // 5. near-dup dedup: candidates → exact verify → components → keep
+    // the representative (min-id by default; quality-ranked opt-in)
     val pairs = Similarity.scoreCandidatesJaccard(
         Similarity.minhashNearDup(decontaminated, idCol, textCol,
           threshold = math.max(0.1, config.dedupJaccard - 0.1),
@@ -107,9 +135,17 @@ object CorpusPipeline {
           .select(col(idCol), Similarity.shingleHashesOf(col("__cp_w"), 3).as("g")))
       .filter(col("jaccard") >= config.dedupJaccard)
       .select("id_a", "id_b")
-    val reps = Similarity.dedupClusters(pairs, decontaminated.select(col(idCol)), idCol)
-      .filter(col("id") === col("label")) // each cluster keeps its min-id doc
-      .select(col("id").as(idCol))
+    val reps =
+      if (config.keepBestInCluster)
+        Similarity.clusterSurvivorsBest(pairs,
+            decontaminated.select(col(idCol),
+              Text.qualityScore(col(textCol)).as("__cp_q")),
+            idCol, "__cp_q")
+          .select(col("survivor_id").as(idCol))
+      else
+        Similarity.dedupClusters(pairs, decontaminated.select(col(idCol)), idCol)
+          .filter(col("id") === col("label")) // each cluster keeps its min-id doc
+          .select(col("id").as(idCol))
     val curated = decontaminated.join(reps, Seq(idCol), "left_semi")
     val nFinal = n(curated)
 

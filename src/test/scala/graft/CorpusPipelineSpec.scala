@@ -148,4 +148,67 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(ids.contains(1L) && !ids.contains(2L),
       "the selective near-dup pair must still dedupe to its min id")
   }
+
+  test("fuzzyDecontaminateJaccard drops the paraphrase leak the default keeps") {
+    // planted victim + its every-8th-word rewrite (DecontaminateSpec's
+    // fixture pair, banding-verified there): shares no 8-gram with the
+    // eval doc (exact pass blind) but sits above 3-shingle J = 0.5
+    val victim = "the quick brown fox jumps over the lazy dog while " +
+      "birds sing in the morning light and rivers flow gently to the " +
+      "sea under a warm golden sun that rises slowly"
+    val tweaked = victim.split(" ").zipWithIndex
+      .map { case (w, i) => if (i % 8 == 7) w.toUpperCase else w }
+      .mkString(" ")
+    val planted = docs.unionByName(
+      Seq((900003L, victim, "web")).toDF("doc_id", "text", "source"))
+    val fuzzyEval = evalDocs.unionByName(
+      Seq((600000L, tweaked)).toDF("doc_id", "text"))
+    val (defaultOut, _) = CorpusPipeline.curate(planted, fuzzyEval,
+      "doc_id", "text", report = false)
+    val (fuzzyOut, _) = CorpusPipeline.curate(planted, fuzzyEval,
+      "doc_id", "text",
+      CorpusPipeline.Config(fuzzyDecontaminateJaccard = 0.4), report = false)
+    val dIds = defaultOut.select("doc_id").as[Long].collect().toSet
+    val fIds = fuzzyOut.select("doc_id").as[Long].collect().toSet
+    assert(dIds.contains(900003L), "exact recipe alone must keep the paraphrase")
+    assert(!fIds.contains(900003L), "fuzzy stage must drop the paraphrase")
+    assert(fIds.subsetOf(dIds), "fuzzy stage only removes docs")
+  }
+
+  test("keepBestInCluster keeps the highest-quality member instead of the min id") {
+    // planted near-dup pair — its OWN component (text disjoint from the
+    // corpus) — where the LOWER id is the WORSE copy: the min-id
+    // convention keeps 900001, the ranked rule must keep 900002
+    val base = "the archival committee reviews provenance records for " +
+      "every deposited manuscript while curators annotate the holdings " +
+      "with keywords and cross references before publication in the " +
+      "quarterly register of acquisitions and the public catalogue"
+    val variant = base + " and the with that from they have this were been"
+    // near-dup twins whose quality scores differ; the WORSE copy gets
+    // the LOWER id, so the min-id convention provably picks the worse
+    val q = graft.functions.Text.qualityScore(col("text"))
+    val Seq(qBase, qVariant) = Seq(base, variant).map(t =>
+      Seq(t).toDF("text").select(q).as[Double].head())
+    assert(qBase != qVariant, "fixture: twin scores must differ")
+    val (worse, better) =
+      if (qBase < qVariant) (base, variant) else (variant, base)
+    val planted = docs.unionByName(Seq(
+      (900001L, worse, "web"), (900002L, better, "web"))
+      .toDF("doc_id", "text", "source"))
+    val (defaultOut, _) = CorpusPipeline.curate(planted, evalDocs,
+      "doc_id", "text", report = false)
+    val (bestOut, _) = CorpusPipeline.curate(planted, evalDocs,
+      "doc_id", "text",
+      CorpusPipeline.Config(keepBestInCluster = true), report = false)
+    assert(defaultOut.count() == bestOut.count(),
+      "survivorship rule changes WHICH copy survives, never how many")
+    val dIds = defaultOut.select("doc_id").as[Long].collect().toSet
+    val bIds = bestOut.select("doc_id").as[Long].collect().toSet
+    // the planted pair must have clustered (one survivor each run)...
+    assert((dIds & Set(900001L, 900002L)).size == 1)
+    assert((bIds & Set(900001L, 900002L)).size == 1)
+    // ...and each rule picks its own copy
+    assert(dIds.contains(900001L), "min-id convention keeps the lower id")
+    assert(bIds.contains(900002L), "ranked rule keeps the better copy")
+  }
 }
