@@ -3487,6 +3487,33 @@ object SparkEntry {
       .orderBy(col("label"))
   }
 
+  /** Stream-maintained classifier readout
+    * ([[graft.operators.BinaryMetrics]] fold path — the per-score class
+    * counts are the sufficient statistic for BOTH metrics and they are
+    * plain sums, so the READOUT folds): the q155/q157 prediction task
+    * split into three residue batches through a real store (one
+    * replayed, must no-op), then AUC and AP read from the state with
+    * zero data touch. Oracle: the one-shot q155 + q157 replays joined —
+    * a readout maintained per micro-batch is the readout of
+    * everything. */
+  def q161_readout_maintained(s: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_q161_wh").toString
+    val store = new graft.operators.ParquetTableStore(s, wh)
+    val docs = documents(s, d).withColumn("is_en", col("lang") === "en")
+    def fold(b: DataFrame, id: Long): Unit =
+      graft.operators.BinaryMetrics.foldIntoStore(store, "bm", b,
+        Seq("source"), "n_chars", "is_en", id, epoch = "q161")
+    fold(docs.filter(col("doc_id") % 3 === 0), 0L)
+    fold(docs.filter(col("doc_id") % 3 === 1), 1L)
+    fold(docs.filter(col("doc_id") % 3 === 1), 1L) // replay: must no-op
+    fold(docs.filter(col("doc_id") % 3 === 2), 2L)
+    val st = store.read("bm").get.drop("_last_batch", "_epoch")
+    graft.operators.BinaryMetrics.aucFromState(st, Seq("source"))
+      .join(graft.operators.BinaryMetrics.apFromState(st, Seq("source"))
+        .select(col("source"), col("ap")), Seq("source"))
+      .orderBy(col("source"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3650,6 +3677,7 @@ object SparkEntry {
     "q158_text_normalize"    -> (q158_text_normalize _),
     "q159_fuzzy_decontaminate" -> (q159_fuzzy_decontaminate _),
     "q160_cluster_survivors" -> (q160_cluster_survivors _),
+    "q161_readout_maintained" -> (q161_readout_maintained _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6888,6 +6916,45 @@ object SparkEntry {
                FROM labels l JOIN documents d ON d.doc_id = l.id)
          SELECT label, doc_id AS survivor_id, CAST(csize AS BIGINT) AS cluster_size
          FROM s WHERE rk = 1 AND csize >= 2 ORDER BY label""",
+
+    // q161: the q155 AUC replay and the q157 AP replay joined — the
+    // fold-maintained state must read out to the one-shot metrics
+    "q161_readout_maintained" ->
+      """WITH c AS (SELECT source, n_chars AS s,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos,
+             sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS neg
+           FROM documents
+           WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+           GROUP BY 1, 2),
+         r AS (SELECT *, coalesce(sum(neg) OVER (PARTITION BY source ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+               FROM c),
+         a AS (SELECT source,
+                 CAST(sum(pos) AS BIGINT) AS n_pos,
+                 CAST(sum(neg) AS BIGINT) AS n_neg,
+                 sum(pos * (CAST(neg_below AS DOUBLE) + CAST(neg AS DOUBLE) / 2.0)) AS u
+               FROM r GROUP BY 1),
+         w AS (SELECT source, s, pos, neg,
+             sum(pos) OVER win AS tp, sum(neg) OVER win AS fp
+           FROM c
+           WINDOW win AS (PARTITION BY source ORDER BY s DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         r2 AS (SELECT source, tp, fp,
+             sum(CAST(pos AS DOUBLE) *
+                 (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))) OVER win2 AS ap_run
+           FROM w
+           WINDOW win2 AS (PARTITION BY source ORDER BY s DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         a2 AS (SELECT source, CAST(max(tp) AS BIGINT) AS np2, max(ap_run) AS apu
+                FROM r2 GROUP BY 1)
+         SELECT a.source, a.n_pos, a.n_neg,
+           CASE WHEN a.n_pos > 0 AND a.n_neg > 0
+                THEN round(a.u / (CAST(a.n_pos AS DOUBLE) * CAST(a.n_neg AS DOUBLE)), 6)
+                ELSE NULL END AS auc,
+           CASE WHEN a2.np2 > 0
+                THEN round(a2.apu / CAST(a2.np2 AS DOUBLE), 6)
+                ELSE NULL END AS ap
+         FROM a JOIN a2 ON a.source = a2.source ORDER BY a.source""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a

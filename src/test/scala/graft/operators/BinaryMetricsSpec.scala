@@ -110,6 +110,30 @@ class BinaryMetricsSpec extends SparkSpec {
     }
   }
 
+  test("fold-maintained readout ≡ one-shot, through a real store with replay") {
+    val store = new ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_bm_fold").toString)
+    val rnd = new scala.util.Random(47)
+    val rows = (1 to 500).map { i =>
+      val y = rnd.nextBoolean()
+      (i.toLong, s"g${i % 2}", (if (y) 1.5 else 0.0) + rnd.nextInt(7), y)
+    }
+    val df = rows.toDF("id", "g", "s", "y")
+    def fold(m: Long, id: Long): Unit =
+      BinaryMetrics.foldIntoStore(store, "bm",
+        df.filter($"id" % 3 === m), Seq("g"), "s", "y", id, epoch = "t")
+    fold(0L, 0L); fold(1L, 1L); fold(1L, 1L); fold(2L, 2L) // one replay
+    val st = store.read("bm").get.drop("_last_batch", "_epoch")
+    val gotAuc = BinaryMetrics.aucFromState(st, Seq("g"))
+      .collect().map(_.toSeq).toSet
+    val gotAp = BinaryMetrics.apFromState(st, Seq("g"))
+      .collect().map(_.toSeq).toSet
+    assert(gotAuc == BinaryMetrics.aucRocPerGroup(df, Seq("g"), "s", "y")
+      .collect().map(_.toSeq).toSet)
+    assert(gotAp == BinaryMetrics.averagePrecisionPerGroup(df, Seq("g"), "s", "y")
+      .collect().map(_.toSeq).toSet)
+  }
+
   test("the ranking window runs over the grouped score frame, not the rows") {
     // 10k rows but only 5 distinct scores: the window input must be the
     // per-score aggregate (5 rows per group), which the plan shows as an
