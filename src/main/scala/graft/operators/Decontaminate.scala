@@ -118,10 +118,14 @@ object Decontaminate {
     def gramSets(df: DataFrame, id: String): DataFrame =
       df.select(col(id),
         Similarity.shingleHashesOf(Text.tokens(col(textCol)), k).as("_g"))
-    // exact verify: gram sets only for candidate corpus docs; the eval
-    // side's sets are benchmark-sized and broadcast
+    // exact verify: gram sets only for candidate corpus docs (broadcast
+    // semi-restriction — the candidate id set is eval-bounded, and
+    // without the hint Spark's unknown-cardinality estimate plans a
+    // corpus-wide sort-merge semi join); the eval side's sets are
+    // benchmark-sized and broadcast
     val cg = gramSets(docs, idCol)
-      .join(cand.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+      .join(broadcast(cand.select(col(idCol)).distinct()),
+        Seq(idCol), "left_semi")
     val eg = gramSets(evalDocs, idCol)
       .select(col(idCol).as("_eval_id"), col("_g").as("_ge"))
     cand.join(cg, Seq(idCol)).join(broadcast(eg), Seq("_eval_id"))
