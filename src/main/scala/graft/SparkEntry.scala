@@ -3514,6 +3514,26 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** Release-audit triple ([[graft.operators.Anonymity]] — k-anonymity
+    * was q111; this adds l-DIVERSITY (attribute disclosure: a size-50
+    * class that is all one language leaks everything, Machanavajjhala
+    * TKDD'07 — both distinct and entropy forms, the latter via the
+    * shuffle-free closed form ln n − Σc·ln c / n) and t-CLOSENESS
+    * (skew disclosure: per-class sensitive distribution vs the global
+    * one as total variation, Li ICDE'07). Oracle: the per-cell counts,
+    * the entropy closed form, the full class × value grid with
+    * absent-value mass, every rounding site and every verdict replayed
+    * in SQL. */
+  def q162_privacy_audit(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .withColumn("len_bucket", floor(col("n_chars") / 200).cast("long"))
+    val qi = Seq("source", "len_bucket")
+    val div = graft.operators.Anonymity.diversityReport(docs, qi, "lang", 3L)
+    val clo = graft.operators.Anonymity.closenessReport(docs, qi, "lang", 0.3)
+    div.crossJoin(clo.select(col("max_tvd"), col("groups_beyond_t"),
+      col("t_close")))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3678,6 +3698,7 @@ object SparkEntry {
     "q159_fuzzy_decontaminate" -> (q159_fuzzy_decontaminate _),
     "q160_cluster_survivors" -> (q160_cluster_survivors _),
     "q161_readout_maintained" -> (q161_readout_maintained _),
+    "q162_privacy_audit"     -> (q162_privacy_audit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6955,6 +6976,44 @@ object SparkEntry {
                 THEN round(a2.apu / CAST(a2.np2 AS DOUBLE), 6)
                 ELSE NULL END AS ap
          FROM a JOIN a2 ON a.source = a2.source ORDER BY a.source""",
+
+    // q162: cells → per-class distinct/entropy (ln n − Σc·ln c / n) →
+    // diversity verdicts; global dist + full class × value grid (absent
+    // values carry their global mass) → TVD → closeness verdicts. The
+    // verdicts compare the ROUNDED minima/maxima, same as the engine.
+    "q162_privacy_audit" ->
+      """WITH cells AS (SELECT source,
+             CAST(floor(n_chars / 200) AS BIGINT) AS len_bucket,
+             lang AS s, count(*) AS cnt
+           FROM documents GROUP BY 1, 2, 3),
+         cls AS (SELECT source, len_bucket, sum(cnt) AS n,
+                   count(*) AS nd,
+                   ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt) AS ent
+                 FROM cells GROUP BY 1, 2),
+         div AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(min(nd) AS BIGINT) AS min_distinct,
+                   round(min(ent), 6) AS min_entropy,
+                   CAST(sum(CASE WHEN nd < 3 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS groups_below_l,
+                   min(nd) >= 3 AS l_diverse,
+                   round(min(ent), 6) >= ln(3) AS entropy_l_diverse
+                 FROM cls),
+         g AS (SELECT s, sum(cnt) AS gq FROM cells GROUP BY 1),
+         tot AS (SELECT sum(cnt) AS total FROM cells),
+         grid AS (SELECT c.source, c.len_bucket,
+                    abs(CAST(coalesce(x.cnt, 0) AS DOUBLE) / c.n -
+                        CAST(g.gq AS DOUBLE) / tot.total) AS term
+                  FROM cls c CROSS JOIN g CROSS JOIN tot
+                  LEFT JOIN cells x ON x.source = c.source
+                    AND x.len_bucket = c.len_bucket AND x.s = g.s),
+         tv AS (SELECT source, len_bucket, sum(term) / 2.0 AS tvd
+                FROM grid GROUP BY 1, 2),
+         clo AS (SELECT round(max(tvd), 6) AS max_tvd,
+                   CAST(sum(CASE WHEN tvd > 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS groups_beyond_t,
+                   round(max(tvd), 6) <= 0.3 AS t_close
+                 FROM tv)
+         SELECT div.*, clo.* FROM div CROSS JOIN clo""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a

@@ -77,4 +77,83 @@ class AnonymitySpec extends SparkSpec {
       Anonymity.groupSizes(df, Seq.empty)
     }
   }
+
+  // (zip, diag) for the attribute-disclosure audits: class A has 3
+  // distinct diagnoses over 4 rows, class B is HOMOGENEOUS (the leak)
+  private lazy val sens = Seq(
+    ("A", "flu"), ("A", "flu"), ("A", "cold"), ("A", "covid"),
+    ("B", "flu"), ("B", "flu"), ("B", "flu")
+  ).toDF("zip", "diag")
+
+  test("l-diversity: homogeneous class fails, hand-computed entropy") {
+    val r = Anonymity.diversityReport(sens, Seq("zip"), "diag", 2)
+      .collect().head
+    assert(r.getAs[Long]("n_groups") == 2L)
+    assert(r.getAs[Long]("min_distinct") == 1L) // class B
+    assert(r.getAs[Long]("groups_below_l") == 1L)
+    assert(!r.getAs[Boolean]("l_diverse"))
+    assert(!r.getAs[Boolean]("entropy_l_diverse"))
+    // min entropy is B's: all-one-value → 0 exactly
+    assert(r.getAs[Double]("min_entropy") == 0.0)
+    // class A's entropy via the closed form: ln4 − (2ln2 + 0 + 0)/4
+    val entA = math.log(4) - 2 * math.log(2) / 4
+    val risky = Anonymity.riskyByDiversity(sens, Seq("zip"), "diag", 2)
+      .as[(String, Long)].collect().toSeq
+    assert(risky == Seq(("B", 1L)))
+    // drop B: class A alone is 3-diverse, entropy ≥ ln 2
+    val rA = Anonymity.diversityReport(sens.filter($"zip" === "A"),
+      Seq("zip"), "diag", 2).collect().head
+    assert(rA.getAs[Boolean]("l_diverse") &&
+      rA.getAs[Boolean]("entropy_l_diverse"))
+    assert(math.abs(rA.getAs[Double]("min_entropy") -
+      math.rint(entA * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("t-closeness: hand-computed TVD, skewed class trips the verdict") {
+    // global: flu 5/7, cold 1/7, covid 1/7
+    // class A (4 rows: 2 flu, 1 cold, 1 covid):
+    //   TVD = ½(|.5−5/7| + |.25−1/7| + |.25−1/7|) = ½(3/14 + 3/28 + 3/28)
+    // class B (3 flu): TVD = ½(|1−5/7| + 1/7 + 1/7) = ½(2/7 + 2/7) = 2/7
+    val expectB = 2.0 / 7
+    val tight = Anonymity.closenessReport(sens, Seq("zip"), "diag", 0.25)
+      .collect().head
+    assert(tight.getAs[Long]("n_groups") == 2L)
+    assert(math.abs(tight.getAs[Double]("max_tvd") -
+      math.rint(expectB * 1e6) / 1e6) < 1e-9)
+    assert(tight.getAs[Long]("groups_beyond_t") == 1L) // only B
+    assert(!tight.getAs[Boolean]("t_close"))
+    val loose = Anonymity.closenessReport(sens, Seq("zip"), "diag", 0.5)
+      .collect().head
+    assert(loose.getAs[Boolean]("t_close"))
+    assert(loose.getAs[Long]("groups_beyond_t") == 0L)
+  }
+
+  test("null sensitive values count as values; empty input verdicts are FALSE") {
+    val withNull = Seq(("A", Some("flu")), ("A", None), ("B", Some("flu")))
+      .toDF("zip", "diag")
+    val r = Anonymity.diversityReport(withNull, Seq("zip"), "diag", 2)
+      .collect().head
+    // class A = {flu, null} → 2 distinct; class B = {flu} → 1
+    assert(r.getAs[Long]("min_distinct") == 1L)
+    val riskyA = Anonymity.riskyByDiversity(withNull, Seq("zip"), "diag", 3)
+      .as[(String, Long)].collect().toMap
+    assert(riskyA == Map("A" -> 2L, "B" -> 1L))
+    val empty = sens.filter(lit(false))
+    val de = Anonymity.diversityReport(empty, Seq("zip"), "diag", 2)
+      .collect().head
+    assert(!de.getAs[Boolean]("l_diverse") &&
+      !de.getAs[Boolean]("entropy_l_diverse"))
+    val ce = Anonymity.closenessReport(empty, Seq("zip"), "diag", 0.3)
+      .collect().head
+    assert(!ce.getAs[Boolean]("t_close"))
+  }
+
+  test("invalid l and t fail loudly") {
+    intercept[IllegalArgumentException] {
+      Anonymity.diversityReport(sens, Seq("zip"), "diag", 1)
+    }
+    intercept[IllegalArgumentException] {
+      Anonymity.closenessReport(sens, Seq("zip"), "diag", 0.0)
+    }
+  }
 }
