@@ -112,12 +112,18 @@ object Anonymity {
     val classes = cc.groupBy(qiCols.map(col): _*)
       .agg(sum(col("_cnt")).as("_n"))
     // full value grid per class: a value ABSENT from a class contributes
-    // its full global mass |0 − g/N|
-    val grid = classes.crossJoin(broadcast(global))
-      .join(cc, qiCols :+ "_s", "left")
-      .select(qiCols.map(col) :+
-        abs(coalesce(col("_cnt"), lit(0L)).cast("double") / col("_n") -
-          col("_gq").cast("double") / col("_total")).as("_term"): _*)
+    // its full global mass |0 − g/N|. NULL-SAFE join keys: null sensitive
+    // values and null quasi-identifiers count as values (the module
+    // convention), and a plain USING join would never match them —
+    // silently replacing their counts with 0 and inflating the TVD
+    val gridKeys = classes.crossJoin(broadcast(global)).as("g")
+    val joined = gridKeys.join(cc.as("c"),
+      (qiCols :+ "_s").map(k => col(s"g.$k") <=> col(s"c.$k"))
+        .reduce(_ && _), "left")
+    val grid = joined
+      .select(qiCols.map(k => col(s"g.$k").as(k)) :+
+        abs(coalesce(col("c._cnt"), lit(0L)).cast("double") / col("g._n") -
+          col("g._gq").cast("double") / col("g._total")).as("_term"): _*)
     grid.groupBy(qiCols.map(col): _*)
       .agg((sum(col("_term")) / lit(2.0)).as("_tvd"))
       .agg(count(lit(1)).as("n_groups"),

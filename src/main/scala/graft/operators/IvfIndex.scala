@@ -199,8 +199,24 @@ object IvfIndex {
       sys.error(s"IVF index '$name' has no centroids table — not built?"))
     val stored = store.read(s"${name}_cells").getOrElse(
       sys.error(s"IVF index '$name' has no cells table — not built?"))
-    val assigned = Checkpoints.materialize(assignToCells(
-      batch.select(col(idCol).as("id"), col(vecCol).as("v")), centroids))
+    // batch-internal dedup BEFORE classification: the append-files fresh
+    // path writes rows verbatim (no keyed merge collapses them any more),
+    // so a batch carrying one id twice would index it twice. Identical
+    // duplicate rows collapse; one id with two DIFFERENT vectors is
+    // ambiguous intent and fails loudly like a moved-cell re-delivery.
+    val rows = Checkpoints.materialize(
+      batch.select(col(idCol).as("id"), col(vecCol).as("v")).distinct())
+    val conflicted = rows.groupBy(col("id")).count()
+      .filter(col("count") > 1).select(col("id")).limit(5).collect()
+    if (conflicted.nonEmpty) {
+      Checkpoints.release(rows)
+      sys.error(s"IVF index '$name': batch carries id(s) " +
+        conflicted.map(_.get(0)).mkString(", ") +
+        " more than once with DIFFERENT vectors — one id, one vector " +
+        "per batch; dedup upstream or split the batch.")
+    }
+    val assigned = Checkpoints.materialize(assignToCells(rows, centroids))
+    Checkpoints.release(rows)
     val storedSpan = KeyPrune.toKeySpan(stored, "id", assigned, "id")
       .select(col("id"), col("cell").as("_oc"), col("v").as("_ov"))
     val annotated = Checkpoints.materialize(
@@ -255,8 +271,13 @@ object IvfIndex {
       sys.error(s"IVF index '$name' has no cells table — not built?"))
     val files = cells.inputFiles.length.toLong
     val rows = cells.count()
+    // range partitioning places rows, sortWithinPartitions ORDERS them —
+    // without the sort each row group spans its file's whole id range
+    // and the guards' span pruning degrades to file granularity (the
+    // compactCodeSegments lesson applies here too)
     store.replacePartitioned(s"${name}_cells",
-      cells.repartitionByRange(col("cell"), col("id")), Seq("cell"))
+      cells.repartitionByRange(col("cell"), col("id"))
+        .sortWithinPartitions(col("cell"), col("id")), Seq("cell"))
     (files, rows)
   }
 

@@ -464,13 +464,21 @@ object Similarity {
                            maxRounds: Int = 20): DataFrame = {
     val labels = dedupClusters(pairs, nodes.select(col(idCol)), idCol,
       maxRounds)
-    labels
+    val scored = labels
       .join(nodes.select(col(idCol).as("id"), col(scoreCol).as("_sc")), "id")
-      .groupBy(col("label"))
-      .agg(max_by(col("id"),
-          struct(col("_sc"), (lit(0L) - col("id")).as("_negid")))
-        .as("survivor_id"),
-        count(lit(1)).as("cluster_size"))
+    // two-stage argmax instead of max_by over (score, −id): id negation
+    // only exists for numerics — string/UUID ids would coerce to null
+    // and the tie-break would silently go nondeterministic (or throw
+    // under ANSI). Stage 1: per-cluster best score; stage 2: min id
+    // among the members AT the best (null-safe, so an all-null-score
+    // cluster still keeps its min-id member instead of vanishing).
+    val best = scored.groupBy(col("label"))
+      .agg(max(col("_sc")).as("_best"), count(lit(1)).as("cluster_size"))
+    scored.join(best, "label")
+      .filter(col("_sc") <=> col("_best"))
+      .groupBy(col("label"), col("cluster_size"))
+      .agg(min(col("id")).as("survivor_id"))
+      .select(col("label"), col("survivor_id"), col("cluster_size"))
   }
 
   /** The corpus after best-copy dedup: every row whose id survived

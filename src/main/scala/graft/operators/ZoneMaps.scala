@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** File-level zone maps (data-skipping manifests) for store tables — the
@@ -30,14 +30,23 @@ import org.apache.spark.sql.functions._
   * ZoneMapsSpec property). Points: a bloom has no false negatives, so the
   * admitted set is a superset of the files holding the key; false
   * positives cost an extra file open, never a wrong row — the residual
-  * equality removes them.
+  * equality removes them. The point probe is CAST to the column's
+  * declared type before hashing: xxhash64 hashes an Int and a Long to
+  * different values, so an uncast probe literal of the wrong Scala type
+  * would be a silent bloom false NEGATIVE.
   *
   * Staleness is loud, mirroring the index family's verifyFresh protocol:
   * the manifest's file set IS its fingerprint — a read whose live file
   * listing differs from the manifest's (compaction, upsert, replace since
   * build) fails by name instead of silently scanning a wrong subset.
   * Rebuild zones after any table rewrite (`build` is one scan);
-  * [[maintain]] is the decision rule: rebuild iff stale.
+  * [[maintain]] is the decision rule: rebuild iff stale, preserving the
+  * manifest's own column choices AND its bloom sizing (persisted in the
+  * manifest as `_bloom_items`).
+  *
+  * Cost shape per pruned read: ONE table listing (threaded from the
+  * staleness attest into the admitted-file read) and two file-count-sized
+  * driver collects of the manifest — never data.
   *
   * Scope: unpartitioned store tables (the store's `replace`/`compact`
   * output). Partition-pruned tables already skip at the directory level;
@@ -51,10 +60,11 @@ object ZoneMaps {
     * table computing, per file, the row count, each stats column's
     * min / max / null count, and — for `bloomCols` — a per-file bloom
     * over `xxhash64(value)` (Spark's own distributed
-    * `BloomFilterAggregate`, grouped by file; `expectedPerFile` sizes
-    * it). The grouping key is `_metadata.file_path`, so the manifest
-    * build is a plain hash aggregate — no second listing, no driver
-    * work beyond the write. */
+    * `BloomFilterAggregate`, grouped by file; `expectedPerFile` sizes it
+    * and is persisted so [[maintain]] rebuilds with the same sizing).
+    * The grouping key is `_metadata.file_path`, so the manifest build is
+    * a plain hash aggregate — no second listing, no driver work beyond
+    * the write. */
   def build(store: ParquetTableStore, table: String, cols: Seq[String],
             bloomCols: Seq[String] = Seq.empty,
             expectedPerFile: Long = 100000L): Unit = {
@@ -74,14 +84,17 @@ object ZoneMaps {
     val zones = df
       .groupBy(col("_metadata.file_path").as("_file"))
       .agg(allAggs.head, allAggs.tail: _*)
-    store.replace(s"${table}_zones", zones)
+    store.replace(s"${table}_zones",
+      if (bloomCols.isEmpty) zones
+      else zones.withColumn("_bloom_items", lit(expectedPerFile)))
   }
 
   /** Rebuild-iff-stale decision rule (the manifest's slot in the same
     * maintenance pass that compacts index segments): returns true when
     * the manifest was missing or its file set no longer matches the live
-    * table and a rebuild ran. Column choices are re-derived from the
-    * existing manifest's schema so maintenance needs no caller config. */
+    * table and a rebuild ran. Column choices AND the bloom sizing are
+    * re-derived from the existing manifest itself, so maintenance needs
+    * no caller config. */
   def maintain(store: ParquetTableStore, table: String,
                colsIfMissing: Seq[String]): Boolean = {
     val liveSet = store.read(table).getOrElse(
@@ -95,9 +108,14 @@ object ZoneMaps {
             .toSet == liveSet
         if (fresh) false
         else {
+          val expected =
+            if (names.contains("_bloom_items"))
+              z.select(max(col("_bloom_items"))).head().getLong(0)
+            else 100000L
           build(store, table,
             names.filter(_.endsWith("_min")).map(_.dropRight(4)).toSeq,
-            names.filter(_.endsWith("_bloom")).map(_.dropRight(6)).toSeq)
+            names.filter(_.endsWith("_bloom")).map(_.dropRight(6)).toSeq,
+            expected)
           true
         }
       case None =>
@@ -108,11 +126,12 @@ object ZoneMaps {
 
   private def norm(p: String): String = new java.net.URI(p).getPath
 
-  /** Shared manifest read + the loud staleness gate: returns the zones
-    * frame only after proving its file set matches the table's live
-    * listing. */
+  /** Shared manifest read + the loud staleness gate: returns (zones,
+    * live table) — the ONE listing both the attest and the admitted-file
+    * read use — after proving the manifest's file set matches the
+    * table's live listing. */
   private def freshZones(store: ParquetTableStore,
-                         table: String): DataFrame = {
+                         table: String): (DataFrame, DataFrame) = {
     val zones = store.read(s"${table}_zones").getOrElse(
       sys.error(s"zone maps: table '$table' has no zones manifest — " +
         "run ZoneMaps.build first"))
@@ -125,17 +144,11 @@ object ZoneMaps {
       s"zone maps for '$table' are STALE: manifest lists " +
         s"${manifestSet.size} files but the table now has ${liveSet.size} " +
         "(rewritten since build?) — rebuild with ZoneMaps.build")
-    zones
+    (zones, live)
   }
 
-  /** The range-manifest consultation, exposed for tests and callers that
-    * want the plan without the read: (admitted files, total files).
-    * Bounded driver work — the manifest is file-count-sized, never
-    * data-sized. Fails loudly if the manifest is stale. */
-  private[graft] def planFiles(store: ParquetTableStore, table: String,
-                               colName: String, lo: Any,
-                               hi: Any): (Seq[String], Int) = {
-    val zones = freshZones(store, table)
+  private def admitRange(zones: DataFrame, colName: String, lo: Any,
+                         hi: Any): (Seq[String], Int) = {
     // one bounded collect: (file, admitted) — file count, never rows
     val entries = zones.select(col("_file"),
         (!(col(s"${colName}_max") < lit(lo) ||
@@ -145,20 +158,18 @@ object ZoneMaps {
     (entries.filter(_._2).map(_._1).toSeq, entries.length)
   }
 
-  /** The point-manifest consultation: files whose bloom admits the key.
-    * The probe hash is computed BY SPARK over a 1-row frame so insert
-    * and probe hash identically whatever the key type; the per-file
-    * blooms are deserialized driver-side (file-count × bloom bytes —
-    * the manifest read a planner does, same as Iceberg's puffin). */
-  private[graft] def planFilesPoint(store: ParquetTableStore, table: String,
-                                    colName: String,
-                                    value: Any): (Seq[String], Int) = {
-    val zones = freshZones(store, table)
+  private def admitPoint(zones: DataFrame, live: DataFrame, colName: String,
+                         value: Any): (Seq[String], Int) = {
     require(zones.schema.fieldNames.contains(s"${colName}_bloom"),
-      s"zone maps for '$table' carry no bloom for '$colName' — " +
-        "build with bloomCols")
+      s"zone maps carry no bloom for '$colName' — build with bloomCols")
     val spark = zones.sparkSession
-    val h = spark.range(1).select(xxhash64(lit(value))).head().getLong(0)
+    // cast the probe to the COLUMN's declared type before hashing:
+    // xxhash64(Int) != xxhash64(Long) for the same value, and the build
+    // side hashed the column's own type — an uncast literal of a
+    // different Scala type would be a silent bloom false negative
+    val colType = live.schema(colName).dataType
+    val h = spark.range(1).select(xxhash64(lit(value).cast(colType)))
+      .head().getLong(0)
     val entries = zones.select(col("_file"), col(s"${colName}_bloom"))
       .collect()
       .map { r =>
@@ -172,24 +183,46 @@ object ZoneMaps {
     (entries.filter(_._2).map(_._1).toSeq, entries.length)
   }
 
-  private def readFiles(store: ParquetTableStore, table: String,
-                        files: Seq[String]): Option[DataFrame] = {
-    val full = store.read(table).get
-    if (files.isEmpty) None
-    else Some(full.sparkSession.read.schema(full.schema).parquet(files: _*))
+  /** The range-manifest consultation, exposed for tests and callers that
+    * want the plan without the read: (admitted files, total files).
+    * Bounded driver work — the manifest is file-count-sized, never
+    * data-sized. Fails loudly if the manifest is stale. */
+  private[graft] def planFiles(store: ParquetTableStore, table: String,
+                               colName: String, lo: Any,
+                               hi: Any): (Seq[String], Int) = {
+    val (zones, _) = freshZones(store, table)
+    admitRange(zones, colName, lo, hi)
   }
+
+  /** The point-manifest consultation: files whose bloom admits the key.
+    * The probe hash is computed BY SPARK over a 1-row frame (cast to the
+    * column's type) so insert and probe hash identically; the per-file
+    * blooms are deserialized driver-side (file-count × bloom bytes —
+    * the manifest read a planner does, same as Iceberg's puffin). */
+  private[graft] def planFilesPoint(store: ParquetTableStore, table: String,
+                                    colName: String,
+                                    value: Any): (Seq[String], Int) = {
+    val (zones, live) = freshZones(store, table)
+    admitPoint(zones, live, colName, value)
+  }
+
+  private def readAdmitted(live: DataFrame,
+                           files: Seq[String]): Option[DataFrame] =
+    if (files.isEmpty) None
+    else Some(live.sparkSession.read.schema(live.schema).parquet(files: _*))
 
   /** Range read through the manifest: open only the files whose zone
     * admits [lo, hi], then re-apply the range as the residual predicate.
     * Result ≡ `store.read(table).filter(lo <= col <= hi)` by the zone
-    * argument above; only the I/O differs. */
+    * argument above; only the I/O differs (one listing per read). */
   def prunedReadRange(store: ParquetTableStore, table: String,
                       colName: String, lo: Any, hi: Any): DataFrame = {
-    val (files, _) = planFiles(store, table, colName, lo, hi)
+    val (zones, live) = freshZones(store, table)
+    val (files, _) = admitRange(zones, colName, lo, hi)
     val residual = col(colName) >= lit(lo) && col(colName) <= lit(hi)
-    readFiles(store, table, files)
+    readAdmitted(live, files)
       .map(_.filter(residual))
-      .getOrElse(store.read(table).get.filter(lit(false)))
+      .getOrElse(live.filter(lit(false)))
   }
 
   /** Point read through the per-file blooms: open only the files whose
@@ -197,9 +230,10 @@ object ZoneMaps {
     * re-apply the equality. Result ≡ the plain equality filter. */
   def prunedReadPoint(store: ParquetTableStore, table: String,
                       colName: String, value: Any): DataFrame = {
-    val (files, _) = planFilesPoint(store, table, colName, value)
-    readFiles(store, table, files)
+    val (zones, live) = freshZones(store, table)
+    val (files, _) = admitPoint(zones, live, colName, value)
+    readAdmitted(live, files)
       .map(_.filter(col(colName) === lit(value)))
-      .getOrElse(store.read(table).get.filter(lit(false)))
+      .getOrElse(live.filter(lit(false)))
   }
 }

@@ -148,6 +148,20 @@ class AnonymitySpec extends SparkSpec {
     assert(!ce.getAs[Boolean]("t_close"))
   }
 
+  test("t-closeness counts null sensitive values as values (null-safe grid join)") {
+    // global: flu 2/3, null 1/3. class A (1 flu, 1 null):
+    //   TVD = ½(|½−2/3| + |½−1/3|) = 1/6; class B (1 flu):
+    //   TVD = ½(|1−2/3| + |0−1/3|) = 1/3 — a non-null-safe join would
+    //   read A's null cell as 0 and inflate A to ¼
+    val withNull = Seq(("A", Some("flu")), ("A", None), ("B", Some("flu")))
+      .toDF("zip", "diag")
+    val r = Anonymity.closenessReport(withNull, Seq("zip"), "diag", 0.25)
+      .collect().head
+    assert(math.abs(r.getAs[Double]("max_tvd") -
+      math.rint(1.0 / 3 * 1e6) / 1e6) < 1e-9)
+    assert(r.getAs[Long]("groups_beyond_t") == 1L, "only B exceeds 0.25")
+  }
+
   test("invalid l and t fail loudly") {
     intercept[IllegalArgumentException] {
       Anonymity.diversityReport(sens, Seq("zip"), "diag", 1)

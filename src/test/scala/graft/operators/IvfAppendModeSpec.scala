@@ -111,4 +111,29 @@ class IvfAppendModeSpec extends SparkSpec {
     val second = IndexMaintenance.maintainIvf(store, "ix", maxCellFiles = 1000)
     assert(!second.cellsCompacted, second.toString)
   }
+
+  test("batch-internal duplicates: identical rows collapse, conflicting vectors are loud") {
+    val wh = Files.createTempDirectory("graft_ivfdup").toString
+    val store = new ParquetTableStore(spark, wh)
+    IvfIndex.build(store, "ix", ring(0 until 32, 64), "id", "v",
+      nCells = 4, iterations = 3)
+    // the append-files fresh path writes rows verbatim — a doubled id
+    // must NOT index twice (the keyed merge that used to collapse it is
+    // gone on this path)
+    val doubled = ring(32 until 40, 64).unionAll(ring(32 until 40, 64))
+    IvfIndex.append(store, "ix", doubled, "id", "v")
+    val counts = store.read("ix_cells").get
+      .groupBy($"id").count().filter($"count" > 1).count()
+    assert(counts == 0L, "a batch-internal duplicate id was indexed twice")
+    IvfIndex.verifyFresh(store, "ix", ring(0 until 40, 64), "id")
+    // one id, two DIFFERENT vectors in one batch: ambiguous — loud
+    val conflicted = ring(40 until 41, 64).unionAll(
+      ring(40 until 41, 64).select($"id", reverse($"v").as("v")))
+    val e = intercept[RuntimeException] {
+      IvfIndex.append(store, "ix", conflicted, "id", "v")
+    }
+    assert(e.getMessage.contains("more than once"), e.getMessage)
+    // the failed append left the index untouched and fresh
+    IvfIndex.verifyFresh(store, "ix", ring(0 until 40, 64), "id")
+  }
 }

@@ -335,6 +335,25 @@ class SimilaritySpec extends SparkSpec {
     assert(kept == Set(2L, 7L, 9L))
   }
 
+  test("clusterSurvivorsBest tie-break works for STRING ids (no numeric negation)") {
+    // tied scores in one cluster of string ids: the survivor must be the
+    // lexicographically smallest, deterministically
+    val pairs = Seq(("doc-b", "doc-a"), ("doc-a", "doc-c"))
+      .toDF("id_a", "id_b")
+    val nodes = Seq(("doc-c", 1.0), ("doc-b", 1.0), ("doc-a", 1.0),
+      ("doc-z", 0.5)).toDF("id", "score")
+    val out = Similarity.clusterSurvivorsBest(pairs, nodes, "id", "score")
+      .as[(String, String, Long)].collect().toSet
+    assert(out == Set(("doc-a", "doc-a", 3L), ("doc-z", "doc-z", 1L)))
+    // and an all-null-score cluster keeps its min-id member, not nothing
+    val nullScores = Seq(("doc-a", Option.empty[Double]),
+      ("doc-b", Option.empty[Double])).toDF("id", "score")
+    val np = Seq(("doc-a", "doc-b")).toDF("id_a", "id_b")
+    val out2 = Similarity.clusterSurvivorsBest(np, nullScores, "id", "score")
+      .as[(String, String, Long)].collect().toSeq
+    assert(out2 == Seq(("doc-a", "doc-a", 2L)))
+  }
+
   test("clusterSurvivorsBest with the min-id score reproduces dedupClusters' convention") {
     // score = -id makes "best" = smallest id, i.e. the label itself
     val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("id_a", "id_b")

@@ -151,6 +151,20 @@ class ZoneMapsSpec extends SparkSpec {
     }
   }
 
+  test("point probe is cast to the column type: an Int probe on a Long column still matches") {
+    val store = freshStore()
+    val df = (1 to 500).map(i => (i.toLong, i % 4)).toDF("k", "g")
+    store.replace("tp", df.repartition(4))
+    ZoneMaps.build(store, "tp", Seq("g"), bloomCols = Seq("k"),
+      expectedPerFile = 200L)
+    // value passed as Int, column is LongType — xxhash64(Int) differs
+    // from xxhash64(Long), so without the cast this was a silent bloom
+    // false negative (zero admitted files, empty result)
+    val got = ZoneMaps.prunedReadPoint(store, "tp", "k", 123)
+      .select("k").as[Long].collect().toSeq
+    assert(got == Seq(123L))
+  }
+
   test("maintain: builds when missing, no-ops when fresh, rebuilds (with blooms) after a rewrite") {
     val store = freshStore()
     val df = (1 to 400).map(i => (i.toLong, i % 5)).toDF("k", "g")
@@ -169,6 +183,20 @@ class ZoneMapsSpec extends SparkSpec {
     assert(names.contains("k_min") && names.contains("g_bloom"))
     assert(ZoneMaps.prunedReadPoint(store, "mt", "g", 3).count() ==
       df.filter(col("g") === 3).count())
+  }
+
+  test("maintain rebuilds with the manifest's OWN bloom sizing, not the default") {
+    val store = freshStore()
+    val df = (1 to 300).map(i => (i.toLong, i % 3)).toDF("k", "g")
+    store.replace("bs", df.repartition(3))
+    ZoneMaps.build(store, "bs", Seq("k"), bloomCols = Seq("k"),
+      expectedPerFile = 777L)
+    store.replace("bs", store.read("bs").get.repartition(2))
+    assert(ZoneMaps.maintain(store, "bs", Seq("k")))
+    val items = store.read("bs_zones").get
+      .select("_bloom_items").as[Long].collect().toSet
+    assert(items == Set(777L),
+      s"rebuild must preserve the original bloom sizing, got $items")
   }
 
   test("manifest accounting: n_rows and per-column null counts are exact") {
