@@ -56,6 +56,19 @@ object CorpusPipeline {
         * q65/q66 behavior. Batch [[curate]] only; the incremental path
         * keeps the exact recipe + index-probed dedup. */
       fuzzyDecontaminateJaccard: Double = 0.0,
+      /** Occupancy cap on the FUZZY-decontamination candidate buckets —
+        * deliberately its OWN knob, not [[dedupMaxBucket]] (ADVICE r11):
+        * capBuckets drops ALL rows of an over-cap band bucket, which for
+        * dedup trades recall for cost, but for DECONTAMINATION is a
+        * safety hole — a boilerplate-heavy contaminated doc whose band
+        * collisions all land in mega-buckets would bypass the leak check
+        * entirely. Default 0 = UNCAPPED (every candidate pair verified —
+        * the safe posture; the corpus side never self-joins here, so the
+        * candidate join is bounded by the benchmark-sized eval bands,
+        * not by corpus bucket occupancy squared). Set > 0 only when an
+        * adversarial corpus makes even the cross-side join hot, and
+        * treat the dropped buckets as an accepted recall hole. */
+      fuzzyDecontaminateMaxBucket: Int = 0,
       /** true keeps the HIGHEST-quality member of each near-dup cluster
         * ([[operators.Similarity.clusterSurvivorsBest]] ranked by
         * [[functions.Text.qualityScore]], gate q160's rule) instead of
@@ -118,7 +131,7 @@ object CorpusPipeline {
         val f = graft.operators.Checkpoints.materialize(
           Decontaminate.fuzzyClean(exactDecon, evalDocs, idCol, textCol,
             config.fuzzyDecontaminateJaccard,
-            maxBucket = config.dedupMaxBucket))
+            maxBucket = config.fuzzyDecontaminateMaxBucket))
         graft.operators.Checkpoints.release(exactDecon)
         f
       }
@@ -177,7 +190,8 @@ object CorpusPipeline {
                       indexName: String, batch: DataFrame,
                       evalDocs: DataFrame, idCol: String, textCol: String,
                       config: Config = Config(),
-                      report: Boolean = true): (DataFrame, IncrementReport) = {
+                      report: Boolean = true,
+                      batchId: Long = 1L): (DataFrame, IncrementReport) = {
     def n(df: DataFrame): Long = if (report) df.count() else -1L
     val input = n(batch)
 
@@ -239,8 +253,12 @@ object CorpusPipeline {
       vsCorpus.join(reps, Seq(idCol), "left_semi"))
     val nFinal = n(curated)
 
-    // survivors join the index so the NEXT batch dedups against them
-    graft.operators.MinHashIndex.append(store, indexName, curated, idCol, textCol)
+    // survivors join the index so the NEXT batch dedups against them —
+    // appended as files in this batch's own segment (pass a distinct
+    // batchId per crawl batch for per-batch delete/compaction pruning;
+    // replays must re-use it)
+    graft.operators.MinHashIndex.append(store, indexName, curated, idCol,
+      textCol, batchId = batchId)
     graft.operators.Checkpoints.release(decontaminated)
     graft.operators.Checkpoints.release(vsCorpus)
     // report-mode quality checkpoint too (ADVICE r10): repeated per-batch

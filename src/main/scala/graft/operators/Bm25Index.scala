@@ -27,11 +27,16 @@ import org.apache.spark.sql.functions._
   *     an `isin` that reaches the parquet scan, so row groups without
   *     the terms are skipped by min/max/dictionary stats rather than
   *     directory listing.
-  *   - `<name>_docs` (id, dl, text_hash): one row per indexed doc —
-  *     the corpus constants N and avgdl come from this doc-sized table
-  *     (never from a postings scan), the fingerprint comes from its id
-  *     column, and `text_hash` (xxhash64 of the raw text) is the
-  *     changed-content guard.
+  *   - `<name>_docs` (id, dl, text_hash, seg): one row per indexed doc
+  *     — the corpus constants N and avgdl come from this doc-sized
+  *     table (never from a postings scan), the fingerprint comes from
+  *     its id column, and `text_hash` (xxhash64 of the raw text) is
+  *     the changed-content guard. SEGMENT-PARTITIONED like the
+  *     postings (VERDICT r11 item 4): an append's new doc rows land as
+  *     APPENDED FILES in the batch's own segment directory
+  *     ([[ParquetTableStore.appendPartitioned]]) — the previous keyed
+  *     merge rewrote the whole doc-sized table per batch, O(corpus
+  *     docs) bytes of write amplification per append at scale.
   *   - `<name>_meta` (n_docs, id_fingerprint): staleness identity,
   *     same commutative (count, bit_xor(xxhash64(id))) fingerprint as
   *     the other two indexes.
@@ -92,7 +97,11 @@ object Bm25Index {
     val (stats, docRows) = statsOf(docs, idCol, textCol)
     store.replacePartitioned(s"${name}_postings",
       stats.withColumn("seg", lit(0L)), Seq("seg"))
-    store.replace(s"${name}_docs", docRows)
+    // id-sorted within write tasks: the append guard's id-span predicate
+    // ([[KeyPrune]]) prunes this table at row-group granularity
+    store.replacePartitioned(s"${name}_docs",
+      docRows.withColumn("seg", lit(0L)).sortWithinPartitions(col("id")),
+      Seq("seg"))
     writeMeta(store, name)
     Checkpoints.release(stats)
   }
@@ -126,12 +135,21 @@ object Bm25Index {
     val newStats = stats.join(broadcast(seen), Seq("id"), "left_anti")
     val newDocs = docRows.join(broadcast(seen), Seq("id"), "left_anti")
     if (!newStats.isEmpty) {
+      // postings FIRST (keyed merge within the batch's own segment —
+      // idempotent), doc rows SECOND as APPENDED FILES (new ids only, so
+      // nothing to merge — O(batch) bytes, untouched segments untouched
+      // byte-for-byte): the docs table is the classification side of
+      // `prior`, so writing it last means a crash between the two leaves
+      // the batch still classified as new and the re-run's postings
+      // merge converges without duplicates.
       store.upsertPartitioned(s"${name}_postings",
         newStats.withColumn("seg", lit(batchId)), Seq("id", "term"), "seg")
-      store.upsert(s"${name}_docs", newDocs, Seq("id"), countAfter = false)
+      store.appendPartitioned(s"${name}_docs",
+        newDocs.withColumn("seg", lit(batchId)).sortWithinPartitions(col("id")),
+        "seg")
     }
     // unconditional: converges the meta after a crash between the docs
-    // upsert and the meta write of a prior run of this same batch
+    // append and the meta write of a prior run of this same batch
     writeMeta(store, name)
     Checkpoints.release(stats)
   }
@@ -164,7 +182,7 @@ object Bm25Index {
       ids.select(col(idCol).as("id")).distinct())
     try {
       store.deletePartitioned(s"${name}_postings", key, Seq("id"), "seg")
-      val removed = store.delete(s"${name}_docs", key, Seq("id"))
+      val removed = store.deletePartitioned(s"${name}_docs", key, Seq("id"), "seg")
       writeMeta(store, name)
       removed
     } finally Checkpoints.release(key)
@@ -211,6 +229,15 @@ object Bm25Index {
     val rows = postings.count()
     store.replacePartitioned(s"${name}_postings",
       postings.drop("seg").withColumn("seg", lit(0L)), Seq("seg"))
+    // the docs side table accumulates one segment dir + files per append
+    // too — same merge, id-range-sorted so the append guard's span
+    // predicate keeps pruning at row-group granularity afterwards
+    val docs = store.read(s"${name}_docs").getOrElse(
+      sys.error(s"BM25 index '$name' has no docs table — not built?"))
+    store.replacePartitioned(s"${name}_docs",
+      docs.drop("seg").withColumn("seg", lit(0L))
+        .repartitionByRange(col("id")).sortWithinPartitions(col("id")),
+      Seq("seg"))
     (segs, rows)
   }
 

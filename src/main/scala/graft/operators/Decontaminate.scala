@@ -100,10 +100,21 @@ object Decontaminate {
     * at paraphrase-grade similarity (J ≥ ~0.8) the 16×4 banding's
     * per-pair miss probability is < 1e-6, and the verify stage makes
     * every EMITTED pair exact. Returns (idCol, eval_id, jaccard) for
-    * pairs at or above `threshold`. */
+    * pairs at or above `threshold`.
+    *
+    * `maxBucket` defaults to 0 = UNCAPPED (ADVICE r11): capBuckets drops
+    * ALL rows of an over-cap band bucket, which for dedup is a recall/
+    * cost trade but for decontamination is a safety hole — a
+    * boilerplate-heavy contaminated doc whose band collisions land in
+    * mega-buckets would bypass the leak check silently. Uncapped is
+    * affordable here because the corpus never self-joins: candidates are
+    * bounded by the benchmark-sized eval bands, so a hot corpus bucket
+    * costs a wider (still cross-side) join, never an m² blowup. Set a
+    * cap only for an adversarial corpus, and treat every dropped bucket
+    * as an accepted recall hole. */
   def fuzzyHits(docs: DataFrame, evalDocs: DataFrame, idCol: String,
                 textCol: String, threshold: Double, k: Int = 3,
-                maxBucket: Int = 1000): DataFrame = {
+                maxBucket: Int = 0): DataFrame = {
     def bands(sigs: DataFrame): DataFrame = sigs
       .select(col(idCol), explode(Similarity.bandHashes(col("sig"))).as("bs"))
       .select(col(idCol), col("bs.band").as("band"), col("bs.bh").as("bh"))
@@ -138,10 +149,12 @@ object Decontaminate {
 
   /** The keep side of [[fuzzyHits]]: corpus docs with no eval near-dup at
     * or above `threshold`. Compose AFTER [[clean]] — exact n-gram overlap
-    * and paraphrase similarity are different leak channels. */
+    * and paraphrase similarity are different leak channels. `maxBucket`
+    * defaults to uncapped; see [[fuzzyHits]] for why capping is a safety
+    * hole here, not a recall trade. */
   def fuzzyClean(docs: DataFrame, evalDocs: DataFrame, idCol: String,
                  textCol: String, threshold: Double, k: Int = 3,
-                 maxBucket: Int = 1000): DataFrame =
+                 maxBucket: Int = 0): DataFrame =
     docs.join(
       fuzzyHits(docs, evalDocs, idCol, textCol, threshold, k, maxBucket)
         .select(col(idCol)).distinct(),

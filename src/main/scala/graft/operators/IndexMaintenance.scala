@@ -38,27 +38,51 @@ object IndexMaintenance {
                     segmentsAfter: Long,
                     psi: Double, retrainRecommended: Boolean,
                     overCapRowShare: Double, reshingleRecommended: Boolean,
-                    cellFiles: Long = -1L, cellsCompacted: Boolean = false)
+                    cellFiles: Long = -1L, cellsCompacted: Boolean = false,
+                    zonesRebuilt: Boolean = false)
 
   /** Dispatcher over the family tag ("ivf", "ivf-sq", "ivf-pq", "bm25",
-    * "minhash") — the scheduled-job entry point. Thresholds: segment
-    * compaction above `maxSegments` (segment count tracks ingest
+    * "minhash", "table") — the scheduled-job entry point. Thresholds:
+    * segment compaction above `maxSegments` (segment count tracks ingest
     * history, scan task counts should track data size), retrain
     * recommendation above `psiThreshold` (the documented 0.25 PSI act
     * line), reshingle recommendation above `maxOverCapShare` of bucket
-    * memberships sitting in over-cap buckets. */
+    * memberships sitting in over-cap buckets. The "table" family is a
+    * plain store table with a [[ZoneMaps]] manifest: the pass runs the
+    * rebuild-iff-stale rule on the same scheduled tick as segment
+    * compaction (VERDICT r11 item 3 — a manifest only pays off if the
+    * maintenance that invalidates it also heals it);
+    * `zoneColsIfMissing` seeds a first-time build. */
   def maintain(store: ParquetTableStore, name: String, family: String,
                maxSegments: Int = 16, psiThreshold: Double = 0.25,
                maxBucket: Int = 1000,
                maxOverCapShare: Double = 0.05,
-               maxCellFiles: Int = 64): Report = family match {
+               maxCellFiles: Int = 64,
+               zoneColsIfMissing: Seq[String] = Seq.empty): Report = family match {
     case "ivf"     => maintainIvf(store, name, psiThreshold, maxCellFiles)
     case "ivf-sq"  => maintainIvfSq(store, name, maxSegments, psiThreshold, maxCellFiles)
     case "ivf-pq"  => maintainIvfPq(store, name, maxSegments, psiThreshold, maxCellFiles)
     case "bm25"    => maintainBm25(store, name, maxSegments)
-    case "minhash" => maintainMinHash(store, name, maxBucket, maxOverCapShare)
+    case "minhash" => maintainMinHash(store, name, maxBucket, maxOverCapShare,
+      maxSegments)
+    case "table"   => maintainTable(store, name, zoneColsIfMissing)
     case other => sys.error(
-      s"unknown index family '$other' — one of ivf, ivf-sq, ivf-pq, bm25, minhash")
+      s"unknown index family '$other' — one of ivf, ivf-sq, ivf-pq, bm25, " +
+        "minhash, table")
+  }
+
+  /** The zone-map manifest's slot in the scheduled pass: rebuild iff the
+    * manifest is missing or stale ([[ZoneMaps.maintain]] — column choices
+    * and bloom sizing re-derived from the manifest itself; a first-time
+    * build uses `colsIfMissing`). Safe to act without asking, like
+    * segment compaction: a rebuild changes no read result (pruned ≡
+    * unpruned is structural), only which files a pruned read opens. */
+  def maintainTable(store: ParquetTableStore, table: String,
+                    colsIfMissing: Seq[String]): Report = {
+    val rebuilt = ZoneMaps.maintain(store, table, colsIfMissing)
+    Report(table, "table", -1L, compacted = false, -1L,
+      -1.0, retrainRecommended = false, -1.0, reshingleRecommended = false,
+      zonesRebuilt = rebuilt)
   }
 
   /** Float IVF: no code segments, but [[IvfIndex.append]] adds files
@@ -102,10 +126,16 @@ object IndexMaintenance {
 
   def maintainMinHash(store: ParquetTableStore, name: String,
                       maxBucket: Int = 1000,
-                      maxOverCapShare: Double = 0.05): Report = {
+                      maxOverCapShare: Double = 0.05,
+                      maxSegments: Int = 16): Report = {
+    // the side tables accumulate one segment per append since the
+    // append-files rework — same compact-past-threshold rule as BM25
+    val segs = segmentCount(store, s"${name}_sigs", "MinHash", name)
+    val compacted = segs > maxSegments
+    if (compacted) MinHashIndex.compactSegments(store, name)
     val h = MinHashIndex.checkHealth(store, name, maxBucket).head()
     val share = if (h.isNullAt(4)) 0.0 else h.getDouble(4)
-    Report(name, "minhash", -1L, compacted = false, -1L,
+    Report(name, "minhash", segs, compacted, if (compacted) 1L else segs,
       -1.0, retrainRecommended = false, share, share > maxOverCapShare)
   }
 

@@ -19,20 +19,30 @@ import org.apache.spark.sql.functions._
   * exact, matching.)
   *
   * Layout (three tables under one index name):
-  *   - `<name>_sigs` (id, sig): 64-permutation MinHash signatures —
-  *     kept for estimate scoring of probe candidates.
-  *   - `<name>_buckets` (id, band, bh): the banded LSH bucket keys —
-  *     the join side of candidate generation.
+  *   - `<name>_sigs` (id, sig, seg): 64-permutation MinHash signatures
+  *     — kept for estimate scoring of probe candidates.
+  *   - `<name>_buckets` (id, band, bh, seg): the banded LSH bucket
+  *     keys — the join side of candidate generation.
   *   - `<name>_meta` (n_docs, id_fingerprint): corpus identity for
   *     staleness detection, same commutative (count, bit_xor of
   *     xxhash64(id)) fingerprint as [[IvfIndex]].
   *
-  * [[append]] extends the index with an ingested batch by KEYED upsert
-  * (ids already present are overwritten, not duplicated), so the
-  * probe→filter→append→checkpoint loop of a streaming ingest is
-  * replay-idempotent: a re-delivered batch rewrites identical rows and
-  * the meta fingerprint — recomputed from the stored sig table's id
-  * column, never folded incrementally — comes out unchanged.
+  * Both side tables are SEGMENT-PARTITIONED (`seg` = the append's
+  * batch id; the build is segment 0 — VERDICT r11 item 4): an append
+  * classifies the batch against the stored signatures (one span-pruned
+  * left join, [[KeyPrune]]) and its genuinely-new ids land as APPENDED
+  * FILES in the batch's own segment directory
+  * ([[ParquetTableStore.appendPartitioned]]) — O(batch) bytes, every
+  * pre-existing file untouched byte-for-byte. The previous shape keyed-
+  * merged both doc-sized tables per batch: O(corpus) write
+  * amplification per append, the exact cost the cells table's r11 fix
+  * killed. Re-delivered ids with an IDENTICAL signature are skipped
+  * (replays and cross-batch re-sends add no files); a CHANGED
+  * signature — unlike [[Bm25Index]], never a correctness hazard here,
+  * because signature and bucket rows replace 1:1 on their keys — takes
+  * the rare keyed merge into the id's ORIGINAL segment only. The meta
+  * fingerprint is recomputed from the stored sig table's id column,
+  * never folded incrementally, so replays converge it exactly.
   *
   * Probing returns CANDIDATE pairs with estimated Jaccard (signature
   * agreement fraction); callers needing exact scores rescore with
@@ -69,29 +79,131 @@ object MinHashIndex {
         lit(n).as("n_docs"), lit(h).as("id_fingerprint")))
   }
 
-  /** Sketch the corpus once and materialize signatures + band buckets. */
+  /** Sketch the corpus once and materialize signatures + band buckets
+    * (both segment 0 — id-sorted within write tasks so the append
+    * guard's id-span predicate prunes at row-group granularity). */
   def build(store: ParquetTableStore, name: String, docs: DataFrame,
             idCol: String, textCol: String, k: Int = 3): Unit = {
     val sigs = Checkpoints.materialize(sigsOf(docs, idCol, textCol, k))
-    store.replace(s"${name}_sigs", sigs)
-    store.replace(s"${name}_buckets", bucketsOf(sigs))
+    store.replacePartitioned(s"${name}_sigs",
+      sigs.withColumn("seg", lit(0L)).sortWithinPartitions(col("id")),
+      Seq("seg"))
+    store.replacePartitioned(s"${name}_buckets",
+      bucketsOf(sigs).withColumn("seg", lit(0L)).sortWithinPartitions(col("id")),
+      Seq("seg"))
     writeMeta(store, name)
     Checkpoints.release(sigs)
   }
 
-  /** Extend the index with an ingested batch. Keyed upsert on id makes
-    * replayed batches no-ops (same rows rewritten); the meta fingerprint
-    * is recomputed from the stored sig ids, so it cannot drift from the
-    * actual index contents the way an incrementally-folded count could
-    * under replay. Cost is O(|batch| sketching) + the store's keyed
-    * merge — never a corpus re-sketch. */
+  /** Extend the index with an ingested batch — O(batch) in compute AND
+    * bytes (see the object doc): classify against the stored sigs via
+    * one span-pruned left join, keyed-merge only the rare changed-sig
+    * ids into their ORIGINAL segments, append everything genuinely new
+    * as files in the batch's own segment. Replays add no files and
+    * converge the recomputed meta fingerprint; `batchId` names the
+    * segment (re-use it on replays, like [[Bm25Index.append]] — the
+    * default collapses all appends into segment 1, which is correct
+    * but gives deletes and compaction coarser pruning).
+    *
+    * Crash ordering within the fresh path: bucket rows first (with
+    * their own presence guard, so a crash between the two writes heals
+    * instead of duplicating), signature rows second — the sig table is
+    * the classification side, so a committed sig row implies its
+    * bucket rows exist — meta last (recomputed, converges). */
   def append(store: ParquetTableStore, name: String, batch: DataFrame,
-             idCol: String, textCol: String, k: Int = 3): Unit = {
-    val sigs = Checkpoints.materialize(sigsOf(batch, idCol, textCol, k))
-    store.upsert(s"${name}_sigs", sigs, Seq("id"))
-    store.upsert(s"${name}_buckets", bucketsOf(sigs), Seq("id", "band"))
+             idCol: String, textCol: String, k: Int = 3,
+             batchId: Long = 1L): Unit = {
+    require(batchId > 0, "batchId 0 is the build segment — use ids > 0")
+    val stored = store.read(s"${name}_sigs").getOrElse(
+      sys.error(s"MinHash index '$name' has no sig table — not built?"))
+    val storedBuckets = store.read(s"${name}_buckets").getOrElse(
+      sys.error(s"MinHash index '$name' has no bucket table — not built?"))
+    // batch-internal dedup before classification (the append-files path
+    // writes rows verbatim — the keyed merge that used to collapse
+    // duplicates is gone): identical duplicate rows collapse; one id
+    // sketching to two DIFFERENT signatures is ambiguous intent and
+    // fails loudly, like IvfIndex.append's conflicting-vector guard.
+    val rows = Checkpoints.materialize(
+      sigsOf(batch, idCol, textCol, k).distinct())
+    val conflicted = rows.groupBy(col("id")).count()
+      .filter(col("count") > 1).select(col("id")).limit(5).collect()
+    if (conflicted.nonEmpty) {
+      Checkpoints.release(rows)
+      sys.error(s"MinHash index '$name': batch carries id(s) " +
+        conflicted.map(_.get(0)).mkString(", ") +
+        " more than once with DIFFERENT text — one id, one document " +
+        "per batch; dedup upstream or split the batch.")
+    }
+    val sigSpan = KeyPrune.toKeySpan(stored, "id", rows, "id")
+      .select(col("id"), col("sig").as("_os"), col("seg").as("_oseg"))
+    val annotated = Checkpoints.materialize(rows.join(sigSpan, Seq("id"), "left"))
+    Checkpoints.release(rows)
+    // changed text re-sketches to a different signature: replace the
+    // id's rows IN PLACE, pruned to the segment(s) actually holding
+    // them — signature and bucket rows replace 1:1 on their keys, so
+    // unlike BM25 postings nothing can be stranded
+    val changed = annotated
+      .filter(col("_os").isNotNull && col("_os") =!= col("sig"))
+      .select(col("id"), col("sig"), col("_oseg").as("seg"))
+    val hasChanged = !changed.isEmpty
+    if (hasChanged) {
+      store.upsertPartitioned(s"${name}_sigs", changed, Seq("id"), "seg",
+        countAfter = false)
+      store.upsertPartitioned(s"${name}_buckets",
+        bucketsOf(changed.select(col("id"), col("sig")))
+          .join(changed.select(col("id"), col("seg")), Seq("id")),
+        Seq("id", "band"), "seg", countAfter = false)
+    }
+    val fresh = annotated.filter(col("_os").isNull)
+      .select(col("id"), col("sig"))
+    if (!fresh.isEmpty) {
+      // bucket rows carry their own presence guard: if a previous run
+      // crashed between the buckets append and the sigs append, the id
+      // still classifies as fresh (no sig row), and this anti-join is
+      // what stops its bucket rows from appending twice. Re-read the
+      // table if the changed path just rewrote segments — the earlier
+      // lazy frame would list files the swap replaced (the store's
+      // cross-call contract).
+      val bktNow = if (!hasChanged) storedBuckets
+        else store.read(s"${name}_buckets").get
+      val bktSeen = KeyPrune.toKeySpan(bktNow, "id", fresh, "id")
+        .select(col("id")).distinct()
+      store.appendPartitioned(s"${name}_buckets",
+        bucketsOf(fresh).join(broadcast(bktSeen), Seq("id"), "left_anti")
+          .withColumn("seg", lit(batchId)).sortWithinPartitions(col("id")),
+        "seg")
+      store.appendPartitioned(s"${name}_sigs",
+        fresh.withColumn("seg", lit(batchId)).sortWithinPartitions(col("id")),
+        "seg")
+    }
     writeMeta(store, name)
-    Checkpoints.release(sigs)
+    Checkpoints.release(annotated)
+  }
+
+  /** Rewrite both side tables as ONE segment (seg 0) — the background
+    * merge for this index family: [[append]] adds files per ingest
+    * batch, so file and segment counts track ingest history while scan
+    * task counts should track data size. Probe results unchanged by
+    * construction (candidate generation and estimate scoring never
+    * depend on segment boundaries); id-range-sorted so the guards'
+    * span pruning keeps working at row-group granularity. Returns
+    * (segments before, signature rows). */
+  def compactSegments(store: ParquetTableStore, name: String): (Long, Long) = {
+    val sigs = store.read(s"${name}_sigs").getOrElse(
+      sys.error(s"MinHash index '$name' has no sig table — not built?"))
+    val segs = sigs.select(col("seg")).distinct().count()
+    val rows = sigs.count()
+    store.replacePartitioned(s"${name}_sigs",
+      sigs.drop("seg").withColumn("seg", lit(0L))
+        .repartitionByRange(col("id")).sortWithinPartitions(col("id")),
+      Seq("seg"))
+    val buckets = store.read(s"${name}_buckets").getOrElse(
+      sys.error(s"MinHash index '$name' has no bucket table — not built?"))
+    store.replacePartitioned(s"${name}_buckets",
+      buckets.drop("seg").withColumn("seg", lit(0L))
+        .repartitionByRange(col("id")).sortWithinPartitions(col("id")),
+      Seq("seg"))
+    (segs, rows)
   }
 
   /** Remove `ids` from the index: buckets first (the candidate-join side
@@ -99,11 +211,11 @@ object MinHashIndex {
     * candidate), signatures second, the meta fingerprint LAST — a crash
     * anywhere leaves the OLD fingerprint ≠ the post-delete corpus, so
     * [[verifyFresh]] fails loudly; re-running converges (absent ids
-    * no-op). Both deletes take [[ParquetTableStore.delete]]'s pruned
-    * paths (buckets row-level MERGE-DELETE; sigs carry an array column
-    * so fall back to the anti-join publish). Unlike an in-place edit on
-    * [[Bm25Index]], a MinHash re-delivery with changed text never
-    * REQUIRED delete ([[append]]'s keyed upsert overwrites whole rows) —
+    * no-op). Both deletes are partition-pruned
+    * ([[ParquetTableStore.deletePartitioned]] — only the segment
+    * directories actually holding the ids are rewritten). Unlike an
+    * in-place edit on [[Bm25Index]], a MinHash re-delivery with changed
+    * text never REQUIRED delete ([[append]] replaces its rows 1:1) —
     * delete exists for genuine removals: takedowns, retention expiry,
     * license revocation. Returns docs removed. */
   def delete(store: ParquetTableStore, name: String, ids: DataFrame,
@@ -115,8 +227,8 @@ object MinHashIndex {
     val key = Checkpoints.materialize(
       ids.select(col(idCol).as("id")).distinct())
     try {
-      store.delete(s"${name}_buckets", key, Seq("id"))
-      val removed = store.delete(s"${name}_sigs", key, Seq("id"))
+      store.deletePartitioned(s"${name}_buckets", key, Seq("id"), "seg")
+      val removed = store.deletePartitioned(s"${name}_sigs", key, Seq("id"), "seg")
       writeMeta(store, name)
       removed
     } finally Checkpoints.release(key)

@@ -454,8 +454,12 @@ object Similarity {
     * arbitrary copy. Production curation keeps the best copy of a
     * duplicate family (longest / highest quality score), so the
     * survivor choice is a ranking, not an accident of id assignment.
-    * One aggregate over the (id, label) frame joined to the scores —
-    * max_by on the (score, −id) struct, no window, nothing
+    * Two hash aggregates over the (id, label) frame joined to the
+    * scores — a two-stage argmax (per-cluster best score, then the
+    * null-safe min id among the members at that score), chosen over a
+    * max_by-on-(score, −id) struct because id negation only exists for
+    * numeric ids (string/UUID ids would coerce to null and tie-break
+    * nondeterministically, or throw under ANSI). No window, nothing
     * cluster-count-sized on the driver. Returns one row per component
     * over ALL nodes (singletons survive as themselves with size 1):
     * (label, survivor_id, cluster_size). */

@@ -91,6 +91,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           children(0), children(1))))
 
+    // The per-row-bloom sibling of graft_might_contain: Spark's builtin
+    // requires a CONSTANT bloom side (it deserializes once), so a frame
+    // carrying a different serialized bloom per row (the zone-map
+    // manifest: one bloom per data file) needs its own probe expression —
+    // the distributed point-lookup path of [[graft.operators.ZoneMaps]].
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_probe"),
+      new ExpressionInfo(classOf[BloomBytesContain].getName,
+        "graft_bloom_probe"),
+      (children: Seq[Expression]) =>
+        BloomBytesContain(children(0), children(1))))
+
     ext.injectFunction((
       new FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),

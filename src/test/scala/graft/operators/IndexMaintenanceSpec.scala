@@ -106,6 +106,31 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(hot.reshingleRecommended && hot.overCapRowShare == 1.0, hot.toString)
   }
 
+  test("table family: stale zones manifest healed by the pass, fresh one untouched") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_maint_zm").toString
+    val store = new ParquetTableStore(spark, wh)
+    val df = (1 to 400).map(i => (i.toLong, i % 5)).toDF("k", "g")
+    store.replace("zt", df.repartitionByRange(4, col("k")))
+    // first pass: missing manifest → built from colsIfMissing
+    val first = IndexMaintenance.maintain(store, "zt", "table",
+      zoneColsIfMissing = Seq("k"))
+    assert(first.zonesRebuilt, first.toString)
+    // fresh: the pass must not touch it (same file set → no rebuild)
+    val fresh = IndexMaintenance.maintain(store, "zt", "table",
+      zoneColsIfMissing = Seq("k"))
+    assert(!fresh.zonesRebuilt, fresh.toString)
+    // a rewrite (compaction-shaped) makes the manifest stale; the next
+    // scheduled tick heals it and pruned reads work again
+    store.replace("zt", store.read("zt").get.repartition(2))
+    intercept[RuntimeException] {
+      ZoneMaps.prunedReadRange(store, "zt", "k", 1L, 10L)
+    }
+    val healed = IndexMaintenance.maintain(store, "zt", "table",
+      zoneColsIfMissing = Seq("k"))
+    assert(healed.zonesRebuilt, healed.toString)
+    assert(ZoneMaps.prunedReadRange(store, "zt", "k", 1L, 10L).count() == 10L)
+  }
+
   test("unknown family fails loudly") {
     val wh = java.nio.file.Files.createTempDirectory("graft_maint_uf").toString
     val store = new ParquetTableStore(spark, wh)

@@ -69,11 +69,19 @@ class MinHashIndexSpec extends SparkSpec {
     def snapshot() = (
       store.read("ix_sigs").get.select($"id", to_json($"sig").as("s"))
         .as[(Long, String)].collect().toSet,
-      store.read("ix_buckets").get.as[(Long, Int, Long)].collect().toSet,
+      store.read("ix_buckets").get.select($"id", $"band", $"bh")
+        .as[(Long, Int, Long)].collect().toSet,
       store.read("ix_meta").get.as[(Long, Long)].collect().toSet)
+    // the append-files contract is stronger than row equality: a replay
+    // must add NO files to either side table (identical re-sends are
+    // skipped before any write)
+    def files() = (store.read("ix_sigs").get.inputFiles.toSet,
+      store.read("ix_buckets").get.inputFiles.toSet)
     val before = snapshot()
+    val filesBefore = files()
     MinHashIndex.append(store, "ix", df(batch), "doc_id", "text") // replay
     assert(snapshot() == before, "replayed append changed the index")
+    assert(files() == filesBefore, "replayed append wrote files")
     MinHashIndex.verifyFresh(store, "ix", df(base ++ batch), "doc_id")
   }
 

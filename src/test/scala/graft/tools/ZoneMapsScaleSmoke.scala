@@ -81,6 +81,39 @@ object ZoneMapsScaleSmoke {
     }
     require(got == want, s"point pruned $got != full $want")
     println(s"[smoke] point pruned == full: $got rows")
+
+    // 10k-FILE manifest (VERDICT r11 item 1's "done" row): the point
+    // consultation's driver traffic must be file NAMES, not blooms —
+    // the old shape collected every file's serialized bloom (file-count
+    // × bloom bytes), the distributed probe collects (name, bool).
+    // Both quantities are measured from the same manifest so the claim
+    // is a number, not an argument.
+    t("write 10k-file table (1k rows/file)") {
+      store.replace("many", spark.range(10000L * 1000L)
+        .select(col("id").as("k"), (col("id") % 7).as("g"))
+        .repartition(10000))
+    }
+    t("zones build over 10k files (bloom on k)") {
+      graft.operators.ZoneMaps.build(store, "many", Seq("g"),
+        bloomCols = Seq("k"), expectedPerFile = 1000L)
+    }
+    val zm = store.read("many_zones").get
+    val sizes = zm.agg(
+      sum(length(col("k_bloom"))).as("bloom_bytes"),
+      sum(length(col("_file"))).as("name_bytes"),
+      count(lit(1)).as("files")).collect()(0)
+    val (pfK, ptK) = t("planFilesPoint over 10k files (distributed probe)") {
+      graft.operators.ZoneMaps.planFilesPoint(store, "many", "k", 4242L)
+    }
+    println(s"[smoke] 10k-file point: admits ${pfK.size} of $ptK; driver " +
+      s"collect ≈ ${sizes.getLong(1) + sizes.getLong(2)} B (names+flags) " +
+      s"vs ${sizes.getLong(0)} B of blooms the old driver-side probe " +
+      "pulled — the manifest's bloom bytes now stay on executors")
+    val gotK = t("pruned point read over 10k files") {
+      graft.operators.ZoneMaps.prunedReadPoint(store, "many", "k", 4242L)
+        .count()
+    }
+    require(gotK == 1L, s"point read over 10k files returned $gotK rows")
     spark.stop()
   }
 }
