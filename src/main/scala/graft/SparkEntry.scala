@@ -3279,7 +3279,13 @@ object SparkEntry {
     // admit a ground-truth neighbor the float scan's top-10 over the same
     // probed pool excludes, so an innocuous fixture or quantizer change
     // must not flip this gate; the floors remain the hard contract
-    val floors = Map("ivf" -> 0.60, "ivf_sq" -> 0.60, "ivf_pq" -> 0.35)
+    // pq floor raised 0.35 -> 0.45 in r12: mean-anchored residual
+    // encoding (FAISS by_residual — IvfPq's object doc) lifted the
+    // measured 32-bit-code recall@10 at nProbe=8/shortlist=32 to 0.535
+    // on this sf0.01 fixture (0.576 -> 0.635 on RecallSpec's sf0.001
+    // fixture, like for like); RecallSpec also pins the 64-bit quality
+    // point (0.735/0.829)
+    val floors = Map("ivf" -> 0.60, "ivf_sq" -> 0.60, "ivf_pq" -> 0.45)
     Seq(
       ("ivf", floors("ivf"), rIvf >= floors("ivf"), rIvf >= rSq - 0.02),
       ("ivf_pq", floors("ivf_pq"), rPq >= floors("ivf_pq"), rSq >= rPq - 0.02),
@@ -6700,7 +6706,7 @@ object SparkEntry {
       """SELECT variant, floor, meets_floor, compression_ordered
          FROM (VALUES
            ('ivf',    0.60, TRUE, TRUE),
-           ('ivf_pq', 0.35, TRUE, TRUE),
+           ('ivf_pq', 0.45, TRUE, TRUE),
            ('ivf_sq', 0.60, TRUE, TRUE))
            v(variant, floor, meets_floor, compression_ordered)
          ORDER BY variant""",
@@ -7004,8 +7010,9 @@ object SparkEntry {
                     abs(CAST(coalesce(x.cnt, 0) AS DOUBLE) / c.n -
                         CAST(g.gq AS DOUBLE) / tot.total) AS term
                   FROM cls c CROSS JOIN g CROSS JOIN tot
-                  LEFT JOIN cells x ON x.source = c.source
-                    AND x.len_bucket = c.len_bucket AND x.s = g.s),
+                  LEFT JOIN cells x ON x.source IS NOT DISTINCT FROM c.source
+                    AND x.len_bucket IS NOT DISTINCT FROM c.len_bucket
+                    AND x.s IS NOT DISTINCT FROM g.s),
          tv AS (SELECT source, len_bucket, sum(term) / 2.0 AS tvd
                 FROM grid GROUP BY 1, 2),
          clo AS (SELECT round(max(tvd), 6) AS max_tvd,

@@ -74,7 +74,22 @@ object IvfIndex {
     val centroids = Similarity.trainIvfCentroids(
       candidates, idCol, vecCol, nCells, iterations)
     val vecs = candidates.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val assigned = assignToCells(vecs, centroids)
+    buildAssigned(store, name, centroids, assignToCells(vecs, centroids), nCells)
+  }
+
+  /** [[build]] with the training + assignment already done — the entry
+    * point for composite builds that need the trained quantizer BEFORE
+    * the IVF trio is written ([[IvfPq.build]] encodes per-cell residuals
+    * against these centroids, so it must see the assignment first, and
+    * re-training here would double the k-means cost for an identical
+    * result). Write order is the trio's crash contract: the meta
+    * fingerprint lands LAST, so a crash anywhere leaves the previous
+    * fingerprint and [[verifyFresh]] fails loudly. `assigned`:
+    * (id, cell, v) under exactly these `centroids`. */
+  private[operators] def buildAssigned(store: ParquetTableStore, name: String,
+                                       centroids: DataFrame,
+                                       assigned: DataFrame,
+                                       nCells: Int): Unit = {
     store.replace(s"${name}_centroids", centroids)
     // partitioned write through the store's atomic swap: a probe reading
     // 4 of 16 cells opens 4 of 16 partition dirs, and a crash mid-build
@@ -405,10 +420,13 @@ object IvfIndex {
     // most once — the full-row distinct this used to run was a pure
     // shuffle of the two widest columns (qv, v) for nothing (the 100×
     // smoke measured it as the probe's dominant cost at high nProbe).
+    // `cell` rides along for the residual-ADC consumer ([[IvfPq.probe]]
+    // builds one LUT per (query, probed cell) — the residual encoding is
+    // relative to the member's cell centroid); float/SQ probes ignore it
     val pool = cells.filter(col("cell").isin(probedCells.toSeq: _*))
       .join(broadcast(qAssigned), Seq("cell"))
       .filter(col("id") =!= col("query_id"))
-      .select(col("query_id"), col("qv"), col("id"), col("v"))
+      .select(col("query_id"), col("qv"), col("id"), col("v"), col("cell"))
     if (materialized) Checkpoints.materialize(pool) else pool
   }
 

