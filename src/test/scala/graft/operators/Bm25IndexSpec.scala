@@ -110,4 +110,33 @@ class Bm25IndexSpec extends SparkSpec {
     assert(new java.io.File(store.path("bx_postings"), "seg=1").exists(),
       "append did not create its own segment")
   }
+
+  test("docs side table: append leaves pre-existing files byte-identical, new ids land as appended files") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_bm25_docseg").toString
+    val store = new ParquetTableStore(spark, wh)
+    Bm25Index.build(store, "bx", docs.filter($"doc_id" <= 4), "doc_id", "text")
+    def docFiles() = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        if (d.isDirectory) d.listFiles().toSeq.flatMap(walk)
+        else if (d.getName.endsWith(".parquet")) Seq(d) else Nil
+      walk(new java.io.File(store.path("bx_docs")))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    }
+    val before = docFiles()
+    Bm25Index.append(store, "bx", docs.filter($"doc_id" > 4), "doc_id", "text", 1L)
+    val after = docFiles()
+    // the r11 keyed merge rewrote this whole doc-sized table per batch;
+    // the append-files path must leave every pre-existing file untouched
+    // (path, size, mtime all unchanged) and add files only under the
+    // batch's own segment dir
+    before.foreach { case (p, meta) =>
+      assert(after.get(p).contains(meta), s"append touched pre-existing file $p")
+    }
+    val added = after.keySet -- before.keySet
+    assert(added.nonEmpty && added.forall(_.contains("seg=1")),
+      s"new doc rows must land only in seg=1: $added")
+    // and a replay adds nothing anywhere
+    Bm25Index.append(store, "bx", docs.filter($"doc_id" > 4), "doc_id", "text", 1L)
+    assert(docFiles() == after, "replayed append changed the docs table")
+  }
 }

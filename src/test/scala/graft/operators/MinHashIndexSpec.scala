@@ -85,6 +85,54 @@ class MinHashIndexSpec extends SparkSpec {
     MinHashIndex.verifyFresh(store, "ix", df(base ++ batch), "doc_id")
   }
 
+  test("append leaves pre-existing sig/bucket files byte-identical; new ids land in the batch's segment") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_mh_seg").toString
+    val store = new ParquetTableStore(spark, wh)
+    MinHashIndex.build(store, "ix", df(base), "doc_id", "text")
+    def files(table: String) = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        if (d.isDirectory) d.listFiles().toSeq.flatMap(walk)
+        else if (d.getName.endsWith(".parquet")) Seq(d) else Nil
+      walk(new java.io.File(store.path(table)))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    }
+    val sigsBefore = files("ix_sigs")
+    val bktBefore = files("ix_buckets")
+    MinHashIndex.append(store, "ix", df(batch), "doc_id", "text", batchId = 7L)
+    val sigsAfter = files("ix_sigs")
+    val bktAfter = files("ix_buckets")
+    // the r11 keyed merge rewrote both doc-sized tables per batch; the
+    // append-files path must leave every pre-existing file untouched
+    // (path, size, mtime unchanged) and add files only under seg=7
+    (sigsBefore ++ bktBefore).foreach { case (p, meta) =>
+      assert((sigsAfter ++ bktAfter).get(p).contains(meta),
+        s"append touched pre-existing file $p")
+    }
+    val added = (sigsAfter.keySet -- sigsBefore.keySet) ++
+      (bktAfter.keySet -- bktBefore.keySet)
+    assert(added.nonEmpty && added.forall(_.contains("seg=7")),
+      s"new rows must land only in seg=7: $added")
+    // a changed-text re-delivery takes the keyed merge into the id's
+    // ORIGINAL segment — the build segment is rewritten, the append
+    // segment untouched
+    val edited = df(Seq((0L, "completely rewritten text for the original document zero")))
+    MinHashIndex.append(store, "ix", edited, "doc_id", "text", batchId = 8L)
+    val sigsEdit = files("ix_sigs")
+    sigsAfter.filter(_._1.contains("seg=7")).foreach { case (p, meta) =>
+      assert(sigsEdit.get(p).contains(meta),
+        s"in-place edit of a seg=0 id touched append segment file $p")
+    }
+    assert(!new java.io.File(store.path("ix_sigs"), "seg=8").exists(),
+      "a changed-text re-delivery must merge in place, not open a new segment")
+    MinHashIndex.verifyFresh(store, "ix", df(base ++ batch), "doc_id")
+    // edited doc still probes correctly against its new text
+    val hits = MinHashIndex.probe(store, "ix",
+        df(Seq((900L, "completely rewritten text for the original document zero"))),
+        "doc_id", "text", 0.8, maxBucket = 0)
+      .select("corpus_id").as[Long].collect().toSet
+    assert(hits == Set(0L), s"edited doc not found by its new text: $hits")
+  }
+
   test("verifyFresh fails loudly on a changed corpus, passes on reordered rows") {
     val wh = java.nio.file.Files.createTempDirectory("graft_mh_fresh").toString
     val store = new ParquetTableStore(spark, wh)
