@@ -105,11 +105,13 @@ object MinHashIndex {
     * default collapses all appends into segment 1, which is correct
     * but gives deletes and compaction coarser pruning).
     *
-    * Crash ordering within the fresh path: bucket rows first (with
-    * their own presence guard, so a crash between the two writes heals
-    * instead of duplicating), signature rows second — the sig table is
-    * the classification side, so a committed sig row implies its
-    * bucket rows exist — meta last (recomputed, converges). */
+    * Crash ordering, BOTH the fresh and changed paths: bucket rows
+    * first (fresh appends carry their own presence guard, changed
+    * merges are keyed-idempotent — either way a crash between the two
+    * writes heals on replay instead of duplicating or stranding),
+    * signature rows second — the sig table is the classification side,
+    * so a committed sig row implies its bucket rows exist — meta last
+    * (recomputed, converges). */
   def append(store: ParquetTableStore, name: String, batch: DataFrame,
              idCol: String, textCol: String, k: Int = 3,
              batchId: Long = 1L): Unit = {
@@ -147,12 +149,19 @@ object MinHashIndex {
       .select(col("id"), col("sig"), col("_oseg").as("seg"))
     val hasChanged = !changed.isEmpty
     if (hasChanged) {
-      store.upsertPartitioned(s"${name}_sigs", changed, Seq("id"), "seg",
-        countAfter = false)
+      // buckets FIRST, sigs second (same crash ordering as the fresh
+      // path): a crash after the buckets merge leaves the OLD sig row in
+      // place, so the replay re-classifies the id as changed and the
+      // idempotent (id, band) keyed merge converges both tables. The
+      // reverse order would commit the new sig with stale bucket rows —
+      // the replay then reads _os == sig, skips all writes, and the
+      // edited doc silently vanishes from LSH candidate generation.
       store.upsertPartitioned(s"${name}_buckets",
         bucketsOf(changed.select(col("id"), col("sig")))
           .join(changed.select(col("id"), col("seg")), Seq("id")),
         Seq("id", "band"), "seg", countAfter = false)
+      store.upsertPartitioned(s"${name}_sigs", changed, Seq("id"), "seg",
+        countAfter = false)
     }
     val fresh = annotated.filter(col("_os").isNull)
       .select(col("id"), col("sig"))

@@ -133,6 +133,47 @@ class MinHashIndexSpec extends SparkSpec {
     assert(hits == Set(0L), s"edited doc not found by its new text: $hits")
   }
 
+  test("changed-sig crash between buckets and sigs heals on replay (buckets-first ordering)") {
+    // ADVICE r12 (high): the changed path must write buckets BEFORE sigs.
+    // Simulate the crash window of the CORRECT order — buckets merged,
+    // sigs still stale — then replay the append: the old sig row makes
+    // the id re-classify as changed, and the keyed merges converge both
+    // tables. (The reverse order's crash window — new sig, stale
+    // buckets — replays as "unchanged" and never heals.)
+    val wh = java.nio.file.Files.createTempDirectory("graft_mh_crash").toString
+    val store = new ParquetTableStore(spark, wh)
+    MinHashIndex.build(store, "ix", df(base), "doc_id", "text")
+    val newText = "completely rewritten text for the original document zero"
+    val edited = df(Seq((0L, newText)))
+    // the partial state the fixed ordering leaves behind: new BUCKET rows
+    // for id 0 merged into its original segment, sig row still the old one
+    val newSigs = Similarity.minhashSignatures(edited, "doc_id", "text", 3)
+      .select($"doc_id".as("id"), $"sig")
+    val newBuckets = newSigs
+      .select($"id", explode(Similarity.bandHashes($"sig")).as("bs"))
+      .select($"id", $"bs.band".as("band"), $"bs.bh".as("bh"), lit(0L).as("seg"))
+    store.upsertPartitioned("ix_buckets", newBuckets, Seq("id", "band"), "seg",
+      countAfter = false)
+    val staleSig = store.read("ix_sigs").get.filter($"id" === 0L)
+      .select(to_json($"sig")).as[String].head()
+    // replay the whole append (what a checkpoint restart does)
+    MinHashIndex.append(store, "ix", edited, "doc_id", "text", batchId = 9L)
+    val healedSig = store.read("ix_sigs").get.filter($"id" === 0L)
+      .select(to_json($"sig")).as[String].head()
+    assert(healedSig != staleSig, "replay left the stale signature in place")
+    // bucket rows now exactly the new signature's bands — no stale strays
+    val gotBuckets = store.read("ix_buckets").get.filter($"id" === 0L)
+      .select($"band", $"bh").as[(Int, Long)].collect().toSet
+    val wantBuckets = newBuckets.select($"band", $"bh")
+      .as[(Int, Long)].collect().toSet
+    assert(gotBuckets == wantBuckets, s"buckets did not converge: $gotBuckets")
+    MinHashIndex.verifyFresh(store, "ix", df(base.tail :+ (0L, newText)), "doc_id")
+    val hits = MinHashIndex.probe(store, "ix", df(Seq((900L, newText))),
+        "doc_id", "text", 0.8, maxBucket = 0)
+      .select("corpus_id").as[Long].collect().toSet
+    assert(hits == Set(0L), s"edited doc lost from candidate generation: $hits")
+  }
+
   test("verifyFresh fails loudly on a changed corpus, passes on reordered rows") {
     val wh = java.nio.file.Files.createTempDirectory("graft_mh_fresh").toString
     val store = new ParquetTableStore(spark, wh)
