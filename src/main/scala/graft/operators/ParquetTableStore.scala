@@ -47,6 +47,48 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
     if (fs(p).exists(p)) Some(spark.read.parquet(path(name))) else None
   }
 
+  /** Range read with zone-map routing BY DEFAULT (VERDICT r12 item 3):
+    * when `<name>_zones` exists and carries stats for `colName`, the read
+    * goes through [[ZoneMaps.prunedReadRange]] — only the files whose
+    * [min, max] intersects [lo, hi] are opened, with the range re-applied
+    * as the residual predicate, so the result is row-identical to the
+    * plain filtered scan (q156's gate). Without a manifest (or without
+    * stats for this column) it IS the plain filtered scan. A manifest
+    * that exists but no longer matches the live file set stays LOUD
+    * (ZoneMaps' staleness contract — silently scanning a wrong subset is
+    * the failure mode manifests exist to prevent); [[IndexMaintenance]]'s
+    * "table" family heals it on schedule. Opt-out: call
+    * `read(name).get.filter(...)` — the routed path is a convenience over
+    * that, never a different answer. */
+  def readRange(name: String, colName: String, lo: Any, hi: Any): DataFrame =
+    if (zoneFields(name).contains(s"${colName}_min"))
+      ZoneMaps.prunedReadRange(this, name, colName, lo, hi)
+    else read(name).getOrElse(sys.error(s"table '$name' does not exist"))
+      .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
+
+  /** Point (equality) read with zone-map routing by default: a per-file
+    * BLOOM for `colName` routes through [[ZoneMaps.prunedReadPoint]]
+    * (no false negatives — the admitted set is a superset, the residual
+    * equality exact); min/max stats alone still prune as the degenerate
+    * range [v, v]; no manifest coverage falls back to the plain filtered
+    * scan. Same loud-on-stale and opt-out contract as [[readRange]]. */
+  def readPoint(name: String, colName: String, value: Any): DataFrame = {
+    val fields = zoneFields(name)
+    if (fields.contains(s"${colName}_bloom"))
+      ZoneMaps.prunedReadPoint(this, name, colName, value)
+    else if (fields.contains(s"${colName}_min"))
+      ZoneMaps.prunedReadRange(this, name, colName, value, value)
+    else read(name).getOrElse(sys.error(s"table '$name' does not exist"))
+      .filter(col(colName) === lit(value))
+  }
+
+  /** The `<name>_zones` manifest's column names, empty when absent —
+    * the routing decision reads only the manifest's SCHEMA (a footer),
+    * never its rows. */
+  private def zoneFields(name: String): Set[String] =
+    read(s"${name}_zones").map(_.schema.fieldNames.toSet)
+      .getOrElse(Set.empty)
+
   /** Crash recovery for [[publish]]'s whole-table swap — the table-level
     * analog of [[recoverPartitionBackups]]: a crash between
     * rename(dst→backup) and rename(tmp→dst) leaves the table present
