@@ -3540,6 +3540,100 @@ object SparkEntry {
       col("t_close")))
   }
 
+  /** The 64-bit residual-PQ QUALITY operating point under the oracle gate
+    * (VERDICT r12 item 6): q152 pins the compression-maximal 32-bit codes
+    * (m=8); this gate pins m=16 × ksub=16 — the knob a recall-seeking
+    * user actually turns, worth turning only because mean-anchored
+    * residual encoding makes added bits spend on within-cell detail
+    * ([[graft.operators.IvfPq]]'s object doc; the raw-encoded r11 cut
+    * plateaued near 0.58 regardless of bitrate). Same protocol as q152:
+    * recall@10 vs the exact brute-force scan, floors + refine ordering
+    * emitted as booleans the oracle states independently. Floors sit
+    * under the measured sf0.01 values — 0.712 (shortlist 32) / 0.806
+    * (shortlist 64), via the PqQualityPoint tool, r13 — to absorb only
+    * genuine regressions; RecallSpec pins the sf0.001 fixture's values
+    * (0.735/0.829). */
+  def q163_ann_pq_quality(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_q163_wh").toString
+    val store = new graft.operators.ParquetTableStore(s, wh)
+    val emb = embeddings(s, d)
+    val queries = emb.filter(col("vec_id") % 31 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    def sets(df: DataFrame): Map[Long, Set[Long]] =
+      df.select(col("query_id"), col("neighbor_id")).as[(Long, Long)]
+        .collect().groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+    val exact = sets(Similarity.annBruteForce(queries, emb,
+      "vec_id", "embedding", 10))
+    def recall(got: Map[Long, Set[Long]]): Double = {
+      val per = exact.map { case (q, truth) =>
+        got.getOrElse(q, Set.empty[Long]).intersect(truth).size.toDouble / truth.size
+      }
+      per.sum / per.size
+    }
+    graft.operators.IvfPq.build(store, "pq16", emb, "vec_id", "embedding",
+      dim = 64, nCells = 16, m = 16, ksub = 16, iterations = 5)
+    def probeAt(shortlist: Int): Double =
+      recall(sets(graft.operators.IvfPq.probe(store, "pq16", queries,
+        "vec_id", "embedding", dim = 64, topK = 10, m = 16, ksub = 16,
+        nProbe = 8, shortlist = shortlist)))
+    val r32 = probeAt(32)
+    val r64 = probeAt(64)
+    // refine ordering carries the same 0.02 empirical tolerance as q152's
+    // compression ordering: a larger refine budget must not lose recall
+    // beyond fixture noise
+    val floors = Map("shortlist_32" -> 0.60, "shortlist_64" -> 0.70)
+    Seq(
+      ("shortlist_32", floors("shortlist_32"),
+        r32 >= floors("shortlist_32"), r64 >= r32 - 0.02),
+      ("shortlist_64", floors("shortlist_64"),
+        r64 >= floors("shortlist_64"), r64 >= r32 - 0.02)
+    ).toDF("operating_point", "floor", "meets_floor", "refine_ordered")
+      .orderBy(col("operating_point"))
+  }
+
+  /** Zone-map ROUTED reads — the store's DEFAULT read path consulting the
+    * manifest ([[graft.operators.ParquetTableStore.readRange]] /
+    * `readPoint`, VERDICT r12 item 3: "the manifest only pays if the
+    * common path uses it"): a range-clustered lineitem with a stats
+    * manifest on the cluster key and a per-file bloom on the unclustered
+    * l_partkey, read three ways — routed range (stats admission), routed
+    * point (bloom admission), and a routed range AFTER a compaction made
+    * the manifest stale and the scheduled maintenance pass
+    * ([[graft.operators.IndexMaintenance.maintain]] "table" family)
+    * healed it. Each readout is collected BEFORE the rewrite (the
+    * admitted-file read resolves names eagerly — ZoneMapsSpec pins the
+    * file-skip; this gate pins exactness through the maintain→read
+    * composition). Oracle: the three plain filters. */
+  def q164_zonemap_routed_read(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_q164_wh").toString
+    val store = new graft.operators.ParquetTableStore(s, wh)
+    store.replace("li_zoned", lineitem(s, d)
+      .repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey")))
+    graft.operators.ZoneMaps.build(store, "li_zoned", Seq("l_orderkey"),
+      bloomCols = Seq("l_partkey"))
+    def readout(df: DataFrame, tag: String): (String, Long, Option[Double]) = {
+      val r = df.agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty")).head()
+      (tag, r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    }
+    val viaRange = readout(
+      store.readRange("li_zoned", "l_orderkey", 500L, 1500L), "range_orderkey")
+    val viaPoint = readout(
+      store.readPoint("li_zoned", "l_partkey", 1L), "point_partkey")
+    // rewrite -> manifest stale -> the scheduled pass heals -> routed
+    // read works again (without the maintain, readRange fails LOUD here)
+    store.compact("li_zoned", targetFiles = 4)
+    graft.operators.IndexMaintenance.maintain(store, "li_zoned", "table")
+    val healed = readout(
+      store.readRange("li_zoned", "l_orderkey", 500L, 1500L),
+      "range_after_heal")
+    Seq(viaRange, viaPoint, healed).toDF("probe", "n", "sum_qty")
+      .orderBy(col("probe"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3705,6 +3799,8 @@ object SparkEntry {
     "q160_cluster_survivors" -> (q160_cluster_survivors _),
     "q161_readout_maintained" -> (q161_readout_maintained _),
     "q162_privacy_audit"     -> (q162_privacy_audit _),
+    "q163_ann_pq_quality"    -> (q163_ann_pq_quality _),
+    "q164_zonemap_routed_read" -> (q164_zonemap_routed_read _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7021,6 +7117,36 @@ object SparkEntry {
                    round(max(tvd), 6) <= 0.3 AS t_close
                  FROM tv)
          SELECT div.*, clo.* FROM div CROSS JOIN clo""",
+
+    // q163: the 64-bit PQ quality point's contract stated independently —
+    // floors met and the refine ordering holds at both shortlist budgets
+    // (the measured values live in RecallSpec + NOTES; the gate hashes
+    // the booleans, the q152 convention)
+    "q163_ann_pq_quality" ->
+      """SELECT operating_point, floor, meets_floor, refine_ordered
+         FROM (VALUES
+           ('shortlist_32', 0.60, TRUE, TRUE),
+           ('shortlist_64', 0.70, TRUE, TRUE))
+           v(operating_point, floor, meets_floor, refine_ordered)
+         ORDER BY operating_point""",
+
+    // q164: the routed reads are row-identical to the plain filters —
+    // range on the clustered key, point on the bloom key, and the same
+    // range again after compaction + scheduled manifest heal (data
+    // unchanged throughout, so the healed row equals the range row)
+    "q164_zonemap_routed_read" ->
+      """WITH r AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      round(sum(l_quantity), 2) AS sum_qty
+                    FROM lineitem WHERE l_orderkey BETWEEN 500 AND 1500),
+         p AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 round(sum(l_quantity), 2) AS sum_qty
+               FROM lineitem WHERE l_partkey = 1)
+         SELECT 'point_partkey' AS probe, n, sum_qty FROM p
+         UNION ALL
+         SELECT 'range_after_heal', n, sum_qty FROM r
+         UNION ALL
+         SELECT 'range_orderkey', n, sum_qty FROM r
+         ORDER BY probe""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a
