@@ -161,6 +161,39 @@ object LifecycleScaleSmoke {
     }
     println(f"[smoke] recall@10 ivf x$repl (nProbe=8, jittered): $rIvf%.3f")
 
+    // ---- IVF-PQ recall at the same scale (VERDICT r12 item 1: the
+    // compression family was the only one without an at-scale recall
+    // number). Both operating points over the SAME corpus + queries +
+    // exact oracle as the IVF/IVF-SQ rows: the 32-bit compression-
+    // maximal codes (m=8) and the 64-bit quality point (m=16), each
+    // residual-encoded against frozen cell-mean anchors. nCells matches
+    // the small-SF gates (16) so nProbe=8 probes the same cell fraction
+    // the sf0.001/sf0.01 numbers (0.635 / 0.829) were measured at.
+    val whP = java.nio.file.Files.createTempDirectory("smoke_lc_pq").toString
+    val stP = new graft.operators.ParquetTableStore(spark, whP)
+    t(s"IVF-PQ build x$repl (m=8, 32-bit codes)") {
+      graft.operators.IvfPq.build(stP, "pq8", remaining, "vec_id", "embedding",
+        dim = 64, nCells = 16, m = 8, ksub = 16, iterations = 3)
+    }
+    val rPq8 = t(s"IVF-PQ m=8 probe top-10 x$repl (nProbe=8, shortlist=32)") {
+      recall(sets(graft.operators.IvfPq.probe(stP, "pq8", queries,
+        "vec_id", "embedding", dim = 64, topK = 10, m = 8, ksub = 16,
+        nProbe = 8, shortlist = 32)))
+    }
+    println(f"[smoke] recall@10 ivf-pq m=8 x$repl (nProbe=8, sl=32, jittered): $rPq8%.3f")
+    t(s"IVF-PQ build x$repl (m=16, 64-bit codes)") {
+      graft.operators.IvfPq.build(stP, "pq16", remaining, "vec_id", "embedding",
+        dim = 64, nCells = 16, m = 16, ksub = 16, iterations = 3)
+    }
+    Seq(32, 64).foreach { sl =>
+      val r = t(s"IVF-PQ m=16 probe top-10 x$repl (nProbe=8, shortlist=$sl)") {
+        recall(sets(graft.operators.IvfPq.probe(stP, "pq16", queries,
+          "vec_id", "embedding", dim = 64, topK = 10, m = 16, ksub = 16,
+          nProbe = 8, shortlist = sl)))
+      }
+      println(f"[smoke] recall@10 ivf-pq m=16 x$repl (nProbe=8, sl=$sl, jittered): $r%.3f")
+    }
+
     // ---- BM25 delete at 100× docs (unchanged from r10 — text has no
     // jitter analogue; doc ids are disjoint per replica)
     val doP = s"$base/documents_x$repl.parquet"
