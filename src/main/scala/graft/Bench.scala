@@ -14,9 +14,11 @@ object Bench {
     // file dies with the box, so round-over-round driver comparison could
     // only use the ~43 queries that fit the stdout tail — a repo-resident
     // detail file rides the round's artifact commit and makes every
-    // BENCH_r{N}.json self-contained.
+    // BENCH_r{N}.json self-contained. Cwd-relative (ADVICE r12), so a
+    // checkout anywhere writes next to itself; the driver runs from the
+    // repo root, and SPARK_GRAFT_BENCH_OUT overrides either way.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/BENCH_detail.json")
+      "BENCH_detail.json")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup pass: JIT + codegen caches + parquet footers. The
