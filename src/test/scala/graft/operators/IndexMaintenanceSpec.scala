@@ -40,17 +40,17 @@ class IndexMaintenanceSpec extends SparkSpec {
 
     // 6 segments (build + 5 appends) > maxSegments=4 → compact NOW
     val first = IndexMaintenance.maintain(store, "ix", "ivf-sq", maxSegments = 4)
-    assert(first.compacted && first.segmentsBefore == 6L &&
-      first.segmentsAfter == 1L, first.toString)
-    assert(!first.retrainRecommended,
-      s"stationary ring appends must not recommend retrain: ${first.psi}")
+    assert(first.segments.contains(IndexMaintenance.Segments(6L, true, 1L)),
+      first.toString)
+    assert(!first.health.get.retrainRecommended,
+      s"stationary ring appends must not recommend retrain: ${first.health}")
     assert(probeRows(store) == before,
       "probe results must be bit-identical through compaction")
 
     // exactly once: the next pass finds 1 segment and no-ops
     val second = IndexMaintenance.maintain(store, "ix", "ivf-sq", maxSegments = 4)
-    assert(!second.compacted && second.segmentsBefore == 1L &&
-      second.segmentsAfter == 1L, second.toString)
+    assert(second.segments.contains(IndexMaintenance.Segments(1L, false, 1L)),
+      second.toString)
     assert(probeRows(store) == before)
 
     // planted shift: a pile-up at one angle must flip the recommendation
@@ -59,8 +59,10 @@ class IndexMaintenanceSpec extends SparkSpec {
     }.toDF("id", "v")
     IvfSq.append(store, "ix", shifted, "id", "v", batchId = 9L)
     val drifted = IndexMaintenance.maintain(store, "ix", "ivf-sq", maxSegments = 4)
-    assert(drifted.retrainRecommended && drifted.psi > 0.25, drifted.toString)
-    assert(!drifted.compacted, "2 segments must not re-trigger compaction")
+    assert(drifted.health.exists(h => h.retrainRecommended && h.psi > 0.25),
+      drifted.toString)
+    assert(!drifted.segments.get.compacted,
+      "2 segments must not re-trigger compaction")
   }
 
   test("BM25: segment threshold compacts once, search results bit-identical") {
@@ -81,11 +83,12 @@ class IndexMaintenanceSpec extends SparkSpec {
         .as[(Long, Long, Double)].collect().toSeq.sorted
     val before = res()
     val first = IndexMaintenance.maintain(store, "bx", "bm25", maxSegments = 2)
-    assert(first.compacted && first.segmentsBefore == 3L &&
-      first.segmentsAfter == 1L, first.toString)
+    assert(first.segments.contains(IndexMaintenance.Segments(3L, true, 1L)),
+      first.toString)
     assert(res() == before, "search must be bit-identical through compaction")
     val second = IndexMaintenance.maintain(store, "bx", "bm25", maxSegments = 2)
-    assert(!second.compacted && second.segmentsBefore == 1L, second.toString)
+    assert(second.segments.exists(s => !s.compacted && s.before == 1L),
+      second.toString)
     assert(res() == before)
   }
 
@@ -98,12 +101,14 @@ class IndexMaintenanceSpec extends SparkSpec {
     MinHashIndex.build(store, "mx", docs, "doc_id", "text")
     val ok = IndexMaintenance.maintain(store, "mx", "minhash",
       maxBucket = 1000, maxOverCapShare = 0.05)
-    assert(!ok.reshingleRecommended && ok.overCapRowShare <= 0.05, ok.toString)
+    assert(ok.occupancy.exists(o =>
+      !o.reshingleRecommended && o.overCapRowShare <= 0.05), ok.toString)
     // cap=0 puts EVERY bucket membership over cap — the recommendation
     // must flip (the planted boilerplate-flood reading)
     val hot = IndexMaintenance.maintainMinHash(store, "mx",
       maxBucket = 0, maxOverCapShare = 0.05)
-    assert(hot.reshingleRecommended && hot.overCapRowShare == 1.0, hot.toString)
+    assert(hot.occupancy.contains(IndexMaintenance.Occupancy(1.0, true)),
+      hot.toString)
   }
 
   test("table family: stale zones manifest healed by the pass, fresh one untouched") {

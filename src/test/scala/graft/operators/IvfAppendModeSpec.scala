@@ -107,9 +107,9 @@ class IvfAppendModeSpec extends SparkSpec {
     // and the maintenance rule drives it: tiny threshold -> compact once
     IvfIndex.append(store, "ix", ring(170 until 180, 128), "id", "v")
     val first = IndexMaintenance.maintainIvf(store, "ix", maxCellFiles = 1)
-    assert(first.cellsCompacted && first.cellFiles > 1, first.toString)
+    assert(first.cells.exists(c => c.compacted && c.files > 1), first.toString)
     val second = IndexMaintenance.maintainIvf(store, "ix", maxCellFiles = 1000)
-    assert(!second.cellsCompacted, second.toString)
+    assert(!second.cells.get.compacted, second.toString)
   }
 
   test("batch-internal duplicates: identical rows collapse, conflicting vectors are loud") {

@@ -110,9 +110,10 @@ class StreamingIndexSpec extends SparkSpec {
     q.stop()
 
     assert(reports.size == 2, s"expected two maintenance ticks: $reports")
-    assert(reports.count(_.compacted) == 1 && reports.last.compacted,
+    assert(reports.count(_.segments.exists(_.compacted)) == 1,
       s"expected exactly one mid-stream compaction (at the second tick): $reports")
-    assert(reports.last.segmentsBefore == 5 && reports.last.segmentsAfter == 1,
+    assert(reports.last.segments.contains(
+      IndexMaintenance.Segments(5L, true, 1L)),
       s"compaction should fold segments 0..4 into one: ${reports.last}")
     aroundTick.foreach { case (before, after) =>
       assert(before == after,

@@ -48,7 +48,7 @@ object SegmentAccumulationSmoke {
         graft.operators.Bm25Index.append(st, "bx", batch(b),
           "doc_id", "text", batchId = b.toLong)
         val rep = graft.operators.IndexMaintenance.maintain(st, "bx", "bm25")
-        if (rep.compacted) compactions += 1
+        if (rep.segments.exists(_.compacted)) compactions += 1
         if (marks(b)) {
           val segs = st.read("bx_postings").get
             .select(col("seg")).distinct().count()
@@ -73,7 +73,7 @@ object SegmentAccumulationSmoke {
         graft.operators.MinHashIndex.append(st, "mx", batch(b),
           "doc_id", "text", batchId = b.toLong)
         val rep = graft.operators.IndexMaintenance.maintain(st, "mx", "minhash")
-        if (rep.compacted) compactions += 1
+        if (rep.segments.exists(_.compacted)) compactions += 1
         if (marks(b)) {
           val segs = st.read("mx_sigs").get
             .select(col("seg")).distinct().count()
