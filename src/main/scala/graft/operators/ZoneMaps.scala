@@ -42,7 +42,8 @@ import org.apache.spark.sql.functions._
   * Rebuild zones after any table rewrite (`build` is one scan);
   * [[maintain]] is the decision rule: rebuild iff stale, preserving the
   * manifest's own column choices AND its bloom sizing (persisted in the
-  * manifest as `_bloom_items`).
+  * manifest as `_bloom_items`) — and when the staleness is append-only
+  * growth, the heal scans ONLY the new files (see [[maintain]]).
   *
   * Cost shape per pruned read: ONE table listing (threaded from the
   * staleness attest into the admitted-file read) and two file-count-sized
@@ -72,6 +73,17 @@ object ZoneMaps {
       "zone maps need at least one column")
     val df = store.read(table).getOrElse(
       sys.error(s"zone maps: table '$table' does not exist"))
+    store.replace(s"${table}_zones",
+      zoneRows(df, cols, bloomCols, expectedPerFile))
+  }
+
+  /** The per-file stats aggregate both [[build]] and the incremental
+    * append path run — one hash aggregate grouped by
+    * `_metadata.file_path`, no second listing, no driver work beyond
+    * the write. */
+  private def zoneRows(df: DataFrame, cols: Seq[String],
+                       bloomCols: Seq[String],
+                       expectedPerFile: Long): DataFrame = {
     val statAggs = cols.flatMap { c =>
       Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"))
@@ -84,9 +96,8 @@ object ZoneMaps {
     val zones = df
       .groupBy(col("_metadata.file_path").as("_file"))
       .agg(allAggs.head, allAggs.tail: _*)
-    store.replace(s"${table}_zones",
-      if (bloomCols.isEmpty) zones
-      else zones.withColumn("_bloom_items", lit(expectedPerFile)))
+    if (bloomCols.isEmpty) zones
+    else zones.withColumn("_bloom_items", lit(expectedPerFile))
   }
 
   /** Rebuild-iff-stale decision rule (the manifest's slot in the same
@@ -94,28 +105,55 @@ object ZoneMaps {
     * the manifest was missing or its file set no longer matches the live
     * table and a rebuild ran. Column choices AND the bloom sizing are
     * re-derived from the existing manifest itself, so maintenance needs
-    * no caller config. */
+    * no caller config.
+    *
+    * INCREMENTAL fast path: when the live file set strictly EXTENDS the
+    * manifest's — append-only growth, exactly what the store's append
+    * sinks and `appendPartitioned` produce — only the NEW files are
+    * scanned and their zone rows merged in; existing rows (and their
+    * bloom bytes) carry over untouched, which is correct because zone
+    * stats are per-file facts that appends cannot change. Healing a
+    * 100k-file manifest after a 10-file ingest batch is then an
+    * O(batch-files) scan, not an O(table) one — the same O(batch)
+    * discipline the index family's appends follow (Delta/Iceberg append
+    * stats incrementally for the same reason). A rewrite (compaction,
+    * upsert, delete — any vanished file) still takes the full rebuild:
+    * a changed file's old stats are facts about bytes that no longer
+    * exist. */
   def maintain(store: ParquetTableStore, table: String,
                colsIfMissing: Seq[String]): Boolean = {
-    val liveSet = store.read(table).getOrElse(
-        sys.error(s"zone maps: table '$table' does not exist"))
-      .inputFiles.map(norm).toSet
+    val live = store.read(table).getOrElse(
+      sys.error(s"zone maps: table '$table' does not exist"))
+    val liveByNorm = live.inputFiles.map(p => norm(p) -> p).toMap
+    val liveSet = liveByNorm.keySet
     store.read(s"${table}_zones") match {
       case Some(z) =>
         val names = z.schema.fieldNames
-        val fresh =
-          z.select(col("_file")).collect().map(r => norm(r.getString(0)))
-            .toSet == liveSet
-        if (fresh) false
+        val manifestSet =
+          z.select(col("_file")).collect().map(r => norm(r.getString(0))).toSet
+        if (manifestSet == liveSet) false
         else {
+          val cols = names.filter(_.endsWith("_min")).map(_.dropRight(4)).toSeq
+          val bloomCols =
+            names.filter(_.endsWith("_bloom")).map(_.dropRight(6)).toSeq
           val expected =
             if (names.contains("_bloom_items"))
               z.select(max(col("_bloom_items"))).head().getLong(0)
             else 100000L
-          build(store, table,
-            names.filter(_.endsWith("_min")).map(_.dropRight(4)).toSeq,
-            names.filter(_.endsWith("_bloom")).map(_.dropRight(6)).toSeq,
-            expected)
+          val newFiles = (liveSet -- manifestSet).toSeq.map(liveByNorm)
+          if (manifestSet.subsetOf(liveSet) && manifestSet.nonEmpty) {
+            // append-only growth: scan ONLY the new files. The manifest
+            // frame is materialized (collected — it is file-count-sized)
+            // before the replace overwrites the table its plan reads.
+            val fresh = zoneRows(
+              live.sparkSession.read.schema(live.schema).parquet(newFiles: _*),
+              cols, bloomCols, expected)
+            val old = z.collect().toSeq
+            val merged = fresh.unionByName(
+              live.sparkSession.createDataFrame(
+                java.util.Arrays.asList(old: _*), z.schema))
+            store.replace(s"${table}_zones", merged)
+          } else build(store, table, cols, bloomCols, expected)
           true
         }
       case None =>

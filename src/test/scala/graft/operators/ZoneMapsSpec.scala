@@ -256,6 +256,53 @@ class ZoneMapsSpec extends SparkSpec {
     assert(z == ((4L, 1L, 4L, 0L, 2L)))
   }
 
+  test("maintain heals append-only growth incrementally: old rows carry over, result ≡ full rebuild") {
+    val store = freshStore()
+    clustered(store, "t", n = 1000, parts = 4)
+    ZoneMaps.build(store, "t", Seq("k"), bloomCols = Seq("tag"),
+      expectedPerFile = 5000L)
+    def manifestRows() = store.read("t_zones").get
+      .select(col("_file"), col("n_rows"), col("k_min"), col("k_max"),
+        col("k_nulls"), col("_bloom_items"))
+      .collect().map(r => (new java.net.URI(r.getString(0)).getPath,
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val before = manifestRows()
+    // append-only growth: new files land in the table dir without
+    // touching existing ones (the store's append-sink shape)
+    val extra = (2001 to 2200).map(i => (i.toLong, s"s${i % 7}", i * 2.0))
+      .toDF("k", "tag", "v")
+    extra.repartition(2).write.mode("append").parquet(store.path("t"))
+    assert(ZoneMaps.maintain(store, "t", Seq.empty), "growth must trigger a heal")
+    val after = manifestRows()
+    // every pre-existing manifest row carried over VERBATIM (per-file
+    // stats are facts appends cannot change — the incremental path must
+    // not rescan or recompute them)
+    before.foreach { case (f, stats) =>
+      assert(after.get(f).contains(stats), s"old manifest row changed for $f")
+    }
+    val newRows = after.keySet -- before.keySet
+    assert(newRows.size == 2, s"expected 2 new file rows: $newRows")
+    newRows.foreach { f =>
+      assert(after(f)._3 >= 2001L, s"new row stats wrong for $f: ${after(f)}")
+    }
+    // the healed manifest answers exactly like a from-scratch build
+    val pruned = ZoneMaps.prunedReadRange(store, "t", "k", 2050L, 2100L)
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(pruned == (2050L to 2100L).toSeq)
+    val viaBloom = ZoneMaps.prunedReadPoint(store, "t", "tag", "s3")
+      .select("k").as[Long].collect().toSet
+    val plain = store.read("t").get.filter(col("tag") === "s3")
+      .select("k").as[Long].collect().toSet
+    assert(viaBloom == plain, "bloom point read wrong after incremental heal")
+    // a REWRITE (vanished files) still takes the full-rebuild path
+    store.replace("t", store.read("t").get.repartition(3))
+    assert(ZoneMaps.maintain(store, "t", Seq.empty))
+    assert(store.read("t_zones").get.count() == 3)
+    assert(ZoneMaps.prunedReadPoint(store, "t", "tag", "s3")
+      .select("k").as[Long].collect().toSet == plain)
+  }
+
   test("store.readRange routes through a fresh manifest by default and skips files") {
     // VERDICT r12 item 3: the manifest only pays if the COMMON read path
     // uses it — readRange/readPoint are that path, with the plain scan as

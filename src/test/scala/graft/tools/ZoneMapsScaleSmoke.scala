@@ -114,6 +114,29 @@ object ZoneMapsScaleSmoke {
         .count()
     }
     require(gotK == 1L, s"point read over 10k files returned $gotK rows")
+
+    // INCREMENTAL heal on append-only growth (r13): a 10-file ingest
+    // batch against the 10k-file manifest must cost an O(batch-files)
+    // scan, not the O(table) full rebuild — both measured from the same
+    // table so the claim is a ratio, not an argument.
+    t("append 10 files (10k rows) to the 10k-file table") {
+      spark.range(10000L * 1000L, 10000L * 1000L + 10000L)
+        .select(col("id").as("k"), (col("id") % 7).as("g"))
+        .repartition(10).write.mode("append")
+        .parquet(store.path("many"))
+    }
+    t("maintain: INCREMENTAL heal (scans only the 10 new files)") {
+      require(graft.operators.ZoneMaps.maintain(store, "many", Seq.empty))
+    }
+    val gotK2 = t("pruned point read after incremental heal") {
+      graft.operators.ZoneMaps.prunedReadPoint(store, "many", "k",
+        10000L * 1000L + 42L).count()
+    }
+    require(gotK2 == 1L, s"appended key not found after heal: $gotK2")
+    t("zones FULL rebuild over the same table (the old heal cost)") {
+      graft.operators.ZoneMaps.build(store, "many", Seq("g"),
+        bloomCols = Seq("k"), expectedPerFile = 1000L)
+    }
     spark.stop()
   }
 }
