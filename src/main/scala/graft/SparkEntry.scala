@@ -3634,6 +3634,33 @@ object SparkEntry {
       .orderBy(col("probe"))
   }
 
+  /** Conjunctive zone-map-routed read
+    * ([[graft.operators.ParquetTableStore.readWhere]] /
+    * [[graft.operators.ZoneMaps.prunedReadWhere]] — the compound-filter
+    * shape real reads have): ONE manifest consult admits only the files
+    * surviving BOTH covered predicates (l_orderkey range via min/max
+    * stats ∧ l_partkey equality via the per-file bloom — the admitted
+    * set is the intersection), while the l_quantity range — a column
+    * the manifest carries nothing for — rides along as a plain residual
+    * over the admitted files. Oracle: the whole conjunction as one
+    * WHERE clause; pruned ≡ unpruned is the contract, as in q156/q164. */
+  def q165_zonemap_compound(s: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_q165_wh").toString
+    val store = new graft.operators.ParquetTableStore(s, wh)
+    store.replace("li_zoned", lineitem(s, d)
+      .repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey")))
+    graft.operators.ZoneMaps.build(store, "li_zoned", Seq("l_orderkey"),
+      bloomCols = Seq("l_partkey"))
+    store.readWhere("li_zoned",
+        ranges = Seq(("l_orderkey", 500L, 3000L), ("l_quantity", 10.0, 40.0)),
+        points = Seq(("l_partkey", 817L)))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice")), 2).as("rev"))
+      .orderBy(col("l_returnflag"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3801,6 +3828,7 @@ object SparkEntry {
     "q162_privacy_audit"     -> (q162_privacy_audit _),
     "q163_ann_pq_quality"    -> (q163_ann_pq_quality _),
     "q164_zonemap_routed_read" -> (q164_zonemap_routed_read _),
+    "q165_zonemap_compound"  -> (q165_zonemap_compound _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7147,6 +7175,18 @@ object SparkEntry {
          UNION ALL
          SELECT 'range_orderkey', n, sum_qty FROM r
          ORDER BY probe""",
+
+    // q165: the conjunction as one plain WHERE — covered predicates
+    // (orderkey stats, partkey bloom) and the uncovered quantity
+    // residual must compose to exactly the unpruned answer
+    "q165_zonemap_compound" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice), 2) AS rev
+         FROM lineitem
+         WHERE l_orderkey BETWEEN 500 AND 3000
+           AND l_partkey = 817
+           AND l_quantity BETWEEN 10 AND 40
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a

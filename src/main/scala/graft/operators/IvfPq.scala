@@ -50,6 +50,20 @@ import graft.functions.Vectors
   * not the codes table, records). [[IvfIndex.verifyFresh]] covers
   * staleness for the whole family (all six tables are built from the
   * same corpus in the same call).
+  *
+  * SIZING `shortlist` (measured, r13 100× smoke): the ADC estimate has
+  * a quantization noise floor, and the shortlist stage can only order
+  * candidates whose true distance gaps exceed it. On corpora where
+  * near-duplicate clusters are DENSER than that floor — e.g. 200k
+  * vectors holding ~200-member jitter clusters — shortlist 32 reads
+  * recall@10 0.16–0.24 even though parent-level recall (any member of
+  * the right cluster) is 0.65–0.78; raising the shortlist past the
+  * cluster size restores exact recall monotonically (m=16: 0.24 → 0.99
+  * from shortlist 32 → 256) at FLAT probe cost, because the bounded
+  * exact refine, not the shortlist heap, dominates. Rule of thumb:
+  * shortlist ≥ max(4×topK, expected duplicate-cluster size); on deduped
+  * or well-separated corpora the default 32 suffices (0.635/0.829
+  * measured at the 32/64-bit operating points, NOTES_r13).
   */
 object IvfPq {
 

@@ -48,11 +48,10 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
   }
 
   /** Range read with zone-map routing BY DEFAULT (VERDICT r12 item 3):
-    * when `<name>_zones` exists and carries stats for `colName`, the read
-    * goes through [[ZoneMaps.prunedReadRange]] — only the files whose
-    * [min, max] intersects [lo, hi] are opened, with the range re-applied
-    * as the residual predicate, so the result is row-identical to the
-    * plain filtered scan (q156's gate). Without a manifest (or without
+    * when `<name>_zones` exists and carries stats for `colName`, only
+    * the files whose [min, max] intersects [lo, hi] are opened, with the
+    * range re-applied as the residual predicate, so the result is
+    * row-identical to the plain filtered scan (q156's gate). Without a manifest (or without
     * stats for this column) it IS the plain filtered scan. A manifest
     * that exists but no longer matches the live file set stays LOUD
     * (ZoneMaps' staleness contract — silently scanning a wrong subset is
@@ -61,25 +60,41 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
     * `read(name).get.filter(...)` — the routed path is a convenience over
     * that, never a different answer. */
   def readRange(name: String, colName: String, lo: Any, hi: Any): DataFrame =
-    if (zoneFields(name).contains(s"${colName}_min"))
-      ZoneMaps.prunedReadRange(this, name, colName, lo, hi)
-    else read(name).getOrElse(sys.error(s"table '$name' does not exist"))
-      .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
+    readWhere(name, Seq((colName, lo, hi)))
 
   /** Point (equality) read with zone-map routing by default: a per-file
-    * BLOOM for `colName` routes through [[ZoneMaps.prunedReadPoint]]
-    * (no false negatives — the admitted set is a superset, the residual
-    * equality exact); min/max stats alone still prune as the degenerate
-    * range [v, v]; no manifest coverage falls back to the plain filtered
+    * BLOOM for `colName` routes through the bloom admission (no false
+    * negatives — the admitted set is a superset, the residual equality
+    * exact); min/max stats alone still prune as the degenerate range
+    * [v, v]; no manifest coverage falls back to the plain filtered
     * scan. Same loud-on-stale and opt-out contract as [[readRange]]. */
-  def readPoint(name: String, colName: String, value: Any): DataFrame = {
+  def readPoint(name: String, colName: String, value: Any): DataFrame =
+    readWhere(name, Seq.empty, Seq((colName, value)))
+
+  /** Conjunctive (AND) filtered read with zone-map routing on the
+    * COVERED predicates: the manifest admits only files surviving every
+    * range/point predicate it has stats or a bloom for (ONE consult —
+    * the admitted set is the intersection,
+    * [[ZoneMaps.prunedReadWhere]]); predicates on columns the manifest
+    * does not cover apply as plain residual filters over whatever was
+    * admitted. No covered predicate at all = the plain filtered scan.
+    * Same loud-on-stale and opt-out contract as [[readRange]]. */
+  def readWhere(name: String, ranges: Seq[(String, Any, Any)],
+                points: Seq[(String, Any)] = Seq.empty): DataFrame = {
+    require(ranges.nonEmpty || points.nonEmpty,
+      "readWhere needs at least one predicate")
     val fields = zoneFields(name)
-    if (fields.contains(s"${colName}_bloom"))
-      ZoneMaps.prunedReadPoint(this, name, colName, value)
-    else if (fields.contains(s"${colName}_min"))
-      ZoneMaps.prunedReadRange(this, name, colName, value, value)
-    else read(name).getOrElse(sys.error(s"table '$name' does not exist"))
-      .filter(col(colName) === lit(value))
+    val (coveredR, plainR) = ranges.partition { case (c, _, _) =>
+      fields.contains(s"${c}_min") }
+    val (coveredP, plainP) = points.partition { case (c, _) =>
+      fields.contains(s"${c}_bloom") || fields.contains(s"${c}_min") }
+    val base =
+      if (coveredR.nonEmpty || coveredP.nonEmpty)
+        ZoneMaps.prunedReadWhere(this, name, coveredR, coveredP)
+      else read(name).getOrElse(sys.error(s"table '$name' does not exist"))
+    (plainR.map { case (c, lo, hi) => col(c) >= lit(lo) && col(c) <= lit(hi) } ++
+      plainP.map { case (c, v) => col(c) === lit(v) })
+      .foldLeft(base)(_ filter _)
   }
 
   /** The `<name>_zones` manifest's column names, empty when absent —

@@ -284,4 +284,49 @@ object ZoneMaps {
       .map(_.filter(col(colName) === lit(value)))
       .getOrElse(live.filter(lit(false)))
   }
+
+  /** Conjunctive (AND) pruned read — the compound-filter shape real
+    * reads have (`date BETWEEN x AND y AND source = s`): ONE manifest
+    * consult admits only the files that survive EVERY predicate, so the
+    * admitted set is the intersection of the per-predicate admissions at
+    * no extra driver cost (one file-count-sized collect either way).
+    * Ranges prune on min/max stats; equality points prefer the per-file
+    * bloom and fall back to the degenerate stats range. Exactness is the
+    * same two-layer argument as the single-predicate reads: per-file
+    * admission is conservative per predicate (null stats/bloom admit
+    * nothing — an AND of predicates is null-false), and the FULL
+    * conjunction re-applies as the residual. */
+  def prunedReadWhere(store: ParquetTableStore, table: String,
+                      ranges: Seq[(String, Any, Any)],
+                      points: Seq[(String, Any)] = Seq.empty): DataFrame = {
+    require(ranges.nonEmpty || points.nonEmpty,
+      "conjunctive pruned read needs at least one predicate")
+    val (zones, live) = freshZones(store, table)
+    val names = zones.schema.fieldNames.toSet
+    ranges.foreach { case (c, _, _) => require(names.contains(s"${c}_min"),
+      s"zone maps carry no stats for '$c' — build with cols") }
+    points.foreach { case (c, _) =>
+      require(names.contains(s"${c}_bloom") || names.contains(s"${c}_min"),
+        s"zone maps carry no bloom or stats for '$c'") }
+    val admits = ranges.map { case (c, lo, hi) =>
+      coalesce(!(col(s"${c}_max") < lit(lo) || col(s"${c}_min") > lit(hi)),
+        lit(false))
+    } ++ points.map { case (c, v) =>
+      if (names.contains(s"${c}_bloom"))
+        coalesce(call_function("graft_bloom_probe", col(s"${c}_bloom"),
+          xxhash64(lit(v).cast(live.schema(c).dataType))), lit(false))
+      else coalesce(!(col(s"${c}_max") < lit(v) || col(s"${c}_min") > lit(v)),
+        lit(false))
+    }
+    val entries = zones
+      .select(col("_file"), admits.reduce(_ && _).as("_admit")).collect()
+      .map(r => (r.getString(0), !r.isNullAt(1) && r.getBoolean(1)))
+    val files = entries.filter(_._2).map(_._1).toSeq
+    val residual = (
+      ranges.map { case (c, lo, hi) => col(c) >= lit(lo) && col(c) <= lit(hi) } ++
+      points.map { case (c, v) => col(c) === lit(v) }).reduce(_ && _)
+    readAdmitted(live, files)
+      .map(_.filter(residual))
+      .getOrElse(live.filter(lit(false)))
+  }
 }

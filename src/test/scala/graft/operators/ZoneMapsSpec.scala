@@ -384,6 +384,46 @@ class ZoneMapsSpec extends SparkSpec {
     assert(e.getMessage.contains("STALE"), e.getMessage)
   }
 
+  test("conjunctive readWhere: intersection admission, uncovered predicates as residuals, exact") {
+    val store = freshStore()
+    // clustered by k (stats), bloom on tag, v UNcovered by the manifest
+    val df = (1 to 2000).map(i => (i.toLong, s"s${i % 7}", i * 2.0))
+      .toDF("k", "tag", "v")
+    store.replace("t", df.repartitionByRange(8, col("k"))
+      .sortWithinPartitions(col("k")))
+    ZoneMaps.build(store, "t", Seq("k"), bloomCols = Seq("tag"),
+      expectedPerFile = 5000L)
+    def plain(pred: org.apache.spark.sql.Column) = store.read("t").get
+      .filter(pred).select("k", "tag", "v")
+      .as[(Long, String, Double)].collect().toSet
+    // range AND point: admitted files = intersection of the two
+    // single-predicate admissions (at most the smaller)
+    val both = store.readWhere("t", Seq(("k", 100L, 300L)), Seq(("tag", "s3")))
+    val rangeOnly = store.readRange("t", "k", 100L, 300L)
+    assert(both.inputFiles.length <= rangeOnly.inputFiles.length,
+      "conjunction must admit no more files than either predicate alone")
+    assert(both.select("k", "tag", "v").as[(Long, String, Double)]
+      .collect().toSet ==
+      plain(col("k") >= 100L && col("k") <= 300L && col("tag") === "s3"))
+    // an UNCOVERED column rides along as a plain residual
+    val mixed = store.readWhere("t",
+      Seq(("k", 100L, 300L), ("v", 300.0, 500.0)), Seq(("tag", "s3")))
+    assert(mixed.select("k", "tag", "v").as[(Long, String, Double)]
+      .collect().toSet ==
+      plain(col("k") >= 100L && col("k") <= 300L && col("tag") === "s3" &&
+        col("v") >= 300.0 && col("v") <= 500.0))
+    // contradiction on covered predicates admits nothing, schema kept
+    val none = store.readWhere("t", Seq(("k", 100L, 110L)), Seq(("tag", "zz")))
+    assert(none.count() == 0 &&
+      none.columns.toSeq == store.read("t").get.columns.toSeq)
+    // nothing covered at all: identical plain scan
+    store.replace("nm", store.read("t").get)
+    assert(store.readWhere("nm", Seq(("v", 300.0, 500.0)))
+      .select("k").as[Long].collect().toSet ==
+      store.read("nm").get.filter(col("v") >= 300.0 && col("v") <= 500.0)
+        .select("k").as[Long].collect().toSet)
+  }
+
   test("store.readPoint routes via bloom when present, degenerate range on stats, plain scan otherwise") {
     val store = freshStore()
     // unclustered high-cardinality key with a bloom
