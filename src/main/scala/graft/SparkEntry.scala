@@ -3661,6 +3661,30 @@ object SparkEntry {
       .orderBy(col("l_returnflag"))
   }
 
+  /** FILTERED ANN ([[graft.operators.IvfIndex.probeFiltered]] — the
+    * metadata-predicate vector search, FAISS `IDSelector`): top-1 over
+    * ONLY the corpus vectors whose vec_id ≡ 0 (mod 3), probed
+    * exhaustively (nProbe = nCells) so the answer is oracle-provable.
+    * Queries are twins of the first 30 corpus vectors — two thirds of
+    * them twin a DISALLOWED vector, so their true filtered neighbor is
+    * some OTHER allowed vector the oracle must agree on exactly; a
+    * post-hoc filter (rank, then drop disallowed) would return nothing
+    * for those queries instead. Oracle: q153's exact-scan rank-1 shape
+    * with the predicate inside the candidate CTE. */
+  def q166_ann_filtered(s: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_q166_wh").toString
+    val store = new graft.operators.ParquetTableStore(s, wh)
+    val emb = embeddings(s, d)
+    graft.operators.IvfIndex.build(store, "fx", emb, "vec_id", "embedding",
+      nCells = 16, iterations = 3)
+    val allowed = emb.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+    val queries = emb.filter(col("vec_id") < 30)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    graft.operators.IvfIndex.probeFiltered(store, "fx", queries,
+        "vec_id", "embedding", allowed, topK = 1, nProbe = 16)
+      .orderBy(col("query_id"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3829,6 +3853,7 @@ object SparkEntry {
     "q163_ann_pq_quality"    -> (q163_ann_pq_quality _),
     "q164_zonemap_routed_read" -> (q164_zonemap_routed_read _),
     "q165_zonemap_compound"  -> (q165_zonemap_compound _),
+    "q166_ann_filtered"      -> (q166_ann_filtered _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7187,6 +7212,26 @@ object SparkEntry {
            AND l_partkey = 817
            AND l_quantity BETWEEN 10 AND 40
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // q166: the exact filtered ranking — candidates restricted to the
+    // allowed subset INSIDE the CTE, so a query twinning a disallowed
+    // vector must retrieve its best ALLOWED neighbor, rank-1 exact
+    "q166_ann_filtered" ->
+      """WITH q AS (SELECT vec_id + 1000000 AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 30),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+               FROM embeddings WHERE vec_id % 3 = 0),
+         s AS (
+           SELECT query_id, neighbor_id,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) AS score
+           FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+         r AS (
+           SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+           FROM s)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(score, 4) AS score
+         FROM r WHERE rank = 1 ORDER BY query_id""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a

@@ -443,4 +443,33 @@ object IvfIndex {
         Vectors.dotNative(col("qv"), col("v")).as("score"))
     Similarity.takeTopK(scored, topK)
   }
+
+  /** FILTERED top-k — the metadata-predicate search every vector store
+    * serves (FAISS's `IDSelector`, the vector-DB "filtered search"):
+    * candidates are restricted to ids present in `allowed` BEFORE the
+    * top-k, so the result is the true top-k OF THE ALLOWED SUBSET —
+    * never a post-hoc filter that silently returns fewer than k rows.
+    * `allowed` is any frame carrying `idCol`; a metadata predicate
+    * composes as `meta.filter(pred).select(id)`, and the semi-join is
+    * the Spark-idiomatic pushdown (AQE broadcasts a small allowed side
+    * on its own). At nProbe = nCells the probe is exhaustive over the
+    * allowed subset and exactly the brute-force ranking — the
+    * oracle-provable operating point (q166). At smaller nProbe the
+    * usual IVF recall tradeoff applies, with one filtered-search
+    * caveat worth knowing: a highly selective predicate thins each
+    * probed cell's candidate pool, so recall-sensitive filtered reads
+    * should raise nProbe roughly in proportion to the filter's
+    * selectivity (the standard vector-store guidance). */
+  def probeFiltered(store: ParquetTableStore, name: String,
+                    queries: DataFrame, idCol: String, vecCol: String,
+                    allowed: DataFrame, topK: Int,
+                    nProbe: Int = 4): DataFrame = {
+    val scored = probeMembers(store, name, queries, idCol, vecCol, nProbe,
+        materialized = false)
+      .join(allowed.select(col(idCol).as("id")).distinct(),
+        Seq("id"), "left_semi")
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        Vectors.dotNative(col("qv"), col("v")).as("score"))
+    Similarity.takeTopK(scored, topK)
+  }
 }

@@ -28,6 +28,42 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("probeFiltered: true top-k OF THE ALLOWED SUBSET, never a post-hoc filter") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_ivf_filt").toString
+    val store = new ParquetTableStore(spark, wh)
+    val corpus = ring(64)
+    IvfIndex.build(store, "ix", corpus, "id", "v", nCells = 8, iterations = 3)
+    val allowed = corpus.filter($"id" % 2 === 0).select($"id")
+    // twins of ODD ids: their unfiltered rank-1 (the twin itself) is
+    // disallowed, so the filtered answer must be the nearest EVEN
+    // neighbor — on the ring, one of the two adjacent even ids
+    val queries = corpus.filter($"id" % 2 === 1 && $"id" < 11)
+      .select(($"id" + 1000L).as("id"), $"v")
+    val got = IvfIndex.probeFiltered(store, "ix", queries, "id", "v",
+        allowed, topK = 3, nProbe = 8)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    val byQuery = got.groupBy(_._1)
+    queries.select($"id").as[Long].collect().foreach { q =>
+      val rows = byQuery.getOrElse(q, Seq.empty)
+      assert(rows.size == 3, s"query $q: expected the FULL top-3 of the " +
+        s"allowed subset, got ${rows.size} rows — post-hoc filtering?")
+      assert(rows.forall(_._3 % 2 == 0),
+        s"query $q surfaced a disallowed neighbor: $rows")
+      val odd = q - 1000L
+      val rank1 = rows.find(_._2 == 1L).get._3
+      assert(rank1 == odd - 1 || rank1 == odd + 1,
+        s"twin of $odd: filtered rank-1 must be an adjacent even id, got $rank1")
+    }
+    // exhaustive filtered probe == brute force over the filtered corpus
+    val exact = Similarity.annBruteForce(queries,
+        corpus.filter($"id" % 2 === 0), "id", "v", 3)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.toSet == exact,
+      s"exhaustive filtered probe diverges from filtered brute force")
+  }
+
   test("verifyFresh passes on the same corpus (any row order) and fails on a changed one") {
     val wh = java.nio.file.Files.createTempDirectory("graft_ivf_fresh").toString
     val store = new ParquetTableStore(spark, wh)
