@@ -154,20 +154,35 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
     }
 
   /** (path → byte length) of the table's parquet data files — ONE
-    * directory listing, shared by [[ZoneMaps]]' staleness attest and
+    * recursive listing, shared by [[ZoneMaps]]' staleness attest and
     * heal (the file LENGTH rides in the manifest as `_size`, so an
     * in-place overwrite that keeps a file's name is detected as
     * staleness instead of carrying the dead file's stats forward —
     * ADVICE r13; Delta/Iceberg track size in their manifests for the
-    * same reason). Flat layout only, matching the zone-map scope
-    * (unpartitioned store tables). */
+    * same reason). Must agree with `DataFrame.inputFiles` on what a
+    * data file IS — a disagreement reads as permanent staleness — so
+    * the walk is recursive (partition subdirectories count) and skips
+    * any path with a hidden segment (`_temporary`, `.crc`, `_SUCCESS`:
+    * Spark's own InMemoryFileIndex filter). */
   private[graft] def listDataFiles(name: String): Map[String, Long] = {
     val p = new Path(path(name))
     val f = fs(p)
-    if (!f.exists(p)) Map.empty
-    else f.listStatus(p)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => s.getPath.toString -> s.getLen).toMap
+    if (!f.exists(p)) return Map.empty
+    val out = Map.newBuilder[String, Long]
+    val it = f.listFiles(p, true)
+    while (it.hasNext) {
+      val s = it.next()
+      val leaf = s.getPath.getName
+      // hidden-segment check walks up to the table root, mirroring the
+      // reader's path filter (a file inside _temporary is not data)
+      def visible(q: Path): Boolean =
+        q == null || q.getName == name ||
+          (!q.getName.startsWith("_") && !q.getName.startsWith(".") &&
+            visible(q.getParent))
+      if (leaf.endsWith(".parquet") && visible(s.getPath))
+        out += s.getPath.toString -> s.getLen
+    }
+    out.result()
   }
 
   /** Crash recovery for [[publish]]'s whole-table swap — the table-level

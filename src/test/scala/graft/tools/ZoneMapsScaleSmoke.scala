@@ -137,6 +137,32 @@ object ZoneMapsScaleSmoke {
       graft.operators.ZoneMaps.build(store, "many", Seq("g"),
         bloomCols = Seq("k"), expectedPerFile = 1000L)
     }
+
+    // Heal cost must track the BATCH, not the manifest (r14): the same
+    // 10-file append healed against a 1k-file manifest and against the
+    // 10k-file manifest above should cost the same. The r13 heal
+    // collected the ENTIRE old manifest — bloom bytes included, ~10 GB
+    // at the 100k-file/100KB-bloom design point — through the driver
+    // for its merge, so heal cost and driver memory scaled with
+    // manifest size; the append-based heal never materializes an old
+    // row (driver traffic = file NAMES for the backfill sweep only).
+    t("write 1k-file table (1k rows/file) + zones (the small-manifest control)") {
+      store.replace("few", spark.range(1000L * 1000L)
+        .select(col("id").as("k"), (col("id") % 7).as("g"))
+        .repartition(1000))
+      graft.operators.ZoneMaps.build(store, "few", Seq("g"),
+        bloomCols = Seq("k"), expectedPerFile = 1000L)
+    }
+    t("append 10 files (10k rows) to the 1k-file table") {
+      spark.range(1000L * 1000L, 1000L * 1000L + 10000L)
+        .select(col("id").as("k"), (col("id") % 7).as("g"))
+        .repartition(10).write.mode("append")
+        .parquet(store.path("few"))
+    }
+    t("maintain: INCREMENTAL heal at 1k-file manifest " +
+        "(compare with the 10k-file heal row above — flat = O(batch))") {
+      require(graft.operators.ZoneMaps.maintain(store, "few", Seq.empty))
+    }
     spark.stop()
   }
 }
