@@ -3815,6 +3815,69 @@ object SparkEntry {
       .orderBy(col("probe"))
   }
 
+  /** FILTERED BM25 — the metadata-predicate TEXT search completing the
+    * filtered-retrieval family (q166/q167/q168 cover the vector side):
+    * [[graft.operators.Bm25Index.searchFiltered]] restricts candidates
+    * to allowed doc ids BEFORE the top-k while every corpus statistic
+    * (N, avgdl, per-term df) stays GLOBAL — Lucene's filter-query
+    * semantics: the filter narrows which docs can be RETURNED, never
+    * what a score MEANS, so a doc's score is identical under any
+    * filter and rankings stay comparable for fusion. The oracle states
+    * that split independently: df/N/avgdl over ALL documents, the
+    * candidate predicate only inside the contributions CTE. */
+  def q171_bm25_filtered(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_q171_wh").toString
+    val store = new graft.operators.ParquetTableStore(s, wh)
+    val docs = documents(s, d)
+    graft.operators.Bm25Index.build(store, "bf", docs, "doc_id", "text")
+    val allowed = docs.filter(col("doc_id") % 3 === 0).select(col("doc_id"))
+    val queries = Seq((1L, "spark"), (1L, "sort"), (2L, "customer"),
+      (2L, "join"), (3L, "window")).toDF("query_id", "term")
+    graft.operators.Bm25Index.searchFiltered(store, "bf", queries, allowed,
+        "doc_id", 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** FILTERED HYBRID retrieval — the full filtered-RAG read path
+    * composed end to end: the SAME metadata predicate (id ≡ 0 mod 3)
+    * restricts BOTH arms — [[graft.operators.Bm25Index.searchFiltered]]
+    * (lexical, global statistics) and
+    * [[graft.operators.IvfIndex.probeFiltered]] (semantic, exhaustive
+    * at nProbe = nCells) — BEFORE each arm's top-k, and
+    * [[graft.operators.HybridRank.rrf]] fuses the two ALLOWED-ONLY rank
+    * lists. Filtering before fusion is semantics, not placement: RRF
+    * contributions are 1/(k + rank), so a post-fusion filter would keep
+    * the disallowed docs' rank slots in both arms and deflate every
+    * allowed doc's fused score below what the allowed-only ranking
+    * gives. Oracle: q154's two-arm replay with the predicate inside
+    * each arm's candidate CTE. */
+  def q172_hybrid_filtered(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_q172_wh").toString
+    val store = new graft.operators.ParquetTableStore(s, wh)
+    val docs = documents(s, d)
+    graft.operators.Bm25Index.build(store, "hx", docs, "doc_id", "text")
+    val emb = embeddings(s, d)
+    graft.operators.IvfIndex.build(store, "hv", emb, "vec_id", "embedding",
+      iterations = 3)
+    val allowedDocs = docs.filter(col("doc_id") % 3 === 0).select(col("doc_id"))
+    val allowedVecs = emb.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+    val lexQ = Seq((1L, "spark"), (1L, "join"), (2L, "window"),
+      (2L, "sort"), (3L, "customer")).toDF("query_id", "term")
+    val lex = graft.operators.Bm25Index.searchFiltered(store, "hx", lexQ,
+        allowedDocs, "doc_id", 20)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val qVecs = emb.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 1000001L).as("vec_id"), col("embedding"))
+    val sem = graft.operators.IvfIndex.probeFiltered(store, "hv", qVecs,
+        "vec_id", "embedding", allowedVecs, topK = 20, nProbe = 16)
+      .select((col("query_id") - 1000000L).as("query_id"),
+        col("neighbor_id").as("doc_id"), col("rank"))
+    graft.operators.HybridRank.rrf(Seq(lex, sem), k = 60, topK = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3988,6 +4051,8 @@ object SparkEntry {
     "q168_ann_filtered_pq"   -> (q168_ann_filtered_pq _),
     "q169_zonemap_disjunctive" -> (q169_zonemap_disjunctive _),
     "q170_zonemap_sql"       -> (q170_zonemap_sql _),
+    "q171_bm25_filtered"     -> (q171_bm25_filtered _),
+    "q172_hybrid_filtered"   -> (q172_hybrid_filtered _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7435,6 +7500,96 @@ object SparkEntry {
          UNION ALL
          SELECT 'sql_stale_fallback', n, sum_qty, FALSE FROM r
          ORDER BY probe""",
+
+    // q171: q140's BM25 replay with the Lucene filter-query split
+    // stated independently — df/N/avgdl computed over ALL documents,
+    // the allowed predicate applied ONLY to which docs may score (the
+    // contributions CTE): a doc's score is identical under any filter
+    "q171_bm25_filtered" ->
+      """WITH tf AS (
+           SELECT doc_id, term, count(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t
+           GROUP BY 1, 2),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         nn AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         q(query_id, term) AS (VALUES
+           (1, 'spark'), (1, 'sort'), (2, 'customer'), (2, 'join'), (3, 'window')),
+         dfs AS (SELECT term, count(*) AS df FROM tf
+                 WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         c AS (
+           SELECT q.query_id, tf.doc_id,
+             ln(1 + (nn.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) *
+               (tf.tf * (1.2 + 1)) /
+               (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / nn.avgdl)) AS contrib
+           FROM tf JOIN q ON tf.term = q.term
+                   JOIN dfs ON tf.term = dfs.term
+                   JOIN dl ON tf.doc_id = dl.doc_id
+                   CROSS JOIN nn
+           WHERE tf.doc_id % 3 = 0),
+         sc AS (SELECT query_id, doc_id, sum(contrib) AS score FROM c GROUP BY 1, 2),
+         r AS (SELECT query_id, doc_id, score,
+                 row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+               FROM sc)
+         SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+                doc_id, round(score, 4) AS score
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // q172: q154's two-arm hybrid replay with the allowed predicate
+    // applied INSIDE each arm's candidate CTE (before each arm's rank),
+    // never after the fusion — RRF contributions are 1/(k + rank), so a
+    // post-fusion filter would keep disallowed docs' rank slots and
+    // deflate every allowed doc's fused score; BM25 statistics stay
+    // corpus-global per the q171 contract
+    "q172_hybrid_filtered" ->
+      """WITH tf AS (
+           SELECT doc_id, term, count(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t
+           GROUP BY 1, 2),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         nn AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         q(query_id, term) AS (VALUES
+           (1, 'spark'), (1, 'join'), (2, 'window'), (2, 'sort'), (3, 'customer')),
+         dfs AS (SELECT term, count(*) AS df FROM tf
+                 WHERE term IN (SELECT term FROM q) GROUP BY 1),
+         c AS (
+           SELECT q.query_id, tf.doc_id,
+             ln(1 + (nn.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) *
+               (tf.tf * (1.2 + 1)) /
+               (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / nn.avgdl)) AS contrib
+           FROM tf JOIN q ON tf.term = q.term
+                   JOIN dfs ON tf.term = dfs.term
+                   JOIN dl ON tf.doc_id = dl.doc_id
+                   CROSS JOIN nn
+           WHERE tf.doc_id % 3 = 0),
+         sc AS (SELECT query_id, doc_id, sum(contrib) AS score FROM c GROUP BY 1, 2),
+         lr AS (SELECT query_id, doc_id, rank FROM (
+                  SELECT query_id, doc_id,
+                    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+                  FROM sc) t WHERE rank <= 20),
+         eq AS (SELECT vec_id + 1000001 AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id < 3),
+         ec AS (SELECT vec_id AS neighbor_id, embedding AS cv
+                FROM embeddings WHERE vec_id % 3 = 0),
+         es AS (
+           SELECT query_id, neighbor_id,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) AS score
+           FROM ec CROSS JOIN eq WHERE neighbor_id <> query_id),
+         sr AS (SELECT query_id - 1000000 AS query_id, neighbor_id AS doc_id, rank FROM (
+                  SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+                  FROM es) t WHERE rank <= 20),
+         u AS (
+           SELECT query_id, doc_id, 1.0 / (60 + rank) AS contrib FROM lr
+           UNION ALL
+           SELECT query_id, doc_id, 1.0 / (60 + rank) FROM sr),
+         f AS (SELECT query_id, doc_id, sum(contrib) AS fused FROM u GROUP BY 1, 2),
+         fr AS (SELECT query_id, doc_id, fused,
+                  row_number() OVER (PARTITION BY query_id ORDER BY fused DESC, doc_id ASC) AS rank
+                FROM f)
+         SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+                doc_id, round(fused, 4) AS fused
+         FROM fr WHERE rank <= 10 ORDER BY query_id, rank""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a

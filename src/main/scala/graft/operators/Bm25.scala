@@ -51,6 +51,29 @@ object Bm25 {
     scoreStats(stats, n, queries, topK, k1, b)
   }
 
+  /** FILTERED top-k — the metadata-predicate text search (Lucene's
+    * filter-query semantics, the BM25 sibling of
+    * [[IvfIndex.probeFiltered]]): candidates are restricted to ids in
+    * `allowed` BEFORE the top-k, so the result is the true top-k OF THE
+    * ALLOWED SUBSET, while every corpus-level statistic — N, avgdl, and
+    * each term's df — stays GLOBAL. The statistics choice is semantics,
+    * not convenience: a filter narrows which documents can be RETURNED,
+    * never what a score MEANS — a doc's BM25 score must not change as
+    * the filter changes (two callers filtering differently must agree
+    * on every shared doc's score, and scores must stay comparable for
+    * downstream fusion like [[HybridRank]]), which is exactly how
+    * Lucene scores a filtered query (the filter is non-scoring).
+    * `allowed`: any frame carrying `idCol`. */
+  def searchFiltered(docs: DataFrame, idCol: String, textCol: String,
+                     queries: DataFrame, allowed: DataFrame, topK: Int,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val stats = Checkpoints.materialize(docTermStats(docs, idCol, textCol))
+    val n = stats.select(col("id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    scoreStats(stats, n, queries, topK, k1, b,
+      Some(allowed.select(col(idCol).as("id")).distinct()))
+  }
+
   /** The scoring tail shared by the one-shot path ([[search]] — stats
     * recomputed from the corpus) and the stored-index path
     * ([[Bm25Index.search]] — stats read bucket-pruned from parquet, N
@@ -60,15 +83,25 @@ object Bm25 {
     * `n` is the one-row (n_docs, avgdl) corpus-constants frame. */
   private[operators] def scoreStats(stats: DataFrame, n: DataFrame,
                                     queries: DataFrame, topK: Int,
-                                    k1: Double, b: Double): DataFrame = {
-    // df per query term only (semi-filtered before the aggregate)
+                                    k1: Double, b: Double,
+                                    allowed: Option[DataFrame] = None): DataFrame = {
+    // df per query term only (semi-filtered before the aggregate) —
+    // from the UNFILTERED stats: df is a corpus-level statistic and
+    // must not move with a candidate filter (see searchFiltered)
     val qTerms = queries.select(col("term")).distinct()
     val dfStats = stats.join(broadcast(qTerms), Seq("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
+    // the candidate restriction applies HERE — to which docs can score,
+    // never to the statistics above (a plain semi-join; AQE broadcasts
+    // a small allowed side on its own)
+    val candStats = allowed match {
+      case Some(a) => stats.join(a, Seq("id"), "left_semi")
+      case None    => stats
+    }
     // distinct: BM25 saturates per UNIQUE query term — a tokenized query
     // like "apple apple pie" must not double-count apple's contribution
-    val contributions = stats
+    val contributions = candStats
       .join(broadcast(queries.select(col("query_id"), col("term")).distinct()), Seq("term"))
       .join(broadcast(dfStats), Seq("term"))
       .crossJoin(broadcast(n))

@@ -263,7 +263,29 @@ object Bm25Index {
     * size), so parquet row groups without the terms are skipped on
     * column statistics; N/avgdl come from the doc-sized side table. */
   def search(store: ParquetTableStore, name: String, queries: DataFrame,
-             topK: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+             topK: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    searchRestricted(store, name, queries, None, topK, k1, b)
+
+  /** FILTERED top-k over the STORED index — [[Bm25.searchFiltered]]'s
+    * semantics (Lucene filter query: candidates restricted to `allowed`
+    * ids before the top-k, corpus statistics — N, avgdl, per-term df —
+    * stay GLOBAL so scores never move with the filter) on the
+    * segment-pruned postings read. The term `isin` pushdown and the
+    * allowed semi-join compose: the scan still touches only the query
+    * terms' row groups, and the filter then narrows which of those
+    * docs may be returned. `allowed`: any frame carrying `idCol` (the
+    * column name the index was built with). */
+  def searchFiltered(store: ParquetTableStore, name: String,
+                     queries: DataFrame, allowed: DataFrame, idCol: String,
+                     topK: Int, k1: Double = 1.2,
+                     b: Double = 0.75): DataFrame =
+    searchRestricted(store, name, queries,
+      Some(allowed.select(col(idCol).as("id")).distinct()), topK, k1, b)
+
+  private def searchRestricted(store: ParquetTableStore, name: String,
+                               queries: DataFrame,
+                               allowed: Option[DataFrame], topK: Int,
+                               k1: Double, b: Double): DataFrame = {
     val postings = store.read(s"${name}_postings").getOrElse(
       sys.error(s"BM25 index '$name' has no postings table — not built?"))
     val docs = store.read(s"${name}_docs").getOrElse(
@@ -272,6 +294,6 @@ object Bm25Index {
     val terms = queries.select(col("term")).distinct()
       .collect().map(_.getString(0)).toSeq
     val pruned = postings.filter(col("term").isin(terms: _*))
-    Bm25.scoreStats(pruned, n, queries, topK, k1, b)
+    Bm25.scoreStats(pruned, n, queries, topK, k1, b, allowed)
   }
 }

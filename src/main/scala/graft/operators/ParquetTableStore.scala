@@ -165,23 +165,24 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
     * any path with a hidden segment (`_temporary`, `.crc`, `_SUCCESS`:
     * Spark's own InMemoryFileIndex filter). */
   private[graft] def listDataFiles(name: String): Map[String, Long] = {
-    val p = new Path(path(name))
-    val f = fs(p)
-    if (!f.exists(p)) return Map.empty
+    val root = new Path(path(name))
+    val f = fs(root)
+    if (!f.exists(root)) return Map.empty
     val out = Map.newBuilder[String, Long]
-    val it = f.listFiles(p, true)
-    while (it.hasNext) {
-      val s = it.next()
-      val leaf = s.getPath.getName
-      // hidden-segment check walks up to the table root, mirroring the
-      // reader's path filter (a file inside _temporary is not data)
-      def visible(q: Path): Boolean =
-        q == null || q.getName == name ||
-          (!q.getName.startsWith("_") && !q.getName.startsWith(".") &&
-            visible(q.getParent))
-      if (leaf.endsWith(".parquet") && visible(s.getPath))
-        out += s.getPath.toString -> s.getLen
-    }
+    // plain listStatus recursion, NOT FileSystem.listFiles(recursive):
+    // listFiles returns LocatedFileStatus and pays a block-location
+    // lookup PER FILE (~5 ms each on LocalFS — 50 s at 10k files,
+    // measured by ZoneHealProfile), which listStatus skips; hidden
+    // segments prune whole subtrees instead of being filtered per leaf
+    def walk(dir: Path): Unit =
+      f.listStatus(dir).foreach { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) () // hidden subtree
+        else if (s.isDirectory) walk(s.getPath)
+        else if (n.endsWith(".parquet"))
+          out += s.getPath.toString -> s.getLen
+      }
+    walk(root)
     out.result()
   }
 

@@ -139,4 +139,45 @@ class Bm25IndexSpec extends SparkSpec {
     Bm25Index.append(store, "bx", docs.filter($"doc_id" > 4), "doc_id", "text", 1L)
     assert(docFiles() == after, "replayed append changed the docs table")
   }
+
+  test("filtered search: true top-k of the allowed subset, scores UNCHANGED by the filter (Lucene filter-query semantics)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_bm25_filt").toString
+    val store = new ParquetTableStore(spark, wh)
+    Bm25Index.build(store, "bx", docs, "doc_id", "text")
+    val allowed = docs.filter($"doc_id" % 2 === 0).select($"doc_id")
+    val queries = q(1L -> "apple", 2L -> "banana", 2L -> "durian")
+    val filtered = Bm25Index.searchFiltered(store, "bx", queries, allowed,
+        "doc_id", 10)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // only allowed docs surface
+    assert(filtered.forall(_._3 % 2 == 0), s"disallowed doc returned: $filtered")
+    // the filter narrows WHO can be returned, never what a score MEANS:
+    // every returned (query, doc) score equals the unfiltered search's
+    // score for that same doc (df/N/avgdl stay corpus-global)
+    val unfiltered = Bm25Index.search(store, "bx", queries, 10)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._3) -> r._4).toMap
+    filtered.foreach { case (qid, _, doc, score) =>
+      assert(unfiltered.get((qid, doc)).contains(score),
+        s"score for ($qid, $doc) moved under the filter: $score vs " +
+          s"${unfiltered.get((qid, doc))}")
+    }
+    // exactly the allowed members of the unfiltered ranking, re-ranked —
+    // for the query where apple's top docs are ODD (doc 1), the filtered
+    // ranking must surface the next allowed docs, not drop to < k
+    val apple = filtered.filter(_._1 == 1L).map(_._3).toSet
+    val appleAllowedAll = Bm25.searchFiltered(docs, "doc_id", "text",
+        q(1L -> "apple"), allowed, 10)
+      .as[(Long, Long, Long, Double)].collect().map(_._3).toSet
+    assert(apple == appleAllowedAll,
+      "stored filtered search diverges from one-shot filtered search")
+    assert(apple == Set(2L, 4L, 6L, 8L),
+      s"expected every allowed apple doc, got $apple")
+    // ranks are contiguous from 1 per query (a post-hoc filter would
+    // leave holes where disallowed docs were dropped)
+    filtered.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.size).toSeq,
+        s"query $qid ranks not contiguous: $rows")
+    }
+  }
 }
