@@ -227,19 +227,28 @@ object ZoneMaps {
   private def norm(p: String): String = new java.net.URI(p).getPath
 
   /** Shared manifest read + the loud staleness gate: returns (zones,
-    * live table) — the ONE listing both the attest and the admitted-file
-    * read use — after proving the manifest's (file set, byte lengths)
+    * data schema) after proving the manifest's (file set, byte lengths)
     * matches the table's live listing. The length check catches the
     * in-place overwrite a name-set comparison cannot (ADVICE r13;
     * pre-`_size` manifests fall back to the name-set-only attest until
-    * their one-time migration rebuild). */
+    * their one-time migration rebuild).
+    *
+    * Cost discipline: ONE table listing per routed read — the attest's
+    * own ([[ParquetTableStore.listDataFiles]]) — and the data schema
+    * from ONE file footer. The earlier shape also built the full
+    * `spark.read.parquet(table)` frame, whose InMemoryFileIndex re-ran
+    * the listing the attest had just done: at the 100k-file design
+    * point the per-read listing is exactly the cost the manifest
+    * exists to avoid, so paying it twice (or even once more than the
+    * attest requires) defeats the point. */
   private def freshZones(store: ParquetTableStore,
-                         table: String): (DataFrame, DataFrame) = {
+                         table: String): (DataFrame, org.apache.spark.sql.types.StructType) = {
     val zones = store.read(s"${table}_zones").getOrElse(
       sys.error(s"zone maps: table '$table' has no zones manifest — " +
         "run ZoneMaps.build first"))
-    val live = store.read(table).getOrElse(
-      sys.error(s"zone maps: table '$table' does not exist"))
+    val liveSizes0 = store.listDataFiles(table)
+    if (liveSizes0.isEmpty) sys.error(
+      s"zone maps: table '$table' does not exist (no data files)")
     val hasSize = zones.schema.fieldNames.contains("_size")
     val manifest: Map[String, Long] =
       if (hasSize)
@@ -248,8 +257,7 @@ object ZoneMaps {
             (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
       else zones.select(col("_file")).collect()
         .map(r => norm(r.getString(0)) -> -1L).toMap
-    val liveSizes = store.listDataFiles(table)
-      .map { case (p, s) => norm(p) -> s }
+    val liveSizes = liveSizes0.map { case (p, s) => norm(p) -> s }
     val sizesOk = !hasSize || manifest.forall { case (f, s) =>
       s < 0 || liveSizes.get(f).forall(_ == s) }
     if (manifest.keySet != liveSizes.keySet || !sizesOk) sys.error(
@@ -258,7 +266,12 @@ object ZoneMaps {
         (if (sizesOk) "" else " and at least one carried file's byte " +
           "length changed (in-place rewrite?)") +
         " — rebuild with ZoneMaps.build")
-    (zones, live)
+    // one footer, not a table-wide inference pass: the store's tables
+    // are single-writer, and the multi-file inference (mergeSchema off)
+    // reads one footer anyway — this just skips its listing
+    val schema = zones.sparkSession.read
+      .parquet(liveSizes0.keys.min).schema
+    (zones, schema)
   }
 
   /** Admission column for a (possibly half-open) stats range: the file
@@ -289,12 +302,12 @@ object ZoneMaps {
                          hi: Any): (Seq[String], Int) =
     collectAdmitted(zones, rangeAdmitExpr(colName, Some(lo), Some(hi)))
 
-  private def admitPoint(zones: DataFrame, live: DataFrame, colName: String,
-                         value: Any): (Seq[String], Int) = {
+  private def admitPoint(zones: DataFrame, dataSchema: StructType,
+                         colName: String, value: Any): (Seq[String], Int) = {
     require(zones.schema.fieldNames.contains(s"${colName}_bloom"),
       s"zone maps carry no bloom for '$colName' — build with bloomCols")
     collectAdmitted(zones, pointAdmitExpr(zones.schema.fieldNames.toSet,
-      live.schema, colName, value))
+      dataSchema, colName, value))
   }
 
   /** ONE bounded collect of (file name, admitted) — file count, never
@@ -344,14 +357,19 @@ object ZoneMaps {
   private[graft] def planFilesPoint(store: ParquetTableStore, table: String,
                                     colName: String,
                                     value: Any): (Seq[String], Int) = {
-    val (zones, live) = freshZones(store, table)
-    admitPoint(zones, live, colName, value)
+    val (zones, schema) = freshZones(store, table)
+    admitPoint(zones, schema, colName, value)
   }
 
-  private def readAdmitted(live: DataFrame,
-                           files: Seq[String]): Option[DataFrame] =
-    if (files.isEmpty) None
-    else Some(live.sparkSession.read.schema(live.schema).parquet(files: _*))
+  /** Admitted-file read (or the empty frame with the table's schema —
+    * an admitted set can legitimately be empty): the explicit file list
+    * means NO listing happens here — the attest's listing was the one
+    * and only. */
+  private def readAdmitted(spark: SparkSession, schema: StructType,
+                           files: Seq[String]): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+    else spark.read.schema(schema).parquet(files: _*)
 
   /** Range read through the manifest: open only the files whose zone
     * admits [lo, hi], then re-apply the range as the residual predicate.
@@ -359,12 +377,10 @@ object ZoneMaps {
     * argument above; only the I/O differs (one listing per read). */
   def prunedReadRange(store: ParquetTableStore, table: String,
                       colName: String, lo: Any, hi: Any): DataFrame = {
-    val (zones, live) = freshZones(store, table)
+    val (zones, schema) = freshZones(store, table)
     val (files, _) = admitRange(zones, colName, lo, hi)
     val residual = col(colName) >= lit(lo) && col(colName) <= lit(hi)
-    readAdmitted(live, files)
-      .map(_.filter(residual))
-      .getOrElse(live.filter(lit(false)))
+    readAdmitted(zones.sparkSession, schema, files).filter(residual)
   }
 
   /** Point read through the per-file blooms: open only the files whose
@@ -372,11 +388,10 @@ object ZoneMaps {
     * re-apply the equality. Result ≡ the plain equality filter. */
   def prunedReadPoint(store: ParquetTableStore, table: String,
                       colName: String, value: Any): DataFrame = {
-    val (zones, live) = freshZones(store, table)
-    val (files, _) = admitPoint(zones, live, colName, value)
-    readAdmitted(live, files)
-      .map(_.filter(col(colName) === lit(value)))
-      .getOrElse(live.filter(lit(false)))
+    val (zones, schema) = freshZones(store, table)
+    val (files, _) = admitPoint(zones, schema, colName, value)
+    readAdmitted(zones.sparkSession, schema, files)
+      .filter(col(colName) === lit(value))
   }
 
   /** Conjunctive (AND) pruned read — the compound-filter shape real
@@ -417,7 +432,7 @@ object ZoneMaps {
                          disjunctive: Boolean): DataFrame = {
     require(ranges.nonEmpty || points.nonEmpty,
       "routed read needs at least one predicate")
-    val (zones, live) = freshZones(store, table)
+    val (zones, schema) = freshZones(store, table)
     val names = zones.schema.fieldNames.toSet
     ranges.foreach { case (c, _, _) => require(names.contains(s"${c}_min"),
       s"zone maps carry no stats for '$c' — build with cols") }
@@ -427,7 +442,7 @@ object ZoneMaps {
     val admits = ranges.map { case (c, lo, hi) =>
       rangeAdmitExpr(c, Some(lo), Some(hi))
     } ++ points.map { case (c, v) =>
-      pointAdmitExpr(names, live.schema, c, v)
+      pointAdmitExpr(names, schema, c, v)
     }
     val combine: (Column, Column) => Column =
       if (disjunctive) _ || _ else _ && _
@@ -437,9 +452,7 @@ object ZoneMaps {
         points.map { case (c, v) => col(c) === lit(v) }
     val residual =
       if (disjunctive) preds.reduce(_ || _) else preds.reduce(_ && _)
-    readAdmitted(live, files)
-      .map(_.filter(residual))
-      .getOrElse(live.filter(lit(false)))
+    readAdmitted(zones.sparkSession, schema, files).filter(residual)
   }
 
   /** Manifest admission for the v2/SQL scan path

@@ -50,6 +50,10 @@ object ZoneHealProfile {
     t("maintain (fresh: attest only)") {
       graft.operators.ZoneMaps.maintain(store, "many", Seq.empty)
     }
+    t("prunedReadPoint end-to-end (attest + admit + read, 10k files)") {
+      graft.operators.ZoneMaps.prunedReadPoint(store, "many", "k", 4242L)
+        .count()
+    }
     spark.stop()
   }
 }
