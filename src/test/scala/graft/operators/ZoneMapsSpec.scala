@@ -584,6 +584,32 @@ class ZoneMapsSpec extends SparkSpec {
       none.columns.toSeq == store.read("t").get.columns.toSeq)
   }
 
+  test("property: disjunctive pruned ≡ plain OR across seeded random range sets") {
+    Seq(7L, 29L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val store = freshStore()
+      val n = 3000
+      store.replace("t", (1 to n).map(i => (i.toLong, i % 11))
+        .toDF("k", "g").repartitionByRange(6, col("k"))
+        .sortWithinPartitions(col("k")))
+      ZoneMaps.build(store, "t", Seq("k"))
+      (1 to 8).foreach { step =>
+        val nDisjuncts = 1 + rnd.nextInt(3)
+        val ranges = (1 to nDisjuncts).map { _ =>
+          val lo = rnd.nextInt(n).toLong
+          ("k", lo: Any, (lo + rnd.nextInt(400)): Any)
+        }
+        val pruned = store.readWhereAny("t", ranges)
+          .select("k").as[Long].collect().sorted.toSeq
+        val plain = store.read("t").get
+          .filter(ranges.map { case (_, lo, hi) =>
+            col("k") >= lit(lo) && col("k") <= lit(hi) }.reduce(_ || _))
+          .select("k").as[Long].collect().sorted.toSeq
+        assert(pruned == plain, s"seed $seed step $step ranges $ranges")
+      }
+    }
+  }
+
   test("store.readPoint routes via bloom when present, degenerate range on stats, plain scan otherwise") {
     val store = freshStore()
     // unclustered high-cardinality key with a bloom
