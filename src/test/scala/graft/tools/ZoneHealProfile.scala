@@ -26,7 +26,10 @@ object ZoneHealProfile {
     t("listDataFiles(many)") { store.listDataFiles("many").size }
     t("listDataFiles(many) again") { store.listDataFiles("many").size }
     val zones = t("store.read(many_zones)") { store.read("many_zones").get }
-    t("zones (_file,_size) collect") {
+    t("zones (_file,_size) collect (cold)") {
+      zones.select(col("_file"), col("_size")).collect().length
+    }
+    t("zones (_file,_size) collect (warm)") {
       zones.select(col("_file"), col("_size")).collect().length
     }
     t("zones _file-only collect") {
