@@ -49,6 +49,12 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
   private val zoneSchemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, Option[StructType]]()
 
+  /** Called BEFORE and AFTER every manifest write: the before-clear keeps
+    * in-flight readers from serving the doomed schema for the write's
+    * whole duration; the after-clear closes the race where a reader
+    * re-caches the OLD schema mid-write (its read beat the swap) and the
+    * stale entry then survives indefinitely — routing reads at columns
+    * the new manifest no longer covers. */
   private def invalidateZoneSchema(written: String): Unit =
     if (written.endsWith("_zones"))
       zoneSchemaCache.remove(written.dropRight("_zones".length))
@@ -109,9 +115,9 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
       if (coveredR.nonEmpty || coveredP.nonEmpty)
         ZoneMaps.prunedReadWhere(this, name, coveredR, coveredP)
       else read(name).getOrElse(sys.error(s"table '$name' does not exist"))
-    (plainR.map { case (c, lo, hi) => col(c) >= lit(lo) && col(c) <= lit(hi) } ++
-      plainP.map { case (c, v) => col(c) === lit(v) })
-      .foldLeft(base)(_ filter _)
+    // ZoneMaps.predExprs on both the routed and plain sides: pruned ≡
+    // plain requires ONE predicate builder
+    ZoneMaps.predExprs(plainR, plainP).foldLeft(base)(_ filter _)
   }
 
   /** Disjunctive (OR) filtered read with zone-map routing: the manifest
@@ -136,9 +142,7 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
     else {
       val base = read(name).getOrElse(
         sys.error(s"table '$name' does not exist"))
-      base.filter((
-        ranges.map { case (c, lo, hi) => col(c) >= lit(lo) && col(c) <= lit(hi) } ++
-          points.map { case (c, v) => col(c) === lit(v) }).reduce(_ || _))
+      base.filter(ZoneMaps.predExprs(ranges, points).reduce(_ || _))
     }
   }
 
@@ -165,6 +169,11 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
     * any path with a hidden segment (`_temporary`, `.crc`, `_SUCCESS`:
     * Spark's own InMemoryFileIndex filter). */
   private[graft] def listDataFiles(name: String): Map[String, Long] = {
+    // the routed reads' attest lists through HERE instead of read(), so
+    // this must run the same publish-crash recovery read() does — a
+    // table stranded at _swap_<name> would otherwise fail every routed
+    // read as "does not exist" without ever being restored
+    recoverTableBackup(name)
     val root = new Path(path(name))
     val f = fs(root)
     if (!f.exists(root)) return Map.empty
@@ -254,6 +263,7 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
       if (!f.rename(tmp, dst)) { f.rename(old, dst); sys.error(s"swap failed for $name") }
       f.delete(old, true)
     } else if (!f.rename(tmp, dst)) sys.error(s"publish failed for $name")
+    invalidateZoneSchema(name) // after-clear: see invalidateZoneSchema
   }
 
   /** Atomically REPLACE the whole table with `df` (staged write + swap,
@@ -288,6 +298,7 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
     withMicrosTimestamps(df.sparkSession) {
       df.write.mode(SaveMode.Append).parquet(dst.toString)
     }
+    invalidateZoneSchema(name) // after-clear: see invalidateZoneSchema
   }
 
   /** [[replace]] with a partitioned on-disk layout (directory per

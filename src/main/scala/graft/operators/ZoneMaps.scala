@@ -83,7 +83,8 @@ object ZoneMaps {
       sys.error(s"zone maps: table '$table' does not exist"))
     store.replace(s"${table}_zones",
       zoneRows(df, cols, bloomCols, expectedPerFile))
-    backfillEmptyFiles(store, table, expectedPerFile)
+    backfillEmptyFiles(store, table, expectedPerFile,
+      store.listDataFiles(table), present = None)
   }
 
   /** The per-file stats aggregate both [[build]] and the incremental
@@ -121,18 +122,22 @@ object ZoneMaps {
     * [[maintain]] re-healing forever without converging (ADVICE r13).
     * Missing files get an n_rows = 0 row with null stats and null bloom
     * (admit-nothing under the coalesce(false) rules — an empty file can
-    * match no predicate). Driver cost: file-count NAMES (the `_file`
-    * select prunes the bloom bytes out of the collect), and the rows
-    * appended are the missing set only. */
+    * match no predicate). Driver cost: file-count NAMES at most, and
+    * only where the caller could not supply them: `liveSizes` is the
+    * caller's own listing (never re-walked here), `present` the rows
+    * already known to exist — normalized file names; None means read
+    * them from the manifest (a names-only, bloom-pruned collect). */
   private def backfillEmptyFiles(store: ParquetTableStore, table: String,
-                                 bloomItems: Long): Unit = {
+                                 bloomItems: Long,
+                                 liveSizes: Map[String, Long],
+                                 present: Option[Set[String]]): Unit = {
     val zOpt = store.read(s"${table}_zones")
     if (zOpt.isEmpty) return
     val z = zOpt.get
-    val present = z.select(col("_file")).collect()
-      .map(r => norm(r.getString(0))).toSet
-    val missing = store.listDataFiles(table)
-      .filter { case (p, _) => !present.contains(norm(p)) }
+    val presentSet = present.getOrElse(
+      z.select(col("_file")).collect().map(r => norm(r.getString(0))).toSet)
+    val missing = liveSizes
+      .filter { case (p, _) => !presentSet.contains(norm(p)) }
     if (missing.isEmpty) return
     val rows = missing.toSeq.map { case (p, size) =>
       Row.fromSeq(z.schema.fields.toSeq.map(_.name match {
@@ -210,11 +215,19 @@ object ZoneMaps {
             // their rows — the old manifest is never materialized
             val newFiles = (liveByNorm.keySet -- manifest.keySet).toSeq
               .map(f => liveByNorm(f)._1)
-            val fresh = zoneRows(
+            val fresh = Checkpoints.materialize(zoneRows(
               live.sparkSession.read.schema(live.schema).parquet(newFiles: _*),
-              cols, bloomCols, expected)
-            if (!fresh.isEmpty) store.append(s"${table}_zones", fresh)
-            backfillEmptyFiles(store, table, expected)
+              cols, bloomCols, expected))
+            // names-only collect of the batch's OWN rows (bloom bytes
+            // pruned) — the backfill then needs no manifest re-read and
+            // no second listing: present = old manifest + these
+            val freshNames = fresh.select(col("_file")).collect()
+              .map(r => norm(r.getString(0))).toSet
+            if (freshNames.nonEmpty) store.append(s"${table}_zones", fresh)
+            Checkpoints.release(fresh)
+            backfillEmptyFiles(store, table, expected,
+              liveByNorm.map { case (_, (p, s)) => p -> s },
+              present = Some(manifest.keySet ++ freshNames))
           } else build(store, table, cols, bloomCols, expected)
           true
         }
@@ -273,6 +286,17 @@ object ZoneMaps {
       .parquet(liveSizes0.keys.min).schema
     (zones, schema)
   }
+
+  /** The residual predicate columns for (ranges, points) — ONE builder
+    * shared by the routed reads and the store's plain/fallback filters,
+    * so the pruned and unpruned sides can never drift apart in bound or
+    * null semantics (pruned ≡ plain is the whole contract; two
+    * hand-maintained copies of "inclusive range, plain equality" would
+    * be a silent place for them to diverge). */
+  private[graft] def predExprs(ranges: Seq[(String, Any, Any)],
+                               points: Seq[(String, Any)]): Seq[Column] =
+    ranges.map { case (c, lo, hi) => col(c) >= lit(lo) && col(c) <= lit(hi) } ++
+      points.map { case (c, v) => col(c) === lit(v) }
 
   /** Admission column for a (possibly half-open) stats range: the file
     * survives unless its [min, max] provably misses the bound(s). Null
@@ -447,11 +471,7 @@ object ZoneMaps {
     val combine: (Column, Column) => Column =
       if (disjunctive) _ || _ else _ && _
     val (files, _) = collectAdmitted(zones, admits.reduce(combine))
-    val preds =
-      ranges.map { case (c, lo, hi) => col(c) >= lit(lo) && col(c) <= lit(hi) } ++
-        points.map { case (c, v) => col(c) === lit(v) }
-    val residual =
-      if (disjunctive) preds.reduce(_ || _) else preds.reduce(_ && _)
+    val residual = predExprs(ranges, points).reduce(combine)
     readAdmitted(zones.sparkSession, schema, files).filter(residual)
   }
 
@@ -519,7 +539,14 @@ object ZoneMaps {
       case GreaterThanOrEqual(a, v) => rangeOf(a, Some(v), None)
       case LessThan(a, v)           => rangeOf(a, None, Some(v))
       case LessThanOrEqual(a, v)    => rangeOf(a, None, Some(v))
-      case In(a, vs) if vs.nonEmpty =>
+      // IN translates to an OR of per-value admissions, CAPPED: an
+      // unbounded list from a query generator would build a
+      // thousands-deep OR of bloom probes evaluated against every
+      // manifest row at PLANNING time (and choke codegen) — beyond the
+      // cap the filter simply contributes no pruning, like any other
+      // untranslatable shape (Spark's own inSetConversionThreshold
+      // plays the same role)
+      case In(a, vs) if vs.nonEmpty && vs.length <= 50 =>
         val each = vs.toSeq.map(pointOf(a, _))
         if (each.forall(_.isDefined)) Some(each.flatten.reduce(_ || _))
         else None

@@ -584,6 +584,25 @@ class ZoneMapsSpec extends SparkSpec {
       none.columns.toSeq == store.read("t").get.columns.toSeq)
   }
 
+  test("routed reads recover a mid-swap publish crash like read() does") {
+    // the attest lists through listDataFiles, not read(): it must run the
+    // same _swap_<name> backup recovery, or a crash window that read()
+    // heals would fail every routed read as "does not exist" forever
+    val store = freshStore()
+    clustered(store, "t", n = 300, parts = 3)
+    val wh = new java.io.File(store.path("t")).getParent
+    // simulate publish dying between rename(dst -> backup) and
+    // rename(tmp -> dst): the table exists ONLY at _swap_t
+    assert(new java.io.File(store.path("t"))
+      .renameTo(new java.io.File(s"$wh/_swap_t")))
+    val got = store.readRange("t", "k", 10L, 20L)
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(got == (10L to 20L).toSeq,
+      "routed read must restore the stranded backup and answer")
+    assert(new java.io.File(store.path("t")).exists,
+      "recovery must move the table back into place")
+  }
+
   test("property: disjunctive pruned ≡ plain OR across seeded random range sets") {
     Seq(7L, 29L).foreach { seed =>
       val rnd = new scala.util.Random(seed)
