@@ -26,14 +26,16 @@ def main():
     gone = sorted(set(pq) - set(cq))
     pt = sum(pq[q] for q in shared)
     ct = sum(cq[q] for q in shared)
+    ratio = f"{ct / pt:.3f}x" if pt > 0 else "n/a (prev total 0)"
     print(f"shared queries: {len(shared)}  prev {pt:.1f} s  cur {ct:.1f} s  "
-          f"ratio {ct / pt:.3f}x")
+          f"ratio {ratio}")
     regs = [(q, pq[q], cq[q]) for q in shared
             if cq[q] > r_thresh * pq[q] and cq[q] - pq[q] > a_thresh]
     print(f"threshold regressions (> {r_thresh}x and > +{a_thresh} s): "
           f"{len(regs)}")
     for q, a, b in sorted(regs, key=lambda x: x[2] - x[1], reverse=True):
-        print(f"  REG {q}: {a:.2f} -> {b:.2f} s ({b / a:.2f}x)")
+        x = f"{b / a:.2f}x" if a > 0 else "inf"
+        print(f"  REG {q}: {a:.2f} -> {b:.2f} s ({x})")
     if new:
         print(f"new queries ({len(new)}): "
               + ", ".join(f"{q} {cq[q]:.1f}s" for q in new)
