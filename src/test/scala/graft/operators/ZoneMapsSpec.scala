@@ -453,6 +453,93 @@ class ZoneMapsSpec extends SparkSpec {
       .select("k").as[Long].collect().sorted.toSeq == (850L to 860L).toSeq)
   }
 
+  test("readWhereExpr: mixed AND/OR trees prune; partial and no coverage degrade exactly (VERDICT r14 item 6)") {
+    val store = freshStore()
+    clustered(store, "t") // manifest covers k, tag, v; 8 k-ranged files
+    import ZonePred._
+    val total = store.read("t").get.inputFiles.length
+    def plainRows(p: ZonePred): Seq[Long] = store.read("t").get
+      .filter(ZoneMaps.predExpr(p)).select("k").as[Long].collect().sorted.toSeq
+    // fully covered mixed tree: a AND (b OR c) — the shape neither flat
+    // routed entry point expresses; v ∈ [300,500] ⇔ k ∈ [150,250], so
+    // the composed admission (k-range ∩ (v-range ∪ point)) skips files
+    val tree = And(Seq(Range("k", 100L, 400L),
+      Or(Seq(Range("v", 300.0, 500.0), Point("k", 380L)))))
+    val routed = store.readWhereExpr("t", tree)
+    assert(routed.inputFiles.length < total,
+      s"mixed tree must prune (${routed.inputFiles.length} of $total)")
+    val got = routed.select("k").as[Long].collect().sorted.toSeq
+    assert(got == plainRows(tree), "pruned ≡ plain broken on the mixed tree")
+    assert(got == ((150L to 250L) :+ 380L).sorted, "wrong rows")
+    // manifest covering ONLY k: an OR with an uncovered leaf is poisoned
+    // (could match anywhere), but under the AND the covered k-range still
+    // prunes and the WHOLE tree re-applies as the residual
+    clustered(store, "u")
+    ZoneMaps.build(store, "u", Seq("k"))
+    val partial = And(Seq(Range("k", 100L, 400L),
+      Or(Seq(Point("tag", "s3"), Range("k", 350L, 360L)))))
+    val routedU = store.readWhereExpr("u", partial)
+    assert(routedU.inputFiles.length < total, "covered AND-child must still prune")
+    assert(routedU.select("k").as[Long].collect().sorted.toSeq ==
+      store.read("u").get.filter(ZoneMaps.predExpr(partial))
+        .select("k").as[Long].collect().sorted.toSeq)
+    // nothing covered: the plain filtered scan (full listing), exact
+    val uncovered = Or(Seq(Point("tag", "s3"), Point("tag", "s5")))
+    val plainPath = store.readWhereExpr("u", uncovered)
+    assert(plainPath.inputFiles.length == total,
+      "an uncovered tree must not consult the manifest")
+    assert(plainPath.select("k").as[Long].collect().sorted.toSeq ==
+      store.read("u").get.filter(ZoneMaps.predExpr(uncovered))
+        .select("k").as[Long].collect().sorted.toSeq)
+  }
+
+  test("maintainTable compacts a many-small-files manifest past the threshold; heals stay incremental after (VERDICT r14 item 3)") {
+    val store = freshStore()
+    clustered(store, "t", n = 600, parts = 3)
+    def appendBatch(lo: Int): Unit =
+      (lo until lo + 10).map(i => (i.toLong, s"s${i % 7}", i * 2.0))
+        .toDF("k", "tag", "v")
+        .repartition(1).write.mode("append").parquet(store.path("t"))
+    def prunedEqPlain(): Unit = {
+      val hi = store.read("t").get.agg(max(col("k"))).head().getLong(0)
+      val pruned = store.readRange("t", "k", 300L, hi)
+        .select("k").as[Long].collect().sorted.toSeq
+      val plain = store.read("t").get.filter(col("k") >= 300L && col("k") <= hi)
+        .select("k").as[Long].collect().sorted.toSeq
+      assert(pruned == plain, "routed read drifted from the plain filter")
+    }
+    // five streaming-shaped ticks: each appends one data file and heals —
+    // one new manifest file per tick (the append-only heal shape)
+    (0 until 5).foreach { b =>
+      appendBatch(601 + b * 10)
+      val r = IndexMaintenance.maintainTable(store, "t", Seq.empty,
+        maxManifestFiles = 100)
+      assert(r.zonesRebuilt && !r.manifest.get.compacted)
+    }
+    val grown = store.listDataFiles("t_zones").size
+    assert(grown >= 5, s"each heal tick must append a manifest file ($grown)")
+    prunedEqPlain()
+    // past the threshold: ONE compaction, routed reads exact after
+    val r = IndexMaintenance.maintainTable(store, "t", Seq.empty,
+      maxManifestFiles = 3)
+    assert(r.manifest.exists(m => m.compacted && m.files == grown.toLong))
+    val compacted = store.listDataFiles("t_zones")
+    assert(compacted.size == 1, s"manifest must compact to one file: $compacted")
+    prunedEqPlain()
+    // the NEXT heal is still incremental: the compacted manifest file
+    // survives byte-identically, the new batch's rows arrive as a new file
+    appendBatch(651)
+    assert(IndexMaintenance.maintainTable(store, "t", Seq.empty,
+      maxManifestFiles = 100).zonesRebuilt)
+    val after = store.listDataFiles("t_zones")
+    compacted.foreach { case (p, size) =>
+      assert(after.get(p).contains(size),
+        s"post-compaction heal must not rewrite the compacted manifest file $p")
+    }
+    assert(after.size == 2, s"heal after compaction must append, got $after")
+    prunedEqPlain()
+  }
+
   test("zero-row data files get n_rows=0 manifest rows; maintain converges instead of healing forever") {
     // ADVICE r13: a zero-row parquet file contributes no group to the
     // stats aggregate, so without the backfill it never gets a manifest

@@ -163,6 +163,45 @@ object ZoneMapsScaleSmoke {
         "(compare with the 10k-file heal row above — flat = O(batch))") {
       require(graft.operators.ZoneMaps.maintain(store, "few", Seq.empty))
     }
+
+    // MANIFEST COMPACTION under the streaming design point (r15): every
+    // incremental heal APPENDS one small manifest file, so after N ticks
+    // an uncompacted manifest is an N-file table and every consult pays
+    // its listing + N footers. maintainTable's compact-past-threshold
+    // rule caps that. Two identical tables run the same tick loop —
+    // one through maintainTable (threshold 16), one through the raw
+    // heal (never compacted) — and the consult time + manifest file
+    // count at each milestone state the flat-vs-growing claim as
+    // numbers from the same run.
+    val ticks = 240
+    Seq("ticked" -> true, "unticked" -> false).foreach { case (tbl, compactIt) =>
+      store.replace(tbl, spark.range(100000L)
+        .select(col("id").as("k"), (col("id") % 7).as("g"))
+        .repartitionByRange(8, col("k")))
+      graft.operators.ZoneMaps.build(store, tbl, Seq("k"))
+      var next = 100000L
+      t(s"$tbl: $ticks append+heal ticks (${if (compactIt) "maintainTable, threshold 16" else "raw heal, never compacted"})") {
+        (1 to ticks).foreach { i =>
+          spark.range(next, next + 100L)
+            .select(col("id").as("k"), (col("id") % 7).as("g"))
+            .repartition(1).write.mode("append").parquet(store.path(tbl))
+          next += 100L
+          if (compactIt)
+            graft.operators.IndexMaintenance.maintainTable(store, tbl,
+              Seq.empty, maxManifestFiles = 16)
+          else graft.operators.ZoneMaps.maintain(store, tbl, Seq.empty)
+          if (i % 80 == 0) {
+            val mFiles = store.read(s"${tbl}_zones").get.inputFiles.length
+            val c0 = System.nanoTime
+            val (adm, tot) = graft.operators.ZoneMaps.planFiles(
+              store, tbl, "k", next - 150L, next - 1L)
+            println(f"[smoke] $tbl tick $i%4d: manifest files=$mFiles%4d, " +
+              f"consult=${(System.nanoTime - c0) / 1e9}%.3f s " +
+              s"(admits ${adm.size} of $tot)")
+          }
+        }
+      }
+    }
     spark.stop()
   }
 }
