@@ -642,9 +642,17 @@ object ZoneMaps {
     * attest itself already accepts as invisible. Failed admissions
     * (stale/absent manifest, untranslatable filters) are NOT cached: a
     * heal can make them succeed without the data changing. */
+  /** Cached value: admitted positions INTO the caller's path-sorted file
+    * array (a BitSet — file-count/8 bytes per entry) plus the
+    * contributing filters. Positions, not paths: a cached path array
+    * would hold file-count × path-length bytes PER ENTRY (~10 MB at the
+    * 100k-file design point — gigabytes at the entry cap), while the
+    * bitset is ~12 KB. Alignment is guaranteed by the key: the digest
+    * pins the (path, length) CONTENT and the provider's listing is
+    * always path-sorted, so equal digest ⇒ identical array order. */
   private val v2AdmissionCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String, String),
-    (Array[String], Array[org.apache.spark.sql.sources.Filter])]()
+    (java.util.BitSet, Array[org.apache.spark.sql.sources.Filter])]()
   /** Spec-visible counters (ZoneMapSqlPushdownSpec asserts the second
     * identical query is a pure cache hit — deterministic, unlike
     * listener-based job counting under AQE). */
@@ -695,7 +703,12 @@ object ZoneMaps {
     val cacheKey = (zonesDir, listingDigest(fileSizes),
       filters.map(filterKey).sorted.mkString(";"))
     val cached = v2AdmissionCache.get(cacheKey)
-    if (cached != null) { v2AdmissionHits.incrementAndGet(); return Some(cached) }
+    if (cached != null) {
+      v2AdmissionHits.incrementAndGet()
+      val (bits, usedFilters) = cached
+      return Some((files.zipWithIndex.collect {
+        case (f, i) if bits.get(i) => f }, usedFilters))
+    }
     v2AdmissionMisses.incrementAndGet()
     val zonesPath = new org.apache.hadoop.fs.Path(zonesDir)
     val fs = zonesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -755,13 +768,15 @@ object ZoneMaps {
       val (kept, _) =
         collectAdmitted(zones, translated.map(_._2).reduce(_ && _))
       val keptNorm = kept.map(norm).toSet
-      val result = (files.filter(f => keptNorm.contains(norm(f))),
-        translated.map(_._1))
+      val admitted = files.filter(f => keptNorm.contains(norm(f)))
+      val bits = new java.util.BitSet(files.length)
+      files.zipWithIndex.foreach { case (f, i) =>
+        if (keptNorm.contains(norm(f))) bits.set(i) }
       // bounded: a runaway distinct-filter workload clears rather than
       // grows (the cache is an amortization, never a requirement)
       if (v2AdmissionCache.size >= 512) v2AdmissionCache.clear()
-      v2AdmissionCache.put(cacheKey, result)
-      Some(result)
+      v2AdmissionCache.put(cacheKey, (bits, translated.map(_._1)))
+      Some((admitted, translated.map(_._1)))
     }
   }
 }
