@@ -1815,19 +1815,23 @@ object SparkEntry {
     * binned estimates from the full events scan — streamed-state ≡
     * batch-recompute, end to end through the store. */
   def q87_quantiles_maintained(s: SparkSession, d: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_q87_wh").toString
-    val store = new graft.operators.ParquetTableStore(s, wh)
     val ev = events(s, d).select(to_date(col("ts")).as("day"),
       col("event_type"), col("value"))
     val c1 = lit(java.sql.Date.valueOf("2024-01-11"))
     val c2 = lit(java.sql.Date.valueOf("2024-01-21"))
-    def fold(batch: DataFrame, id: Long): Unit =
-      BinnedQuantiles.foldIntoStore(store, "vq", batch, Seq("event_type"),
-        "value", 0.0, 5.0, 100, id, epoch = "q87")
-    fold(ev.filter(col("day") < c1), 0L)
-    fold(ev.filter(col("day") >= c1 && col("day") < c2), 1L)
-    fold(ev.filter(col("day") >= c1 && col("day") < c2), 1L) // replay: must no-op
-    fold(ev.filter(col("day").isNull || col("day") >= c2), 2L)
+    // fold construction fixture-cached per JVM (the q138 pattern):
+    // deterministic folds incl. the replay; the readout runs per call
+    val wh = graft.QueryFixtures.cachedDir(s"q87:$d") { dir =>
+      val store = new graft.operators.ParquetTableStore(s, dir)
+      def fold(batch: DataFrame, id: Long): Unit =
+        BinnedQuantiles.foldIntoStore(store, "vq", batch, Seq("event_type"),
+          "value", 0.0, 5.0, 100, id, epoch = "q87")
+      fold(ev.filter(col("day") < c1), 0L)
+      fold(ev.filter(col("day") >= c1 && col("day") < c2), 1L)
+      fold(ev.filter(col("day") >= c1 && col("day") < c2), 1L) // replay: must no-op
+      fold(ev.filter(col("day").isNull || col("day") >= c2), 2L)
+    }
+    val store = new graft.operators.ParquetTableStore(s, wh)
     BinnedQuantiles.quantiles(
       store.read("vq").get.drop("_last_batch", "_epoch"),
       Seq("event_type"), Seq("p50_est" -> 0.5, "p95_est" -> 0.95), 0.0, 5.0)
@@ -2700,18 +2704,20 @@ object SparkEntry {
     * oracle stays q90's direct GROUP BY + HAVING — maintained ≡
     * one-shot under the hash. */
   def q131_heavy_hitters_maintained(s: SparkSession, d: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_q131_wh").toString
-    val store = new graft.operators.ParquetTableStore(s, wh)
     val terms = lineitem(s, d).select(
       length(col("l_partkey").cast("string")).cast("string").as("term"),
       col("l_orderkey"))
-    def fold(batch: DataFrame, id: Long): Unit =
-      graft.operators.HeavyHitters.foldIntoStore(store, "hh",
-        batch, "term", capacity = 2, id, epoch = "q131")
-    fold(terms.filter(col("l_orderkey") % 3 === 0), 0L)
-    fold(terms.filter(col("l_orderkey") % 3 === 1), 1L)
-    fold(terms.filter(col("l_orderkey") % 3 === 1), 1L) // replay: must no-op
-    fold(terms.filter(col("l_orderkey") % 3 === 2), 2L)
+    val wh = graft.QueryFixtures.cachedDir(s"q131:$d") { dir =>
+      val store = new graft.operators.ParquetTableStore(s, dir)
+      def fold(batch: DataFrame, id: Long): Unit =
+        graft.operators.HeavyHitters.foldIntoStore(store, "hh",
+          batch, "term", capacity = 2, id, epoch = "q131")
+      fold(terms.filter(col("l_orderkey") % 3 === 0), 0L)
+      fold(terms.filter(col("l_orderkey") % 3 === 1), 1L)
+      fold(terms.filter(col("l_orderkey") % 3 === 1), 1L) // replay: must no-op
+      fold(terms.filter(col("l_orderkey") % 3 === 2), 2L)
+    }
+    val store = new graft.operators.ParquetTableStore(s, wh)
     graft.operators.HeavyHitters.exactFromState(
       store.read("hh").get.drop("_last_batch", "_epoch"),
       terms.select(col("term")), "term", capacity = 2)
@@ -2795,18 +2801,20 @@ object SparkEntry {
     * within each group independently across the fold tree, so the
     * oracle is q133's per-group GROUP BY + HAVING verbatim. */
   def q135_heavy_hitters_grouped_maintained(s: SparkSession, d: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_q135_wh").toString
-    val store = new graft.operators.ParquetTableStore(s, wh)
     val terms = lineitem(s, d).select(col("l_returnflag").as("grp"),
       length(col("l_partkey").cast("string")).cast("string").as("term"),
       col("l_orderkey"))
-    def fold(batch: DataFrame, id: Long): Unit =
-      graft.operators.HeavyHitters.foldIntoStorePerGroup(store, "hhg",
-        batch, "grp", "term", capacity = 2, id, epoch = "q135")
-    fold(terms.filter(col("l_orderkey") % 3 === 0), 0L)
-    fold(terms.filter(col("l_orderkey") % 3 === 1), 1L)
-    fold(terms.filter(col("l_orderkey") % 3 === 1), 1L) // replay: must no-op
-    fold(terms.filter(col("l_orderkey") % 3 === 2), 2L)
+    val wh = graft.QueryFixtures.cachedDir(s"q135:$d") { dir =>
+      val store = new graft.operators.ParquetTableStore(s, dir)
+      def fold(batch: DataFrame, id: Long): Unit =
+        graft.operators.HeavyHitters.foldIntoStorePerGroup(store, "hhg",
+          batch, "grp", "term", capacity = 2, id, epoch = "q135")
+      fold(terms.filter(col("l_orderkey") % 3 === 0), 0L)
+      fold(terms.filter(col("l_orderkey") % 3 === 1), 1L)
+      fold(terms.filter(col("l_orderkey") % 3 === 1), 1L) // replay: must no-op
+      fold(terms.filter(col("l_orderkey") % 3 === 2), 2L)
+    }
+    val store = new graft.operators.ParquetTableStore(s, wh)
     graft.operators.HeavyHitters.exactFromStatePerGroup(
       store.read("hhg").get.drop("_last_batch", "_epoch"),
       terms.select(col("grp"), col("term")), "grp", "term", capacity = 2)
@@ -2842,16 +2850,18 @@ object SparkEntry {
     * no-op it), then the sample read from the stored reservoir alone.
     * Oracle: q104's full-scan A-Res replay VERBATIM. */
   def q137_weighted_sample_maintained(s: SparkSession, d: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_q137_wh").toString
-    val store = new graft.operators.ParquetTableStore(s, wh)
     val docs = documents(s, d)
-    def fold(batch: DataFrame, id: Long): Unit =
-      graft.operators.WeightedSample.foldIntoStore(store, "ws", batch,
-        "doc_id", "n_chars", k = 50, seed = "ws8", id, epoch = "q137")
-    fold(docs.filter(col("doc_id") % 3 === 0), 0L)
-    fold(docs.filter(col("doc_id") % 3 === 1), 1L)
-    fold(docs.filter(col("doc_id") % 3 === 1), 1L) // replay: must no-op
-    fold(docs.filter(col("doc_id") % 3 === 2), 2L)
+    val wh = graft.QueryFixtures.cachedDir(s"q137:$d") { dir =>
+      val store = new graft.operators.ParquetTableStore(s, dir)
+      def fold(batch: DataFrame, id: Long): Unit =
+        graft.operators.WeightedSample.foldIntoStore(store, "ws", batch,
+          "doc_id", "n_chars", k = 50, seed = "ws8", id, epoch = "q137")
+      fold(docs.filter(col("doc_id") % 3 === 0), 0L)
+      fold(docs.filter(col("doc_id") % 3 === 1), 1L)
+      fold(docs.filter(col("doc_id") % 3 === 1), 1L) // replay: must no-op
+      fold(docs.filter(col("doc_id") % 3 === 2), 2L)
+    }
+    val store = new graft.operators.ParquetTableStore(s, wh)
     graft.operators.WeightedSample.sampleFromState(
       store.read("ws").get.drop("_last_batch", "_epoch"), "doc_id")
       .orderBy(col("rank"))
@@ -2898,16 +2908,18 @@ object SparkEntry {
     * per-group A-Res replay (row_number PARTITIONED by lang) — the
     * maintained mixture is bit-equal to the one-shot per-group draw. */
   def q139_weighted_sample_grouped_maintained(s: SparkSession, d: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_q139_wh").toString
-    val store = new graft.operators.ParquetTableStore(s, wh)
     val docs = documents(s, d)
-    def fold(batch: DataFrame, id: Long): Unit =
-      graft.operators.WeightedSample.foldIntoStorePerGroup(store, "wsg", batch,
-        "lang", "doc_id", "n_chars", k = 10, seed = "wg9", id, epoch = "q139")
-    fold(docs.filter(col("doc_id") % 3 === 0), 0L)
-    fold(docs.filter(col("doc_id") % 3 === 1), 1L)
-    fold(docs.filter(col("doc_id") % 3 === 1), 1L) // replay: must no-op
-    fold(docs.filter(col("doc_id") % 3 === 2), 2L)
+    val wh = graft.QueryFixtures.cachedDir(s"q139:$d") { dir =>
+      val store = new graft.operators.ParquetTableStore(s, dir)
+      def fold(batch: DataFrame, id: Long): Unit =
+        graft.operators.WeightedSample.foldIntoStorePerGroup(store, "wsg", batch,
+          "lang", "doc_id", "n_chars", k = 10, seed = "wg9", id, epoch = "q139")
+      fold(docs.filter(col("doc_id") % 3 === 0), 0L)
+      fold(docs.filter(col("doc_id") % 3 === 1), 1L)
+      fold(docs.filter(col("doc_id") % 3 === 1), 1L) // replay: must no-op
+      fold(docs.filter(col("doc_id") % 3 === 2), 2L)
+    }
+    val store = new graft.operators.ParquetTableStore(s, wh)
     graft.operators.WeightedSample.perGroupFromState(
       store.read("wsg").get.drop("_last_batch", "_epoch"), "lang", "doc_id")
       .orderBy(col("lang"), col("rank"))
@@ -2976,16 +2988,18 @@ object SparkEntry {
     * k-minima, θ, the estimator and the set algebra bit-for-bit. */
   def q142_kmv_set_sketch(s: SparkSession, d: String): DataFrame = {
     val k = 256
-    val wh = java.nio.file.Files.createTempDirectory("graft_q142_wh").toString
-    val store = new graft.operators.ParquetTableStore(s, wh)
     val li = lineitem(s, d)
-    def fold(batch: DataFrame, id: Long): Unit =
-      graft.operators.KmvSketch.foldIntoStore(store, "ka", batch,
-        "l_partkey", k, seed = "km9", id, epoch = "q142")
-    fold(li.filter(col("l_orderkey") % 3 === 0), 0L)
-    fold(li.filter(col("l_orderkey") % 3 === 1), 1L)
-    fold(li.filter(col("l_orderkey") % 3 === 1), 1L) // replay: must no-op
-    fold(li.filter(col("l_orderkey") % 3 === 2), 2L)
+    val wh = graft.QueryFixtures.cachedDir(s"q142:$d") { dir =>
+      val store = new graft.operators.ParquetTableStore(s, dir)
+      def fold(batch: DataFrame, id: Long): Unit =
+        graft.operators.KmvSketch.foldIntoStore(store, "ka", batch,
+          "l_partkey", k, seed = "km9", id, epoch = "q142")
+      fold(li.filter(col("l_orderkey") % 3 === 0), 0L)
+      fold(li.filter(col("l_orderkey") % 3 === 1), 1L)
+      fold(li.filter(col("l_orderkey") % 3 === 1), 1L) // replay: must no-op
+      fold(li.filter(col("l_orderkey") % 3 === 2), 2L)
+    }
+    val store = new graft.operators.ParquetTableStore(s, wh)
     val stA = store.read("ka").get.drop("_last_batch", "_epoch")
     val pr = part(s, d).filter(col("p_size") > 25)
     val stB = graft.operators.KmvSketch.state(pr, "p_partkey", k, "km9")
@@ -3012,16 +3026,18 @@ object SparkEntry {
     * q141's full-scan train replay VERBATIM — a model maintained per
     * ingest micro-batch is the model trained on everything. */
   def q143_linear_fit_maintained(s: SparkSession, d: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_q143_wh").toString
-    val store = new graft.operators.ParquetTableStore(s, wh)
     val li = lineitem(s, d).withColumn("disc_pct", col("l_discount") * 100)
-    def fold(batch: DataFrame, id: Long): Unit =
-      graft.operators.LinearFit.foldIntoStore(store, "lm", batch,
-        Seq("l_quantity", "disc_pct"), "l_extendedprice", id, epoch = "q143")
-    fold(li.filter(col("l_orderkey") % 3 === 0), 0L)
-    fold(li.filter(col("l_orderkey") % 3 === 1), 1L)
-    fold(li.filter(col("l_orderkey") % 3 === 1), 1L) // replay: must no-op
-    fold(li.filter(col("l_orderkey") % 3 === 2), 2L)
+    val wh = graft.QueryFixtures.cachedDir(s"q143:$d") { dir =>
+      val store = new graft.operators.ParquetTableStore(s, dir)
+      def fold(batch: DataFrame, id: Long): Unit =
+        graft.operators.LinearFit.foldIntoStore(store, "lm", batch,
+          Seq("l_quantity", "disc_pct"), "l_extendedprice", id, epoch = "q143")
+      fold(li.filter(col("l_orderkey") % 3 === 0), 0L)
+      fold(li.filter(col("l_orderkey") % 3 === 1), 1L)
+      fold(li.filter(col("l_orderkey") % 3 === 1), 1L) // replay: must no-op
+      fold(li.filter(col("l_orderkey") % 3 === 2), 2L)
+    }
+    val store = new graft.operators.ParquetTableStore(s, wh)
     val m = graft.operators.LinearFit.fitFromState(
       store.read("lm").get.drop("_last_batch", "_epoch"),
       Seq("l_quantity", "disc_pct"))
@@ -3138,17 +3154,19 @@ object SparkEntry {
     * evaluation. Oracle: q147's verbatim — a classifier maintained
     * per micro-batch is the classifier trained on everything. */
   def q148_naive_bayes_maintained(s: SparkSession, d: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_q148_wh").toString
-    val store = new graft.operators.ParquetTableStore(s, wh)
     val docs = documents(s, d)
     val train = docs.filter(col("doc_id") % 2 === 0)
-    def fold(batch: DataFrame, id: Long): Unit =
-      graft.operators.NaiveBayes.foldIntoStore(store, "nb", batch,
-        "lang", "text", id, epoch = "q148")
-    fold(train.filter(col("doc_id") % 6 === 0), 0L)
-    fold(train.filter(col("doc_id") % 6 === 2), 1L)
-    fold(train.filter(col("doc_id") % 6 === 2), 1L) // replay: must no-op
-    fold(train.filter(col("doc_id") % 6 === 4), 2L)
+    val wh = graft.QueryFixtures.cachedDir(s"q148:$d") { dir =>
+      val store = new graft.operators.ParquetTableStore(s, dir)
+      def fold(batch: DataFrame, id: Long): Unit =
+        graft.operators.NaiveBayes.foldIntoStore(store, "nb", batch,
+          "lang", "text", id, epoch = "q148")
+      fold(train.filter(col("doc_id") % 6 === 0), 0L)
+      fold(train.filter(col("doc_id") % 6 === 2), 1L)
+      fold(train.filter(col("doc_id") % 6 === 2), 1L) // replay: must no-op
+      fold(train.filter(col("doc_id") % 6 === 4), 2L)
+    }
+    val store = new graft.operators.ParquetTableStore(s, wh)
     graft.operators.NaiveBayes.confusion(
         store.read("nb").get.drop("_last_batch", "_epoch"),
         docs.filter(col("doc_id") % 2 === 1), "doc_id", "lang", "text")
@@ -3245,16 +3263,18 @@ object SparkEntry {
     * hashes, k-minima, θ and estimator bit-for-bit. */
   def q151_kmv_grouped(s: SparkSession, d: String): DataFrame = {
     val k = 128
-    val wh = java.nio.file.Files.createTempDirectory("graft_q151_wh").toString
-    val store = new graft.operators.ParquetTableStore(s, wh)
     val li = lineitem(s, d)
-    def fold(batch: DataFrame, id: Long): Unit =
-      graft.operators.KmvSketch.foldIntoStorePerGroup(store, "kg", batch,
-        "l_returnflag", "l_partkey", k, seed = "kg1", id, epoch = "q151")
-    fold(li.filter(col("l_orderkey") % 3 === 0), 0L)
-    fold(li.filter(col("l_orderkey") % 3 === 1), 1L)
-    fold(li.filter(col("l_orderkey") % 3 === 1), 1L) // replay: must no-op
-    fold(li.filter(col("l_orderkey") % 3 === 2), 2L)
+    val wh = graft.QueryFixtures.cachedDir(s"q151:$d") { dir =>
+      val store = new graft.operators.ParquetTableStore(s, dir)
+      def fold(batch: DataFrame, id: Long): Unit =
+        graft.operators.KmvSketch.foldIntoStorePerGroup(store, "kg", batch,
+          "l_returnflag", "l_partkey", k, seed = "kg1", id, epoch = "q151")
+      fold(li.filter(col("l_orderkey") % 3 === 0), 0L)
+      fold(li.filter(col("l_orderkey") % 3 === 1), 1L)
+      fold(li.filter(col("l_orderkey") % 3 === 1), 1L) // replay: must no-op
+      fold(li.filter(col("l_orderkey") % 3 === 2), 2L)
+    }
+    val store = new graft.operators.ParquetTableStore(s, wh)
     val st = store.read("kg").get.drop("_last_batch", "_epoch")
     val est = graft.operators.KmvSketch.estimatePerGroup(st, "l_returnflag", k)
     val exact = li.filter(col("l_partkey").isNotNull)
@@ -3434,13 +3454,15 @@ object SparkEntry {
     * plan actually skips files; this gate pins exactness). Oracle: the
     * plain range filter + rollup — pruned ≡ unpruned is the contract. */
   def q156_zonemap_scan(s: SparkSession, d: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_q156_wh").toString
+    val wh = graft.QueryFixtures.cachedDir(s"q156:$d") { dir =>
+      val store = new graft.operators.ParquetTableStore(s, dir)
+      store.replace("li_zoned", lineitem(s, d)
+        .repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey")))
+      graft.operators.ZoneMaps.build(store, "li_zoned",
+        Seq("l_orderkey", "l_extendedprice"))
+    }
     val store = new graft.operators.ParquetTableStore(s, wh)
-    store.replace("li_zoned", lineitem(s, d)
-      .repartitionByRange(8, col("l_orderkey"))
-      .sortWithinPartitions(col("l_orderkey")))
-    graft.operators.ZoneMaps.build(store, "li_zoned",
-      Seq("l_orderkey", "l_extendedprice"))
     graft.operators.ZoneMaps.prunedReadRange(store, "li_zoned",
         "l_orderkey", 1000L, 3000L)
       .groupBy(col("l_returnflag"))
@@ -3541,16 +3563,18 @@ object SparkEntry {
     * a readout maintained per micro-batch is the readout of
     * everything. */
   def q161_readout_maintained(s: SparkSession, d: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_q161_wh").toString
-    val store = new graft.operators.ParquetTableStore(s, wh)
     val docs = documents(s, d).withColumn("is_en", col("lang") === "en")
-    def fold(b: DataFrame, id: Long): Unit =
-      graft.operators.BinaryMetrics.foldIntoStore(store, "bm", b,
-        Seq("source"), "n_chars", "is_en", id, epoch = "q161")
-    fold(docs.filter(col("doc_id") % 3 === 0), 0L)
-    fold(docs.filter(col("doc_id") % 3 === 1), 1L)
-    fold(docs.filter(col("doc_id") % 3 === 1), 1L) // replay: must no-op
-    fold(docs.filter(col("doc_id") % 3 === 2), 2L)
+    val wh = graft.QueryFixtures.cachedDir(s"q161:$d") { dir =>
+      val store = new graft.operators.ParquetTableStore(s, dir)
+      def fold(b: DataFrame, id: Long): Unit =
+        graft.operators.BinaryMetrics.foldIntoStore(store, "bm", b,
+          Seq("source"), "n_chars", "is_en", id, epoch = "q161")
+      fold(docs.filter(col("doc_id") % 3 === 0), 0L)
+      fold(docs.filter(col("doc_id") % 3 === 1), 1L)
+      fold(docs.filter(col("doc_id") % 3 === 1), 1L) // replay: must no-op
+      fold(docs.filter(col("doc_id") % 3 === 2), 2L)
+    }
+    val store = new graft.operators.ParquetTableStore(s, wh)
     val st = store.read("bm").get.drop("_last_batch", "_epoch")
     graft.operators.BinaryMetrics.aucFromState(st, Seq("source"))
       .join(graft.operators.BinaryMetrics.apFromState(st, Seq("source"))
@@ -3654,6 +3678,12 @@ object SparkEntry {
     * composition). Oracle: the three plain filters. */
   def q164_zonemap_routed_read(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // NOT fixture-cached: this gate rewrites the table (compact + heal
+    // leg), and a relocated COPY of a zone fixture reads as loudly STALE
+    // by design — the manifest pins ABSOLUTE (path, length) pairs, so
+    // moving a warehouse invalidates it exactly like a rewrite (Delta
+    // stores relative paths to allow relocation; this engine trades that
+    // for the simpler attest). Construction runs per call.
     val wh = java.nio.file.Files.createTempDirectory("graft_q164_wh").toString
     val store = new graft.operators.ParquetTableStore(s, wh)
     store.replace("li_zoned", lineitem(s, d)
@@ -3691,14 +3721,24 @@ object SparkEntry {
     * the manifest carries nothing for — rides along as a plain residual
     * over the admitted files. Oracle: the whole conjunction as one
     * WHERE clause; pruned ≡ unpruned is the contract, as in q156/q164. */
+  /** Shared READ-ONLY zone fixture for q165/q169/q173 (identical
+    * construction: range-clustered lineitem + a stats manifest on the
+    * cluster key + a per-file bloom on the unclustered l_partkey) —
+    * built once per JVM; the three gates exercise three different
+    * routed entry points over it and never mutate it (q164/q170, which
+    * rewrite, keep their own warehouses). */
+  private def zonedLineitem(s: SparkSession, d: String): String =
+    graft.QueryFixtures.cachedDir(s"zoned_lineitem:$d") { dir =>
+      val store = new graft.operators.ParquetTableStore(s, dir)
+      store.replace("li_zoned", lineitem(s, d)
+        .repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey")))
+      graft.operators.ZoneMaps.build(store, "li_zoned", Seq("l_orderkey"),
+        bloomCols = Seq("l_partkey"))
+    }
+
   def q165_zonemap_compound(s: SparkSession, d: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_q165_wh").toString
-    val store = new graft.operators.ParquetTableStore(s, wh)
-    store.replace("li_zoned", lineitem(s, d)
-      .repartitionByRange(8, col("l_orderkey"))
-      .sortWithinPartitions(col("l_orderkey")))
-    graft.operators.ZoneMaps.build(store, "li_zoned", Seq("l_orderkey"),
-      bloomCols = Seq("l_partkey"))
+    val store = new graft.operators.ParquetTableStore(s, zonedLineitem(s, d))
     store.readWhere("li_zoned",
         ranges = Seq(("l_orderkey", 500L, 3000L), ("l_quantity", 10.0, 40.0)),
         points = Seq(("l_partkey", 817L)))
@@ -3802,13 +3842,7 @@ object SparkEntry {
     * as one plain WHERE; pruned ≡ unpruned, q165's contract flipped
     * from intersection to union. */
   def q169_zonemap_disjunctive(s: SparkSession, d: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_q169_wh").toString
-    val store = new graft.operators.ParquetTableStore(s, wh)
-    store.replace("li_zoned", lineitem(s, d)
-      .repartitionByRange(8, col("l_orderkey"))
-      .sortWithinPartitions(col("l_orderkey")))
-    graft.operators.ZoneMaps.build(store, "li_zoned", Seq("l_orderkey"),
-      bloomCols = Seq("l_partkey"))
+    val store = new graft.operators.ParquetTableStore(s, zonedLineitem(s, d))
     store.readWhereAny("li_zoned",
         ranges = Seq(("l_orderkey", 500L, 1200L), ("l_orderkey", 4000L, 4600L)),
         points = Seq(("l_partkey", 817L)))
@@ -3834,6 +3868,9 @@ object SparkEntry {
     * the three pruning booleans stated independently. */
   def q170_zonemap_sql(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // NOT fixture-cached — same reason as q164: the gate rewrites the
+    // table mid-flight, and a relocated zone fixture is loudly stale by
+    // design (absolute-path manifest). Construction runs per call.
     val wh = java.nio.file.Files.createTempDirectory("graft_q170_wh").toString
     val store = new graft.operators.ParquetTableStore(s, wh)
     def cluster(parts: Int): Unit = store.replace("li_sql",
@@ -3948,13 +3985,7 @@ object SparkEntry {
     * the residual, so pruned ≡ plain. Oracle: the tree as one WHERE
     * clause — q169's contract over a mixed tree. */
   def q173_zonemap_mixed(s: SparkSession, d: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_q173_wh").toString
-    val store = new graft.operators.ParquetTableStore(s, wh)
-    store.replace("li_zoned", lineitem(s, d)
-      .repartitionByRange(8, col("l_orderkey"))
-      .sortWithinPartitions(col("l_orderkey")))
-    graft.operators.ZoneMaps.build(store, "li_zoned", Seq("l_orderkey"),
-      bloomCols = Seq("l_partkey"))
+    val store = new graft.operators.ParquetTableStore(s, zonedLineitem(s, d))
     import graft.operators.ZonePred
     store.readWhereExpr("li_zoned", ZonePred.And(Seq(
         ZonePred.Range("l_orderkey", 500L, 4600L),
