@@ -3678,19 +3678,20 @@ object SparkEntry {
     * composition). Oracle: the three plain filters. */
   def q164_zonemap_routed_read(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // NOT fixture-cached: this gate rewrites the table (compact + heal
-    // leg), and a relocated COPY of a zone fixture reads as loudly STALE
-    // by design — the manifest pins ABSOLUTE (path, length) pairs, so
-    // moving a warehouse invalidates it exactly like a rewrite (Delta
-    // stores relative paths to allow relocation; this engine trades that
-    // for the simpler attest). Construction runs per call.
-    val wh = java.nio.file.Files.createTempDirectory("graft_q164_wh").toString
+    // mutating gate (compact + heal leg) → a fresh writable COPY of the
+    // cached base per call. The copy is a warehouse RELOCATION, which
+    // r15's root-relative manifest keys make a supported operation
+    // (ZoneMapsSpec pins it) — so every bench pass of this gate also
+    // exercises the relocated-manifest read path end to end.
+    val wh = graft.QueryFixtures.freshCopy(s"q164_base:$d") { dir =>
+      val st0 = new graft.operators.ParquetTableStore(s, dir)
+      st0.replace("li_zoned", lineitem(s, d)
+        .repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey")))
+      graft.operators.ZoneMaps.build(st0, "li_zoned", Seq("l_orderkey"),
+        bloomCols = Seq("l_partkey"))
+    }
     val store = new graft.operators.ParquetTableStore(s, wh)
-    store.replace("li_zoned", lineitem(s, d)
-      .repartitionByRange(8, col("l_orderkey"))
-      .sortWithinPartitions(col("l_orderkey")))
-    graft.operators.ZoneMaps.build(store, "li_zoned", Seq("l_orderkey"),
-      bloomCols = Seq("l_partkey"))
     def readout(df: DataFrame, tag: String): (String, Long, Option[Double]) = {
       val r = df.agg(count(lit(1)).as("n"),
         round(sum(col("l_quantity")), 2).as("sum_qty")).head()
@@ -3868,22 +3869,24 @@ object SparkEntry {
     * the three pruning booleans stated independently. */
   def q170_zonemap_sql(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // NOT fixture-cached — same reason as q164: the gate rewrites the
-    // table mid-flight, and a relocated zone fixture is loudly stale by
-    // design (absolute-path manifest). Construction runs per call.
-    val wh = java.nio.file.Files.createTempDirectory("graft_q170_wh").toString
-    val store = new graft.operators.ParquetTableStore(s, wh)
-    def cluster(parts: Int): Unit = store.replace("li_sql",
-      (store.read("li_sql") match {
-        case Some(cur) => cur
-        case None => lineitem(s, d).select(col("l_orderkey"),
+    // mutating gate (the stale leg rewrites the table) → fresh writable
+    // COPY of the cached base per call; the copy doubles as a live
+    // warehouse-relocation exercise (q164's note — root-relative keys)
+    val wh = graft.QueryFixtures.freshCopy(s"q170_base:$d") { dir =>
+      val st0 = new graft.operators.ParquetTableStore(s, dir)
+      st0.replace("li_sql", lineitem(s, d).select(col("l_orderkey"),
           col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
           col("l_returnflag"))
-      }).repartitionByRange(parts, col("l_orderkey"))
+        .repartitionByRange(8, col("l_orderkey"))
         .sortWithinPartitions(col("l_orderkey")))
-    cluster(8)
-    graft.operators.ZoneMaps.build(store, "li_sql", Seq("l_orderkey"),
-      bloomCols = Seq("l_partkey"))
+      graft.operators.ZoneMaps.build(st0, "li_sql", Seq("l_orderkey"),
+        bloomCols = Seq("l_partkey"))
+    }
+    val store = new graft.operators.ParquetTableStore(s, wh)
+    def cluster(parts: Int): Unit = store.replace("li_sql",
+      store.read("li_sql").get
+        .repartitionByRange(parts, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey")))
     val fq = store.sqlTable("li_sql")
     def leg(tag: String): (String, Long, Option[Double], Boolean) = {
       val df = s.sql(s"SELECT count(*) AS n, round(sum(l_quantity), 2) " +

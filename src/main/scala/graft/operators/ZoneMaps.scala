@@ -46,7 +46,12 @@ import org.apache.spark.sql.types.StructType
   * whose live listing differs from the manifest's (compaction, upsert,
   * replace since build, or an in-place overwrite that kept a file's name
   * but changed its bytes) fails by name instead of silently scanning a
-  * wrong subset. Rebuild zones after any table rewrite (`build` is one
+  * wrong subset. The fingerprint keys are TABLE-ROOT-RELATIVE (r15):
+  * relocating a warehouse — bucket migration, a directory rename, a
+  * restored backup — does NOT invalidate manifests, because the
+  * comparison never encoded where the table lived (Delta stores relative
+  * paths in its log for the same reason); the admitted-file read remaps
+  * stored paths onto the live root the attest just proved equivalent. Rebuild zones after any table rewrite (`build` is one
   * scan); [[maintain]] is the decision rule: heal iff stale, preserving
   * the manifest's own column choices AND its bloom sizing (persisted in
   * the manifest as `_bloom_items`) — and when the staleness is
@@ -115,9 +120,10 @@ object ZoneMaps {
     // sizes are fetched per MISSING file only (zero-row files — a
     // handful), so there is no per-file round-trip over the table.
     val present = store.read(s"${table}_zones").map(
-        _.select(col("_file")).collect().map(r => norm(r.getString(0))).toSet)
+        _.select(col("_file")).collect()
+          .map(r => fileKey(table, r.getString(0))).toSet)
       .getOrElse(Set.empty)
-    val missing = df.inputFiles.filter(p => !present.contains(norm(p)))
+    val missing = df.inputFiles.filter(p => !present.contains(fileKey(table, p)))
     if (missing.nonEmpty) {
       val conf = df.sparkSession.sparkContext.hadoopConfiguration
       val sizes = missing.map { p =>
@@ -177,9 +183,10 @@ object ZoneMaps {
     if (zOpt.isEmpty) return
     val z = zOpt.get
     val presentSet = present.getOrElse(
-      z.select(col("_file")).collect().map(r => norm(r.getString(0))).toSet)
+      z.select(col("_file")).collect()
+        .map(r => fileKey(table, r.getString(0))).toSet)
     val missing = liveSizes
-      .filter { case (p, _) => !presentSet.contains(norm(p)) }
+      .filter { case (p, _) => !presentSet.contains(fileKey(table, p)) }
     if (missing.isEmpty) return
     val rows = missing.toSeq.map { case (p, size) =>
       Row.fromSeq(z.schema.fields.toSeq.map(_.name match {
@@ -228,11 +235,11 @@ object ZoneMaps {
     val live = store.read(table).getOrElse(
       sys.error(s"zone maps: table '$table' does not exist"))
     val liveByNorm = store.listDataFiles(table)
-      .map { case (p, s) => norm(p) -> (p, s) }
+      .map { case (p, s) => fileKey(table, p) -> (p, s) }
     store.read(s"${table}_zones") match {
       case Some(z) =>
         val names = z.schema.fieldNames
-        val (manifest, hasSize) = manifestFingerprint(z)
+        val (manifest, hasSize) = manifestFingerprint(table, z)
         val carriedIntact = manifest.forall { case (f, s) =>
           sizeIntact(s, liveByNorm.get(f).map(_._2)) }
         if (carriedIntact && manifest.keySet == liveByNorm.keySet) false
@@ -257,7 +264,7 @@ object ZoneMaps {
             // pruned) — the backfill then needs no manifest re-read and
             // no second listing: present = old manifest + these
             val freshNames = fresh.select(col("_file")).collect()
-              .map(r => norm(r.getString(0))).toSet
+              .map(r => fileKey(table, r.getString(0))).toSet
             if (freshNames.nonEmpty) store.append(s"${table}_zones", fresh)
             Checkpoints.release(fresh)
             backfillEmptyFiles(store, table, expected,
@@ -274,23 +281,46 @@ object ZoneMaps {
 
   private def norm(p: String): String = new java.net.URI(p).getPath
 
+  /** TABLE-ROOT-RELATIVE file key — every freshness/admission comparison
+    * keys on the path suffix AFTER the table's own directory segment
+    * (`…/<table>/part-x.parquet` → `part-x.parquet`, partition subdirs
+    * kept), not the absolute path. This makes manifests RELOCATION-PROOF
+    * (r15): moving or copying a warehouse — bucket migration, a dir
+    * rename, a restored backup — keeps every manifest valid, because the
+    * fingerprint never encoded where the table lived, only what its
+    * files are named and how many bytes each holds (the reason Delta's
+    * log stores relative paths). The on-disk format is unchanged:
+    * `_file` rows still carry the full path as written; only comparisons
+    * strip to the key, so pre-r15 manifests are relocation-proof too.
+    * The marker is the LAST `/<table>/` segment, so a warehouse path
+    * that itself contains the table name cannot confuse it (partition
+    * subdirectories contain `=` and can never equal a table name). A
+    * path without the marker (not under the table dir) keys as itself. */
+  private def fileKey(table: String, p: String): String = {
+    val abs = norm(p)
+    val marker = s"/$table/"
+    val i = abs.lastIndexOf(marker)
+    if (i >= 0) abs.substring(i + marker.length) else abs
+  }
+
   /** THE freshness fingerprint collector — one names(+sizes) collect of
     * the manifest, shared by [[maintain]], [[freshZones]] and
     * [[admitForV2Scan]] so the three consumers can never drift on what
     * "fresh" means (ADVICE r14: they had hand-rolled it three times and
-    * already disagreed on null `_size` rows). Returns (normalized file →
-    * byte length, manifest carries `_size`); -1 marks an unknown length
-    * (null row, or a pre-`_size` manifest). Driver bytes: file count ×
-    * (name + long), never stats or bloom bytes. */
-  private def manifestFingerprint(zones: DataFrame): (Map[String, Long], Boolean) = {
+    * already disagreed on null `_size` rows). Returns (root-relative
+    * file key → byte length, manifest carries `_size`); -1 marks an
+    * unknown length (null row, or a pre-`_size` manifest). Driver bytes:
+    * file count × (name + long), never stats or bloom bytes. */
+  private def manifestFingerprint(table: String,
+                                  zones: DataFrame): (Map[String, Long], Boolean) = {
     val hasSize = zones.schema.fieldNames.contains("_size")
     val m: Map[String, Long] =
       if (hasSize)
         zones.select(col("_file"), col("_size")).collect()
-          .map(r => norm(r.getString(0)) ->
+          .map(r => fileKey(table, r.getString(0)) ->
             (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
       else zones.select(col("_file")).collect()
-        .map(r => norm(r.getString(0)) -> -1L).toMap
+        .map(r => fileKey(table, r.getString(0)) -> -1L).toMap
     (m, hasSize)
   }
 
@@ -324,16 +354,16 @@ object ZoneMaps {
     * point the per-read listing is exactly the cost the manifest
     * exists to avoid, so paying it twice (or even once more than the
     * attest requires) defeats the point. */
-  private def freshZones(store: ParquetTableStore,
-                         table: String): (DataFrame, org.apache.spark.sql.types.StructType) = {
+  private def freshZones(store: ParquetTableStore, table: String)
+    : (DataFrame, org.apache.spark.sql.types.StructType, Map[String, String]) = {
     val zones = store.read(s"${table}_zones").getOrElse(
       sys.error(s"zone maps: table '$table' has no zones manifest — " +
         "run ZoneMaps.build first"))
     val liveSizes0 = store.listDataFiles(table)
     if (liveSizes0.isEmpty) sys.error(
       s"zone maps: table '$table' does not exist (no data files)")
-    val (manifest, _) = manifestFingerprint(zones)
-    val liveSizes = liveSizes0.map { case (p, s) => norm(p) -> s }
+    val (manifest, _) = manifestFingerprint(table, zones)
+    val liveSizes = liveSizes0.map { case (p, s) => fileKey(table, p) -> s }
     if (!manifestFresh(manifest, liveSizes)) sys.error(
       s"zone maps for '$table' are STALE: manifest lists " +
         s"${manifest.size} files but the table now has ${liveSizes.size}" +
@@ -344,7 +374,11 @@ object ZoneMaps {
     // reads one footer anyway — this just skips its listing
     val schema = zones.sparkSession.read
       .parquet(liveSizes0.keys.min).schema
-    (zones, schema)
+    // key → LIVE absolute path: the admitted-file read must open the
+    // files where the table lives NOW — a manifest written before a
+    // warehouse relocation stores the OLD absolute paths, and freshness
+    // (same keys, same lengths) is exactly what licenses the remap
+    (zones, schema, liveSizes0.map { case (p, _) => fileKey(table, p) -> p })
   }
 
   /** The residual predicate columns for (ranges, points) — ONE builder
@@ -425,11 +459,19 @@ object ZoneMaps {
     * want the plan without the read: (admitted files, total files).
     * Bounded driver work — the manifest is file-count-sized, never
     * data-sized. Fails loudly if the manifest is stale. */
+  /** Resolve admitted STORED `_file` paths to the table's LIVE paths via
+    * the attest's key map — a manifest written before a warehouse
+    * relocation carries the old root; the read must open the new one. */
+  private def toLive(table: String, live: Map[String, String],
+                     stored: Seq[String]): Seq[String] =
+    stored.map(p => live(fileKey(table, p)))
+
   private[graft] def planFiles(store: ParquetTableStore, table: String,
                                colName: String, lo: Any,
                                hi: Any): (Seq[String], Int) = {
-    val (zones, _) = freshZones(store, table)
-    admitRange(zones, colName, lo, hi)
+    val (zones, _, live) = freshZones(store, table)
+    val (files, total) = admitRange(zones, colName, lo, hi)
+    (toLive(table, live, files), total)
   }
 
   /** The point-manifest consultation: files whose bloom admits the key.
@@ -441,8 +483,9 @@ object ZoneMaps {
   private[graft] def planFilesPoint(store: ParquetTableStore, table: String,
                                     colName: String,
                                     value: Any): (Seq[String], Int) = {
-    val (zones, schema) = freshZones(store, table)
-    admitPoint(zones, schema, colName, value)
+    val (zones, schema, live) = freshZones(store, table)
+    val (files, total) = admitPoint(zones, schema, colName, value)
+    (toLive(table, live, files), total)
   }
 
   /** Admitted-file read (or the empty frame with the table's schema —
@@ -461,10 +504,11 @@ object ZoneMaps {
     * argument above; only the I/O differs (one listing per read). */
   def prunedReadRange(store: ParquetTableStore, table: String,
                       colName: String, lo: Any, hi: Any): DataFrame = {
-    val (zones, schema) = freshZones(store, table)
+    val (zones, schema, live) = freshZones(store, table)
     val (files, _) = admitRange(zones, colName, lo, hi)
     val residual = col(colName) >= lit(lo) && col(colName) <= lit(hi)
-    readAdmitted(zones.sparkSession, schema, files).filter(residual)
+    readAdmitted(zones.sparkSession, schema, toLive(table, live, files))
+      .filter(residual)
   }
 
   /** Point read through the per-file blooms: open only the files whose
@@ -472,9 +516,9 @@ object ZoneMaps {
     * re-apply the equality. Result ≡ the plain equality filter. */
   def prunedReadPoint(store: ParquetTableStore, table: String,
                       colName: String, value: Any): DataFrame = {
-    val (zones, schema) = freshZones(store, table)
+    val (zones, schema, live) = freshZones(store, table)
     val (files, _) = admitPoint(zones, schema, colName, value)
-    readAdmitted(zones.sparkSession, schema, files)
+    readAdmitted(zones.sparkSession, schema, toLive(table, live, files))
       .filter(col(colName) === lit(value))
   }
 
@@ -516,7 +560,7 @@ object ZoneMaps {
                          disjunctive: Boolean): DataFrame = {
     require(ranges.nonEmpty || points.nonEmpty,
       "routed read needs at least one predicate")
-    val (zones, schema) = freshZones(store, table)
+    val (zones, schema, live) = freshZones(store, table)
     val names = zones.schema.fieldNames.toSet
     ranges.foreach { case (c, _, _) => require(names.contains(s"${c}_min"),
       s"zone maps carry no stats for '$c' — build with cols") }
@@ -532,7 +576,8 @@ object ZoneMaps {
       if (disjunctive) _ || _ else _ && _
     val (files, _) = collectAdmitted(zones, admits.reduce(combine))
     val residual = predExprs(ranges, points).reduce(combine)
-    readAdmitted(zones.sparkSession, schema, files).filter(residual)
+    readAdmitted(zones.sparkSession, schema, toLive(table, live, files))
+      .filter(residual)
   }
 
   /** The residual predicate for a [[ZonePred]] tree — ONE builder shared
@@ -592,11 +637,12 @@ object ZoneMaps {
     * skipped, and the residual removes the admitted non-matches. */
   def prunedReadExpr(store: ParquetTableStore, table: String,
                      pred: ZonePred): DataFrame = {
-    val (zones, schema) = freshZones(store, table)
+    val (zones, schema, live) = freshZones(store, table)
     admitOfPred(zones.schema.fieldNames.toSet, schema, pred) match {
       case Some(admit) =>
         val (files, _) = collectAdmitted(zones, admit)
-        readAdmitted(zones.sparkSession, schema, files).filter(predExpr(pred))
+        readAdmitted(zones.sparkSession, schema, toLive(table, live, files))
+          .filter(predExpr(pred))
       case None =>
         store.read(table).getOrElse(
             sys.error(s"table '$table' does not exist"))
@@ -719,8 +765,14 @@ object ZoneMaps {
     graft.plans.GraftExtensions.ensureBloomFunctions(spark)
     val zones = spark.read.parquet(zonesDir)
     val zf = zones.schema.fieldNames.toSet
-    val (manifest, _) = manifestFingerprint(zones)
-    val liveSizes = fileSizes.map { case (p, s) => norm(p) -> s }
+    // the DATA table's name = the zones dir's basename minus "_zones":
+    // the root-relative fileKey needs it (relocation-proof comparisons)
+    val table = {
+      val base = norm(zonesDir).stripSuffix("/").split('/').last
+      base.stripSuffix("_zones")
+    }
+    val (manifest, _) = manifestFingerprint(table, zones)
+    val liveSizes = fileSizes.map { case (p, s) => fileKey(table, p) -> s }
     if (!manifestFresh(manifest, liveSizes)) return None
 
     def pointOf(a: String, v: Any): Option[Column] =
@@ -767,11 +819,11 @@ object ZoneMaps {
     else {
       val (kept, _) =
         collectAdmitted(zones, translated.map(_._2).reduce(_ && _))
-      val keptNorm = kept.map(norm).toSet
-      val admitted = files.filter(f => keptNorm.contains(norm(f)))
+      val keptNorm = kept.map(fileKey(table, _)).toSet
+      val admitted = files.filter(f => keptNorm.contains(fileKey(table, f)))
       val bits = new java.util.BitSet(files.length)
       files.zipWithIndex.foreach { case (f, i) =>
-        if (keptNorm.contains(norm(f))) bits.set(i) }
+        if (keptNorm.contains(fileKey(table, f))) bits.set(i) }
       // bounded: a runaway distinct-filter workload clears rather than
       // grows (the cache is an amortization, never a requirement)
       if (v2AdmissionCache.size >= 512) v2AdmissionCache.clear()

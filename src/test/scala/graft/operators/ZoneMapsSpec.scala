@@ -453,6 +453,45 @@ class ZoneMapsSpec extends SparkSpec {
       .select("k").as[Long].collect().sorted.toSeq == (850L to 860L).toSeq)
   }
 
+  test("relocating a warehouse keeps manifests VALID: routed reads prune and stay exact, maintain reports fresh (r15)") {
+    val oldRoot = java.nio.file.Files.createTempDirectory("graft_zmove_a")
+    val store0 = new ParquetTableStore(spark, oldRoot.toString)
+    val df = (1 to 2000).map(i => (i.toLong, (i * 7919L) % 500L, i * 2.0))
+      .toDF("k", "p", "v")
+    store0.replace("t", df.repartitionByRange(8, col("k"))
+      .sortWithinPartitions(col("k")))
+    ZoneMaps.build(store0, "t", Seq("k"), bloomCols = Seq("p"),
+      expectedPerFile = 1000L)
+    // MOVE the whole warehouse — bucket migration / dir rename / restored
+    // backup: the manifest's stored paths now all carry a dead root
+    val newRoot = java.nio.file.Files.createTempDirectory("graft_zmove_b")
+    java.nio.file.Files.delete(newRoot)
+    java.nio.file.Files.move(oldRoot, newRoot)
+    val store = new ParquetTableStore(spark, newRoot.toString)
+    // freshness keys are root-relative: NOT stale, no heal needed
+    assert(!ZoneMaps.maintain(store, "t", Seq.empty),
+      "a relocated warehouse must read as FRESH (root-relative fingerprint)")
+    // routed range read: prunes (the remap resolves stored paths onto the
+    // NEW root) and is exact
+    val routed = store.readRange("t", "k", 100L, 300L)
+    assert(routed.inputFiles.forall(_.contains(newRoot.toString)),
+      "admitted files must resolve to the LIVE root, not the manifest's")
+    assert(routed.inputFiles.length < 8, "relocated manifest must still prune")
+    assert(routed.select("k").as[Long].collect().sorted.toSeq ==
+      (100L to 300L).toSeq)
+    // bloom point read across the relocation
+    val viaBloom = store.readPoint("t", "p", 123L)
+      .select("k").as[Long].collect().toSet
+    assert(viaBloom == store.read("t").get.filter(col("p") === 123L)
+      .select("k").as[Long].collect().toSet)
+    // ...and the mixed-tree path
+    val tree = ZonePred.And(Seq(ZonePred.Range("k", 100L, 400L),
+      ZonePred.Point("p", 123L)))
+    assert(store.readWhereExpr("t", tree).select("k").as[Long].collect().toSet ==
+      store.read("t").get.filter(ZoneMaps.predExpr(tree))
+        .select("k").as[Long].collect().toSet)
+  }
+
   test("readWhereExpr: mixed AND/OR trees prune; partial and no coverage degrade exactly (VERDICT r14 item 6)") {
     val store = freshStore()
     clustered(store, "t") // manifest covers k, tag, v; 8 k-ranged files

@@ -157,6 +157,23 @@ class ZoneMapSqlPushdownSpec extends SparkSpec {
       "the failure must be logged (once per table) — silent-bug window")
   }
 
+  test("a relocated warehouse still prunes on the SQL path (root-relative admission keys, r15)") {
+    val oldRoot = java.nio.file.Files.createTempDirectory("graft_zsqlmv_a")
+    val store0 = new ParquetTableStore(spark, oldRoot.toString)
+    zonedTable(store0, "t")
+    val newRoot = java.nio.file.Files.createTempDirectory("graft_zsqlmv_b")
+    java.nio.file.Files.delete(newRoot)
+    java.nio.file.Files.move(oldRoot, newRoot)
+    val store = new ParquetTableStore(spark, newRoot.toString)
+    val fq = store.sqlTable("t")
+    val total = store.read("t").get.inputFiles.length
+    val df = spark.sql(s"SELECT k FROM $fq WHERE k >= 100 AND k <= 300")
+    val planned = GraftParquetTable.plannedDataFiles(df)
+    assert(planned.exists(n => n > 0 && n < total),
+      s"relocated manifest must still prune the SQL scan ($planned of $total)")
+    assert(df.as[Long].collect().toSet == (100L to 300L).toSet)
+  }
+
   test("MERGE INTO a zone-mapped table never consults the manifest and stays correct") {
     val store = freshStore()
     val df = (1 to 300).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
