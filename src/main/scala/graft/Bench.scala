@@ -1,6 +1,33 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Cumulative (steal jiffies, total jiffies) from /proc/stat's
+    * aggregate cpu line — None off-Linux. Steal is field 8 (after
+    * user nice system idle iowait irq softirq); a delta between two
+    * samples gives the window's steal share. */
+  private def cpuSteal(): Option[(Long, Long)] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().find(_.startsWith("cpu ")).map { line =>
+        val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+        (if (f.length > 7) f(7) else 0L, f.sum)
+      } finally src.close()
+    } catch { case _: Exception => None }
+
+  /** Steal share (percent) of the window between two cpuSteal samples. */
+  private def stealPct(a: Option[(Long, Long)],
+                       b: Option[(Long, Long)]): Option[Double] =
+    for { (s0, t0) <- a; (s1, t1) <- b if t1 > t0 }
+      yield 100.0 * (s1 - s0) / (t1 - t0)
+
+  private def loadAvg(): Option[Double] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().nextOption().map(_.split("\\s+")(0).toDouble)
+      finally src.close()
+    } catch { case _: Exception => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -24,37 +51,55 @@ object Bench {
     // VERDICT r14 item 1) because suite growth made warmup + 3 passes
     // outgrow a fixed window nobody re-sized. The warmup pass doubles as
     // the cost estimate: if `passes` full sweeps would blow the budget,
-    // the pass count drops (never below 1) and the emitted record says so
-    // — a 2-pass median on time is strictly better than a timeout with no
-    // record at all. Warmup OVER-estimates a timed pass (it pays the
-    // QueryFixtures builds), so the adaptation only kicks in when the
-    // sweep is genuinely too big.
+    // the pass count drops — but never below 2 when the caller asked for
+    // 2+ (VERDICT r15 item 1): a slow warmup is exactly the contended
+    // window where a single reading has no median defense, so the r15
+    // budget math was shedding signal precisely when it mattered most
+    // (the r15 record: passes=1, taken under 7.3% host CPU steal,
+    // individual readings up to 67× inflated on bit-identical code). A
+    // 2-pass median over budget beats a 1-pass record inside it. Warmup
+    // OVER-estimates a timed pass anyway (it pays the QueryFixtures
+    // builds), so the adaptation only bites when the sweep is genuinely
+    // too big.
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500").toDouble
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup pass: JIT + codegen caches + parquet footers + the
     // per-JVM fixture builds (QueryFixtures). The timed passes then
     // measure steady-state execution, not JVM startup or index training.
+    val steal0 = cpuSteal()
     val w0 = System.nanoTime()
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     val warmupSec = (System.nanoTime() - w0) / 1e9
-    val effPasses = math.max(1, math.min(passes,
-      math.floor(budgetSec / math.max(warmupSec, 1e-9)).toInt))
+    val stealWarm = cpuSteal()
+    val budgetPasses =
+      math.floor(budgetSec / math.max(warmupSec, 1e-9)).toInt
+    val effPasses = math.max(math.min(passes, 2),
+      math.min(passes, budgetPasses))
     if (effPasses < passes) System.err.println(
       s"[bench] warmup took ${warmupSec.round}s; dropping $passes -> " +
         s"$effPasses timed passes to fit the ${budgetSec.round}s budget")
     // Per-query median over the timed sweeps: single timed passes on a
     // ±20% box make round-over-round deltas unattributable (VERDICT r2
     // item 5); sweeps (not back-to-back repeats) spread load drift across
-    // queries evenly.
+    // queries evenly. Each sweep also records the window's CPU-steal
+    // share: BASELINE.md's protocol disqualifies readings taken above
+    // ~2% steal, and embedding the number makes that rule mechanical
+    // instead of a manual `top` capture (VERDICT r15 item 1c).
+    var stealMark = stealWarm
+    val passSteals = scala.collection.mutable.ArrayBuffer[Double]()
     val sweeps = (1 to effPasses).map { _ =>
-      SparkEntry.queries.map { case (name, fn) =>
+      val r = SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
         name -> (System.nanoTime() - t0) / 1e9
       }
+      val s = cpuSteal()
+      passSteals += stealPct(stealMark, s).getOrElse(-1.0)
+      stealMark = s
+      r
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -62,12 +107,27 @@ object Bench {
       else if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map(name => name -> median(sweeps.map(_(name)))).toMap
     val total = results.values.sum
+    val overallSteal = stealPct(steal0, stealMark).map(r6).getOrElse(-1.0)
+    val warmSteal = stealPct(steal0, stealWarm).map(r6).getOrElse(-1.0)
+    val load = loadAvg().getOrElse(-1.0)
+    val stealJson =
+      s""""steal_pct":$overallSteal,"steal_pct_warmup":$warmSteal,""" +
+        s""""steal_pct_passes":${passSteals.map(r6).mkString("[", ",", "]")},""" +
+        s""""load_avg_end":$load"""
     val qs = names.map(k => s"\"" + k + "\":" + results(k)).mkString("{", ",", "}")
+    // Raw per-pass readings ride in the detail file next to the medians
+    // (VERDICT r15 item 1b): a contaminated pass is then visible after
+    // the fact — the r15 record's single-pass values were adjudicable
+    // only by re-running, because the raws were discarded at source.
+    val raw = names.map { k =>
+      s"\"" + k + "\":" + sweeps.map(s => r6(s(k))).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"passes":$effPasses,"warmup_sec":${math.rint(warmupSec * 100) / 100}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raw,"sf":"$sfDir","cpus":$cpus,"passes":$effPasses,"warmup_sec":${math.rint(warmupSec * 100) / 100},$stealJson}"""
     try {
       val w = new java.io.PrintWriter(outFile, "UTF-8")
       try w.println(full) finally w.close()
@@ -84,9 +144,9 @@ object Bench {
     // is parseable per-query lines plus an intact summary.
     println(full)
     names.foreach { k =>
-      println(s"""{"q":"$k","sec":${math.rint(results(k) * 1e6) / 1e6}}""")
+      println(s"""{"q":"$k","sec":${r6(results(k))}}""")
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":$cpus,"passes":$effPasses,"n_queries":${names.size},"detail":"$outFile"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":$cpus,"passes":$effPasses,"n_queries":${names.size},$stealJson,"detail":"$outFile"}""")
     spark.stop()
   }
 }

@@ -4000,6 +4000,54 @@ object SparkEntry {
       .orderBy(col("l_returnflag"))
   }
 
+  /** CLUSTERING compaction ([[graft.operators.ParquetTableStore
+    * .compactSorted]] wired into the scheduled "table" maintenance pass,
+    * VERDICT r15 item 2): a long-lived appended table decays — each
+    * interleaved-key batch widens every file's [min, max] interval until
+    * zone admission degenerates to admit-all (correct, never fast), and
+    * the plain round-robin `compact` would make that PERMANENT. The gate
+    * stages exactly that decayed layout (8 round-robin files, each
+    * spanning the full l_orderkey range — the routed read admits ALL of
+    * them), runs one maintenance tick with `clusterCols` set (file count
+    * 8 > maxDataFiles 4 → sorted rewrite, then the same tick's heal
+    * rebuilds the manifest over the new layout), and reads again: the
+    * identical routed range now admits STRICTLY FEWER files — while both
+    * legs return the byte-identical aggregate, because pruning is I/O,
+    * never semantics (q164's contract). Oracle: the plain WHERE's
+    * aggregate with the two admits-fewer booleans stated independently
+    * (q170's boolean pattern). Reference analog: BigQuery re-clusters
+    * tables transparently as data arrives — `README.md:13`'s "efficient
+    * querying"; Delta's OPTIMIZE ZORDER is the same maintenance. */
+  def q174_zonemap_cluster_compact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // mutating gate (the tick rewrites the table) → fresh writable COPY
+    // of the interleaved base per call (q164's relocation note applies)
+    val wh = graft.QueryFixtures.freshCopy(s"q174_base:$d") { dir =>
+      val st0 = new graft.operators.ParquetTableStore(s, dir)
+      st0.replace("li_il", lineitem(s, d).repartition(8))
+      graft.operators.ZoneMaps.build(st0, "li_il", Seq("l_orderkey"))
+    }
+    val store = new graft.operators.ParquetTableStore(s, wh)
+    def leg(tag: String): (String, Long, Option[Double], Boolean) = {
+      val (admitted, total) = graft.operators.ZoneMaps.planFiles(
+        store, "li_il", "l_orderkey", 500L, 1500L)
+      val r = store.readRange("li_il", "l_orderkey", 500L, 1500L)
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty")).head()
+      (tag, r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        admitted.size < total)
+    }
+    val before = leg("a_interleaved")
+    val rep = graft.operators.IndexMaintenance.maintainTable(store, "li_il",
+      Seq.empty, clusterCols = Seq("l_orderkey"), maxDataFiles = 4)
+    require(rep.data.exists(_.compacted),
+      "the tick must have run the sorted rewrite (8 files > threshold 4)")
+    val after = leg("b_clustered")
+    Seq(before, after).toDF("probe", "n", "sum_qty", "admits_fewer")
+      .orderBy(col("probe"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4176,6 +4224,7 @@ object SparkEntry {
     "q171_bm25_filtered"     -> (q171_bm25_filtered _),
     "q172_hybrid_filtered"   -> (q172_hybrid_filtered _),
     "q173_zonemap_mixed"     -> (q173_zonemap_mixed _),
+    "q174_zonemap_cluster_compact" -> (q174_zonemap_cluster_compact _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7723,6 +7772,20 @@ object SparkEntry {
          WHERE l_orderkey BETWEEN 500 AND 4600
            AND (l_partkey = 817 OR l_orderkey BETWEEN 4000 AND 4600)
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // q174: both legs return the plain WHERE's aggregate (pruning is
+    // I/O, never semantics); the admits-fewer booleans state the layout
+    // claim — the interleaved table admits ALL files, the sorted-
+    // compacted one strictly fewer (q170's boolean pattern)
+    "q174_zonemap_cluster_compact" ->
+      """WITH r AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      round(sum(l_quantity), 2) AS sum_qty
+                    FROM lineitem
+                    WHERE l_orderkey BETWEEN 500 AND 1500)
+         SELECT 'a_interleaved' AS probe, n, sum_qty, FALSE AS admits_fewer FROM r
+         UNION ALL
+         SELECT 'b_clustered', n, sum_qty, TRUE FROM r
+         ORDER BY probe""",
   )
 
   /** The q84/q85 oracle's training replay: DuckDB cannot iterate a

@@ -40,7 +40,17 @@ object Bm25 {
 
   /** Top-k documents per query. `queries`: (query_id, term) rows — a
     * multi-term query is several rows. Returns
-    * (query_id, rank, doc_id, score·4dp). */
+    * (query_id, rank, doc_id, score·4dp).
+    *
+    * EAGER, and the result is a materialized localCheckpoint (ADVICE
+    * r15 note): the returned frame's logical plan is an RDD scan, not
+    * the scoring composition — plan-composing callers that need the
+    * lazy plan (to push further filters into the scoring join, or to
+    * inspect plan shape) should compose [[docTermStats]] +
+    * [[scoreStats]] directly; long-lived callers should
+    * `Checkpoints.release` the returned frame when done with it (it is
+    * bounded at queries × topK rows, so leaving it to ContextCleaner GC
+    * is harmless in batch jobs but accretes in a loop). */
   def search(docs: DataFrame, idCol: String, textCol: String,
              queries: DataFrame, topK: Int,
              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -69,7 +79,8 @@ object Bm25 {
     * on every shared doc's score, and scores must stay comparable for
     * downstream fusion like [[HybridRank]]), which is exactly how
     * Lucene scores a filtered query (the filter is non-scoring).
-    * `allowed`: any frame carrying `idCol`. */
+    * `allowed`: any frame carrying `idCol`. Same eager-result /
+    * release-when-done contract as [[search]]. */
   def searchFiltered(docs: DataFrame, idCol: String, textCol: String,
                      queries: DataFrame, allowed: DataFrame, topK: Int,
                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {

@@ -82,6 +82,15 @@ object ZonePred {
   case class Range(colName: String, lo: Any, hi: Any) extends ZonePred
   /** col = value (null-false). */
   case class Point(colName: String, value: Any) extends ZonePred
+  /** col IN (values…) (null-false) — admission-wise an OR of [[Point]]s,
+    * CAPPED at [[ZoneMaps.InAdmissionCap]] values like the SQL path's
+    * `In` translation (VERDICT r15 item 6 — the two boolean surfaces
+    * stay symmetric): past the cap the leaf is uncovered and the read
+    * falls back to the plain `isin` scan, because an unbounded IN from a
+    * query generator would build a thousands-deep OR of bloom probes
+    * evaluated against every manifest row at planning time. */
+  case class In(colName: String, values: Seq[Any]) extends ZonePred {
+    require(values.nonEmpty, "In needs at least one value") }
   case class And(ps: Seq[ZonePred]) extends ZonePred {
     require(ps.nonEmpty, "And needs at least one child") }
   case class Or(ps: Seq[ZonePred]) extends ZonePred {
@@ -234,8 +243,7 @@ object ZoneMaps {
                colsIfMissing: Seq[String]): Boolean = {
     val live = store.read(table).getOrElse(
       sys.error(s"zone maps: table '$table' does not exist"))
-    val liveByNorm = store.listDataFiles(table)
-      .map { case (p, s) => fileKey(table, p) -> (p, s) }
+    val liveByNorm = keyedListing(table, store.listDataFiles(table))
     store.read(s"${table}_zones") match {
       case Some(z) =>
         val names = z.schema.fieldNames
@@ -303,6 +311,30 @@ object ZoneMaps {
     if (i >= 0) abs.substring(i + marker.length) else abs
   }
 
+  /** The live listing keyed by [[fileKey]], with a LOUD duplicate guard
+    * (ADVICE r15): if an out-of-band writer nested a subdirectory named
+    * exactly like the table inside the table directory, two live files
+    * collapse to one key — freshness could then pass symmetrically while
+    * [[toLive]] silently maps both stored paths onto one live file,
+    * dropping rows with no failure. The (name, length) attest cannot
+    * protect that layout, so it must never reach a comparison: fail by
+    * name here instead (the store's own layout convention — partition
+    * subdirs contain '=' — can never trip this). */
+  private def keyedListing(table: String, listing: Map[String, Long])
+    : Map[String, (String, Long)] = {
+    val keyed = listing.map { case (p, s) => fileKey(table, p) -> (p, s) }
+    if (keyed.size != listing.size) {
+      val dup = listing.keys.groupBy(fileKey(table, _))
+        .collectFirst { case (k, ps) if ps.size > 1 => (k, ps) }.get
+      sys.error(s"zone maps: multiple live files of table '$table' " +
+        s"collapse to the same table-root-relative key '${dup._1}' " +
+        s"(${dup._2.mkString(", ")}) — is a subdirectory inside the " +
+        s"table directory itself named '$table'? The freshness attest " +
+        "cannot distinguish those files; rename the nested directory.")
+    }
+    keyed
+  }
+
   /** THE freshness fingerprint collector — one names(+sizes) collect of
     * the manifest, shared by [[maintain]], [[freshZones]] and
     * [[admitForV2Scan]] so the three consumers can never drift on what
@@ -363,7 +395,8 @@ object ZoneMaps {
     if (liveSizes0.isEmpty) sys.error(
       s"zone maps: table '$table' does not exist (no data files)")
     val (manifest, _) = manifestFingerprint(table, zones)
-    val liveSizes = liveSizes0.map { case (p, s) => fileKey(table, p) -> s }
+    val keyed = keyedListing(table, liveSizes0)
+    val liveSizes = keyed.map { case (k, (_, s)) => k -> s }
     if (!manifestFresh(manifest, liveSizes)) sys.error(
       s"zone maps for '$table' are STALE: manifest lists " +
         s"${manifest.size} files but the table now has ${liveSizes.size}" +
@@ -378,7 +411,7 @@ object ZoneMaps {
     // files where the table lives NOW — a manifest written before a
     // warehouse relocation stores the OLD absolute paths, and freshness
     // (same keys, same lengths) is exactly what licenses the remap
-    (zones, schema, liveSizes0.map { case (p, _) => fileKey(table, p) -> p })
+    (zones, schema, keyed.map { case (k, (p, _)) => k -> p })
   }
 
   /** The residual predicate columns for (ranges, points) — ONE builder
@@ -586,9 +619,16 @@ object ZoneMaps {
   private[graft] def predExpr(p: ZonePred): Column = p match {
     case ZonePred.Range(c, lo, hi) => predExprs(Seq((c, lo, hi)), Seq.empty).head
     case ZonePred.Point(c, v)      => predExprs(Seq.empty, Seq((c, v))).head
+    case ZonePred.In(c, vs)        => col(c).isin(vs: _*)
     case ZonePred.And(ps)          => ps.map(predExpr).reduce(_ && _)
     case ZonePred.Or(ps)           => ps.map(predExpr).reduce(_ || _)
   }
+
+  /** IN-list size past which admission gives up and the filter prunes
+    * nothing — shared by the SQL path's `sources.In` translation and the
+    * routed [[ZonePred.In]] leaf (Spark's own inSetConversionThreshold
+    * plays the same role). */
+  private[graft] val InAdmissionCap = 50
 
   /** Admission column for a [[ZonePred]] tree, or None when nothing is
     * provable — the SAME composition rules as the SQL path's `admitOf`
@@ -605,6 +645,14 @@ object ZoneMaps {
     case ZonePred.Point(c, v) =>
       if (zoneFields.contains(s"${c}_bloom") || zoneFields.contains(s"${c}_min"))
         Some(pointAdmitExpr(zoneFields, dataSchema, c, v))
+      else None
+    case ZonePred.In(c, vs) =>
+      // an OR of point admissions, capped (see the leaf's doc) — a file
+      // survives when ANY listed value could live there; the residual
+      // `isin` restores exact membership
+      if (vs.length <= InAdmissionCap &&
+          (zoneFields.contains(s"${c}_bloom") || zoneFields.contains(s"${c}_min")))
+        Some(vs.map(pointAdmitExpr(zoneFields, dataSchema, c, _)).reduce(_ || _))
       else None
     case ZonePred.And(ps) =>
       val covered = ps.flatMap(admitOfPred(zoneFields, dataSchema, _))
@@ -624,6 +672,8 @@ object ZoneMaps {
       case ZonePred.Range(c, _, _) => zoneFields.contains(s"${c}_min")
       case ZonePred.Point(c, _) =>
         zoneFields.contains(s"${c}_bloom") || zoneFields.contains(s"${c}_min")
+      case ZonePred.In(c, vs) => vs.length <= InAdmissionCap &&
+        (zoneFields.contains(s"${c}_bloom") || zoneFields.contains(s"${c}_min"))
       case ZonePred.And(ps) => ps.exists(coversPred(zoneFields, _))
       case ZonePred.Or(ps)  => ps.forall(coversPred(zoneFields, _))
     }
@@ -696,14 +746,37 @@ object ZoneMaps {
     * bitset is ~12 KB. Alignment is guaranteed by the key: the digest
     * pins the (path, length) CONTENT and the provider's listing is
     * always path-sorted, so equal digest ⇒ identical array order. */
-  private val v2AdmissionCache = new java.util.concurrent.ConcurrentHashMap[
+  private val v2AdmissionCache = new BoundedLruCache[
     (String, String, String),
-    (java.util.BitSet, Array[org.apache.spark.sql.sources.Filter])]()
-  /** Spec-visible counters (ZoneMapSqlPushdownSpec asserts the second
-    * identical query is a pure cache hit — deterministic, unlike
-    * listener-based job counting under AQE). */
-  private[graft] val v2AdmissionHits = new java.util.concurrent.atomic.AtomicLong
-  private[graft] val v2AdmissionMisses = new java.util.concurrent.atomic.AtomicLong
+    (java.util.BitSet, Array[org.apache.spark.sql.sources.Filter])](512)
+  /** Spec-visible hit/miss counters, PER zones directory (ADVICE r15:
+    * JVM-global counters made the cache assertions racy against any
+    * other suite planning a v2 scan in the same JVM — per-dir counters
+    * isolate a test to its own unique warehouse). Deterministic, unlike
+    * listener-based job counting under AQE. */
+  private val v2AdmissionStats = new java.util.concurrent.ConcurrentHashMap[
+    String, (java.util.concurrent.atomic.AtomicLong,
+             java.util.concurrent.atomic.AtomicLong)]()
+  /** (hits, misses) recorded for `zonesDir` so far this JVM. */
+  private[graft] def v2StatsFor(zonesDir: String)
+    : (java.util.concurrent.atomic.AtomicLong,
+       java.util.concurrent.atomic.AtomicLong) =
+    v2AdmissionStats.computeIfAbsent(zonesDir, _ =>
+      (new java.util.concurrent.atomic.AtomicLong,
+        new java.util.concurrent.atomic.AtomicLong))
+
+  /** Summed (hits, misses) over recorded zonesDirs ENDING with `suffix`
+    * — spec convenience: the scan builder's dir carries the catalog's
+    * URI form (`file:/…`), which a test knows only by suffix. A table
+    * whose warehouse is a fresh temp dir has a unique suffix, so the
+    * assertion is isolated from every other suite in the JVM. */
+  private[graft] def v2StatsForSuffix(suffix: String): (Long, Long) = {
+    var h = 0L; var m = 0L
+    v2AdmissionStats.forEach { (dir, hm) =>
+      if (dir.endsWith(suffix)) { h += hm._1.get(); m += hm._2.get() }
+    }
+    (h, m)
+  }
 
   /** 128-bit digest of the live (path, length) listing — a cache key, so
     * hash collisions must be out of the picture (a collision would serve
@@ -711,7 +784,13 @@ object ZoneMaps {
   private def listingDigest(fileSizes: Map[String, Long]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     fileSizes.toSeq.sortBy(_._1).foreach { case (p, s) =>
-      md.update(p.getBytes("UTF-8")); md.update(s.toString.getBytes("UTF-8"))
+      md.update(p.getBytes("UTF-8"))
+      // separator byte BETWEEN the fields too (ADVICE r15): without it
+      // ('a', 12) and ('a1', 2) digest identically — unexploitable only
+      // while listings are '*.parquet' (paths never end in a digit),
+      // which is an invariant a digest must not silently lean on
+      md.update(0.toByte)
+      md.update(s.toString.getBytes("UTF-8"))
       md.update(0.toByte)
     }
     md.digest().map("%02x".format(_)).mkString
@@ -748,14 +827,15 @@ object ZoneMaps {
     import org.apache.spark.sql.sources._
     val cacheKey = (zonesDir, listingDigest(fileSizes),
       filters.map(filterKey).sorted.mkString(";"))
+    val (hits, misses) = v2StatsFor(zonesDir)
     val cached = v2AdmissionCache.get(cacheKey)
     if (cached != null) {
-      v2AdmissionHits.incrementAndGet()
+      hits.incrementAndGet()
       val (bits, usedFilters) = cached
       return Some((files.zipWithIndex.collect {
         case (f, i) if bits.get(i) => f }, usedFilters))
     }
-    v2AdmissionMisses.incrementAndGet()
+    misses.incrementAndGet()
     val zonesPath = new org.apache.hadoop.fs.Path(zonesDir)
     val fs = zonesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(zonesPath)) return None
@@ -772,7 +852,11 @@ object ZoneMaps {
       base.stripSuffix("_zones")
     }
     val (manifest, _) = manifestFingerprint(table, zones)
-    val liveSizes = fileSizes.map { case (p, s) => fileKey(table, p) -> s }
+    // the duplicate guard throws here; the advisory scan builder catches
+    // and degrades to the full listing with the once-per-table warning —
+    // transparent to the query, loud in the log (the SQL-path contract)
+    val liveSizes = keyedListing(table, fileSizes)
+      .map { case (k, (_, s)) => k -> s }
     if (!manifestFresh(manifest, liveSizes)) return None
 
     def pointOf(a: String, v: Any): Option[Column] =
@@ -798,8 +882,8 @@ object ZoneMaps {
       // manifest row at PLANNING time (and choke codegen) — beyond the
       // cap the filter simply contributes no pruning, like any other
       // untranslatable shape (Spark's own inSetConversionThreshold
-      // plays the same role)
-      case In(a, vs) if vs.nonEmpty && vs.length <= 50 =>
+      // plays the same role; the routed ZonePred.In leaf shares the cap)
+      case In(a, vs) if vs.nonEmpty && vs.length <= InAdmissionCap =>
         val each = vs.toSeq.map(pointOf(a, _))
         if (each.forall(_.isDefined)) Some(each.flatten.reduce(_ || _))
         else None
@@ -824,9 +908,6 @@ object ZoneMaps {
       val bits = new java.util.BitSet(files.length)
       files.zipWithIndex.foreach { case (f, i) =>
         if (keptNorm.contains(fileKey(table, f))) bits.set(i) }
-      // bounded: a runaway distinct-filter workload clears rather than
-      // grows (the cache is an amortization, never a requirement)
-      if (v2AdmissionCache.size >= 512) v2AdmissionCache.clear()
       v2AdmissionCache.put(cacheKey, (bits, translated.map(_._1)))
       Some((admitted, translated.map(_._1)))
     }

@@ -777,4 +777,99 @@ class ZoneMapsSpec extends SparkSpec {
     assert(store.readPoint("pn", "k", 500L)
       .select("id").as[Long].collect().toSet == plain)
   }
+
+  test("compactSorted restores clustering: an interleaved table admits all, the sorted rewrite strictly fewer, answers identical (VERDICT r15 item 2)") {
+    val store = freshStore()
+    // interleaved layout: round-robin files, each spanning the full key
+    // range — the decay shape a long-lived appended table reaches
+    val df = (1 to 2000).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
+    store.replace("cl", df.repartition(8))
+    ZoneMaps.build(store, "cl", Seq("k"))
+    val (before, total0) = ZoneMaps.planFiles(store, "cl", "k", 100L, 300L)
+    assert(total0 == 8 && before.size == total0,
+      s"round-robin files each span the key range — admission must " +
+        s"degenerate to admit-all (${before.size} of $total0)")
+    val plain = store.read("cl").get
+      .filter(col("k") >= 100L && col("k") <= 300L)
+      .select("k", "v").as[(Long, Double)].collect().toSet
+    assert(store.readRange("cl", "k", 100L, 300L)
+      .select("k", "v").as[(Long, Double)].collect().toSet == plain)
+    // one scheduled tick with clusterCols: 8 files > threshold 4 → the
+    // SORTED rewrite (never plain compact — that scrambles clustering),
+    // and the same tick's heal rebuilds the manifest over the new layout
+    val rep = IndexMaintenance.maintainTable(store, "cl", Seq.empty,
+      clusterCols = Seq("k"), maxDataFiles = 4)
+    assert(rep.data.exists(_.compacted) && rep.zonesRebuilt,
+      s"tick must rewrite AND heal in one pass: $rep")
+    val (after, total1) = ZoneMaps.planFiles(store, "cl", "k", 100L, 300L)
+    assert(total1 == 4, s"sorted rewrite must hit the target file count")
+    assert(after.size < before.size && after.size < total1,
+      s"clustered layout must admit strictly fewer files " +
+        s"(${after.size} of $total1 vs ${before.size} of $total0)")
+    assert(store.readRange("cl", "k", 100L, 300L)
+      .select("k", "v").as[(Long, Double)].collect().toSet == plain,
+      "pruning is I/O, never semantics — the answer must not move")
+    // a further tick under the threshold is a no-op on the data table
+    val rep2 = IndexMaintenance.maintainTable(store, "cl", Seq.empty,
+      clusterCols = Seq("k"), maxDataFiles = 4)
+    assert(rep2.data.exists(!_.compacted) && !rep2.zonesRebuilt,
+      s"under-threshold tick must not rewrite: $rep2")
+  }
+
+  test("ZonePred.In: routed ≡ plain isin with one consult; past the cap it falls back to the plain scan (VERDICT r15 item 6)") {
+    val store = freshStore()
+    clustered(store, "t") // 8 k-ranged files, stats on k/tag/v
+    import ZonePred._
+    val total = store.read("t").get.inputFiles.length
+    // covered IN (≤ cap): an OR of point admissions — files outside the
+    // listed keys' ranges are skipped, the residual isin restores exact
+    // membership
+    val in = In("k", Seq(5L, 7L, 1900L))
+    val routed = store.readWhereExpr("t", in)
+    assert(routed.inputFiles.length < total,
+      s"IN must prune (${routed.inputFiles.length} of $total)")
+    assert(routed.select("k").as[Long].collect().sorted.toSeq ==
+      Seq(5L, 7L, 1900L))
+    // under an AND, the In composes like any leaf
+    val mixed = And(Seq(Range("k", 1L, 100L), In("k", Seq(5L, 7L, 1900L))))
+    assert(store.readWhereExpr("t", mixed)
+      .select("k").as[Long].collect().sorted.toSeq == Seq(5L, 7L))
+    // past the cap the leaf is uncovered → the PLAIN scan answers. The
+    // stale-manifest trick proves the path taken: rewrite the table
+    // without healing — a routed consult would fail LOUD, the plain
+    // scan answers silently
+    store.replace("t", store.read("t").get.repartition(3))
+    val big = In("k", (1L to (ZoneMaps.InAdmissionCap + 1).toLong).toSeq)
+    assert(store.readWhereExpr("t", big).select("k").as[Long]
+      .collect().sorted.toSeq == (1L to 51L).toSeq,
+      "an over-cap IN must take the plain path (no consult, no staleness)")
+    val small = In("k", Seq(5L))
+    val e = intercept[RuntimeException] { store.readWhereExpr("t", small) }
+    assert(e.getMessage.contains("STALE"),
+      "…while a covered IN still consults (and fails loud on staleness)")
+  }
+
+  test("duplicate root-relative file keys fail LOUDLY instead of silently dropping rows (ADVICE r15)") {
+    val store = freshStore()
+    clustered(store, "dup", n = 200, parts = 2)
+    // plant a nested subdirectory named exactly like the table, holding
+    // a file whose NAME collides with a live data file — the layout the
+    // (name, length) attest cannot protect: both live files collapse to
+    // one fileKey, freshness could pass symmetrically, and toLive would
+    // map both stored paths onto one live file (dropped rows, no error)
+    val dataFile = new java.io.File(new java.net.URI(
+      store.read("dup").get.inputFiles.head))
+    val nested = new java.io.File(dataFile.getParentFile, "dup")
+    nested.mkdirs()
+    java.nio.file.Files.copy(dataFile.toPath,
+      nested.toPath.resolve(dataFile.getName))
+    val e = intercept[RuntimeException] {
+      ZoneMaps.planFiles(store, "dup", "k", 1L, 50L)
+    }
+    assert(e.getMessage.contains("collapse"), e.getMessage)
+    val e2 = intercept[RuntimeException] {
+      ZoneMaps.maintain(store, "dup", Seq.empty)
+    }
+    assert(e2.getMessage.contains("collapse"), e2.getMessage)
+  }
 }

@@ -113,17 +113,23 @@ class ZoneMapSqlPushdownSpec extends SparkSpec {
         s"admission must prune ($planned of $total)")
       df.as[Long].collect().toSet
     }
-    val h0 = ZoneMaps.v2AdmissionHits.get(); val m0 = ZoneMaps.v2AdmissionMisses.get()
+    // counters are PER zones directory (ADVICE r15: the old JVM-global
+    // counters made this assertion racy against any other suite planning
+    // a v2 scan concurrently) — this store's warehouse is a fresh temp
+    // dir, so its suffix is unique to this test
+    val dirSuffix = store.path("c_zones")
+    val (h0, m0) = ZoneMaps.v2StatsForSuffix(dirSuffix)
     assert(run() == (100L to 300L).toSet)
-    val m1 = ZoneMaps.v2AdmissionMisses.get()
+    val (_, m1) = ZoneMaps.v2StatsForSuffix(dirSuffix)
     assert(m1 > m0, "first query must consult the manifest (a cache miss)")
     // identical second query: zero manifest reads — counters, not a job
     // listener: under AQE the job boundary of a planning-time collect is
     // not deterministic, the hit/miss counter is
     assert(run() == (100L to 300L).toSet)
-    assert(ZoneMaps.v2AdmissionMisses.get() == m1,
+    val (h2, m2) = ZoneMaps.v2StatsForSuffix(dirSuffix)
+    assert(m2 == m1,
       "second identical query must not re-read the manifest")
-    assert(ZoneMaps.v2AdmissionHits.get() > h0, "…it must be a cache hit")
+    assert(h2 > h0, "…it must be a cache hit")
     // a data rewrite changes the listing fingerprint: the cache must NOT
     // serve the old admitted subset — the key misses, the (now stale)
     // manifest declines, the full listing answers

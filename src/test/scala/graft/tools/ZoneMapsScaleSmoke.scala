@@ -164,7 +164,69 @@ object ZoneMapsScaleSmoke {
       require(graft.operators.ZoneMaps.maintain(store, "few", Seq.empty))
     }
 
-    // MANIFEST COMPACTION under the streaming design point (r15): every
+    // CLUSTERING COMPACTION at the 200-file point (VERDICT r15 item 2):
+    // the same table in two layouts at the SAME file count — interleaved
+    // (round-robin, the decay shape long-lived appends reach: every
+    // file spans the full key range) vs sorted-compacted
+    // (compactSorted = repartitionByRange + sortWithinPartitions). The
+    // admitted-file count for an identical 0.1% routed range states the
+    // claim as numbers from one run; plain `compact` would have LOCKED
+    // IN the interleaved shape.
+    val nd = 20000000L
+    t(s"write $nd-row INTERLEAVED table (200 round-robin files)") {
+      store.replace("decayed", spark.range(nd)
+        .select(col("id").as("k"), (col("id") % 977).as("g"))
+        .repartition(200))
+    }
+    t("zones build on the interleaved layout") {
+      graft.operators.ZoneMaps.build(store, "decayed", Seq("k"))
+    }
+    val (admIl, totIl) = t("planFiles: 0.1% range on interleaved layout") {
+      graft.operators.ZoneMaps.planFiles(store, "decayed", "k",
+        nd / 2, nd / 2 + nd / 1000)
+    }
+    println(s"[smoke] interleaved 200-file: range admits ${admIl.size} " +
+      s"of $totIl (expected ~all — every file spans the key range)")
+    t("compactSorted (sorted rewrite, same 200-file count) + heal") {
+      store.compactSorted("decayed", Seq("k"), targetFiles = 200)
+      graft.operators.ZoneMaps.maintain(store, "decayed", Seq.empty)
+    }
+    val (admSt, totSt) = t("planFiles: the same range on the sorted layout") {
+      graft.operators.ZoneMaps.planFiles(store, "decayed", "k",
+        nd / 2, nd / 2 + nd / 1000)
+    }
+    println(s"[smoke] sorted-compacted 200-file: range admits " +
+      s"${admSt.size} of $totSt — clustering restored")
+    require(admSt.size < admIl.size,
+      s"sorted rewrite must admit fewer files (${admSt.size} vs ${admIl.size})")
+
+    // SQL-PATH PLANNING COST at the 10k-file design point (VERDICT r15
+    // item 7): repeated ad-hoc SQL against the 10k-file table — the
+    // first plan pays the manifest read + admission collect (a miss),
+    // an identical re-plan must be a pure bitset cache hit. Timed on
+    // `queryExecution.executedPlan` (planning only — V2ScanRelationPush-
+    // Down runs pushFilters there), so the numbers are the planner's,
+    // not the scan's.
+    t("rebuild zones over the 10k-file table (fresh manifest for the SQL rows)") {
+      graft.operators.ZoneMaps.maintain(store, "many", Seq.empty)
+    }
+    val fqMany = store.sqlTable("many")
+    val zSuffix = store.path("many_zones")
+    def sqlStats() = graft.operators.ZoneMaps.v2StatsForSuffix(zSuffix)
+    def planOnce(tag: String): Unit = {
+      val (h0, m0) = sqlStats()
+      val t0 = System.nanoTime
+      spark.sql(s"SELECT k FROM $fqMany WHERE k = 4242")
+        .queryExecution.executedPlan
+      val sec = (System.nanoTime - t0) / 1e9
+      val (h1, m1) = sqlStats()
+      println(f"[smoke] 10k-file SQL plan ($tag): $sec%.3f s, " +
+        s"manifest consults=${m1 - m0}, cache hits=${h1 - h0}")
+    }
+    planOnce("cold — manifest read + admission collect")
+    planOnce("cached — same filter, same listing")
+    planOnce("cached, third plan")
+
     // incremental heal APPENDS one small manifest file, so after N ticks
     // an uncompacted manifest is an N-file table and every consult pays
     // its listing + N footers. maintainTable's compact-past-threshold
