@@ -4048,6 +4048,56 @@ object SparkEntry {
       .orderBy(col("probe"))
   }
 
+  /** Z-ORDER clustering compaction on the DEPTH trigger
+    * ([[graft.operators.ParquetTableStore.compactZOrder]] +
+    * [[graft.operators.ZoneMaps.clusteringDepth]] — q174's two gaps
+    * closed in one gate): (1) a lexicographic sort clusters only its
+    * leading column — file min/max on the second span the full range
+    * and reads filtered on it prune nothing; sorting by the Morton
+    * interleave (Delta's OPTIMIZE ZORDER) bounds every file's
+    * RECTANGLE, so selective routed reads on EITHER dimension admit
+    * fewer files. (2) The rewrite fires on the manifest-derived decay
+    * metric (depth ≈ fileCount on this interleaved base > the 4.0
+    * threshold), not on file count — the file-count proxy would sleep
+    * through a few-files-but-fully-interleaved table, which is exactly
+    * this layout (8 files). Both dimensions read before and after; all
+    * four aggregates hash-equal to the plain WHEREs (pruning is I/O,
+    * never semantics), the admits-fewer booleans state the layout
+    * claim. */
+  def q175_zonemap_zorder(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // mutating gate (the tick rewrites the table) → fresh writable COPY
+    val wh = graft.QueryFixtures.freshCopy(s"q175_base:$d") { dir =>
+      val st0 = new graft.operators.ParquetTableStore(s, dir)
+      st0.replace("li_z", lineitem(s, d).repartition(8))
+      graft.operators.ZoneMaps.build(st0, "li_z",
+        Seq("l_orderkey", "l_partkey"))
+    }
+    val store = new graft.operators.ParquetTableStore(s, wh)
+    val dims = Seq(("okey", "l_orderkey", 500L, 1500L),
+      ("pkey", "l_partkey", 1L, 40L))
+    def leg(layout: String): Seq[(String, Long, Option[Double], Boolean)] =
+      dims.map { case (dim, c, lo, hi) =>
+        val (admitted, total) = graft.operators.ZoneMaps.planFiles(
+          store, "li_z", c, lo, hi)
+        val r = store.readRange("li_z", c, lo, hi)
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_quantity")), 2).as("sum_qty")).head()
+        (s"${layout}_$dim", r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+          admitted.size < total)
+      }
+    val before = leg("a_interleaved")
+    val rep = graft.operators.IndexMaintenance.maintainTable(store, "li_z",
+      Seq.empty, clusterCols = Seq("l_orderkey", "l_partkey"),
+      zOrder = true, maxClusterDepth = 4.0)
+    require(rep.clusterDepth.exists(_ > 4.0) && rep.data.exists(_.compacted),
+      s"the interleaved base must trigger the depth rule: $rep")
+    val after = leg("b_zorder")
+    (before ++ after).toDF("probe", "n", "sum_qty", "admits_fewer")
+      .orderBy(col("probe"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4225,6 +4275,7 @@ object SparkEntry {
     "q172_hybrid_filtered"   -> (q172_hybrid_filtered _),
     "q173_zonemap_mixed"     -> (q173_zonemap_mixed _),
     "q174_zonemap_cluster_compact" -> (q174_zonemap_cluster_compact _),
+    "q175_zonemap_zorder"    -> (q175_zonemap_zorder _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7785,6 +7836,28 @@ object SparkEntry {
          SELECT 'a_interleaved' AS probe, n, sum_qty, FALSE AS admits_fewer FROM r
          UNION ALL
          SELECT 'b_clustered', n, sum_qty, TRUE FROM r
+         ORDER BY probe""",
+
+    // q175: both dimensions' aggregates are the plain WHEREs' at both
+    // layouts; the booleans state the z-order claim — the interleaved
+    // base prunes NEITHER dimension, the z-ordered layout prunes BOTH
+    // (a lexicographic sort would leave the second dimension at FALSE)
+    "q175_zonemap_zorder" ->
+      """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      round(sum(l_quantity), 2) AS sum_qty
+                    FROM lineitem
+                    WHERE l_orderkey BETWEEN 500 AND 1500),
+            b AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      round(sum(l_quantity), 2) AS sum_qty
+                    FROM lineitem
+                    WHERE l_partkey BETWEEN 1 AND 40)
+         SELECT 'a_interleaved_okey' AS probe, n, sum_qty, FALSE AS admits_fewer FROM a
+         UNION ALL
+         SELECT 'a_interleaved_pkey', n, sum_qty, FALSE FROM b
+         UNION ALL
+         SELECT 'b_zorder_okey', n, sum_qty, TRUE FROM a
+         UNION ALL
+         SELECT 'b_zorder_pkey', n, sum_qty, TRUE FROM b
          ORDER BY probe""",
   )
 

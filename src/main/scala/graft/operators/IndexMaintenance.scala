@@ -56,7 +56,8 @@ object IndexMaintenance {
                     occupancy: Option[Occupancy] = None,
                     zonesRebuilt: Boolean = false,
                     manifest: Option[Cells] = None,
-                    data: Option[Cells] = None)
+                    data: Option[Cells] = None,
+                    clusterDepth: Option[Double] = None)
 
   /** Dispatcher over the family tag ("ivf", "ivf-sq", "ivf-pq", "bm25",
     * "minhash", "table") — the scheduled-job entry point. Thresholds:
@@ -78,7 +79,9 @@ object IndexMaintenance {
                zoneColsIfMissing: Seq[String] = Seq.empty,
                maxManifestFiles: Int = 16,
                clusterCols: Seq[String] = Seq.empty,
-               maxDataFiles: Int = 0): Report = family match {
+               maxDataFiles: Int = 0,
+               zOrder: Boolean = false,
+               maxClusterDepth: Double = 0.0): Report = family match {
     case "ivf"     => maintainIvf(store, name, psiThreshold, maxCellFiles)
     case "ivf-sq"  => maintainIvfSq(store, name, maxSegments, psiThreshold, maxCellFiles)
     case "ivf-pq"  => maintainIvfPq(store, name, maxSegments, psiThreshold, maxCellFiles)
@@ -86,7 +89,7 @@ object IndexMaintenance {
     case "minhash" => maintainMinHash(store, name, maxBucket, maxOverCapShare,
       maxSegments)
     case "table"   => maintainTable(store, name, zoneColsIfMissing,
-      maxManifestFiles, clusterCols, maxDataFiles)
+      maxManifestFiles, clusterCols, maxDataFiles, zOrder, maxClusterDepth)
     case other => sys.error(
       s"unknown index family '$other' — one of ivf, ivf-sq, ivf-pq, bm25, " +
         "minhash, table")
@@ -114,38 +117,72 @@ object IndexMaintenance {
     * layout.
     *
     * CLUSTERING compaction of the DATA table (VERDICT r15 item 2) is the
-    * opt-in third leg: with `clusterCols` set and the data file count
-    * past `maxDataFiles` (> 0), the pass runs
-    * [[ParquetTableStore.compactSorted]] BEFORE the manifest heal — a
-    * long-lived appended table's per-file [min,max] ranges widen as
-    * interleaved-key batches land, so zone pruning quality decays even
-    * while every answer stays exact; the sorted rewrite restores tight
-    * near-disjoint intervals (never the plain `compact`, which would
-    * scramble them to admit-all). The heal that follows rebuilds the
-    * manifest over the new layout in the same tick, so the table never
-    * dwells stale across ticks. Opt-in because the rewrite is O(table),
-    * not O(batch) — the owner sets the threshold that amortizes it,
-    * exactly like the segment-compaction knobs. */
+    * opt-in third leg, with TWO triggers and TWO rewrite shapes:
+    *
+    *   - Triggers (either, both opt-in): data file count past
+    *     `maxDataFiles` (> 0) — the cheap ingest-history proxy — or
+    *     [[ZoneMaps.clusteringDepth]] past `maxClusterDepth` (> 0.0),
+    *     the honest decay signal: depth measures what pruning is worth
+    *     RIGHT NOW (≈1 clustered, ≈fileCount interleaved), so a
+    *     few-files-but-fully-interleaved table triggers on depth where
+    *     the file-count rule would sleep, and a many-files-but-sorted
+    *     table (bulk range-partitioned load) does NOT trigger a useless
+    *     rewrite... provided `maxDataFiles` is off. Depth needs fresh
+    *     stats, so the pass heals the manifest BEFORE measuring; a
+    *     post-rewrite heal runs in the same tick, so the table never
+    *     dwells stale across ticks.
+    *   - Rewrite: [[ParquetTableStore.compactSorted]] (lexicographic —
+    *     right for one cluster column), or with `zOrder` set and exactly
+    *     two cluster columns [[ParquetTableStore.compactZOrder]] —
+    *     files then span bounded RECTANGLES so selective reads on
+    *     EITHER column prune (a lexicographic (a, b) sort clusters only
+    *     `a`). Never the plain `compact`, which scrambles clustering to
+    *     admit-all. Target file count: `maxDataFiles` when set, else
+    *     the current count (restore order, keep the layout's size).
+    *
+    * Opt-in because the rewrite is O(table), not O(batch) — the owner
+    * sets the thresholds that amortize it, exactly like the
+    * segment-compaction knobs. */
   def maintainTable(store: ParquetTableStore, table: String,
                     colsIfMissing: Seq[String],
                     maxManifestFiles: Int = 16,
                     clusterCols: Seq[String] = Seq.empty,
-                    maxDataFiles: Int = 0): Report = {
+                    maxDataFiles: Int = 0,
+                    zOrder: Boolean = false,
+                    maxClusterDepth: Double = 0.0): Report = {
+    require(!zOrder || clusterCols.size == 2,
+      "zOrder clustering needs exactly two cluster columns")
+    var rebuilt = false
+    var depthOpt: Option[Double] = None
     val dataReport =
-      if (clusterCols.nonEmpty && maxDataFiles > 0) {
+      if (clusterCols.nonEmpty && (maxDataFiles > 0 || maxClusterDepth > 0)) {
         val files = store.read(table).map(_.inputFiles.length.toLong)
           .getOrElse(sys.error(s"table '$table' does not exist"))
-        val compactIt = files > maxDataFiles
-        if (compactIt) store.compactSorted(table, clusterCols, maxDataFiles)
+        if (maxClusterDepth > 0) {
+          // depth reads the manifest — heal first so the stats cover
+          // the live files (also the pass's normal heal, just earlier)
+          rebuilt = ZoneMaps.maintain(store, table, colsIfMissing)
+          depthOpt = Some(clusterCols
+            .map(c => ZoneMaps.clusteringDepth(store, table, c)).max)
+        }
+        val compactIt = (maxDataFiles > 0 && files > maxDataFiles) ||
+          depthOpt.exists(_ > maxClusterDepth)
+        if (compactIt) {
+          val target = if (maxDataFiles > 0) maxDataFiles else files.toInt
+          if (zOrder)
+            store.compactZOrder(table, clusterCols(0), clusterCols(1), target)
+          else store.compactSorted(table, clusterCols, target)
+        }
         Some(Cells(files, compactIt))
       } else None
-    val rebuilt = ZoneMaps.maintain(store, table, colsIfMissing)
+    rebuilt = ZoneMaps.maintain(store, table, colsIfMissing) || rebuilt
     val zname = s"${table}_zones"
     val files = store.read(zname).map(_.inputFiles.length.toLong).getOrElse(0L)
     val compacted = files > maxManifestFiles
     if (compacted) store.compact(zname)
     Report(table, "table", zonesRebuilt = rebuilt,
-      manifest = Some(Cells(files, compacted)), data = dataReport)
+      manifest = Some(Cells(files, compacted)), data = dataReport,
+      clusterDepth = depthOpt)
   }
 
   /** Float IVF: no code segments, but [[IvfIndex.append]] adds files

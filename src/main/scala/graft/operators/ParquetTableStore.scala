@@ -903,6 +903,48 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
       .sortWithinPartitions(cs: _*))
     (before, nFiles)
   }
+
+  /** Z-ORDER clustering compaction — the two-dimensional sibling of
+    * [[compactSorted]] (Delta's `OPTIMIZE ZORDER BY (a, b)`): a
+    * lexicographic (a, b) sort clusters ONLY on `a` — file min/max on
+    * `b` still span the full range, so zone admission prunes reads
+    * filtered on `b` not at all. Sorting by the Morton interleave of
+    * the two dimensions ([[graft.functions.ZOrder]] — each column
+    * min/max-scaled to a 16-bit bucket first, one agg scan for the
+    * bounds) makes consecutive files span bounded RECTANGLES, so
+    * min/max stats prune selective reads on EITHER column. Numeric or
+    * timestamp columns only (the bucket scaling needs arithmetic);
+    * nulls bucket to 0 and sort first, which is correct because zone
+    * admission is null-false — a range read never wants them. Same
+    * atomic-swap publish + stale-manifest contract as every rewrite. */
+  def compactZOrder(name: String, colA: String, colB: String,
+                    targetFiles: Int = 1): (Int, Int) = {
+    val p = new Path(path(name))
+    val f = fs(p)
+    require(f.exists(p), s"cannot compact missing table $name")
+    def nFiles = f.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+    val before = nFiles
+    val df = spark.read.parquet(path(name))
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax, lit,
+      coalesce, floor, least}
+    val b = df.agg(
+      fmin(col(colA)).cast("double"), fmax(col(colA)).cast("double"),
+      fmin(col(colB)).cast("double"), fmax(col(colB)).cast("double")).head()
+    // a constant (or all-null/empty) column degenerates to bucket 0 —
+    // the z-value then orders purely by the other dimension, which is
+    // the right one-dimensional fallback
+    val (loA, hiA, loB, hiB) =
+      if (b.anyNull) (0.0, 0.0, 0.0, 0.0)
+      else (b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3))
+    def bucket(c: String, lo: Double, hi: Double) =
+      if (hi - lo <= 0) lit(0L)
+      else coalesce(least(floor((col(c).cast("double") - lit(lo)) /
+        lit(hi - lo) * 65535.0), lit(65535.0)).cast("long"), lit(0L))
+    publish(name, graft.functions.ZOrder.zSorted(df,
+      bucket(colA, loA, hiA), bucket(colB, loB, hiB),
+      coalesce(col(colA).cast("double"), lit(0.0)), targetFiles))
+    (before, nFiles)
+  }
 }
 
 object ParquetTableStore {

@@ -700,6 +700,51 @@ object ZoneMaps {
     }
   }
 
+  /** CLUSTERING DEPTH of `colName`'s layout, computed from the manifest
+    * ALONE (one file-count-sized aggregate — no data pages, no listing):
+    * the expected number of files whose [min, max] interval contains a
+    * uniformly random point of the column's global range, i.e.
+    * Σ width_i / globalWidth. A perfectly range-clustered layout (files
+    * disjoint, covering the range once) reads ≈ 1.0; a fully
+    * interleaved layout (every file spans the whole range — what
+    * repeated un-clustered appends decay to) reads ≈ fileCount. This is
+    * the DECAY SIGNAL the scheduled maintenance trigger wants: file
+    * count measures ingest history, depth measures what pruning is
+    * actually worth right now (Delta's clustering metrics play the same
+    * role for OPTIMIZE scheduling). Zero-row/all-null files contribute
+    * nothing (their stats are null). Numeric/timestamp stats only (the
+    * widths need arithmetic). NOTE: a layout metric, not a read — it
+    * deliberately skips the freshness attest (a stale manifest yields
+    * yesterday's depth, which is still the right scheduling input;
+    * [[IndexMaintenance.maintainTable]] heals before measuring). */
+  def clusteringDepth(store: ParquetTableStore, table: String,
+                      colName: String): Double = {
+    val zones = store.read(s"${table}_zones").getOrElse(
+      sys.error(s"zone maps: table '$table' has no zones manifest — " +
+        "run ZoneMaps.build first"))
+    require(zones.schema.fieldNames.contains(s"${colName}_min"),
+      s"zone maps carry no stats for '$colName' — build with cols")
+    zones.schema(s"${colName}_min").dataType match {
+      case _: org.apache.spark.sql.types.NumericType => ()
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.DateType => ()
+      case other => sys.error(s"clusteringDepth needs numeric/timestamp " +
+        s"stats; '$colName' is ${other.simpleString}")
+    }
+    val lo = col(s"${colName}_min").cast("double")
+    val hi = col(s"${colName}_max").cast("double")
+    val r = zones.agg(
+      sum(hi - lo).as("sum_width"),
+      min(lo).as("gmin"), max(hi).as("gmax"),
+      count(when(lo.isNotNull, 1)).as("n")).head()
+    val n = r.getLong(3)
+    if (n == 0L || r.isNullAt(0)) return 0.0
+    val globalWidth = r.getDouble(2) - r.getDouble(1)
+    // a zero global width (every row one value) means every stat-bearing
+    // file is stabbed by the single point the range contains
+    if (globalWidth <= 0) n.toDouble else r.getDouble(0) / globalWidth
+  }
+
   /** Manifest admission for the v2/SQL scan path
     * ([[graft.sources.v2.GraftParquetTable]]'s filter pushdown — the
     * route ad-hoc SQL actually takes): translate Spark's pushed

@@ -849,6 +849,85 @@ class ZoneMapsSpec extends SparkSpec {
       "…while a covered IN still consults (and fails loud on staleness)")
   }
 
+  test("compactZOrder prunes BOTH dimensions where the lexicographic sort clusters only its leading column") {
+    val store = freshStore()
+    // two near-independent dimensions (g = k·7919 mod 10000 scatters g
+    // uniformly against k), interleaved base layout
+    val df = (1 to 10000).map(i =>
+      (i.toLong, (i * 7919L) % 10000L, i * 1.0)).toDF("k", "g", "v")
+    def relay(): Unit = ZoneMaps.maintain(store, "z2", Seq("k", "g"))
+    store.replace("z2", df.repartition(16))
+    ZoneMaps.build(store, "z2", Seq("k", "g"))
+    def admits(c: String, lo: Long, hi: Long): Int =
+      ZoneMaps.planFiles(store, "z2", c, lo, hi)._1.size
+    val total = store.read("z2").get.inputFiles.length
+    assert(total == 16)
+    // narrow 3% slabs on each dimension
+    assert(admits("k", 4000L, 4300L) == total, "interleaved: k admits all")
+    assert(admits("g", 4000L, 4300L) == total, "interleaved: g admits all")
+    val exactK = store.read("z2").get
+      .filter(col("k").between(4000L, 4300L)).select("k", "g", "v")
+      .as[(Long, Long, Double)].collect().toSet
+    val exactG = store.read("z2").get
+      .filter(col("g").between(4000L, 4300L)).select("k", "g", "v")
+      .as[(Long, Long, Double)].collect().toSet
+    // lexicographic (k, g): k prunes hard, g not at all — every file
+    // still spans the full g range
+    store.compactSorted("z2", Seq("k", "g"), targetFiles = 16)
+    relay()
+    assert(admits("k", 4000L, 4300L) < total / 2, "lex: k prunes")
+    assert(admits("g", 4000L, 4300L) == total,
+      "lex: the SECOND sort column cannot prune — the gap z-order closes")
+    // z-order: BOTH dimensions prune, answers identical on both
+    store.compactZOrder("z2", "k", "g", targetFiles = 16)
+    relay()
+    val zk = admits("k", 4000L, 4300L); val zg = admits("g", 4000L, 4300L)
+    assert(zk < total && zg < total, s"z-order must prune both ($zk, $zg of $total)")
+    assert(ZoneMaps.prunedReadRange(store, "z2", "k", 4000L, 4300L)
+      .select("k", "g", "v").as[(Long, Long, Double)].collect().toSet == exactK)
+    assert(ZoneMaps.prunedReadRange(store, "z2", "g", 4000L, 4300L)
+      .select("k", "g", "v").as[(Long, Long, Double)].collect().toSet == exactG)
+  }
+
+  test("clusteringDepth reads decay from the manifest; the depth trigger fires on an interleaved layout and sleeps on a sorted one") {
+    val store = freshStore()
+    val df = (1 to 4000).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+    // sorted layout: files disjoint in k → depth ≈ 1
+    store.replace("dp", df.repartitionByRange(8, col("k"))
+      .sortWithinPartitions(col("k")))
+    ZoneMaps.build(store, "dp", Seq("k"))
+    val dSorted = ZoneMaps.clusteringDepth(store, "dp", "k")
+    assert(dSorted < 1.5, s"sorted layout must read ≈1, got $dSorted")
+    // interleaved: every file spans the range → depth ≈ fileCount
+    store.replace("dp", df.repartition(8))
+    ZoneMaps.maintain(store, "dp", Seq.empty)
+    val dInter = ZoneMaps.clusteringDepth(store, "dp", "k")
+    assert(dInter > 6.0, s"interleaved layout must read ≈fileCount, got $dInter")
+    // the trigger: depth > threshold → sorted rewrite at the SAME file
+    // count (maxDataFiles unset), manifest healed in the same tick
+    val rep = IndexMaintenance.maintainTable(store, "dp", Seq.empty,
+      clusterCols = Seq("k"), maxClusterDepth = 3.0)
+    assert(rep.clusterDepth.exists(_ > 6.0) && rep.data.exists(_.compacted),
+      s"depth rule must fire on the interleaved layout: $rep")
+    assert(store.read("dp").get.inputFiles.length == 8,
+      "depth-triggered rewrite keeps the file count")
+    assert(ZoneMaps.clusteringDepth(store, "dp", "k") < 1.5,
+      "…and restores the clustering the metric measures")
+    // a sorted table does NOT trigger — no useless O(table) rewrite
+    val rep2 = IndexMaintenance.maintainTable(store, "dp", Seq.empty,
+      clusterCols = Seq("k"), maxClusterDepth = 3.0)
+    assert(rep2.clusterDepth.exists(_ < 1.5) && rep2.data.exists(!_.compacted),
+      s"a clustered table must sleep through the depth rule: $rep2")
+    // string stats refuse the metric by name (widths need arithmetic)
+    val sdf = (1 to 100).map(i => (f"s$i%04d", i)).toDF("tag", "n")
+    store.replace("ds", sdf.repartition(2))
+    ZoneMaps.build(store, "ds", Seq("tag"))
+    val e = intercept[RuntimeException] {
+      ZoneMaps.clusteringDepth(store, "ds", "tag")
+    }
+    assert(e.getMessage.contains("numeric"), e.getMessage)
+  }
+
   test("duplicate root-relative file keys fail LOUDLY instead of silently dropping rows (ADVICE r15)") {
     val store = freshStore()
     clustered(store, "dup", n = 200, parts = 2)
