@@ -175,7 +175,10 @@ object IndexMaintenance {
         }
         Some(Cells(files, compactIt))
       } else None
-    rebuilt = ZoneMaps.maintain(store, table, colsIfMissing) || rebuilt
+    // the depth path already healed before measuring; re-attest only
+    // when a rewrite just made that heal stale (or no pre-heal ran)
+    if (depthOpt.isEmpty || dataReport.exists(_.compacted))
+      rebuilt = ZoneMaps.maintain(store, table, colsIfMissing) || rebuilt
     val zname = s"${table}_zones"
     val files = store.read(zname).map(_.inputFiles.length.toLong).getOrElse(0L)
     val compacted = files > maxManifestFiles

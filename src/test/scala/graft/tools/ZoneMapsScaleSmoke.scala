@@ -178,8 +178,8 @@ object ZoneMapsScaleSmoke {
         .select(col("id").as("k"), (col("id") % 977).as("g"))
         .repartition(200))
     }
-    t("zones build on the interleaved layout") {
-      graft.operators.ZoneMaps.build(store, "decayed", Seq("k"))
+    t("zones build on the interleaved layout (stats on k AND g)") {
+      graft.operators.ZoneMaps.build(store, "decayed", Seq("k", "g"))
     }
     val (admIl, totIl) = t("planFiles: 0.1% range on interleaved layout") {
       graft.operators.ZoneMaps.planFiles(store, "decayed", "k",
@@ -199,6 +199,37 @@ object ZoneMapsScaleSmoke {
       s"${admSt.size} of $totSt — clustering restored")
     require(admSt.size < admIl.size,
       s"sorted rewrite must admit fewer files (${admSt.size} vs ${admIl.size})")
+    // the lexicographic sort clusters only k — a g-range still admits
+    // ~all files; compactZOrder bounds every file's (k, g) RECTANGLE so
+    // the SAME selective range prunes on EITHER dimension (r16). The
+    // depth metric states the layouts as numbers: ~fileCount
+    // interleaved, ~1 after the k-sort (on k), bounded on both after
+    // z-order.
+    val gLo = 400L; val gHi = 401L // 0.2% of the 977-value g space
+    val (admGl, _) = t("planFiles: selective g-range on the k-SORTED layout") {
+      graft.operators.ZoneMaps.planFiles(store, "decayed", "g", gLo, gHi)
+    }
+    println(s"[smoke] k-sorted layout: g-range admits ${admGl.size} of " +
+      s"$totSt (expected ~all — lexicographic clusters only k)")
+    t("compactZOrder (k, g) at the same 200-file count + heal") {
+      store.compactZOrder("decayed", "k", "g", targetFiles = 200)
+      graft.operators.ZoneMaps.maintain(store, "decayed", Seq("k", "g"))
+    }
+    val (admZk, _) = t("planFiles: the k-range on the z-ordered layout") {
+      graft.operators.ZoneMaps.planFiles(store, "decayed", "k",
+        nd / 2, nd / 2 + nd / 1000)
+    }
+    val (admZg, totZ) = t("planFiles: the g-range on the z-ordered layout") {
+      graft.operators.ZoneMaps.planFiles(store, "decayed", "g", gLo, gHi)
+    }
+    println(s"[smoke] z-ordered 200-file: k-range admits ${admZk.size}, " +
+      s"g-range admits ${admZg.size} of $totZ — both dimensions prune")
+    require(admZg.size < admGl.size && admZk.size < totZ,
+      s"z-order must prune both dims (k ${admZk.size}, g ${admZg.size})")
+    val depthK = graft.operators.ZoneMaps.clusteringDepth(store, "decayed", "k")
+    val depthG = graft.operators.ZoneMaps.clusteringDepth(store, "decayed", "g")
+    println(f"[smoke] z-ordered clustering depth: k=$depthK%.1f g=$depthG%.1f " +
+      s"(interleaved reads ~200, a k-sort reads ~1 on k and ~200 on g)")
 
     // SQL-PATH PLANNING COST at the 10k-file design point (VERDICT r15
     // item 7): repeated ad-hoc SQL against the 10k-file table — the
