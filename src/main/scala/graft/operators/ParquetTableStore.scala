@@ -888,7 +888,18 @@ class ParquetTableStore(spark: SparkSession, warehouse: String,
     * publish as every rewrite; the zone manifest goes stale and the
     * caller (or the scheduled "table" maintenance pass, which wires
     * this behind `clusterCols` — [[IndexMaintenance.maintainTable]])
-    * heals it. Returns (files before, files after). */
+    * heals it. Returns (files before, files after).
+    *
+    * Scale boundary, stated honestly: this is a WHOLE-TABLE rewrite. An
+    * incremental variant (rewrite only the widest files, Delta-style
+    * partial OPTIMIZE) is not safely expressible over a plain parquet
+    * directory — replacing a file SUBSET has a crash window where rows
+    * are duplicated or missing, and only a transaction log (Delta/
+    * Iceberg) closes it; the store's atomicity unit is the directory
+    * swap. At 100 TB the rewrite therefore runs per PARTITION of a
+    * partitioned table (each partition directory is its own swap unit)
+    * and the [[ZoneMaps.clusteringDepth]] trigger bounds how often it
+    * runs at all. */
   def compactSorted(name: String, cols: Seq[String],
                     targetFiles: Int = 1): (Int, Int) = {
     require(cols.nonEmpty, "compactSorted needs at least one cluster column")
