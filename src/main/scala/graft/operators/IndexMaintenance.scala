@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   * are partition-column-only scans, PSI is the `_health` snapshot vs a
   * partition-column scan, bucket occupancy is one aggregate over the
   * (id, band, bh) table. No vector or text bytes are read. */
-object IndexMaintenance {
+object IndexMaintenance extends org.apache.spark.internal.Logging {
 
   /** Segment-compaction outcome — the families whose appends create
     * ingest segments (bm25, minhash, ivf-sq, ivf-pq). */
@@ -57,7 +57,8 @@ object IndexMaintenance {
                     zonesRebuilt: Boolean = false,
                     manifest: Option[Cells] = None,
                     data: Option[Cells] = None,
-                    clusterDepth: Option[Double] = None)
+                    clusterDepth: Option[Double] = None,
+                    clusterDepthAfter: Option[Double] = None)
 
   /** Dispatcher over the family tag ("ivf", "ivf-sq", "ivf-pq", "bm25",
     * "minhash", "table") — the scheduled-job entry point. Thresholds:
@@ -179,14 +180,47 @@ object IndexMaintenance {
     // when a rewrite just made that heal stale (or no pre-heal ran)
     if (depthOpt.isEmpty || dataReport.exists(_.compacted))
       rebuilt = ZoneMaps.maintain(store, table, colsIfMissing) || rebuilt
+    // Convergence guard for the depth trigger: the metric's FLOOR is a
+    // layout property — ~1 for a lexicographic sort on its column, but
+    // ~√fileCount PER DIMENSION for a 2-D z-order (N Morton tiles form
+    // a ~√N×√N grid; a point in one dimension stabs a grid column). A
+    // `maxClusterDepth` set below that floor makes the trigger re-fire
+    // on a layout the rewrite cannot improve — a silent O(table)
+    // rewrite EVERY scheduled tick. Stateless passes cannot skip the
+    // next tick, so the guard is a loud once-per-table warning naming
+    // the floor the measurement just exposed, plus both depths in the
+    // Report for any scheduler that wants to act.
+    val depthAfter =
+      if (dataReport.exists(_.compacted) && depthOpt.isDefined) {
+        val after = Some(clusterCols
+          .map(c => ZoneMaps.clusteringDepth(store, table, c)).max)
+        for (b <- depthOpt; a <- after)
+          if (a > maxClusterDepth) warnDepthFloorOnce(table, a, b,
+            maxClusterDepth)
+        after
+      } else None
     val zname = s"${table}_zones"
     val files = store.read(zname).map(_.inputFiles.length.toLong).getOrElse(0L)
     val compacted = files > maxManifestFiles
     if (compacted) store.compact(zname)
     Report(table, "table", zonesRebuilt = rebuilt,
       manifest = Some(Cells(files, compacted)), data = dataReport,
-      clusterDepth = depthOpt)
+      clusterDepth = depthOpt, clusterDepthAfter = depthAfter)
   }
+
+  /** Spec-visible: tables whose depth-floor warning already fired. */
+  private[graft] val warnedDepthFloors =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def warnDepthFloorOnce(table: String, after: Double,
+                                 before: Double, threshold: Double): Unit =
+    if (warnedDepthFloors.add(table)) logWarning(
+      f"clustering rewrite of '$table' left depth at $after%.1f (was " +
+        f"$before%.1f), still above maxClusterDepth=$threshold%.1f — the " +
+        "threshold is below this layout's achievable floor (a 2-D " +
+        "z-order bottoms out near sqrt(fileCount) per dimension), so " +
+        "the scheduled pass will rewrite EVERY tick without converging; " +
+        f"raise maxClusterDepth above $after%.1f or drop to one cluster " +
+        "column")
 
   /** Float IVF: no code segments, but [[IvfIndex.append]] adds files
     * per ingest batch, so the pass compacts the CELLS table past the

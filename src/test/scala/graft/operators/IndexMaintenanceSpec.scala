@@ -136,6 +136,47 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(ZoneMaps.prunedReadRange(store, "zt", "k", 1L, 10L).count() == 10L)
   }
 
+  test("depth trigger below a z-order layout's floor warns ONCE instead of silently rewriting every tick") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_maint_zf").toString
+    val store = new ParquetTableStore(spark, wh)
+    // two independent dimensions, interleaved base (16 round-robin files)
+    val df = (1 to 8000).map(i => (i.toLong, (i * 7919L) % 8000L))
+      .toDF("a", "b")
+    store.replace("zf", df.repartition(16))
+    ZoneMaps.build(store, "zf", Seq("a", "b"))
+    // a 2-D z-order over 16 files bottoms out near sqrt(16)=4 per
+    // dimension; threshold 1.5 sits BELOW that floor — the misconfig
+    def tick() = IndexMaintenance.maintainTable(store, "zf", Seq.empty,
+      clusterCols = Seq("a", "b"), zOrder = true, maxClusterDepth = 1.5)
+    val rep = tick()
+    assert(rep.data.exists(_.compacted) && rep.clusterDepth.exists(_ > 10),
+      s"interleaved base must trigger: $rep")
+    val after = rep.clusterDepthAfter.getOrElse(fail(s"no after-depth: $rep"))
+    assert(after > 1.5 && after < rep.clusterDepth.get,
+      s"z-order improves depth but cannot reach a sub-floor threshold: $rep")
+    assert(IndexMaintenance.warnedDepthFloors.contains("zf"),
+      "the non-convergence must be named (once per table) — the next " +
+        "tick WILL rewrite again and the owner has to hear why")
+    // the next tick indeed re-fires (stateless pass) — the warning is
+    // the guard, and the report's two depths give a scheduler the data
+    val rep2 = tick()
+    assert(rep2.data.exists(_.compacted), rep2.toString)
+    // a threshold ABOVE the layout's floor converges: rewrite once,
+    // then sleep
+    store.replace("zf2", df.repartition(16))
+    ZoneMaps.build(store, "zf2", Seq("a", "b"))
+    def tickOk() = IndexMaintenance.maintainTable(store, "zf2", Seq.empty,
+      clusterCols = Seq("a", "b"), zOrder = true, maxClusterDepth = 12.0)
+    val r1 = tickOk()
+    assert(r1.data.exists(_.compacted), r1.toString)
+    assert(r1.clusterDepthAfter.exists(_ <= 12.0),
+      s"above-floor threshold must be reachable: $r1")
+    val r2 = tickOk()
+    assert(r2.data.exists(!_.compacted),
+      s"converged layout must sleep: $r2")
+    assert(!IndexMaintenance.warnedDepthFloors.contains("zf2"))
+  }
+
   test("unknown family fails loudly") {
     val wh = java.nio.file.Files.createTempDirectory("graft_maint_uf").toString
     val store = new ParquetTableStore(spark, wh)
