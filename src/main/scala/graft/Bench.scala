@@ -11,7 +11,12 @@ object Bench {
       val src = scala.io.Source.fromFile("/proc/stat")
       try src.getLines().find(_.startsWith("cpu ")).map { line =>
         val f = line.trim.split("\\s+").drop(1).map(_.toLong)
-        (if (f.length > 7) f(7) else 0L, f.sum)
+        // total = fields 1-8 only (user nice system idle iowait irq
+        // softirq steal): guest/guest_nice are already counted inside
+        // user/nice, so summing them too would understate steal_pct —
+        // and an understated steal is exactly the adjudication failure
+        // this field exists to prevent
+        (if (f.length > 7) f(7) else 0L, f.take(8).sum)
       } finally src.close()
     } catch { case _: Exception => None }
 
@@ -31,7 +36,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val passes =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt)
     // The full results JSON also lands in this file: the harness that
     // captures our stdout keeps only a tail window, which for 80+ queries
     // truncated the old single-line record into an unparseable fragment
@@ -80,7 +86,12 @@ object Bench {
       math.min(passes, budgetPasses))
     if (effPasses < passes) System.err.println(
       s"[bench] warmup took ${warmupSec.round}s; dropping $passes -> " +
-        s"$effPasses timed passes to fit the ${budgetSec.round}s budget")
+        s"$effPasses timed passes" +
+        (if (effPasses > budgetPasses)
+          s" — the 2-pass floor KNOWINGLY exceeds the ${budgetSec.round}s" +
+            " budget (a 2-pass median is categorically better evidence" +
+            " than 1 reading on the contended window that slowed warmup)"
+        else s" to fit the ${budgetSec.round}s budget"))
     // Per-query median over the timed sweeps: single timed passes on a
     // ±20% box make round-over-round deltas unattributable (VERDICT r2
     // item 5); sweeps (not back-to-back repeats) spread load drift across

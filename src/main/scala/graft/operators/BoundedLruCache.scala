@@ -24,6 +24,20 @@ private[graft] final class BoundedLruCache[K, V](capacity: Int) {
 
   def put(k: K, v: V): Unit = map.synchronized { map.put(k, v); () }
 
+  /** Existing value, or `mk` inserted and returned — atomic under the
+    * same lock as every other access. */
+  def getOrPut(k: K)(mk: => V): V = map.synchronized {
+    val cur = map.get(k)
+    if (cur != null) cur else { val v = mk; map.put(k, v); v }
+  }
+
+  /** Point-in-time copy of the entries (iteration outside the lock). */
+  def snapshot: Seq[(K, V)] = map.synchronized {
+    val b = Seq.newBuilder[(K, V)]
+    map.forEach((k, v) => b += ((k, v)))
+    b.result()
+  }
+
   def size: Int = map.synchronized(map.size())
 
   def containsKey(k: K): Boolean = map.synchronized(map.containsKey(k))

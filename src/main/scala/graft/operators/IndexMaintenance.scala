@@ -153,6 +153,10 @@ object IndexMaintenance extends org.apache.spark.internal.Logging {
                     maxClusterDepth: Double = 0.0): Report = {
     require(!zOrder || clusterCols.size == 2,
       "zOrder clustering needs exactly two cluster columns")
+    require(clusterCols.isEmpty || maxDataFiles > 0 || maxClusterDepth > 0,
+      s"clusterCols set for '$table' but neither trigger is: set " +
+        "maxDataFiles and/or maxClusterDepth, or the clustering leg " +
+        "silently never runs and the table decays to admit-all")
     var rebuilt = false
     var depthOpt: Option[Double] = None
     val dataReport =
@@ -195,8 +199,8 @@ object IndexMaintenance extends org.apache.spark.internal.Logging {
         val after = Some(clusterCols
           .map(c => ZoneMaps.clusteringDepth(store, table, c)).max)
         for (b <- depthOpt; a <- after)
-          if (a > maxClusterDepth) warnDepthFloorOnce(table, a, b,
-            maxClusterDepth)
+          if (a > maxClusterDepth) warnDepthFloorOnce(store.path(table),
+            table, a, b, maxClusterDepth)
         after
       } else None
     val zname = s"${table}_zones"
@@ -208,12 +212,16 @@ object IndexMaintenance extends org.apache.spark.internal.Logging {
       clusterDepth = depthOpt, clusterDepthAfter = depthAfter)
   }
 
-  /** Spec-visible: tables whose depth-floor warning already fired. */
+  /** Spec-visible: table PATHS whose depth-floor warning already fired —
+    * the full warehouse path, not the bare name, so two same-named
+    * tables in different warehouses each get their own warning (the
+    * warnedDirs discipline). */
   private[graft] val warnedDepthFloors =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private def warnDepthFloorOnce(table: String, after: Double,
-                                 before: Double, threshold: Double): Unit =
-    if (warnedDepthFloors.add(table)) logWarning(
+  private def warnDepthFloorOnce(tablePath: String, table: String,
+                                 after: Double, before: Double,
+                                 threshold: Double): Unit =
+    if (warnedDepthFloors.add(tablePath)) logWarning(
       f"clustering rewrite of '$table' left depth at $after%.1f (was " +
         f"$before%.1f), still above maxClusterDepth=$threshold%.1f — the " +
         "threshold is below this layout's achievable floor (a 2-D " +

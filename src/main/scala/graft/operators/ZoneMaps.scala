@@ -799,14 +799,18 @@ object ZoneMaps {
     * other suite planning a v2 scan in the same JVM — per-dir counters
     * isolate a test to its own unique warehouse). Deterministic, unlike
     * listener-based job counting under AQE. */
-  private val v2AdmissionStats = new java.util.concurrent.ConcurrentHashMap[
+  private val v2AdmissionStats = new BoundedLruCache[
     String, (java.util.concurrent.atomic.AtomicLong,
-             java.util.concurrent.atomic.AtomicLong)]()
-  /** (hits, misses) recorded for `zonesDir` so far this JVM. */
+             java.util.concurrent.atomic.AtomicLong)](1024)
+  /** (hits, misses) recorded for `zonesDir` so far this JVM. Bounded
+    * like its companion cache (a long-lived JVM planning over many
+    * ephemeral warehouses would otherwise accrete counters forever);
+    * an evicted counter restarts at zero, which only under-counts a
+    * telemetry value — never an admission. */
   private[graft] def v2StatsFor(zonesDir: String)
     : (java.util.concurrent.atomic.AtomicLong,
        java.util.concurrent.atomic.AtomicLong) =
-    v2AdmissionStats.computeIfAbsent(zonesDir, _ =>
+    v2AdmissionStats.getOrPut(zonesDir)(
       (new java.util.concurrent.atomic.AtomicLong,
         new java.util.concurrent.atomic.AtomicLong))
 
@@ -817,7 +821,7 @@ object ZoneMaps {
     * assertion is isolated from every other suite in the JVM. */
   private[graft] def v2StatsForSuffix(suffix: String): (Long, Long) = {
     var h = 0L; var m = 0L
-    v2AdmissionStats.forEach { (dir, hm) =>
+    v2AdmissionStats.snapshot.foreach { case (dir, hm) =>
       if (dir.endsWith(suffix)) { h += hm._1.get(); m += hm._2.get() }
     }
     (h, m)

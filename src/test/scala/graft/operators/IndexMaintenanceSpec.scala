@@ -154,9 +154,11 @@ class IndexMaintenanceSpec extends SparkSpec {
     val after = rep.clusterDepthAfter.getOrElse(fail(s"no after-depth: $rep"))
     assert(after > 1.5 && after < rep.clusterDepth.get,
       s"z-order improves depth but cannot reach a sub-floor threshold: $rep")
-    assert(IndexMaintenance.warnedDepthFloors.contains("zf"),
-      "the non-convergence must be named (once per table) — the next " +
-        "tick WILL rewrite again and the owner has to hear why")
+    import scala.jdk.CollectionConverters._
+    assert(IndexMaintenance.warnedDepthFloors.asScala
+        .exists(_.endsWith(store.path("zf"))),
+      "the non-convergence must be named (once per table path) — the " +
+        "next tick WILL rewrite again and the owner has to hear why")
     // the next tick indeed re-fires (stateless pass) — the warning is
     // the guard, and the report's two depths give a scheduler the data
     val rep2 = tick()
@@ -174,7 +176,8 @@ class IndexMaintenanceSpec extends SparkSpec {
     val r2 = tickOk()
     assert(r2.data.exists(!_.compacted),
       s"converged layout must sleep: $r2")
-    assert(!IndexMaintenance.warnedDepthFloors.contains("zf2"))
+    assert(!IndexMaintenance.warnedDepthFloors.asScala
+      .exists(_.endsWith(store.path("zf2"))))
   }
 
   test("unknown family fails loudly") {
